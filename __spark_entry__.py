@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()``/``oracle_sql()`` expose the full operator catalog from
+``dbt_glue_spark.plans`` (one entry per implemented operator from
+SURVEY.md §2 plus the extension operators), each paired with a DuckDB
+oracle where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_glue_spark.plans.catalog import ORACLES, QUERIES  # noqa: E402
+
+
+def _tune(spark: SparkSession) -> SparkSession:
+    """Apply the engine's session conf to a driver-provided session."""
+    from dbt_glue_spark.session import _DEFAULT_CONF
+
+    for k, v in _DEFAULT_CONF.items():
+        if k.startswith("spark.sql."):  # runtime-settable subset
+            try:
+                spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001 — static confs on a live session
+                pass
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _tune(spark)
+    fn = QUERIES()["flagship_revenue_by_nation"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs = QUERIES()
+    return {
+        name: (lambda spark, sf_dir, _fn=fn: _fn(_tune(spark), sf_dir))
+        for name, fn in qs.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return ORACLES()

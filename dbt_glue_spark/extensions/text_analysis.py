@@ -1,0 +1,118 @@
+"""Text analysis operators: stats, quality scoring, language ID, token
+counting, fingerprinting. All pure Catalyst expressions (no UDFs) so they
+run inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.functions.scalars import half_up_round
+from dbt_glue_spark.functions.text import tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic; the oracle SQL embeds the
+# same lists.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "est"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ein", "ist"),
+}
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: chars, tokens, distinct tokens, avg token length,
+    type-token ratio. One narrow projection — no shuffle at all."""
+    tok = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars_computed"),
+        F.size(tok).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("bigint").alias("n_distinct_tokens"),
+        half_up_round(
+            F.aggregate(tok, F.lit(0.0), lambda acc, t: acc + F.length(t)) / F.size(tok), 6
+        ).alias("avg_token_len"),
+        half_up_round(F.size(F.array_distinct(tok)) / F.size(tok), 6).alias("type_token_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1]: length band + lexical diversity +
+    alpha ratio. Mirrors C4/Gopher-style length & repetition filters in a
+    deterministic, oracle-expressible form."""
+    tok = tokens(F.col(text_col))
+    n_tok = F.size(tok)
+    ttr = F.size(F.array_distinct(tok)) / n_tok
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+        / F.greatest(F.length(F.col(text_col)), F.lit(1))
+    )
+    len_ok = F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = half_up_round((len_ok + ttr + alpha_ratio) / F.lit(3.0), 6)
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        half_up_round(ttr, 6).alias("ttr"),
+        half_up_round(alpha_ratio, 6).alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language ID over STOPWORDS languages.
+
+    Score per language = #tokens that are stopwords of that language.
+    Winner = max score, ties broken by language code order; 'und'
+    (undetermined) when all scores are 0. A real deployment would swap in
+    fastText — the operator shape (projection, no shuffle) is identical.
+    """
+    tok = tokens(F.lower(F.col(text_col)))
+    scores = {
+        lang: F.size(F.filter(tok, lambda t: t.isin(*words)))
+        for lang, words in STOPWORDS.items()
+    }
+    langs = sorted(STOPWORDS)  # deterministic tie order
+    best = F.greatest(*[scores[l] for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier langs win ties → apply in reverse
+        pred = F.when((best > 0) & (scores[l] == best), F.lit(l)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        *[scores[l].cast("bigint").alias(f"score_{l}") for l in langs],
+        pred.alias("lang_pred"),
+    )
+
+
+def token_count_regex(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE-ish token counting: words, numbers, and punctuation counted
+    separately with a regex lexer (approximates tokenizer cost models)."""
+    word_pat, num_pat, punct_pat = r"[A-Za-z]+", r"[0-9]+", r"[^A-Za-z0-9\s]"
+    t = F.col(text_col)
+    n_words = F.size(F.regexp_extract_all(t, F.lit(word_pat), F.lit(0)))
+    n_nums = F.size(F.regexp_extract_all(t, F.lit(num_pat), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(punct_pat), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_word_tokens"),
+        n_nums.cast("bigint").alias("n_num_tokens"),
+        n_punct.cast("bigint").alias("n_punct_tokens"),
+        (n_words + n_nums + n_punct).cast("bigint").alias("n_tokens_total"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive document fingerprint: md5 over the md5s of
+    positional word 4-gram windows (winnowing-lite). Two docs share a
+    fingerprint iff their token sequences are identical."""
+    tok = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - 4, F.lit(0)))
+    windows = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", tok[i], tok[i + 1], tok[i + 2], tok[i + 3])))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws("", windows)).alias("fingerprint"),
+        F.size(tok).cast("bigint").alias("n_tokens"),
+    )

@@ -1,0 +1,663 @@
+"""Relational query set — exercises SURVEY.md §2.1-2.8 operator inventory.
+
+The reference passes user SQL through to Spark verbatim (reference:
+dbt/include/glue/macros/adapters.sql:148-192 embeds model SELECT bodies in
+CTAS), so its queryable surface is the Spark SQL dialect; these queries
+cover that surface with idiomatic DataFrame plans: broadcast dimension
+joins, partial aggregation, semi/anti joins, window functions, rollup, set
+ops, scalar/JSON functions, and scalar subqueries.
+
+Scale annotations on each query describe the 100 TB plan shape (what gets
+broadcast, what shuffles, what prunes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.plans.catalog import register
+from dbt_glue_spark.sources.registry import load_table
+
+
+def dsum(col: Column, scale: int = 6) -> Column:
+    """Exact associative sum: double → decimal sum → double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _osum(expr: str, scale: int = 6) -> str:
+    """Oracle-side mirror of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# Joins + aggregation core
+# --------------------------------------------------------------------------
+
+
+@register(
+    "flagship_revenue_by_nation",
+    f"""
+    SELECT n_name,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Flagship: 4-way join + agg (SURVEY §7.1 step 2). 100 TB plan: "
+    "nation broadcast; lineitem⋈orders shuffle on orderkey; partial aggs.",
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_quantity', 2)} AS sum_qty,
+           {_osum('l_extendedprice', 2)} AS sum_base_price,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan-filter-agg; pushdown of l_shipdate to parquet;"
+    " 100 TB: pure map-side partial agg, tiny shuffle (|groups| ~ 4).",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc).alias("sum_disc_price"),
+            dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            (dsum(F.col("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_forecast",
+    f"""
+    SELECT {_osum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: multi-predicate scan → global agg. All four "
+    "predicates push to the parquet reader (PushedFilters).",
+)
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "top_orders",
+    f"""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: filtered join + top-k. Spark compiles the "
+    "orderBy+limit to TakeOrderedAndProject (no global sort at scale).",
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "order_priority_count",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS → left-semi join, then count. The semi join "
+    "shuffles only (orderkey) pairs, never full rows.",
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left outer join + double aggregation. COUNT(col) "
+    "null-skipping semantics exercised on the unmatched side.",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "supplier_nation_revenue",
+    f"""
+    SELECT n_name, s_name,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name, s_name
+    """,
+    doc="TPC-H Q5 family: fact ⋈ three dims, all dims broadcast; region "
+    "filter prunes before the broadcast, so the fact scan is the only big IO.",
+)
+def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    dims = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        lineitem.join(F.broadcast(dims), lineitem.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name", "s_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "part_type_stats",
+    """
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p_retailprice) AS DOUBLE) AS min_price,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS max_price,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(MAX(p_size) AS INT) AS max_size
+    FROM part
+    GROUP BY p_type
+    """,
+    doc="Min/max/avg/count per group; single partial+final hash agg.",
+)
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_type").agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_retailprice").cast("double").alias("min_price"),
+        F.max("p_retailprice").cast("double").alias("max_price"),
+        (dsum(F.col("p_retailprice"), 2) / F.count("*")).alias("avg_price"),
+        F.max("p_size").cast("int").alias("max_size"),
+    )
+
+
+@register(
+    "having_filter",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    doc="GROUP BY + HAVING (post-aggregation filter).",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "region_nation_rollup",
+    f"""
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {_osum('c_acctbal', 2)} AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP hierarchy totals (region → nation → grand total); Spark "
+    "expands grouping sets in a single shuffle.",
+)
+def region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(F.col("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ) AS INT) AS rk
+      FROM orders
+    ) t
+    WHERE rk <= 3
+    """,
+    doc="Top-N per group via row_number window; single hash-partition "
+    "shuffle on the partition key, sort within partitions.",
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_custkey <= 200
+    """,
+    doc="Running sum window; decimal accumulation keeps the prefix sums "
+    "bit-identical across engines.",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "running_spend"
+        ),
+    )
+
+
+@register(
+    "window_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(DATE_DIFF('day',
+             LAG(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             CAST(o_orderdate AS DATE)
+           ) AS BIGINT) AS days_since_prev
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+    doc="LAG + date arithmetic: inter-order gap per customer.",
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(d, F.lag(d).over(w)).cast("bigint").alias("days_since_prev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations, semi/anti/full joins, subqueries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "setop_nations",
+    """
+    SELECT CAST(n AS INT) AS nationkey, op FROM (
+      SELECT n, 'union' AS op FROM (
+        SELECT c_nationkey AS n FROM customer UNION SELECT s_nationkey FROM supplier) u
+      UNION ALL
+      SELECT n, 'intersect' AS op FROM (
+        SELECT c_nationkey AS n FROM customer INTERSECT SELECT s_nationkey FROM supplier) i
+      UNION ALL
+      SELECT n, 'except' AS op FROM (
+        SELECT c_nationkey AS n FROM customer EXCEPT SELECT s_nationkey FROM supplier) e
+    ) t
+    """,
+    doc="UNION / INTERSECT / EXCEPT distinct set semantics in one result.",
+)
+def setop_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n"))
+    supplier = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n"))
+    u = customer.union(supplier).distinct().withColumn("op", F.lit("union"))
+    i = customer.intersect(supplier).withColumn("op", F.lit("intersect"))
+    e = customer.subtract(supplier).withColumn("op", F.lit("except"))
+    return (
+        u.unionByName(i).unionByName(e).select(F.col("n").cast("int").alias("nationkey"), "op")
+    )
+
+
+@register(
+    "anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join — the relationships-test shape (reference: "
+    "dbt/include/glue/macros/generic_test_sql/relationships.sql:1-19).",
+)
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "full_outer_nation_presence",
+    """
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+    USING (nk)
+    """,
+    doc="FULL OUTER join of two aggregates; agg-before-join keeps the "
+    "shuffle small (pre-aggregated sides).",
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count("*").alias("n_cust"))
+    s = supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count("*").alias("n_supp"))
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).cast("bigint").alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "scalar_subquery_filter",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_big
+    FROM lineitem
+    WHERE l_quantity > 1.5 * (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                                     / COUNT(*) FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    doc="Scalar subquery in predicate (the reference's high-water-mark "
+    "pattern, reference: README.md:528-534). Spark plans it as a broadcast "
+    "one-row subquery, no driver round-trip.",
+)
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    avg_qty = lineitem.agg(
+        (dsum(F.col("l_quantity"), 2) / F.count("*")).alias("avg_q")
+    )
+    return (
+        lineitem.join(F.broadcast(avg_qty))
+        .filter(F.col("l_quantity") > 1.5 * F.col("avg_q"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_big"))
+    )
+
+
+@register(
+    "in_subquery_orders",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    GROUP BY o_orderstatus
+    """,
+    doc="IN-subquery → left-semi join on the filtered build side.",
+)
+def in_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        orders.join(rich, orders.o_custkey == rich.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "cross_join_region_pairs",
+    """
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    WHERE a.r_regionkey < b.r_regionkey
+    """,
+    doc="Explicit cross join (reference enables crossJoin per statement, "
+    "reference: dbt/adapters/glue/gluedbapi/connection.py:429).",
+)
+def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    a, b = region.alias("a"), region.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(F.col("a.r_name").alias("r1"), F.col("b.r_name").alias("r2"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar / JSON / date functions; events table
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_functions",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           UPPER(SUBSTRING(o_orderpriority, 1, 1)) AS prio_code,
+           CONCAT(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CAST(LENGTH(o_orderpriority) AS INT) AS prio_len
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+    doc="Scalar function surface (SURVEY §2.8 F8): date extraction, string "
+    "ops, CASE. All whole-stage-codegen expressions.",
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.length("o_orderpriority").cast("int").alias("prio_len"),
+    )
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON extraction from string props (SURVEY §2.8 F8 "
+    "get_json_object); JVM-side json path, no UDF.",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "events_hourly",
+    f"""
+    SELECT DATE_TRUNC('hour', ts) AS hour_ts, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_osum('value', 4)} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling-window batch aggregation over the events table (hourly "
+    "buckets via date_trunc). The streaming twin lives in streaming/.",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value"), 4).alias("total_value"))
+    )
+
+
+@register(
+    "events_incremental_batch",
+    """
+    WITH hwm AS (
+      SELECT MAX(ts) AS max_ts FROM events
+      WHERE event_id <= (SELECT MAX(event_id) // 2 FROM events)
+    )
+    SELECT event_id, ts, user_id, event_type
+    FROM events, hwm
+    WHERE ts > hwm.max_ts
+    """,
+    doc="The reference's incremental high-water-mark pattern (reference: "
+    "README.md:528-541): new-rows batch = ts > max(ts in target).",
+)
+def events_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    half = events.agg(F.expr("max(event_id) div 2").alias("half"))
+    hwm = (
+        events.join(F.broadcast(half))
+        .filter(F.col("event_id") <= F.col("half"))
+        .agg(F.max("ts").alias("max_ts"))
+    )
+    return (
+        events.join(F.broadcast(hwm))
+        .filter(F.col("ts") > F.col("max_ts"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )

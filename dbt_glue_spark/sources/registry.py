@@ -1,0 +1,79 @@
+"""Source registry: the driver's synthetic star schema + generic readers.
+
+The reference resolves ``source()``/``ref()`` to Glue catalog tables
+(reference: dbt/include/glue/macros/python_utils.sql:32-49 maps
+``dbt.ref`` → ``spark.table``). In-process we map a source name to a parquet
+path and expose it both as a DataFrame and as a temp view so model SQL can
+reference it by name.
+
+Scan-path notes for 100 TB: ``spark.read.parquet`` keeps predicate pushdown
+and column pruning (verify with ``df.explain``: PushedFilters / ReadSchema).
+Splitting is governed by ``spark.sql.files.maxPartitionBytes`` — no code
+change needed between sf0.001 and 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+_NANO_TS_COLS: dict[str, list[str]] = {}
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (footer-only read, cached).
+
+    Spark's vectorized reader rejects TIMESTAMP(NANOS) outright
+    (PARQUET_TYPE_ILLEGAL); with ``spark.sql.legacy.parquet.nanosAsLong``
+    the column surfaces as bigint nanoseconds, which we convert back to a
+    proper timestamp. ns→µs truncation matches DuckDB's TIMESTAMP_NS →
+    TIMESTAMP cast, so oracle values agree exactly.
+    """
+    if path not in _NANO_TS_COLS:
+        schema = pq.read_schema(path)
+        _NANO_TS_COLS[path] = [
+            f.name for f in schema if str(f.type) == "timestamp[ns]"
+        ]
+    return _NANO_TS_COLS[path]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table from ``sf_dir`` as a DataFrame."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _nano_ts_columns(path):
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def register_sources(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every table in ``sf_dir`` as a session temp view.
+
+    Returns the name → DataFrame mapping. Views are zero-cost (no
+    materialization); Catalyst prunes columns/predicates through them.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
