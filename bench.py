@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query seconds.
+
+Queries are forced with a noop-format write (full pipeline execution, no
+driver-side collect bottleneck). First query pays JVM/codegen warmup; a
+throwaway warmup query absorbs that so per-query numbers reflect steady
+state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_glue_spark.plans.catalog import SPECS
+from dbt_glue_spark.session import get_spark
+
+# Headline set: the most expensive / representative operators.
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "pricing_summary",
+    "top_orders",
+    "order_priority_count",
+    "customer_order_distribution",
+    "window_top_orders_per_customer",
+    "window_running_total",
+    "json_extract_events",
+    "events_hourly",
+    "region_nation_rollup",
+]
+# Extension headliners are appended dynamically if present in the catalog.
+EXTENSION_HEADLINE = [
+    "ext_exact_dedup",
+    "ext_minhash_lsh_pairs",
+    "ext_knn_bruteforce",
+    "ext_text_stats",
+    "mat_merge_upsert",
+    "mat_scd2_snapshot",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    specs = SPECS()
+    names = [n for n in HEADLINE + EXTENSION_HEADLINE if n in specs]
+    # warmup: JVM + parquet footer caches
+    force(specs["flagship_revenue_by_nation"].fn(spark, sf_dir))
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        force(specs[name].fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
