@@ -1,0 +1,349 @@
+"""The engine: project/model API + materialization state machines.
+
+This is the re-expression of the reference's materialization macros
+(dbt/include/glue/macros/materializations/*) as in-process Spark code: the
+decision trees of incremental.sql:46-114, table.sql:1-52, view.sql:1-3,
+snapshot.sql:99-226 and seed.sql:7-49, minus Jinja, minus the remote
+statement protocol, minus boto3.
+
+Ref resolution uses ``{{ ref('x') }}`` / ``{{ source('t') }}`` / ``{{ this }}``
+placeholders in model SQL (regex-substituted — no Jinja dependency);
+ephemeral models inline as parenthesized subqueries exactly like dbt CTE
+inlining (SURVEY §2.12 M11).
+
+Storage model: external tables under ``{warehouse}/{schema}/{table}``
+(reference location policy, impl.py:415-444). Rewriting materializations
+(table full-refresh, merge, snapshot) write to a fresh versioned location
+then re-point the catalog — plain parquet has no transaction log, so the
+swap is the atomicity boundary (Delta/Iceberg on a real cluster make this
+a metadata commit; the engine's write path is isolated in ``_write_swap``
+for exactly that substitution).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.catalog import Catalog
+from dbt_glue_spark.materializations.seed import infer_seed_df
+from dbt_glue_spark.materializations.snapshot import scd2_apply
+from dbt_glue_spark.operators.merge import merge_upsert
+from dbt_glue_spark.operators.schema_evolution import evolve
+from dbt_glue_spark.relations import Relation, build_location
+
+TRANSACTIONAL_FORMATS = {"delta", "iceberg", "hudi"}
+#: formats the reference accepts (validate.sql:4)
+ACCEPTED_FORMATS = {
+    "text", "csv", "json", "jdbc", "parquet", "orc", "hive",
+    "delta", "iceberg", "libsvm", "hudi",
+}
+ACCEPTED_STRATEGIES = {"append", "insert_overwrite", "merge"}
+
+
+@dataclass
+class ModelConfig:
+    materialized: str = "table"  # view|table|incremental|snapshot|seed|ephemeral
+    file_format: str = "parquet"
+    partition_by: list[str] = field(default_factory=list)
+    clustered_by: list[str] = field(default_factory=list)
+    buckets: int | None = None
+    incremental_strategy: str = "insert_overwrite"  # reference default (incremental.sql:4)
+    unique_key: list[str] | None = None
+    merge_update_columns: list[str] | None = None
+    merge_exclude_columns: list[str] | None = None
+    incremental_predicates: list[str] | None = None
+    on_schema_change: str = "ignore"
+    # snapshot-only
+    strategy: str = "check"
+    updated_at: str | None = None
+    check_cols: list[str] | None = None
+    invalidate_hard_deletes: bool = False
+    # misc
+    custom_location: str | None = None
+    full_refresh: bool = False
+    # strict reference parity: reject merge on non-transactional formats
+    # (validate.sql:38-47). Off by default because this environment has no
+    # Delta/Iceberg jars — the engine composes merge semantics instead.
+    require_transactional_merge: bool = False
+
+
+@dataclass
+class Model:
+    name: str
+    sql: str | None = None
+    fn: Callable[..., DataFrame] | None = None  # python model: fn(ctx, spark)
+    seed_csv: str | None = None
+    column_types: dict[str, str] | None = None
+    config: ModelConfig = field(default_factory=ModelConfig)
+
+
+_REF = re.compile(r"\{\{\s*(ref|source)\s*\(\s*'([^']+)'\s*\)\s*\}\}")
+_THIS = re.compile(r"\{\{\s*this\s*\}\}")
+
+
+class DbtContext:
+    """The python-model ``dbt`` object (reference: python_utils.sql:20-49):
+    ref/source/this/is_incremental/config."""
+
+    def __init__(self, engine: "Engine", model: Model, is_incremental: bool):
+        self._engine = engine
+        self._model = model
+        self._is_incremental = is_incremental
+        self.this = engine.relation_for(model.name)
+
+    def ref(self, name: str) -> DataFrame:
+        return self._engine.ref_df(name)
+
+    def source(self, name: str) -> DataFrame:
+        return self._engine.spark.table(name)
+
+    def is_incremental(self) -> bool:
+        return self._is_incremental
+
+    def config(self, **kwargs) -> None:  # accepted for API parity; no-op
+        return None
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        schema: str = "analytics",
+        now: Callable[[], Any] | None = None,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.schema = schema
+        self.catalog = Catalog(spark)
+        self.catalog.create_schema(schema)
+        self.models: dict[str, Model] = {}
+        self._now = now or (lambda: time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()))
+
+    # -- registration / resolution ---------------------------------------
+    def add(self, model: Model) -> None:
+        self.models[model.name] = model
+
+    def relation_for(self, name: str) -> Relation:
+        return Relation(self.schema, name)
+
+    def _resolve_sql(self, model: Model) -> str:
+        def sub(m: re.Match) -> str:
+            kind, name = m.group(1), m.group(2)
+            if kind == "source":
+                return name  # registered temp view
+            dep = self.models.get(name)
+            if dep and dep.config.materialized == "ephemeral":
+                return f"({self._resolve_sql(dep)}) AS __ephemeral_{name}"
+            return self.relation_for(name).render()
+
+        sql = _REF.sub(sub, model.sql or "")
+        return _THIS.sub(self.relation_for(model.name).render(), sql)
+
+    def ref_df(self, name: str) -> DataFrame:
+        dep = self.models.get(name)
+        if dep and dep.config.materialized == "ephemeral":
+            return self.spark.sql(self._resolve_sql(dep))
+        return self.spark.table(self.relation_for(name).render())
+
+    def _deps(self, model: Model) -> list[str]:
+        if not model.sql:
+            return []
+        return [
+            name
+            for kind, name in _REF.findall(model.sql)
+            if kind == "ref" and name in self.models
+        ]
+
+    def run(self, names: list[str] | None = None) -> None:
+        """Topological DAG execution (dbt-core's orchestration role)."""
+        order: list[str] = []
+        seen: dict[str, int] = {}
+
+        def visit(n: str) -> None:
+            state = seen.get(n, 0)
+            if state == 1:
+                raise ValueError(f"cycle at {n}")
+            if state == 2:
+                return
+            seen[n] = 1
+            for d in self._deps(self.models[n]):
+                visit(d)
+            seen[n] = 2
+            order.append(n)
+
+        for n in names or list(self.models):
+            visit(n)
+        for n in order:
+            self.run_model(self.models[n])
+
+    # -- materializations -------------------------------------------------
+    def run_model(self, model: Model) -> Relation:
+        cfg = model.config
+        if cfg.file_format not in ACCEPTED_FORMATS:
+            raise ValueError(  # validate.sql:1-10 semantics
+                f"invalid file_format {cfg.file_format}; expected one of "
+                f"{sorted(ACCEPTED_FORMATS)}"
+            )
+        mat = cfg.materialized
+        if mat == "ephemeral":
+            return self.relation_for(model.name)  # nothing to build
+        if mat == "view":
+            return self._mat_view(model)
+        if mat == "table":
+            return self._mat_table(model)
+        if mat == "incremental":
+            return self._mat_incremental(model)
+        if mat == "snapshot":
+            return self._mat_snapshot(model)
+        if mat == "seed":
+            return self._mat_seed(model)
+        raise ValueError(f"unknown materialization {mat}")
+
+    def _model_df(self, model: Model, is_incremental: bool = False) -> DataFrame:
+        if model.fn is not None:
+            ctx = DbtContext(self, model, is_incremental)
+            out = model.fn(ctx, self.spark)
+            if not isinstance(out, DataFrame):
+                try:  # pandas / pandas-on-Spark conversion chain
+                    import pandas as pd
+
+                    if isinstance(out, pd.DataFrame):
+                        out = self.spark.createDataFrame(out)
+                    else:
+                        out = out.to_spark()  # pyspark.pandas
+                except Exception as e:  # noqa: BLE001
+                    raise TypeError(
+                        "python model must return a Spark/pandas DataFrame"
+                    ) from e
+            return out
+        return self.spark.sql(self._resolve_sql(model))
+
+    def _location(self, model: Model, version: int | None = None) -> str:
+        ident = model.name if version is None else f"{model.name}__v{version}"
+        return build_location(
+            self.warehouse, self.schema, ident, model.config.custom_location
+        )
+
+    def _write_swap(self, df: DataFrame, model: Model) -> Relation:
+        """Write df to a fresh versioned location and re-point the catalog.
+
+        The substitution point for transactional formats: with Delta/Iceberg
+        this whole function becomes ``CREATE OR REPLACE TABLE`` /
+        ``MERGE INTO`` (reference: adapters.sql:161-167). On plain parquet
+        the version bump keeps readers of the old location valid until the
+        catalog flips.
+        """
+        cfg = model.config
+        rel = self.relation_for(model.name)
+        version = int(time.time() * 1000)
+        loc = self._location(model, version)
+        writer = df.write.format(cfg.file_format).mode("overwrite")
+        if cfg.partition_by:
+            writer = writer.partitionBy(*cfg.partition_by)
+        writer = writer.option("path", loc)
+        self.catalog.drop(rel)
+        if cfg.clustered_by and cfg.buckets:
+            writer = writer.bucketBy(cfg.buckets, *cfg.clustered_by).sortBy(
+                *cfg.clustered_by
+            )
+        writer.saveAsTable(rel.render())
+        self.catalog.refresh(rel)
+        return rel
+
+    def _mat_view(self, model: Model) -> Relation:
+        rel = self.relation_for(model.name)
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW {rel.render()} AS {self._resolve_sql(model)}"
+        )
+        return rel
+
+    def _mat_table(self, model: Model) -> Relation:
+        return self._write_swap(self._model_df(model), model)
+
+    def _mat_seed(self, model: Model) -> Relation:
+        df = infer_seed_df(self.spark, model.seed_csv or "", model.column_types)
+        return self._write_swap(df, model)
+
+    def _mat_incremental(self, model: Model) -> Relation:
+        cfg = model.config
+        rel = self.relation_for(model.name)
+        if cfg.incremental_strategy not in ACCEPTED_STRATEGIES:
+            raise ValueError(  # validate.sql:20-36 semantics
+                f"invalid incremental_strategy {cfg.incremental_strategy}"
+            )
+        if (
+            cfg.incremental_strategy == "merge"
+            and cfg.require_transactional_merge
+            and cfg.file_format not in TRANSACTIONAL_FORMATS
+        ):
+            raise ValueError(  # validate.sql:38-47 semantics
+                "merge strategy requires file_format delta/iceberg/hudi"
+            )
+        exists = self.catalog.exists(rel)
+        if not exists or cfg.full_refresh:
+            return self._write_swap(self._model_df(model, is_incremental=False), model)
+
+        batch = self._model_df(model, is_incremental=True)
+        target_df = self.spark.table(rel.render())
+        batch, target_df, _ = evolve(batch, target_df, cfg.on_schema_change)
+
+        if cfg.incremental_strategy == "append":
+            # explicit dest-column projection (strategies.sql:2-3,22-39)
+            batch.select(*target_df.columns).write.mode("append").insertInto(
+                rel.render()
+            )
+            self.catalog.refresh(rel)
+            return rel
+
+        if cfg.incremental_strategy == "insert_overwrite":
+            if cfg.partition_by:
+                # dynamic partition overwrite (strategies.sql:1-19; our
+                # session sets partitionOverwriteMode=dynamic)
+                batch.select(*target_df.columns).write.mode("overwrite").insertInto(
+                    rel.render(), overwrite=True
+                )
+                self.catalog.refresh(rel)
+                return rel
+            # no partitions ⇒ whole-table replace (strategies.sql:16-18)
+            return self._write_swap(batch, model)
+
+        # merge
+        key = cfg.unique_key
+        merged = merge_upsert(
+            target_df,
+            batch,
+            [key] if isinstance(key, str) else key,
+            update_columns=cfg.merge_update_columns,
+            exclude_columns=cfg.merge_exclude_columns,
+            incremental_predicates=cfg.incremental_predicates,
+        )
+        # a rewriting merge must not read-then-truncate its own input
+        merged = merged.localCheckpoint(eager=True)
+        return self._write_swap(merged, model)
+
+    def _mat_snapshot(self, model: Model) -> Relation:
+        cfg = model.config
+        rel = self.relation_for(model.name)
+        source = self._model_df(model)
+        current = self.spark.table(rel.render()) if self.catalog.exists(rel) else None
+        key = cfg.unique_key or ["id"]
+        snap = scd2_apply(
+            current,
+            source,
+            [key] if isinstance(key, str) else key,
+            as_of=self._now(),
+            strategy=cfg.strategy,
+            updated_at=cfg.updated_at,
+            check_cols=cfg.check_cols,
+            invalidate_hard_deletes=cfg.invalidate_hard_deletes,
+        )
+        if current is not None:
+            snap = snap.localCheckpoint(eager=True)
+        return self._write_swap(snap, model)
