@@ -219,15 +219,17 @@ def simhash(
         F.col("h"),
     )
     # nibble value of hex char at position `bit` (1-indexed substring)
-    nib = F.expr("strpos('0123456789abcdef', substring(h, bit + 1, 1)) - 1")
+    nib = F.expr("instr('0123456789abcdef', substring(h, bit + 1, 1)) - 1")
     signed = pos.withColumn("vote", F.when(nib % 2 == 1, F.lit(1)).otherwise(F.lit(-1)))
     votes = signed.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
     return votes.groupBy("id").agg(
         F.sum(
-            F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("bigint"), F.col("bit"))).otherwise(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
                 F.lit(0).cast("bigint")
             )
-        ).alias("simhash")
+        )
+        .cast("bigint")
+        .alias("simhash")
     )
 
 

@@ -109,7 +109,9 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     positional word 4-gram windows (winnowing-lite). Two docs share a
     fingerprint iff their token sequences are identical."""
     tok = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - 4, F.lit(0)))
+    idx = F.when(F.size(tok) >= 4, F.sequence(F.lit(0), F.size(tok) - 4)).otherwise(
+        F.array().cast("array<int>")
+    )
     windows = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", tok[i], tok[i + 1], tok[i + 2], tok[i + 3])))
     return df.select(
         F.col(id_col),

@@ -31,6 +31,8 @@ def word_shingles(tok: Column, n: int = 3) -> Column:
     docs shorter than ``n`` tokens yield an empty array (not NULL) so that
     downstream set arithmetic (Jaccard) is well-defined.
     """
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(-1)))
+    idx = F.when(F.size(tok) >= n, F.sequence(F.lit(0), F.size(tok) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", *[tok[i + j] for j in range(n)]))
-    return F.array_distinct(F.filter(grams, lambda g: g != ""))
+    return F.array_distinct(grams)

@@ -1,1 +1,458 @@
-"""Extension-operator queries — filled in with dedup/similarity/text entries."""
+"""Extension-operator queries: dedup, similarity search, text analysis.
+
+Every entry drives the real library operators in ``extensions/`` and pairs
+them with a DuckDB oracle that recomputes the identical algorithm in SQL —
+including the md5-based MinHash signatures and LSH band keys, which are
+engine-portable by construction (hex md5 compares lexicographically the
+same everywhere).
+
+Shared oracle CTE fragments are assembled here once (_TOK, _SH, _JACCARD)
+to keep Spark and SQL definitions visibly in sync.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.extensions import dedup, similarity, text_analysis
+from dbt_glue_spark.extensions.similarity import _hyperplane
+from dbt_glue_spark.plans.catalog import register
+from dbt_glue_spark.quality import tests as dq
+from dbt_glue_spark.sources.registry import load_table
+
+# ---- shared DuckDB fragments (documents tokenization/shingling) ----------
+
+_TOK = r"""
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+"""
+
+_SH = (
+    _TOK
+    + r""",
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in generate_series(1, len(toks) - 2)]
+             )) AS shingle
+      FROM tok
+    )
+"""
+)
+
+_JACCARD_TAIL = """
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             FLOOR(CAST(n_common AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - n_common) * 1000000 + 0.5) / 1000000
+               AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+"""
+
+_MINHASH_SIG = (
+    _SH
+    + """,
+    sig AS (
+      SELECT doc_id AS id,
+    """
+    + ",\n".join(f"MIN(MD5('{i}:' || shingle)) AS h{i}" for i in range(8))
+    + """
+      FROM sh GROUP BY doc_id
+    )
+"""
+)
+
+
+# ---- dedup ---------------------------------------------------------------
+
+
+@register(
+    "ext_exact_dedup",
+    r"""
+    WITH hashed AS (
+      SELECT *, MD5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS h
+      FROM documents
+    ), keep AS (SELECT h, MIN(doc_id) AS doc_id FROM hashed GROUP BY h)
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM hashed d JOIN keep k ON d.h = k.h AND d.doc_id = k.doc_id
+    """,
+    doc="Exact dedup (normalized): keep min-id row per md5 of normalized "
+    "text. One 16-byte-key shuffle regardless of document size.",
+)
+def ext_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"), normalize=True)
+
+
+@register(
+    "ext_ngram_jaccard_pairs",
+    "WITH "
+    + _SH
+    + ", "
+    + _JACCARD_TAIL
+    + """
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+    doc="All-pairs word-3-gram Jaccard ≥ 0.5 via inverted-index self-join "
+    "(no cross join; cost ∝ Σ postings² per shingle).",
+)
+def ext_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register(
+    "ext_minhash_signatures",
+    "WITH " + _MINHASH_SIG + "SELECT * FROM sig",
+    doc="MinHash signatures (8 hashes, md5-based → engine-portable); "
+    "explode + groupBy, signature width constant.",
+)
+def ext_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_minhash_lsh_pairs",
+    "WITH "
+    + _MINHASH_SIG
+    + """,
+    bands AS (
+      SELECT id, b, key FROM sig, LATERAL (VALUES
+        (0, MD5(h0 || '|' || h1)), (1, MD5(h2 || '|' || h3)),
+        (2, MD5(h4 || '|' || h5)), (3, MD5(h6 || '|' || h7))
+      ) AS v(b, key)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM bands a JOIN bands b2 ON a.key = b2.key AND a.b = b2.b AND a.id < b2.id
+    ),
+    """
+    + _JACCARD_TAIL.replace("    sizes AS", "sizes AS", 1)
+    + """
+    SELECT c.id_a, c.id_b, j.jaccard
+    FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= 0.5
+    """,
+    doc="MinHash+LSH: band-key bucket join generates candidates (bounded "
+    "work at any corpus size), exact Jaccard verifies. The 100 TB dedup path.",
+)
+def ext_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "ext_simhash",
+    "WITH "
+    + _TOK
+    + """,
+    tokd AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tok),
+    th AS (SELECT doc_id, MD5(tok) AS h FROM tokd),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (strpos('0123456789abcdef', substring(h, bit + 1, 1)) - 1) % 2 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT unnest(generate_series(0, 15)) AS bit) bits
+      GROUP BY doc_id, bit
+    )
+    SELECT doc_id AS id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    doc="16-bit SimHash from token-md5 nibble parity; pure integer "
+    "arithmetic, identical across engines.",
+)
+def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+@register(
+    "ext_embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 * 10000 + 0.5) / 10000 AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                * 10000 + 0.5) / 10000 >= 0.9
+    """,
+    doc="Embedding-cosine near-dup pairs (exact all-pairs baseline; "
+    "LSH-bucketed variant = ext_knn_lsh's bucketing with buckets>0).",
+)
+def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.9
+    )
+
+
+# ---- similarity search ---------------------------------------------------
+
+
+@register(
+    "ext_knn_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             FLOOR(list_cosine_similarity(qv, cv) * 10000 + 0.5) / 10000 AS sim
+      FROM q, c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+    doc="Exact top-5 cosine ANN baseline: broadcast query set × corpus "
+    "scan, window top-k. Zero corpus shuffle — the correct plan even at "
+    "100 TB for small probe sets.",
+)
+def ext_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _bucket_sql(col: str, planes: int = 4, dim: int = 64) -> str:
+    parts = []
+    for p in range(planes):
+        vec = ", ".join(repr(v) for v in _hyperplane(dim, p))
+        parts.append(
+            f"(CASE WHEN list_dot_product({col}, [{vec}]) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(parts)
+
+
+@register(
+    "ext_knn_lsh",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                      {_bucket_sql('embedding::DOUBLE[]')} AS b
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                      {_bucket_sql('embedding::DOUBLE[]')} AS b
+               FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             FLOOR(list_cosine_similarity(qv, cv) * 10000 + 0.5) / 10000 AS sim
+      FROM q JOIN c USING (b) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+    doc="Approximate top-5 via random-hyperplane LSH (4 deterministic "
+    "planes → 16 buckets): bucket equi-join replaces the cross join — the "
+    "corpus-vs-corpus scale path. Oracle embeds identical plane literals.",
+)
+def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, planes=4, dim=64
+    )
+
+
+# ---- text analysis -------------------------------------------------------
+
+
+@register(
+    "ext_text_stats",
+    "WITH "
+    + _TOK
+    + """
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_chars_computed,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           FLOOR(list_sum([CAST(length(t) AS DOUBLE) for t in toks]) / len(toks)
+                 * 1000000 + 0.5) / 1000000 AS avg_token_len,
+           FLOOR(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 * 1000000 + 0.5) / 1000000 AS type_token_ratio
+    FROM documents d JOIN tok USING (doc_id)
+    """,
+    doc="Per-document stats: narrow projection, no shuffle; list ops stay "
+    "in codegen.",
+)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_quality_score",
+    "WITH "
+    + _TOK
+    + r"""
+    , stats AS (
+      SELECT d.doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr_raw,
+             CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / greatest(length(d.text), 1) AS alpha_raw,
+             CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END AS len_ok
+      FROM documents d JOIN tok USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           FLOOR(ttr_raw * 1000000 + 0.5) / 1000000 AS ttr,
+           FLOOR(alpha_raw * 1000000 + 0.5) / 1000000 AS alpha_ratio,
+           FLOOR((len_ok + ttr_raw + alpha_raw) / 3.0 * 1000000 + 0.5) / 1000000
+             AS quality_score
+    FROM stats
+    """,
+    doc="C4/Gopher-style quality heuristic: length band + lexical "
+    "diversity + alpha ratio.",
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    langs = sorted(text_analysis.STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in text_analysis.STOPWORDS[lang])
+        score_cols.append(
+            f"CAST(len(list_filter(toks, t -> t IN ({words}))) AS BIGINT) AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND score_{l} = {best} THEN '{l}'" for l in langs
+    ) + " ELSE 'und' END"
+    return (
+        "WITH ltok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),"
+        r" '\s+'), t -> t <> '') AS toks FROM documents), "
+        "scored AS (SELECT doc_id, "
+        + ", ".join(score_cols)
+        + " FROM ltok) "
+        + f"SELECT doc_id, {', '.join('score_' + l for l in langs)}, {case} AS lang_pred"
+        + " FROM scored"
+    )
+
+
+@register(
+    "ext_language_id",
+    _langid_oracle(),
+    doc="Stopword-overlap language ID (deterministic tie order); operator "
+    "shape identical to a fastText swap-in: projection, no shuffle.",
+)
+def ext_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                + len(regexp_extract_all(text, '[0-9]+'))
+                + len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)
+             AS n_tokens_total
+    FROM documents
+    """,
+    doc="Regex-lexer token counting (BPE-ish cost model).",
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.token_count_regex(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_doc_fingerprint",
+    "WITH "
+    + _TOK
+    + """
+    SELECT doc_id,
+           MD5(CASE WHEN len(toks) >= 4 THEN list_aggregate(
+                 [MD5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                  for i in generate_series(1, len(toks) - 3)],
+                 'string_agg', '')
+               ELSE '' END) AS fingerprint,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM tok
+    """,
+    doc="Order-sensitive fingerprint: md5 over positional 4-gram window "
+    "md5s (winnowing-lite).",
+)
+def ext_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---- data-quality operators on live tables -------------------------------
+
+
+@register(
+    "dq_unique_violations",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM events GROUP BY user_id HAVING COUNT(*) > 1
+    """,
+    doc="dbt `unique` test operator (failing keys with counts) on "
+    "events.user_id.",
+)
+def dq_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq.unique(load_table(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "dq_accepted_values",
+    """
+    SELECT event_type AS value_field, CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM events GROUP BY event_type
+    HAVING event_type NOT IN ('click', 'view', 'purchase', 'signup')
+    """,
+    doc="dbt accepted_values test (reference: generic_test_sql/"
+    "accepted_values.sql:1-23): 'error' rows are the expected failures.",
+)
+def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq.accepted_values(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        ["click", "view", "purchase", "signup"],
+    )
+
+
+@register(
+    "dq_relationships_orphans",
+    """
+    SELECT DISTINCT user_id AS from_field FROM events
+    WHERE user_id IS NOT NULL
+      AND user_id NOT IN (SELECT c_custkey FROM customer)
+    """,
+    doc="dbt relationships test (reference: generic_test_sql/"
+    "relationships.sql:1-19): events.user_id values with no customer row.",
+)
+def dq_relationships_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq.relationships(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey",
+    )
+
+
+@register(
+    "dq_not_null_violations",
+    "SELECT * FROM documents WHERE text IS NULL",
+    doc="dbt not_null test: failing rows (expected empty on this corpus).",
+)
+def dq_not_null_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq.not_null(load_table(spark, sf_dir, "documents"), "text")
