@@ -40,7 +40,9 @@ EXTENSION_HEADLINE = [
     "ext_knn_bruteforce",
     "ext_text_stats",
     "mat_merge_upsert",
-    "mat_scd2_snapshot",
+    "mat_scd2_snapshot_check",
+    "asof_join_clicks_purchases",
+    "range_join_signup_purchases",
 ]
 
 

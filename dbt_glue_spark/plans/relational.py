@@ -661,3 +661,82 @@ def events_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("max_ts"))
         .select("event_id", "ts", "user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal joins (extension operators beyond the reference — SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_clicks_purchases",
+    """
+    WITH clicks AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+      FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(MAX(event_id) AS BIGINT) AS p_event
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.ts, c.user_id,
+           p.ts AS ts_matched, p.p_event AS p_event_matched
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of join (operators/temporal.py): for each click, the latest "
+    "purchase at-or-before it per user. Union+window sort-merge plan: one "
+    "key shuffle, no range explosion — DuckDB's native ASOF JOIN is the "
+    "oracle.",
+)
+def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event"))
+    )
+    return asof_join(clicks, purch, on="ts", by="user_id", right_cols=["p_event"])
+
+
+@register(
+    "range_join_signup_purchases",
+    """
+    SELECT s.event_id, CAST(COUNT(*) AS BIGINT) AS n_purchases_3d
+    FROM events s JOIN events p
+      ON p.user_id = s.user_id AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 3 DAY
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id
+    """,
+    doc="Banded range join (operators/temporal.py): purchases within 3 days "
+    "after each signup, bucket-join + residual filter (no theta-join "
+    "explosion); DuckDB IEJoin is the oracle.",
+)
+def range_join_signup_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.operators.temporal import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "event_id", "ts", "user_id"
+    )
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("p_ts"), F.col("user_id").alias("p_user")
+    )
+    joined = range_join(
+        signups,
+        purch,
+        left_ts="ts",
+        right_ts="p_ts",
+        lower_expr="ts",
+        upper_expr="ts + INTERVAL 3 DAYS",
+        bucket_seconds=86400,
+        extra_on=[("user_id", "p_user")],
+    )
+    return joined.groupBy("event_id").agg(F.count("*").alias("n_purchases_3d"))

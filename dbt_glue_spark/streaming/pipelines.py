@@ -1,0 +1,87 @@
+"""Structured Streaming pipelines over the events schema.
+
+The reference is strictly batch (SURVEY.md §2.9: no watermarks, no
+windows, no stateful operators anywhere in /root/reference); its closest
+concept is the incremental materialization's high-water-mark micro-batch
+(reference: README.md:503-547). These pipelines are the engine's streaming
+*extension*: the same logical aggregations as the batch catalog
+(events_hourly, events_incremental_batch) expressed as incremental
+streaming plans, so a user can swap batch ↔ streaming without rewriting
+semantics.
+
+Scale notes: watermark + windowed aggregation keeps state bounded (late
+rows beyond the watermark dropped); `availableNow` triggers give Kappa-
+style backfill over historic parquet with the same code. State-store
+shuffle partitioning follows spark.sql.shuffle.partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_event_counts_stream(
+    events_stream: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch ``events_hourly`` catalog query:
+    tumbling event-time window + late-data watermark."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user (gap-based), the canonical stateful
+    streaming operator the reference cannot express at all."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def incremental_stream_sink(
+    events_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_hours: bool = True,
+):
+    """Streaming incremental-append materialization: the streaming twin of
+    the engine's incremental/append strategy. Returns the (started)
+    StreamingQuery; ``availableNow`` processes the full backlog then stops,
+    which is exactly a driver-triggered incremental batch run."""
+    out = events_stream
+    if partition_hours:
+        out = out.withColumn("event_hour", F.date_trunc("hour", "ts"))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    return writer.start()

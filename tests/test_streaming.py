@@ -1,0 +1,90 @@
+"""Structured Streaming pipeline tests: drive the streams with the real
+events parquet via a file source + availableNow trigger, and check the
+windowed aggregation agrees with its batch twin (events_hourly)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.sources.registry import load_table
+from dbt_glue_spark.streaming.pipelines import (
+    hourly_event_counts_stream,
+    incremental_stream_sink,
+    sessionize_stream,
+)
+
+
+@pytest.fixture()
+def events_stream_source(spark, sf_dir):
+    """Stage events as a micro-batched file stream (ns→µs conversion
+    applied, matching the batch reader)."""
+    d = tempfile.mkdtemp(prefix="dgs_stream_src_")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    yield events, stream
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(spark, df, name: str, mode: str = "append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_hourly_stream_matches_batch(spark, events_stream_source):
+    # complete mode: the final result must equal the batch twin exactly.
+    # (append mode would drop late rows behind the watermark because the
+    # staged files interleave event-time — that's correct streaming
+    # semantics but nondeterministic for an equality test.)
+    events, stream = events_stream_source
+    out = _run_to_memory(
+        spark, hourly_event_counts_stream(stream), "hourly_stream", "complete"
+    )
+    batch = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+    assert out.count() == batch.count() > 0
+    assert out.subtract(batch).count() == 0
+    assert batch.subtract(out).count() == 0
+
+
+def test_sessionize_stream_runs(spark, events_stream_source):
+    _, stream = events_stream_source
+    out = _run_to_memory(spark, sessionize_stream(stream), "sessions", "append")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.session_end >= r.session_start and r.n_events >= 1 for r in rows)
+
+
+def test_incremental_stream_sink(spark, events_stream_source):
+    events, stream = events_stream_source
+    sink = tempfile.mkdtemp(prefix="dgs_stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="dgs_stream_ckpt_")
+    try:
+        q = incremental_stream_sink(stream, os.path.join(sink, "data"), ckpt)
+        q.awaitTermination(120)
+        written = spark.read.parquet(os.path.join(sink, "data"))
+        assert written.count() == events.count()
+        assert "event_hour" in written.columns
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
