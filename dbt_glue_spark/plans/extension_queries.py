@@ -459,3 +459,81 @@ def dq_relationships_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq_not_null_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq.not_null(load_table(spark, sf_dir, "documents"), "text")
+
+
+# ---- streaming + multimodal (driven through the catalog) ------------------
+
+
+@register(
+    "streaming_hourly_counts",
+    f"""
+    SELECT DATE_TRUNC('hour', ts) AS hour_ts, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming end-to-end: events staged to a file stream, "
+    "watermarked tumbling-window aggregation, complete-mode memory sink — "
+    "final state must equal the batch oracle exactly (Kappa equivalence).",
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from dbt_glue_spark.streaming.pipelines import hourly_event_counts_stream
+
+    events = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="dgs_q_stream_")
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage)
+    )
+    name = f"q_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly_event_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # window start rendered as hour_ts to match the batch oracle's columns
+    return spark.table(name).select("hour_ts", "event_type", "n_events", "total_value")
+
+
+@register(
+    "multimodal_features",
+    None,  # no oracle: binary media + sha-based features are not SQL-portable
+    doc="Multimodal plumbing end-to-end: synthetic binary media table → "
+    "Arrow-batched mapInPandas feature extraction → per-kind aggregate. "
+    "Decode itself is stubbed (no codecs in env); schema/batching/"
+    "partitioning are real. Rows-only driver check.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.multimodal import extract_features, synth_media_table
+
+    media = synth_media_table(spark, n=96)
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.count(F.col("content_sha")).cast("bigint").alias("n_hashed"),
+    )
+
+
+@register(
+    "multimodal_frame_sampling",
+    None,  # no oracle: synthetic media table not visible to DuckDB
+    doc="Video frame-sampling plumbing: explode sampled timestamps per "
+    "video (1 Hz), count frames per media id. Rows-only driver check.",
+)
+def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.multimodal import sample_frames, synth_media_table
+
+    media = synth_media_table(spark, n=96)
+    frames = sample_frames(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))

@@ -740,3 +740,51 @@ def range_join_signup_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_on=[("user_id", "p_user")],
     )
     return joined.groupBy("event_id").agg(F.count("*").alias("n_purchases_3d"))
+
+
+@register(
+    "sessionize_events_batch",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(LAG(CAST(ts AS TIMESTAMP)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="Batch sessionization (30-min gap) via lag + cumulative-sum window "
+    "— the batch twin of streaming/pipelines.sessionize_stream. One key "
+    "shuffle; session assignment is a linear scan per user timeline.",
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800)
+        | F.lag("ts").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("new_sess", new_sess)
+        .withColumn("session_seq", F.sum("new_sess").over(wsum).cast("bigint"))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
