@@ -67,6 +67,10 @@ class ModelConfig:
     # misc
     custom_location: str | None = None
     full_refresh: bool = False
+    # storage maintenance: drop superseded __v{n} generations after each
+    # rewrite — plain-parquet analogue of the reference's default-on
+    # iceberg_expire_snapshots (impl.py:1053-1085, incremental.sql:24)
+    auto_vacuum: bool = True
     # strict reference parity: reject merge on non-transactional formats
     # (validate.sql:38-47). Off by default because this environment has no
     # Delta/Iceberg jars — the engine composes merge semantics instead.
@@ -255,7 +259,18 @@ class Engine:
             )
         writer.saveAsTable(rel.render())
         self.catalog.refresh(rel)
+        if cfg.auto_vacuum:
+            from dbt_glue_spark.operators.governance import vacuum_versions
+
+            vacuum_versions(self.warehouse, self.schema, model.name, keep=1)
         return rel
+
+    def docs(self) -> DataFrame:
+        """Catalog/docs extraction for this project's schema (the
+        reference's get_catalog, impl.py:538-612)."""
+        from dbt_glue_spark.operators.governance import catalog_info
+
+        return catalog_info(self.spark, [self.schema])
 
     def _mat_view(self, model: Model) -> Relation:
         rel = self.relation_for(model.name)

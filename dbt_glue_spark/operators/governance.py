@@ -1,0 +1,121 @@
+"""Governance + metadata operators: catalog extraction, secured views,
+storage maintenance.
+
+- ``catalog_info`` re-expresses the reference's docs/catalog extraction
+  (``get_catalog``: per-schema boto3 get_tables + DESCRIBE fan-out on a
+  thread pool, reference: dbt/adapters/glue/impl.py:538-612) as a direct
+  ``spark.catalog`` traversal producing the same 10-column shape.
+- ``create_secured_view`` stands in for Lake Formation data-cell filters
+  (row filter expression + include/exclude column lists per principal,
+  reference: dbt/adapters/glue/lakeformation.py:167-204, 220-333): the
+  engine enforces them as a projected+filtered VIEW, which is exactly what
+  LF compiles to at query time.
+- ``vacuum_versions`` is the plain-parquet analogue of the reference's
+  per-run Iceberg snapshot expiry (``expire_snapshots`` after every
+  incremental, reference: impl.py:1053-1085, incremental.sql:117-119):
+  rewriting materializations leave ``__v{n}`` generations behind; keep the
+  newest K and delete the rest.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+CATALOG_COLUMNS = [
+    "table_database",
+    "table_schema",
+    "table_name",
+    "table_type",
+    "table_comment",
+    "column_name",
+    "column_index",
+    "column_type",
+    "column_comment",
+    "stats",
+]
+
+
+def catalog_info(spark: SparkSession, schemas: list[str]) -> DataFrame:
+    """One row per column of every relation in ``schemas`` — the docs
+    extraction shape (impl.py:559-612's agate table, 10 fixed columns)."""
+    rows: list[tuple] = []
+    for schema in schemas:
+        if not spark.catalog.databaseExists(schema):
+            continue
+        for t in spark.catalog.listTables(schema):
+            if t.tableType == "TEMPORARY":
+                continue
+            rtype = "view" if t.tableType == "VIEW" else "table"
+            full = f"{schema}.{t.name}"
+            for i, f in enumerate(spark.table(full).schema.fields):
+                rows.append(
+                    (
+                        schema,  # database == schema (credentials.py:69-78)
+                        schema,
+                        t.name,
+                        rtype,
+                        t.description or "",
+                        f.name,
+                        str(i),
+                        f.dataType.simpleString(),
+                        f.metadata.get("comment", "") if f.metadata else "",
+                        "",
+                    )
+                )
+    schema_t = StructType([StructField(c, StringType(), True) for c in CATALOG_COLUMNS])
+    return spark.createDataFrame(rows, schema_t)
+
+
+def create_secured_view(
+    spark: SparkSession,
+    source: str,
+    view_name: str,
+    row_filter: str | None = None,
+    column_names: list[str] | None = None,
+    excluded_column_names: list[str] | None = None,
+) -> None:
+    """Row/column-security view (LF FilterConfig semantics): exactly one of
+    ``column_names`` / ``excluded_column_names`` may be given
+    (lakeformation.py:168-201 enforces the XOR), plus an optional row
+    filter expression."""
+    if column_names and excluded_column_names:
+        raise ValueError("column_names and excluded_column_names are exclusive")
+    cols = "*"
+    if column_names:
+        cols = ", ".join(column_names)
+    elif excluded_column_names:
+        all_cols = spark.table(source).columns
+        cols = ", ".join(c for c in all_cols if c not in set(excluded_column_names))
+    where = f" WHERE {row_filter}" if row_filter else ""
+    spark.sql(
+        f"CREATE OR REPLACE VIEW {view_name} AS SELECT {cols} FROM {source}{where}"
+    )
+
+
+_VERSION_RE = re.compile(r"^(?P<base>.+)__v(?P<ver>\d+)$")
+
+
+def vacuum_versions(warehouse: str, schema: str, model_name: str, keep: int = 1) -> list[str]:
+    """Delete all but the newest ``keep`` ``{model}__v{n}`` generations
+    under ``{warehouse}/{schema}/``. Returns the deleted paths. Safe to run
+    after every incremental, like the reference's default-on snapshot
+    expiry."""
+    schema_dir = os.path.join(warehouse, schema)
+    if not os.path.isdir(schema_dir):
+        return []
+    versions: list[tuple[int, str]] = []
+    for entry in os.listdir(schema_dir):
+        m = _VERSION_RE.match(entry)
+        if m and m.group("base") == model_name:
+            versions.append((int(m.group("ver")), os.path.join(schema_dir, entry)))
+    versions.sort(reverse=True)
+    deleted = []
+    for _, path in versions[keep:]:
+        shutil.rmtree(path, ignore_errors=True)
+        deleted.append(path)
+    return deleted

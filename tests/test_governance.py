@@ -1,0 +1,94 @@
+"""Governance operators: catalog extraction, secured views, vacuum."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+
+from dbt_glue_spark.engine import Engine, Model, ModelConfig
+from dbt_glue_spark.operators.governance import (
+    catalog_info,
+    create_secured_view,
+    vacuum_versions,
+)
+
+CSV = "id,region,secret,balance\n1,eu,a,10\n2,us,b,20\n3,eu,c,30\n"
+
+
+@pytest.fixture()
+def engine(spark, warehouse):
+    schema = f"g_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse, schema=schema)
+    yield eng
+    eng.catalog.drop_schema(schema)
+
+
+def test_catalog_info_shape(engine, spark):
+    engine.add(Model("acct", seed_csv=CSV, config=ModelConfig(materialized="seed")))
+    engine.add(
+        Model(
+            "v",
+            sql="select id from {{ ref('acct') }}",
+            config=ModelConfig(materialized="view"),
+        )
+    )
+    engine.run()
+    docs = engine.docs()
+    assert docs.columns == [
+        "table_database", "table_schema", "table_name", "table_type",
+        "table_comment", "column_name", "column_index", "column_type",
+        "column_comment", "stats",
+    ]
+    rows = {(r.table_name, r.column_name): r for r in docs.collect()}
+    assert rows[("acct", "id")].column_type == "bigint"
+    assert rows[("acct", "balance")].column_type == "bigint"
+    assert rows[("v", "id")].table_type == "view"
+    assert rows[("acct", "id")].table_type == "table"
+
+
+def test_secured_view_row_and_column_filters(engine, spark):
+    engine.add(Model("acct", seed_csv=CSV, config=ModelConfig(materialized="seed")))
+    engine.run()
+    src = engine.relation_for("acct").render()
+    sec = f"{engine.schema}.acct_secured"
+    create_secured_view(
+        spark, src, sec, row_filter="region = 'eu'", excluded_column_names=["secret"]
+    )
+    out = spark.table(sec)
+    assert set(out.columns) == {"id", "region", "balance"}
+    assert out.count() == 2
+    # include-list variant
+    create_secured_view(spark, src, sec, column_names=["id", "balance"])
+    assert set(spark.table(sec).columns) == {"id", "balance"}
+    with pytest.raises(ValueError, match="exclusive"):
+        create_secured_view(
+            spark, src, sec, column_names=["id"], excluded_column_names=["secret"]
+        )
+
+
+def test_vacuum_keeps_current_version(engine, spark, warehouse):
+    engine.add(Model("acct", seed_csv=CSV, config=ModelConfig(materialized="seed")))
+    m = Model(
+        "t",
+        sql="select * from {{ ref('acct') }}",
+        config=ModelConfig(materialized="table"),  # auto_vacuum on by default
+    )
+    engine.add(m)
+    engine.run()
+    engine.run_model(m)  # second rewrite → supersedes the first version
+    schema_dir = os.path.join(warehouse, engine.schema)
+    vers = [d for d in os.listdir(schema_dir) if d.startswith("t__v")]
+    assert len(vers) == 1  # auto-vacuum kept only the live generation
+    assert engine.ref_df("t").count() == 3  # table still readable
+
+    # manual vacuum API: disable auto, accumulate, then vacuum keep=1
+    m.config.auto_vacuum = False
+    engine.run_model(m)
+    engine.run_model(m)
+    vers = [d for d in os.listdir(schema_dir) if d.startswith("t__v")]
+    assert len(vers) == 3
+    deleted = vacuum_versions(warehouse, engine.schema, "t", keep=1)
+    assert len(deleted) == 2
+    assert engine.ref_df("t").count() == 3
