@@ -71,6 +71,11 @@ class ModelConfig:
     # rewrite — plain-parquet analogue of the reference's default-on
     # iceberg_expire_snapshots (impl.py:1053-1085, incremental.sql:24)
     auto_vacuum: bool = True
+    # dbt model contract: declared column name → Spark type. The reference
+    # wires get_assert_columns_equivalent into CTAS but leaves enforcement
+    # TODO (adapters.sql:175-181); we enforce. Comparison strips
+    # parametrization/nesting like connections.py:33-40.
+    contract: dict[str, str] | None = None
     # strict reference parity: reject merge on non-transactional formats
     # (validate.sql:38-47). Off by default because this environment has no
     # Delta/Iceberg jars — the engine composes merge semantics instead.
@@ -210,6 +215,27 @@ class Engine:
             return self._mat_seed(model)
         raise ValueError(f"unknown materialization {mat}")
 
+    @staticmethod
+    def _check_contract(df: DataFrame, contract: dict[str, str]) -> None:
+        """Name+type equivalence, outer-constructor comparison
+        (``decimal(10,2)`` ≡ ``decimal``, per connections.py:33-40)."""
+
+        def outer(t: str) -> str:
+            return t.split("(")[0].split("<")[0].strip().upper()
+
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        problems = []
+        for name, typ in contract.items():
+            if name not in actual:
+                problems.append(f"missing column {name}")
+            elif outer(actual[name]) != outer(typ):
+                problems.append(f"{name}: {actual[name]} != declared {typ}")
+        for name in actual:
+            if name not in contract:
+                problems.append(f"undeclared column {name}")
+        if problems:
+            raise ValueError("contract violation: " + "; ".join(problems))
+
     def _model_df(self, model: Model, is_incremental: bool = False) -> DataFrame:
         if model.fn is not None:
             ctx = DbtContext(self, model, is_incremental)
@@ -226,8 +252,11 @@ class Engine:
                     raise TypeError(
                         "python model must return a Spark/pandas DataFrame"
                     ) from e
-            return out
-        return self.spark.sql(self._resolve_sql(model))
+        else:
+            out = self.spark.sql(self._resolve_sql(model))
+        if model.config.contract:
+            self._check_contract(out, model.config.contract)
+        return out
 
     def _location(self, model: Model, version: int | None = None) -> str:
         ident = model.name if version is None else f"{model.name}__v{version}"

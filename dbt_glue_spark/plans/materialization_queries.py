@@ -272,3 +272,58 @@ _SEED_CSV = """id,name,score,joined,seen_at,active,code
 )
 def mat_seed_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return infer_seed_df(spark, _SEED_CSV, column_types={"code": "string"})
+
+
+@register(
+    "mat_merge_precombine",
+    _MERGE_CTES.replace("), src AS (", """), src_v AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2))
+                  AS DOUBLE) AS price,
+             'U1' AS status, 1 AS ver
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+                  AS DOUBLE) AS price,
+             'U2' AS status, 2 AS ver
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), src AS (
+      SELECT o_orderkey, price, status FROM src_v WHERE ver = 2
+    ), _unused AS (""")
+    + """
+    SELECT o_orderkey, price, status FROM src
+    UNION ALL
+    SELECT t.o_orderkey, t.price, t.status FROM tgt t
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+    """,
+    doc="Hudi precombine semantics (reference: dbt/adapters/glue/"
+    "impl.py:970 precombine_key + hudi upsert): duplicate source keys "
+    "deduplicated latest-wins on the version column before merging — "
+    "merge_upsert(dedup_source_on='ver').",
+)
+def mat_merge_precombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    v1 = base.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.05").cast("decimal(3,2)"))
+        .cast("double")
+        .alias("price"),
+        F.lit("U1").alias("status"),
+        F.lit(1).alias("ver"),
+    )
+    v2 = base.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(2,1)"))
+        .cast("double")
+        .alias("price"),
+        F.lit("U2").alias("status"),
+        F.lit(2).alias("ver"),
+    )
+    return merge_upsert(
+        _orders_target(spark, sf_dir),
+        v1.unionByName(v2),
+        unique_key=["o_orderkey"],
+        dedup_source_on="ver",
+    )
