@@ -788,3 +788,126 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "order_price_quantiles",
+    """
+    SELECT o_orderstatus,
+           FLOOR(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) * 10000 + 0.5)
+             / 10000 AS median_price,
+           FLOOR(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) * 10000 + 0.5)
+             / 10000 AS p90_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile() ≡ "
+    "DuckDB quantile_cont). Exact percentile sorts per group — at 100 TB "
+    "prefer approx_percentile (t-digest) unless exactness is required.",
+)
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        half_up_round(F.expr("percentile(cast(o_totalprice as double), 0.5)"), 4).alias(
+            "median_price"
+        ),
+        half_up_round(F.expr("percentile(cast(o_totalprice as double), 0.9)"), 4).alias(
+            "p90_price"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           UPPER(p_brand) AS brand_upper,
+           REVERSE(p_brand) AS brand_rev,
+           SUBSTRING(p_name, 1, 12) AS name_prefix,
+           CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+           CAST(LENGTH(TRIM(p_name)) AS INT) AS name_len
+    FROM part WHERE p_partkey <= 500
+    """,
+    doc="String function surface (SURVEY §2.8 F8): pad/replace/case/"
+    "reverse/substr/search/trim — all codegen expressions.",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.instr(F.col("p_name"), "a").cast("bigint").alias("first_a"),
+        F.length(F.trim("p_name")).cast("int").alias("name_len"),
+    )
+
+
+@register(
+    "null_semantics",
+    """
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et
+      FROM events
+    )
+    SELECT COALESCE(et, 'unknown') AS et_filled,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(v) AS BIGINT) AS n_nonnull_v,
+           CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null_v,
+           CAST(COUNT(DISTINCT et) AS BIGINT) AS n_distinct_et
+    FROM t GROUP BY COALESCE(et, 'unknown')
+    """,
+    doc="NULL semantics: null-skipping COUNT(col), FILTER clause, COALESCE "
+    "group keys, DISTINCT-with-null.",
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", None).otherwise(F.col("value")).alias("v"),
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("event_type")).alias("et"),
+    )
+    return t.groupBy(F.coalesce("et", F.lit("unknown")).alias("et_filled")).agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_nonnull_v"),
+        F.count(F.when(F.col("v").isNull(), 1)).alias("n_null_v"),
+        F.countDistinct("et").alias("n_distinct_et"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 MONTH AS DATE)
+             AS quarter_later,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INT) AS days_since_epoch95
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    doc="Date arithmetic surface: day offsets, month intervals (clamped "
+    "end-of-month), last_day, day difference.",
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.add_months(d, 3).alias("quarter_later"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias(
+            "days_since_epoch95"
+        ),
+    )
