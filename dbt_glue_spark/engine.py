@@ -294,6 +294,30 @@ class Engine:
             vacuum_versions(self.warehouse, self.schema, model.name, keep=1)
         return rel
 
+    def execute_script(self, script: str, splitter: str = "dbt_next_query") -> DataFrame:
+        """Multi-statement batch: split on the marker, run sequentially,
+        return the last result — the reference's ``dbt_next_query``
+        protocol (connection.py:417-427, used by strategies.sql:14-15)."""
+        result = None
+        for stmt in script.split(splitter):
+            stmt = stmt.strip()
+            if stmt:
+                result = self.spark.sql(stmt)
+        if result is None:
+            raise ValueError("empty script")
+        return result
+
+    def fetch(self, df: DataFrame, limit: int | None = None) -> dict:
+        """Results channel (reference SqlWrapper2.execute, connection.py:
+        429-446): rowcount + rows + column description — in-process, so the
+        JSON/Arrow transport collapses to a collect."""
+        rows = (df.limit(limit) if limit else df).collect()
+        return {
+            "rowcount": len(rows),
+            "results": [r.asDict(recursive=True) for r in rows],
+            "description": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+        }
+
     def docs(self) -> DataFrame:
         """Catalog/docs extraction for this project's schema (the
         reference's get_catalog, impl.py:538-612)."""

@@ -327,3 +327,29 @@ def mat_merge_precombine(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_key=["o_orderkey"],
         dedup_source_on="ver",
     )
+
+
+@register(
+    "mat_merge_predicates",
+    _MERGE_CTES
+    + """
+    -- MERGE ... ON key AND tgt.status = 'F': target rows that key-match
+    -- but fail the predicate stay, AND the source row still inserts
+    SELECT t.o_orderkey, t.price, t.status FROM tgt t
+    WHERE NOT EXISTS (SELECT 1 FROM src s
+                      WHERE s.o_orderkey = t.o_orderkey AND t.status = 'F')
+    UNION ALL
+    SELECT o_orderkey, price, status FROM src
+    """,
+    doc="incremental_predicates (reference: strategies.sql:42-47, "
+    "incremental.sql:22): extra predicate ANDed into the MERGE ON clause — "
+    "only 'F'-status target rows are updatable; non-matching target rows "
+    "survive and the source row inserts (standard MERGE not-matched path).",
+)
+def mat_merge_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return merge_upsert(
+        _orders_target(spark, sf_dir),
+        _orders_source(spark, sf_dir),
+        unique_key=["o_orderkey"],
+        incremental_predicates=["tgt.status = 'F'"],
+    )

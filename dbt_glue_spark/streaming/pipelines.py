@@ -64,6 +64,66 @@ def sessionize_stream(
     )
 
 
+def merge_stream_sink(
+    source_stream: DataFrame,
+    spark,
+    target_path: str,
+    checkpoint: str,
+    unique_key: list[str],
+    dedup_source_on: str | None = None,
+):
+    """Streaming upsert: foreachBatch → merge_upsert into a parquet target.
+
+    The streaming twin of the engine's incremental/merge strategy: each
+    micro-batch merges into the target with latest-wins semantics
+    (``dedup_source_on`` = precombine column for intra-batch duplicates).
+    On Delta/Iceberg the body becomes a native ``MERGE INTO``; on plain
+    parquet each batch rewrites the (compacted) target — correct, and the
+    size trade-off is the same one documented in SCALE.md §incremental.
+    """
+    import os
+
+    from dbt_glue_spark.operators.merge import merge_upsert
+
+    def latest_wins(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(
+            W.partitionBy(*unique_key).orderBy(F.desc(dedup_source_on))
+        )
+        return df.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        data_dir = os.path.join(target_path, "data")
+        if batch_df.isEmpty():
+            return
+        try:
+            target = spark.read.parquet(data_dir)
+            exists = True
+        except Exception:  # first batch — no target yet
+            exists = False
+        if dedup_source_on is not None:
+            # precombine semantics compare against the TARGET's value too
+            # (an out-of-order batch must not clobber a newer target row):
+            # union + keep-latest per key, like Hudi's upsert path.
+            merged = latest_wins(
+                target.unionByName(batch_df) if exists else batch_df
+            )
+        elif exists:
+            merged = merge_upsert(target, batch_df, unique_key)
+        else:
+            merged = batch_df
+        staged = merged.localCheckpoint(eager=True)  # don't read+overwrite same files
+        staged.write.mode("overwrite").parquet(data_dir)
+
+    return (
+        source_stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_stream_sink(
     events_stream: DataFrame,
     path: str,

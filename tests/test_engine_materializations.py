@@ -306,3 +306,23 @@ def test_python_model_and_catalog_ops(engine, spark):
     assert engine.catalog.relation_type(dst) == "table"
     engine.catalog.drop(dst)
     assert not engine.catalog.exists(dst)
+
+
+def test_execute_script_and_fetch(engine, spark):
+    engine.add(Model("base", seed_csv=BASE_CSV, config=ModelConfig(materialized="seed")))
+    engine.run()
+    rel = engine.relation_for("base").render()
+    # dbt_next_query multi-statement protocol (connection.py:417-427)
+    out = engine.execute_script(
+        f"""
+        create or replace temporary view _s1 as select id from {rel} where id <= 4
+        dbt_next_query
+        select count(*) as n from _s1
+        """
+    )
+    assert out.collect()[0].n == 4
+    # results channel shape (SqlWrapper2: rowcount/results/description)
+    payload = engine.fetch(out)
+    assert payload["rowcount"] == 1
+    assert payload["results"][0]["n"] == 4
+    assert payload["description"] == [("n", "bigint")]

@@ -88,3 +88,38 @@ def test_incremental_stream_sink(spark, events_stream_source):
     finally:
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_merge_stream_sink_latest_wins(spark, events_stream_source):
+    """Streaming upsert keyed on user_id with ts as precombine: final
+    target must hold exactly the latest event per user (batch-verifiable)."""
+    import tempfile
+
+    from dbt_glue_spark.streaming.pipelines import merge_stream_sink
+
+    events, stream = events_stream_source
+    target = tempfile.mkdtemp(prefix="dgs_merge_sink_")
+    ckpt = tempfile.mkdtemp(prefix="dgs_merge_ckpt_")
+    try:
+        q = merge_stream_sink(
+            stream.select("user_id", "ts", "event_id", "event_type"),
+            spark,
+            target,
+            ckpt,
+            unique_key=["user_id"],
+            dedup_source_on="ts",
+        )
+        q.awaitTermination(180)
+        out = spark.read.parquet(os.path.join(target, "data"))
+        # one row per user
+        assert out.count() == events.select("user_id").distinct().count()
+        # every row's ts equals the max event ts of that user
+        expected = events.groupBy("user_id").agg(F.max("ts").alias("max_ts"))
+        bad = (
+            out.join(expected, "user_id")
+            .filter("ts != max_ts")
+        )
+        assert bad.count() == 0
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
