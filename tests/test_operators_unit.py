@@ -1,0 +1,163 @@
+"""Operator-level unit tests: edge cases not covered by the oracle catalog
+(null keys, empty inputs, direction variants, inference corners)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.extensions.dedup import exact_dedup
+from dbt_glue_spark.functions.text import normalize_text, tokens, word_shingles
+from dbt_glue_spark.functions.vectors import cosine_sim
+from dbt_glue_spark.materializations.seed import infer_seed_df
+from dbt_glue_spark.materializations.snapshot import scd2_apply
+from dbt_glue_spark.operators.merge import merge_upsert
+from dbt_glue_spark.operators.schema_evolution import (
+    SchemaChangeError,
+    diff_schemas,
+    evolve,
+)
+from dbt_glue_spark.operators.temporal import asof_join
+from dbt_glue_spark.quality.tests import accepted_values, unique
+
+
+def test_merge_composite_and_null_keys(spark):
+    tgt = spark.createDataFrame(
+        [(1, "a", "old"), (1, "b", "old"), (None, "c", "old")],
+        "k1 int, k2 string, v string",
+    )
+    src = spark.createDataFrame(
+        [(1, "a", "new"), (None, "c", "new"), (2, "d", "new")],
+        "k1 int, k2 string, v string",
+    )
+    out = merge_upsert(tgt, src, ["k1", "k2"]).collect()
+    vals = {(r.k1, r.k2): r.v for r in out}
+    assert len(out) == 4
+    assert vals[(1, "a")] == "new"
+    assert vals[(1, "b")] == "old"
+    # NULL keys match null-safely (eqNullSafe), like MERGE <=> semantics
+    assert vals[(None, "c")] == "new"
+    assert vals[(2, "d")] == "new"
+
+
+def test_merge_exclude_columns_and_empty_source(spark):
+    tgt = spark.createDataFrame([(1, "x", "keep")], "id int, a string, b string")
+    src = spark.createDataFrame([(1, "y", "clobber")], "id int, a string, b string")
+    out = merge_upsert(tgt, src, ["id"], exclude_columns=["b"]).collect()[0]
+    assert out.a == "y" and out.b == "keep"
+    empty = src.filter("id < 0")
+    assert merge_upsert(tgt, empty, ["id"]).count() == 1
+
+
+def test_schema_evolution_modes(spark):
+    src = spark.createDataFrame([(1, "a", 1.5)], "id int, name string, extra double")
+    tgt = spark.createDataFrame([(2, "b", True)], "id int, name string, old boolean")
+    d = diff_schemas(src.schema, tgt.schema)
+    assert [f.name for f in d.source_only] == ["extra"]
+    assert [f.name for f in d.target_only] == ["old"]
+
+    s2, t2, schema = evolve(src, tgt, "ignore")
+    assert schema.fieldNames() == ["id", "name", "old"]
+    assert s2.collect()[0].old is None  # source lacks it → NULL backfill
+
+    s3, _, schema3 = evolve(src, tgt, "append_new_columns")
+    assert schema3.fieldNames() == ["id", "name", "old", "extra"]
+
+    _, t4, schema4 = evolve(src, tgt, "sync_all_columns")
+    assert schema4.fieldNames() == ["id", "name", "extra"]
+    assert t4.collect()[0].extra is None  # target-only col dropped, new NULL
+
+    with pytest.raises(SchemaChangeError):
+        evolve(src, tgt, "fail")
+    # identical schemas pass under fail
+    evolve(src, src, "fail")
+
+
+def test_asof_forward_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10)), (1, dt.datetime(2024, 1, 1, 12))],
+        "id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 11), 100.0)],
+        "id int, ts timestamp, px double",
+    )
+    back = asof_join(left, right, on="ts", by="id", right_cols=["px"])
+    rows = {r.ts.hour: r for r in back.collect()}
+    assert rows[10].px_matched is None  # nothing at-or-before 10:00
+    assert rows[12].px_matched == 100.0
+    fwd = asof_join(left, right, on="ts", by="id", right_cols=["px"], direction="forward")
+    rows = {r.ts.hour: r for r in fwd.collect()}
+    assert rows[10].px_matched == 100.0  # nearest at-or-after
+    assert rows[12].px_matched is None
+
+
+def test_scd2_hard_delete_invalidation(spark):
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    v2 = spark.createDataFrame([(1, "a")], "id int, v string")  # id=2 deleted
+    s1 = scd2_apply(None, v1, ["id"], "2024-01-01 00:00:00")
+    s2 = scd2_apply(s1, v2, ["id"], "2024-02-01 00:00:00", invalidate_hard_deletes=True)
+    rows = {r.id: r for r in s2.collect()}
+    assert rows[2].dbt_valid_to is not None  # closed by deletion
+    assert rows[1].dbt_valid_to is None
+    # default: deletion keeps the row open
+    s2b = scd2_apply(s1, v2, ["id"], "2024-02-01 00:00:00")
+    assert {r.id: r.dbt_valid_to for r in s2b.collect()} == {1: None, 2: None}
+
+
+def test_seed_inference_corners(spark):
+    csv = (
+        "i,f,b,d,ts,s,empty\n"
+        "1,1.5,true,2024-01-01,2024-01-01T10:00:00,xy,\n"
+        "2,2,false,2024-02-01,2024-02-01T11:00:00,,\n"
+    )
+    df = infer_seed_df(spark, csv)
+    types = dict(df.dtypes)
+    assert types == {
+        "i": "bigint", "f": "double", "b": "boolean", "d": "date",
+        "ts": "timestamp", "s": "string", "empty": "string",
+    }
+    r1, r2 = df.orderBy("i").collect()
+    assert r2.s is None and r1.empty is None  # empty cells → NULL
+    # column_types override casts after inference
+    df2 = infer_seed_df(spark, "x\n007\n", column_types={"x": "string"})
+    assert df2.collect()[0].x == "7"  # sniffed integral first, then cast
+
+
+def test_quality_accepted_values_unquoted(spark):
+    df = spark.createDataFrame([(1,), (1,), (2,), (9,)], "v int")
+    bad = accepted_values(df, "v", [1, 2], quote_values=False).collect()
+    assert [(r.value_field, r.n_records) for r in bad] == [(9, 1)]
+    dup = unique(df, "v").collect()
+    assert [(r.v, r.n_records) for r in dup] == [(1, 2)]
+
+
+def test_text_primitives_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "  Héllo,   WORLD!  ")], "id int, t string"
+    )
+    out = df.select(
+        "id",
+        F.size(word_shingles(tokens(F.col("t")), 3)).alias("n_sh"),
+        normalize_text(F.col("t")).alias("norm"),
+    ).collect()
+    rows = {r.id: r for r in out}
+    assert rows[1].n_sh == 0  # shorter than n → empty, not descending-range
+    assert rows[2].n_sh == 0
+    assert rows[3].norm == "h llo world"  # accents stripped to space, collapsed
+
+
+def test_cosine_zero_vector_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    assert df.select(cosine_sim(F.col("a"), F.col("b")).alias("s")).collect()[0].s is None
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "same text"), (2, "same text"), (9, "other")], "doc_id int, text string"
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [2, 9]
