@@ -911,3 +911,101 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_epoch95"
         ),
     )
+
+
+@register(
+    "returned_items_by_customer",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS lost_revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-items revenue per customer, top 20. "
+    "returnflag filter pushes to the scan; nation broadcast.",
+)
+def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "large_volume_orders",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM orders JOIN (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ) big ON o_orderkey = big.l_orderkey
+    """,
+    doc="TPC-H Q18 shape: orders whose lineitem quantity sum exceeds a "
+    "threshold — agg-then-join keeps the join input pre-aggregated "
+    "(1 row/order), not row-level.",
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "total_qty",
+    )
+
+
+@register(
+    "top_customer_per_nation",
+    """
+    SELECT n_name, c.c_custkey, c.c_name, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+    FROM customer c
+    JOIN (SELECT c_nationkey, MAX(c_acctbal) AS mb
+          FROM customer GROUP BY c_nationkey) m
+      ON c.c_nationkey = m.c_nationkey AND c.c_acctbal = m.mb
+    JOIN nation ON c.c_nationkey = n_nationkey
+    """,
+    doc="Correlated-max shape (TPC-H Q2 family): the per-group argmax via "
+    "agg + semi join on (key, max) — equivalent to a window but the "
+    "pre-aggregated build side broadcasts.",
+)
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    maxes = customer.groupBy("c_nationkey").agg(F.max("c_acctbal").alias("max_bal"))
+    return (
+        customer.join(
+            F.broadcast(maxes),
+            (customer.c_nationkey == maxes.c_nationkey)
+            & (customer.c_acctbal == maxes.max_bal),
+            "left_semi",
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name", "c_custkey", "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+    )
