@@ -485,22 +485,30 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     stage = tempfile.mkdtemp(prefix="dgs_q_stream_")
-    events.repartition(4).write.mode("overwrite").parquet(stage)
+    events.repartition(2).write.mode("overwrite").parquet(stage)
     stream = (
         spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 1)  # 2 staged files → 2 micro-batches
         .parquet(stage)
     )
     name = f"q_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        hourly_event_counts_stream(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # state-store partitioning follows shuffle.partitions at query start;
+    # scope it to the state size (|hours × types|, tiny) for this query —
+    # the real tuning knob on a cluster (SCALE.md §streaming)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            hourly_event_counts_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # window start rendered as hour_ts to match the batch oracle's columns
     return spark.table(name).select("hour_ts", "event_type", "n_events", "total_value")
 
