@@ -92,3 +92,41 @@ def test_vacuum_keeps_current_version(engine, spark, warehouse):
     deleted = vacuum_versions(warehouse, engine.schema, "t", keep=1)
     assert len(deleted) == 2
     assert engine.ref_df("t").count() == 3
+
+
+def test_show_create_tblproperties_comments(engine, spark):
+    engine.add(Model("acct", seed_csv=CSV, config=ModelConfig(materialized="seed")))
+    engine.run()
+    rel = engine.relation_for("acct")
+    # D12/D16: table properties incl. docs comment
+    engine.catalog.set_tblproperties(rel, {"comment": "account table", "team": "de"})
+    ddl = engine.catalog.show_create(rel)
+    assert "acct" in ddl
+    props = {
+        r.key: r.value
+        for r in spark.sql(f"SHOW TBLPROPERTIES {rel.render()}").collect()
+    }
+    assert props.get("team") == "de"
+    # 'comment' routes to the catalog comment (D16), not a plain property
+    assert spark.catalog.getTable(rel.render()).description == "account table"
+    # D9: add columns
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    engine.catalog.add_columns(rel, StructType([StructField("note", StringType())]))
+    assert "note" in [f.name for f in engine.catalog.columns(rel).fields]
+
+
+def test_full_refresh_rebuilds(engine):
+    engine.add(Model("acct", seed_csv=CSV, config=ModelConfig(materialized="seed")))
+    inc = Model(
+        "inc_fr",
+        sql="select id from {{ ref('acct') }}",
+        config=ModelConfig(materialized="incremental", incremental_strategy="append"),
+    )
+    engine.add(inc)
+    engine.run(["acct", "inc_fr"])
+    engine.run_model(inc)  # append again → 6 rows
+    assert engine.ref_df("inc_fr").count() == 6
+    inc.config.full_refresh = True
+    engine.run_model(inc)  # rebuild from scratch → 3
+    assert engine.ref_df("inc_fr").count() == 3
