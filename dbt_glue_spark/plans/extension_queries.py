@@ -545,3 +545,41 @@ def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media_table(spark, n=96)
     frames = sample_frames(media, every_ms=1000)
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+@register(
+    "ext_dedup_apply",
+    "WITH "
+    + _MINHASH_SIG
+    + """,
+    bands AS (
+      SELECT id, b, key FROM sig, LATERAL (VALUES
+        (0, MD5(h0 || '|' || h1)), (1, MD5(h2 || '|' || h3)),
+        (2, MD5(h4 || '|' || h5)), (3, MD5(h6 || '|' || h7))
+      ) AS v(b, key)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM bands a JOIN bands b2 ON a.key = b2.key AND a.b = b2.b AND a.id < b2.id
+    ),
+    """
+    + _JACCARD_TAIL.replace("    sizes AS", "sizes AS", 1)
+    + """
+    , dupes AS (
+      SELECT DISTINCT c.id_b AS drop_id
+      FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.5
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT drop_id FROM dupes)
+    """,
+    doc="End-to-end dedup application: near-dup pairs from MinHash-LSH "
+    "(jaccard ≥ 0.5), drop the higher doc_id of each pair (greedy keep-"
+    "first), return the surviving corpus — the full training-data dedup "
+    "pipeline as one plan.",
+)
+def ext_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source")

@@ -1009,3 +1009,23 @@ def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").cast("double").alias("c_acctbal"),
         )
     )
+
+
+@register(
+    "cube_order_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (all 4 combinations) — single-shuffle expansion "
+    "like ROLLUP.",
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
+    )

@@ -49,16 +49,60 @@ _DEFAULT_CONF: dict[str, str] = {
 }
 
 
+# Lakehouse-format session extensions (reference session requirements,
+# SURVEY.md §4: spark.sql.extensions + catalog conf per format). Applied
+# only when the corresponding jars are importable — this environment ships
+# neither, so the engine composes merge/snapshot plans itself; on a real
+# cluster these confs light up native MERGE INTO / time travel with zero
+# engine-code changes.
+_LAKEHOUSE_CONF: dict[str, dict[str, str]] = {
+    "delta": {
+        "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
+        "spark.sql.catalog.spark_catalog": (
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+        ),
+    },
+    "iceberg": {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        "spark.sql.catalog.spark_catalog": (
+            "org.apache.iceberg.spark.SparkSessionCatalog"
+        ),
+        "spark.sql.catalog.spark_catalog.type": "hive",
+    },
+}
+
+
+def lakehouse_available(fmt: str) -> bool:
+    """True if the format's Spark integration is importable in this env."""
+    try:
+        if fmt == "delta":
+            import delta  # noqa: F401
+
+            return True
+        if fmt == "iceberg":  # no python probe; jar presence via classpath
+            import importlib.util
+
+            return importlib.util.find_spec("pyiceberg") is not None
+    except ImportError:
+        return False
+    return False
+
+
 def get_spark(
     app_name: str = "dbt_glue_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
     warehouse_dir: str | None = None,
+    lakehouse: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a cluster
     pass None with a pre-configured spark-submit and the builder inherits it.
+    ``lakehouse='delta'|'iceberg'`` applies the format's session extensions
+    when its integration is installed (no-op with a warning otherwise).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name)
@@ -67,6 +111,17 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(_DEFAULT_CONF)
+    if lakehouse:
+        if lakehouse_available(lakehouse):
+            conf.update(_LAKEHOUSE_CONF[lakehouse])
+        else:
+            import warnings
+
+            warnings.warn(
+                f"{lakehouse} integration not installed; session built "
+                "without it (engine falls back to composed merge/rewrite)",
+                stacklevel=2,
+            )
     if warehouse_dir:
         conf["spark.sql.warehouse.dir"] = warehouse_dir
     if extra_conf:

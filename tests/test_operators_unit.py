@@ -161,3 +161,32 @@ def test_exact_dedup_keeps_min_id(spark):
     )
     kept = sorted(r.doc_id for r in exact_dedup(df).collect())
     assert kept == [2, 9]
+
+
+def test_salted_join_preserves_semantics(spark):
+    from dbt_glue_spark.operators.skew import salted_join, two_phase_agg
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, i) for i in range(5)], "k int, v int"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "none")], "k int, tag string")
+    out = salted_join(left, right, ["k"], salt=4)
+    assert out.count() == 55  # every left row matched exactly once
+    assert out.filter("tag = 'hot'").count() == 50
+    lo = salted_join(left, right.filter("k = 2"), ["k"], how="left", salt=4)
+    assert lo.count() == 55
+    assert lo.filter("tag is null").count() == 50  # unmatched survive left join
+
+    agg = two_phase_agg(
+        left,
+        ["k"],
+        partial=[F.sum("v").alias("ps"), F.count("*").alias("pc")],
+        final=lambda part: [
+            F.sum("ps").cast("bigint").alias("total"),
+            F.sum("pc").cast("bigint").alias("n"),
+        ],
+        salt=4,
+    )
+    rows = {r.k: (r.total, r.n) for r in agg.collect()}
+    assert rows[1] == (sum(range(50)), 50)
+    assert rows[2] == (sum(range(5)), 5)
