@@ -125,6 +125,139 @@ def knn_lsh(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (id, cell, vec).
+
+    Centroids are literal arrays (driver-side list — an IVF codebook is
+    KBs even at 100 TB corpus scale), so assignment is a narrow projection:
+    no join, no shuffle. min_by over an exploded centroid array.
+    """
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"), F.array(*[F.lit(v) for v in vec]).alias("c")
+            )
+            for cid, vec in centroids
+        ]
+    )
+    exploded = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.explode(cent_arr).alias("cent"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cent.c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return (
+        exploded.withColumn("dist", dist)
+        .groupBy("id")
+        .agg(
+            F.min_by(F.col("cent.cid"), F.col("dist")).alias("cell"),
+            F.first("v").alias("v"),
+        )
+    )
+
+
+def ivf_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    iters: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Train an IVF codebook with Lloyd iterations, deterministic init
+    (the ``n_centroids`` lowest-id vectors). Each iteration is one narrow
+    assignment pass + one groupBy-mean over (cell, dim) — linear scans, no
+    pairwise work. Returns the codebook as a driver-side list."""
+    init = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [(i, list(r.v)) for i, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .collect()
+        )
+        centroids = [
+            (r.cell, [e.m for e in r.dm]) for r in sorted(means, key=lambda r: r.cell)
+        ]
+    return centroids
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF approximate kNN: partition the corpus into centroid cells, probe
+    only the ``nprobe`` nearest cells per query.
+
+    The scale path when LSH recall is insufficient: corpus is bucketed once
+    (an equi-join key materializes the inverted file), queries fan out to
+    nprobe cells → candidate fraction ≈ nprobe/n_centroids. Recall tunes
+    with nprobe. All vector math stays in Catalyst expressions.
+    """
+    centroids = ivf_train(corpus, vec_col, id_col, n_centroids)
+    corpus_cells = ivf_assign(corpus, centroids, vec_col, id_col).select(
+        F.col("id").alias("neighbor_id"), F.col("cell"), F.col("v").alias("__cv")
+    )
+    # query → nprobe nearest cells
+    cent_arr = F.array(
+        *[
+            F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(v) for v in vec]).alias("c"))
+            for cid, vec in centroids
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+        F.explode(cent_arr).alias("cent"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("cent.c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("qd"), F.asc("cent.cid"))
+    probes = (
+        q.withColumn("qd", qdist)
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "__qv", F.col("cent.cid").alias("cell"))
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", half_up_round(cosine_sim(F.col("__qv"), F.col("__cv")), round_digits))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
 def all_pairs_cosine(
     df: DataFrame,
     vec_col: str = "embedding",

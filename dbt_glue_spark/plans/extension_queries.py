@@ -583,3 +583,18 @@ def ext_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+@register(
+    "ext_knn_ivf",
+    None,  # centroid means are FP-order-dependent → rows-only; recall is
+    # pytest-verified against knn_bruteforce (test_similarity_recall)
+    doc="IVF approximate kNN: Lloyd-trained codebook (deterministic init), "
+    "corpus bucketed into cells, nprobe-cell probing per query. The third "
+    "ANN tier (brute force exact / LSH hash / IVF quantized).",
+)
+def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=3
+    )

@@ -326,3 +326,68 @@ def test_execute_script_and_fetch(engine, spark):
     assert payload["rowcount"] == 1
     assert payload["results"][0]["n"] == 4
     assert payload["description"] == [("n", "bigint")]
+
+
+def test_run_tests_loop(engine):
+    from dbt_glue_spark.engine import run_tests
+
+    engine.add(Model("base", seed_csv=BASE_CSV, config=ModelConfig(materialized="seed")))
+    engine.add(
+        Model(
+            "kids",
+            sql="select id + 20 as id, id as parent_id from {{ ref('base') }}",
+            config=ModelConfig(materialized="table"),
+        )
+    )
+    engine.run()
+    res = run_tests(
+        engine,
+        "base",
+        [
+            ("unique", {"column": "id"}),
+            ("not_null", {"column": "email"}),
+            ("accepted_values", {"column": "gender", "values": ["Male", "Female"]}),
+        ],
+    )
+    assert all(v == 0 for v in res.values())
+    res2 = run_tests(
+        engine,
+        "kids",
+        [("relationships", {"column": "parent_id", "to": "base", "field": "id"})],
+    )
+    assert res2["relationships:parent_id"] == 0
+    # violation: accepted_values missing one category
+    res3 = run_tests(
+        engine, "base", [("accepted_values", {"column": "gender", "values": ["Male"]})]
+    )
+    assert res3["accepted_values:gender"] == 1
+
+
+def test_python_model_incremental_merge(engine):
+    state = {"hi": 4}
+
+    def py_inc(dbt, spark_):
+        base = dbt.ref("added")
+        if dbt.is_incremental():
+            return base.filter(F.col("id") <= 8).select(
+                "id", F.lit("new").alias("tag")
+            )
+        return base.filter(F.col("id") <= state["hi"]).select(
+            "id", F.lit("old").alias("tag")
+        )
+
+    engine.add(Model("added", seed_csv=ADDED_CSV, config=ModelConfig(materialized="seed")))
+    m = Model(
+        "py_inc",
+        fn=py_inc,
+        config=ModelConfig(
+            materialized="incremental", incremental_strategy="merge", unique_key=["id"]
+        ),
+    )
+    engine.add(m)
+    engine.run(["added", "py_inc"])
+    assert engine.ref_df("py_inc").count() == 4
+    engine.run_model(m)  # incremental run: ids 1-8 tagged new, merged
+    out = engine.ref_df("py_inc")
+    assert out.count() == 8
+    assert out.filter("tag = 'new'").count() == 8
