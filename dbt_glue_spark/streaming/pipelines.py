@@ -64,6 +64,82 @@ def sessionize_stream(
     )
 
 
+def user_activity_tracker(
+    events_stream: DataFrame,
+    inactivity_timeout_ms: int = 30 * 60 * 1000,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    activity accumulator that emits a summary row when the user goes quiet.
+
+    State per user: (n_events, total_value, first/last event time). Each
+    micro-batch folds its rows into state; a processing-time timeout
+    flushes the user's summary and clears state. This is the operator
+    class Spark's built-in aggregations can't express (custom emission
+    policy + custom state shape) — the reference has no streaming at all
+    (SURVEY §2.9).
+
+    State size: O(active users) × ~48 bytes — bounded by the timeout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("first_ts_ms", LongType()),
+            StructField("last_ts_ms", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("tot", DoubleType()),
+            StructField("first_ms", LongType()),
+            StructField("last_ms", LongType()),
+        ]
+    )
+
+    def track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, tot, first_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[key[0], n, tot, first_ms, last_ms]], columns=out_schema.names
+            )
+            return
+        n, tot, first_ms, last_ms = (state.get if state.exists else (0, 0.0, None, None))
+        for pdf in pdfs:
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+            first_ms = min([m for m in [first_ms, *ts_ms] if m is not None])
+            last_ms = max([m for m in [last_ms, *ts_ms] if m is not None])
+        state.update((n, tot, first_ms, last_ms))
+        state.setTimeoutDuration(inactivity_timeout_ms)
+        if False:
+            yield  # make this a generator on the non-timeout path too
+
+    return (
+        events_stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def merge_stream_sink(
     source_stream: DataFrame,
     spark,

@@ -123,3 +123,52 @@ def test_merge_stream_sink_latest_wins(spark, events_stream_source):
     finally:
         shutil.rmtree(target, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_user_activity_tracker_stateful(spark, events_stream_source):
+    """applyInPandasWithState: run the tracker over the staged stream, then
+    force the processing-time timeout with an empty follow-up batch and
+    check every user's summary matches the batch aggregate."""
+    import tempfile
+    import time as _time
+
+    from dbt_glue_spark.streaming.pipelines import user_activity_tracker
+
+    events, _ = events_stream_source
+    d = tempfile.mkdtemp(prefix="dgs_state_src_")
+    try:
+        events.coalesce(1).write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(events.schema).parquet(d)
+        name = "activity_out"
+        q = (
+            user_activity_tracker(stream, inactivity_timeout_ms=1)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        # batch 1 folds all rows into state; wait past the 1 ms timeout,
+        # then drop a new (empty-overlap) file to trigger batch 2, whose
+        # timeout pass emits every user's summary.
+        deadline = _time.time() + 120
+        emitted = 0
+        while _time.time() < deadline:
+            _time.sleep(2)
+            events.limit(0).write.mode("append").parquet(d)
+            emitted = spark.sql(f"select count(*) n from {name}").collect()[0].n
+            if emitted >= events.select("user_id").distinct().count():
+                break
+        q.stop()
+        out = spark.table(name)
+        expected = events.groupBy("user_id").agg(
+            F.count("*").alias("exp_n"),
+            F.sum("value").alias("exp_tot"),
+        )
+        n_users = expected.count()
+        assert out.count() == n_users
+        joined = out.join(expected, "user_id")
+        assert joined.filter("n_events != exp_n").count() == 0
+        bad = joined.filter(F.abs(F.col("total_value") - F.col("exp_tot")) > 1e-6)
+        assert bad.count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
