@@ -1029,3 +1029,132 @@ def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum(F.col("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "brand_revenue",
+    f"""
+    SELECT p_brand,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Fact ⋈ part dimension (broadcast) + agg — part-side join coverage.",
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "monthly_revenue_trend",
+    f"""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_osum('o_totalprice', 2)} AS revenue,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active_customers
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Monthly revenue trend: date_trunc bucketing + distinct-count.",
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+    )
+
+
+@register(
+    "clicks_no_purchase_user_days",
+    """
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events e
+    WHERE event_type = 'click'
+      AND NOT EXISTS (SELECT 1 FROM events p
+                      WHERE p.user_id = e.user_id
+                        AND CAST(p.ts AS DATE) = CAST(e.ts AS DATE)
+                        AND p.event_type = 'purchase')
+    """,
+    doc="EXISTS + NOT EXISTS at the (user, day) grain: days a user clicked "
+    "but never purchased (semi ∘ anti join composition on a composite key).",
+)
+def clicks_no_purchase_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    clicker_days = (
+        events.filter(F.col("event_type") == "click").select("user_id", day).distinct()
+    )
+    purchase_days = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", day
+    )
+    return clicker_days.join(purchase_days, ["user_id", "day"], "left_anti")
+
+
+@register(
+    "skew_two_phase_agg",
+    f"""
+    SELECT l_returnflag,
+           {_osum('l_extendedprice', 2)} AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="operators/skew.two_phase_agg under the correctness gate: salted "
+    "partial decimal sums re-aggregated — random salt, deterministic "
+    "result (decimal addition is associative), equal to the plain groupBy.",
+)
+def skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.operators.skew import two_phase_agg
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return two_phase_agg(
+        lineitem,
+        ["l_returnflag"],
+        partial=[
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("ps"),
+            F.count("*").alias("pc"),
+        ],
+        final=lambda part: [
+            F.sum("ps").cast("double").alias("total_price"),
+            F.sum("pc").cast("bigint").alias("n"),
+        ],
+    )
+
+
+@register(
+    "skew_salted_join",
+    f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           {_osum('l_quantity', 2)} AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    doc="operators/skew.salted_join under the correctness gate: hot-key "
+    "spreading is semantics-preserving, so the salted fact⋈orders join "
+    "aggregates to exactly the plain-join result.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.operators.skew import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(lineitem, orders, ["l_orderkey"], salt=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_lineitems"),
+        dsum(F.col("l_quantity"), 2).alias("total_qty"),
+    )
