@@ -118,6 +118,50 @@ def test_scalar_subquery_broadcasts_singleton(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, warehouse):
+    # The 100 TB fact⋈fact lever: two tables bucketed+sorted on the join
+    # key (ModelConfig clustered_by/buckets → CLUSTERED BY ... INTO n
+    # BUCKETS, reference adapters.sql:183-184) must sort-merge join with
+    # ZERO Exchange — co-located by layout, not by runtime shuffle.
+    import uuid
+
+    from dbt_glue_spark.engine import Engine, Model, ModelConfig
+    from dbt_glue_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir, ("orders", "lineitem"))
+    schema = f"t_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse, schema=schema)
+    bucketed = lambda: ModelConfig(clustered_by=["okey"], buckets=4)  # noqa: E731
+    eng.add(
+        Model(
+            "b_orders",
+            sql="select o_orderkey as okey, o_orderstatus from orders",
+            config=bucketed(),
+        )
+    )
+    eng.add(
+        Model(
+            "b_lineitem",
+            sql="select l_orderkey as okey, l_quantity from lineitem",
+            config=bucketed(),
+        )
+    )
+    try:
+        eng.run()
+        # hint forces SMJ (at test scale Catalyst would broadcast the tiny
+        # dim instead, bypassing the bucketed path we're proving)
+        joined = eng.ref_df("b_lineitem").join(
+            eng.ref_df("b_orders").hint("merge"), "okey"
+        )
+        plan = plan_of(joined, mode="simple")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan_of(joined, mode="formatted")
+        assert joined.count() == eng.ref_df("b_lineitem").count()
+    finally:
+        eng.catalog.drop_schema(schema)
+
+
 @pytest.mark.parametrize("name", ["ext_exact_dedup", "ext_minhash_lsh_pairs"])
 def test_dedup_shuffles_hashes_not_documents(spark, sf_dir, name):
     # The wide shuffles in the dedup path must travel md5/posting keys,
