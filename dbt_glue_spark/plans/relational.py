@@ -1158,3 +1158,194 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lineitems"),
         dsum(F.col("l_quantity"), 2).alias("total_qty"),
     )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+    GROUP BY o_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: unshipped-revenue top-10 for one market segment. "
+    "Segment filter pushes into the customer scan; the cross-table date "
+    "predicate evaluates post-join; top-k = TakeOrderedAndProject (no "
+    "global sort at any scale). Unique o_orderkey tie-break keeps the "
+    "limit boundary deterministic.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q7_nation_volume",
+    f"""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS volume
+    FROM lineitem
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: cross-border trade volume by (supplier nation, "
+    "customer nation, ship year). Two independent dimension chains off the "
+    "fact — supplier-side and order→customer-side — both broadcast; only "
+    "the fact⋈orders equi-join shuffles. Output is bounded by "
+    "|nation|² × years regardless of fact size.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT FLOOR(
+             100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    doc="TPC-H Q14 shape: promo revenue share. Conditional aggregation — "
+    "one pass, two accumulators, no second join or self-union. Both sums "
+    "are exact decimals; the single double division is rounded half-up to "
+    "6 digits on both engines (catalog float-determinism rule).",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    agg = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey).agg(
+        F.sum(promo.cast("decimal(18,6)")).cast("double").alias("p"),
+        F.sum(rev.cast("decimal(18,6)")).cast("double").alias("t"),
+    )
+    return agg.select(
+        (F.floor(100.0 * F.col("p") / F.col("t") * 1e6 + 0.5) / 1e6).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+@register(
+    "q16_supplier_diversity",
+    """
+    SELECT p_brand, p_type,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 25
+    GROUP BY p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape: distinct supplier count per (brand, type) for "
+    "large parts. COUNT(DISTINCT) expands to a two-level aggregate "
+    "(partial distinct per partition, then final) — no row explosion; "
+    "p_size predicate prunes the broadcast build side before the join.",
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS small_qty_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    WHERE l_quantity < 0.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape: revenue of below-half-average-quantity lineitems "
+    "per part. The correlated AVG subquery is decorrelated into a per-part "
+    "aggregate joined back to the fact — the aggregate is |part|-sized "
+    "(dimension-scale), so it broadcasts; the fact table is scanned twice "
+    "but never shuffled on a wide key. AVG over the driver's uniform "
+    "quantity grid is exact in binary floating point on both engines.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        lineitem.join(F.broadcast(per_part), lineitem.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count("*").alias("n_small"),
+        )
+    )
