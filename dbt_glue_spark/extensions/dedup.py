@@ -290,3 +290,62 @@ def embedding_near_dup_pairs(
     from dbt_glue_spark.extensions.similarity import all_pairs_cosine
 
     return all_pairs_cosine(df, vec_col, id_col, threshold, buckets)
+
+
+def dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id).
+
+    ``cluster_id`` is the minimum member id of each component; docs with no
+    near-dup edge form singleton clusters. This is the step after pair
+    generation in a dedup pipeline: pairs only say "a≈b"; keeping one doc
+    per *transitive* group needs components (a≈b, b≈c ⇒ {a,b,c} even when
+    a≉c directly).
+
+    Algorithm: min-label propagation. Each round every vertex takes the min
+    of its own label and its neighbors' labels — converges in
+    O(max component diameter) rounds, which for near-dup graphs is tiny
+    (clusters are near-cliques). Per round: one shuffle join edges⋈labels +
+    one groupBy min; labels are localCheckpoint'ed so lineage (and plan
+    size) stays constant across iterations — the standard Spark iterative-
+    algorithm discipline. Driver-side only the 1-row convergence count is
+    collected; vertex/edge data never leaves the cluster.
+    """
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

@@ -598,3 +598,38 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=3
     )
+
+
+@register(
+    "ext_dup_clusters",
+    "WITH RECURSIVE "
+    + _SH
+    + ","
+    + _JACCARD_TAIL
+    + """,
+    edges AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+             AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    doc="Connected components over 3-gram-Jaccard≥0.5 near-dup pairs: every "
+    "document labeled with the min id of its transitive dup group "
+    "(singletons label themselves). Spark side is iterative min-label "
+    "propagation with per-round localCheckpoint (constant lineage); the "
+    "oracle computes the same components by recursive-CTE transitive "
+    "closure — tractable because dup components are small, while the "
+    "propagation loop is the 100 TB path.",
+)
+def ext_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.dup_clusters(docs, pairs)

@@ -1349,3 +1349,29 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_small"),
         )
     )
+
+
+@register(
+    "grouping_sets_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_osum('o_totalprice', 2)} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (completes the multi-dimensional agg "
+    "family next to ROLLUP and CUBE): one Expand + one aggregate — each "
+    "input row fans out once per set, so cost is |sets| × scan, never one "
+    "scan per set.",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
+    )

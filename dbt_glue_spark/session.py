@@ -96,6 +96,8 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
     warehouse_dir: str | None = None,
     lakehouse: str | None = None,
+    jars: list[str] | None = None,
+    py_files: list[str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -103,6 +105,10 @@ def get_spark(
     pass None with a pre-configured spark-submit and the builder inherits it.
     ``lakehouse='delta'|'iceberg'`` applies the format's session extensions
     when its integration is installed (no-op with a warning otherwise).
+    ``jars``/``py_files`` ship UDF dependencies to executors — the
+    reference's extra_jars / extra_py_files session params (reference:
+    dbt/adapters/glue/credentials.py:17,24,49, applied at session create,
+    connection.py:162-169).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name)
@@ -124,6 +130,10 @@ def get_spark(
             )
     if warehouse_dir:
         conf["spark.sql.warehouse.dir"] = warehouse_dir
+    if jars:
+        conf["spark.jars"] = ",".join(jars)
+    if py_files:
+        conf["spark.submit.pyFiles"] = ",".join(py_files)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

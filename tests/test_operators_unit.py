@@ -190,3 +190,26 @@ def test_salted_join_preserves_semantics(spark):
     rows = {r.k: (r.total, r.n) for r in agg.collect()}
     assert rows[1] == (sum(range(50)), 50)
     assert rows[2] == (sum(range(5)), 5)
+
+
+def test_dup_clusters_multi_hop_chain(spark):
+    from dbt_glue_spark.extensions.dedup import dup_clusters
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in (1, 2, 3, 4, 5, 6, 7)]
+    )
+    # chain 1-2-3 (1≈2, 2≈3 but 1≉3 directly), pair 5-6, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6)]
+    )
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dup_clusters_no_edges(spark):
+    from dbt_glue_spark.extensions.dedup import dup_clusters
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in (10, 20)])
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    out = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
+    assert out == {10: 10, 20: 20}
