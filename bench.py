@@ -27,6 +27,8 @@ HEADLINE = [
     "top_orders",
     "order_priority_count",
     "customer_order_distribution",
+    "q3_shipping_priority",
+    "q7_nation_volume",
     "window_top_orders_per_customer",
     "window_running_total",
     "json_extract_events",
@@ -37,6 +39,7 @@ HEADLINE = [
 EXTENSION_HEADLINE = [
     "ext_exact_dedup",
     "ext_minhash_lsh_pairs",
+    "ext_dup_clusters",
     "ext_knn_bruteforce",
     "ext_text_stats",
     "mat_merge_upsert",
