@@ -1,0 +1,55 @@
+"""Deterministic sampling operators for training-data curation.
+
+`df.sample()` is seed-dependent *per partition layout*: the same seed gives
+different rows after a repartition, an AQE re-plan, or a file split change —
+useless for reproducible dataset releases. These operators derive the
+sampling decision from a content hash instead, so the sample is a pure
+function of the data: stable across runs, partitionings, engines (the
+DuckDB oracle reproduces it bit-for-bit), and incremental loads (a doc's
+in/out decision never changes as the corpus grows).
+
+Scale shape: both operators are stateless projections + filters (hash
+sample) or one bounded-output window (stratified top-fraction) — no
+collect, no global sort, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.extensions.sketches import hash_fraction as _hash_frac
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep rows whose md5(key) falls in the first ``fraction`` of hash
+    space. Deterministic, repartition-proof, and consistent across
+    incremental loads (membership depends only on the key's bytes).
+    """
+    return df.filter(_hash_frac(F.col(key_col)) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Exact per-stratum fraction: rank rows inside each stratum by hash of
+    the key and keep the first ceil(fraction × |stratum|).
+
+    Unlike ``hash_sample`` (binomial per stratum), the per-group sample
+    size is exact — the guarantee dataset-balance work needs (e.g. equal
+    language representation). One window shuffle on the strata key; the
+    hash ordering keeps the choice deterministic and unique-key tie-broken.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _hash_frac(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    cw = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(cw))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction))
+        .drop("__rn", "__n")
+    )

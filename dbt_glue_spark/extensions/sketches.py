@@ -1,0 +1,109 @@
+"""Mergeable sketch operators, engine-portable by construction.
+
+KMV (k-minimum-values) distinct-count sketch: keep the k smallest hash
+values of a column; estimate |distinct| ≈ (k-1) / k-th smallest hash with
+hashes scaled to [0,1). Because the hash is md5 (identical everywhere) and
+"k smallest" is order-free, the estimate — unlike HLL implementations — is
+bit-reproducible across engines and partitionings, so the DuckDB oracle
+checks it exactly.
+
+Numeric discipline: the hash fraction uses the first 13 hex chars = 52
+bits, inside the exact-integer range of a double, and the divisor is a
+power of two — both engines compute the identical float, no rounding gap.
+
+Scale shape: project → distinct (one hash shuffle of (group, 8-byte h)
+pairs, the same cost COUNT(DISTINCT) pays) → per-group sorted rank kept to
+k rows. Nothing collects more than k values per group into one buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.functions.scalars import half_up_round
+
+#: 13 hex chars = 52 bits — exact in IEEE double on every engine
+_PREFIX_LEN = 13
+_SPACE = float(16**_PREFIX_LEN)
+
+
+def hash_fraction(col) -> "F.Column":
+    """Uniform [0,1) double from md5(col), bit-identical across engines."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, _PREFIX_LEN), 16, 10).cast(
+        "double"
+    ) / F.lit(_SPACE)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """KMV estimate of COUNT(DISTINCT col), optionally per group.
+
+    Exact when |distinct| < k (the estimator sees every hash); error
+    ~1/sqrt(k-2) above. Output: group cols + ``approx_distinct`` (double,
+    half-up rounded to 4 dp).
+
+    Why not approx_count_distinct: Spark's HLL++ and any other engine's HLL
+    disagree bucket-by-bucket, so results aren't reproducible across
+    engines (or even Spark versions) — KMV over md5 is, at the same
+    O(k)-memory mergeable-sketch contract.
+    """
+    keys = group_by or []
+    hashed = df.select(
+        *keys, hash_fraction(F.col(col)).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy(F.col("__h").asc())
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    grouped = topk.groupBy(*keys) if keys else topk.groupBy()
+    sk = grouped.agg(
+        F.count("*").alias("__nk"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__kth"),
+    )
+    est = F.when(F.col("__nk") < k, F.col("__nk").cast("double")).otherwise(
+        (F.lit(k) - 1) / F.col("__kth")
+    )
+    return sk.select(*keys, half_up_round(est, 4).alias("approx_distinct"))
+
+
+def _duck_hash_fraction(col: str) -> str:
+    """DuckDB expression mirroring :func:`hash_fraction` digit-by-digit."""
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5(CAST({col} AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {float(16 ** (_PREFIX_LEN - 1 - i))!r}"
+        for i in range(_PREFIX_LEN)
+    )
+    return f"({digits}) / {_SPACE!r}"
+
+
+def kmv_oracle_sql(
+    source: str, col: str, k: int = 256, group_by: list[str] | None = None
+) -> str:
+    """DuckDB SQL computing the identical KMV estimate (for parity gates)."""
+    keys = ", ".join(group_by) if group_by else ""
+    sel_keys = f"{keys}, " if keys else ""
+    part = f"PARTITION BY {keys} " if keys else ""
+    grp = f"GROUP BY {keys}" if keys else ""
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT {sel_keys}{_duck_hash_fraction(col)} AS h FROM {source}
+    ),
+    ranked AS (
+      SELECT {sel_keys}h, row_number() OVER ({part}ORDER BY h) AS rn FROM hashed
+    ),
+    sk AS (
+      SELECT {sel_keys}COUNT(*) AS nk,
+             MAX(CASE WHEN rn = {k} THEN h END) AS kth
+      FROM ranked WHERE rn <= {k} {grp}
+    )
+    SELECT {sel_keys}
+           FLOOR((CASE WHEN nk < {k} THEN CAST(nk AS DOUBLE)
+                       ELSE {k - 1} / kth END) * 1e4 + 0.5) / 1e4
+             AS approx_distinct
+    FROM sk
+    """

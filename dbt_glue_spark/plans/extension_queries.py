@@ -633,3 +633,82 @@ def ext_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
     return dedup.dup_clusters(docs, pairs)
+
+
+# ---- deterministic sampling + sketches -----------------------------------
+
+from dbt_glue_spark.extensions import sampling, sketches  # noqa: E402
+from dbt_glue_spark.extensions.sketches import _duck_hash_fraction  # noqa: E402
+
+
+@register(
+    "ext_hash_sample",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_duck_hash_fraction('doc_id')} < 0.2
+    """,
+    doc="Deterministic 20% sample keyed on md5(doc_id): repartition-proof, "
+    "incremental-load-stable (a doc's membership never changes as the "
+    "corpus grows), reproducible on any engine — unlike df.sample(seed), "
+    "whose output depends on the physical partition layout.",
+)
+def ext_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.hash_sample(docs, "doc_id", 0.2)
+
+
+@register(
+    "ext_stratified_sample",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_duck_hash_fraction('doc_id')}, doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= CEIL(n * 0.1)
+    """,
+    doc="Exact 10%-per-language stratified sample: hash-ranked top fraction "
+    "per stratum — the balance guarantee binomial sampling can't give. One "
+    "window shuffle on the strata key.",
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_sample(docs, ["lang"], "doc_id", 0.1)
+
+
+@register(
+    "ext_kmv_distinct_users",
+    sketches.kmv_oracle_sql("events", "user_id", k=64, group_by=["event_type"]),
+    doc="KMV (k-minimum-values) distinct-count sketch per event_type, k=64: "
+    "mergeable O(k)-memory approximate COUNT(DISTINCT), bit-reproducible "
+    "across engines because the hash is md5 and the 52-bit fraction is "
+    "exact in a double (HLL implementations can't be cross-checked like "
+    "this). Exact below k; ~12% expected error above.",
+)
+def ext_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sketches.kmv_distinct(events, "user_id", k=64, group_by=["event_type"])
+
+
+@register(
+    "ext_kmv_distinct_tokens",
+    sketches.kmv_oracle_sql(
+        "(SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents)",
+        "tok",
+        k=128,
+    ),
+    doc="Global KMV distinct-token estimate over the corpus (k=128): "
+    "vocabulary-size telemetry at one shuffle of 8-byte hashes — the "
+    "training-pipeline stat that exact COUNT(DISTINCT) makes needlessly "
+    "expensive at 100 TB.",
+)
+def ext_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    )
+    return sketches.kmv_distinct(toks, "tok", k=128)

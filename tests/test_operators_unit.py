@@ -213,3 +213,43 @@ def test_dup_clusters_no_edges(spark):
     pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
     out = {r.doc_id: r.cluster_id for r in dup_clusters(docs, pairs).collect()}
     assert out == {10: 10, 20: 20}
+
+
+def test_hash_sample_repartition_invariant(spark):
+    from dbt_glue_spark.extensions.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    b = {r.k for r in hash_sample(df.repartition(17), "k", 0.3).collect()}
+    assert a == b  # membership is content-derived, not layout-derived
+    assert 0.2 < len(a) / 2000 < 0.4
+    # incremental-load stability: a smaller corpus keeps the same members
+    sub = {r.k for r in hash_sample(df.filter("k < 500"), "k", 0.3).collect()}
+    assert sub == {k for k in a if k < 500}
+
+
+def test_stratified_sample_exact_per_stratum(spark):
+    from dbt_glue_spark.extensions.sampling import stratified_sample
+
+    rows = [Row(g="a", k=i) for i in range(100)] + [Row(g="b", k=i + 1000) for i in range(7)]
+    df = spark.createDataFrame(rows)
+    out = stratified_sample(df, ["g"], "k", 0.1).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, 0)
+        by_g[r.g] += 1
+    assert by_g == {"a": 10, "b": 1}  # ceil(100*0.1)=10, ceil(7*0.1)=1
+
+
+def test_kmv_exact_below_k_and_stable_above(spark):
+    from dbt_glue_spark.extensions.sketches import kmv_distinct
+
+    small = spark.range(0, 50).withColumnRenamed("id", "v")
+    [r] = kmv_distinct(small, "v", k=64).collect()
+    assert r.approx_distinct == 50.0  # exact below k
+
+    big = spark.range(0, 20000).withColumnRenamed("id", "v")
+    [r1] = kmv_distinct(big, "v", k=256).collect()
+    [r2] = kmv_distinct(big.repartition(13), "v", k=256).collect()
+    assert r1.approx_distinct == r2.approx_distinct  # layout-invariant
+    assert abs(r1.approx_distinct - 20000) / 20000 < 0.25
