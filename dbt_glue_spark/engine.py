@@ -318,6 +318,50 @@ class Engine:
             "description": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
         }
 
+    def compact(
+        self, name: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> dict[str, int]:
+        """Small-files compaction — the plain-parquet analogue of Iceberg
+        ``rewrite_data_files`` / Delta ``OPTIMIZE`` (SURVEY §7.1 step 11).
+
+        Incremental appends accumulate one small file per batch×partition;
+        at scale that death-by-a-thousand-files dominates scan planning and
+        task startup. Rewrite the table into ``ceil(bytes/target)``
+        partitions through the same versioned-location swap every other
+        rewrite uses (readers of the old generation stay valid until the
+        catalog flips). Returns files/bytes before and after.
+        """
+        import math
+        import os
+        from urllib.parse import urlparse
+
+        model = self.models[name]
+        rel = self.relation_for(name)
+        df = self.spark.table(rel.render())
+
+        def _stat(frame: DataFrame) -> tuple[int, int]:
+            files = frame.inputFiles()
+            total = 0
+            for uri in files:
+                p = urlparse(uri).path or uri
+                try:
+                    total += os.path.getsize(p)
+                except OSError:  # non-local FS: sizes unavailable, count only
+                    pass
+            return len(files), total
+
+        n_before, bytes_before = _stat(df)
+        n_target = max(1, math.ceil(bytes_before / target_file_bytes)) if bytes_before else 1
+        self._write_swap(df.repartition(n_target), model)
+        after = self.spark.table(rel.render())
+        n_after, bytes_after = _stat(after)
+        return {
+            "files_before": n_before,
+            "files_after": n_after,
+            "bytes_before": bytes_before,
+            "bytes_after": bytes_after,
+        }
+
     def docs(self) -> DataFrame:
         """Catalog/docs extraction for this project's schema (the
         reference's get_catalog, impl.py:538-612)."""

@@ -130,3 +130,30 @@ def test_full_refresh_rebuilds(engine):
     inc.config.full_refresh = True
     engine.run_model(inc)  # rebuild from scratch → 3
     assert engine.ref_df("inc_fr").count() == 3
+
+
+def test_compact_merges_small_files(spark, warehouse):
+    import uuid
+
+    from dbt_glue_spark.engine import Engine, Model, ModelConfig
+    from dbt_glue_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001", ("orders",))
+    schema = f"t_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse, schema=schema)
+    eng.add(
+        Model(
+            "frag",
+            sql="select /*+ REPARTITION(40) */ o_orderkey, o_totalprice from orders",
+            config=ModelConfig(),
+        )
+    )
+    try:
+        eng.run()
+        before = eng.ref_df("frag").count()
+        stats = eng.compact("frag")
+        assert stats["files_before"] >= 40
+        assert stats["files_after"] <= 2
+        assert eng.ref_df("frag").count() == before
+    finally:
+        eng.catalog.drop_schema(schema)
