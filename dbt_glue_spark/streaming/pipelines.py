@@ -221,3 +221,45 @@ def incremental_stream_sink(
         .trigger(availableNow=True)
     )
     return writer.start()
+
+
+def click_purchase_join_stream(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click matched to same-user
+    purchases within ``[click_ts, click_ts + horizon]`` event time.
+
+    Both sides carry watermarks and the join condition bounds purchase_ts
+    relative to click_ts from BOTH directions — that pair is what lets the
+    state store evict rows (unbounded stream-stream joins retain state
+    forever and OOM; Spark enforces the time bound for exactly this
+    reason). Inner rows emit as soon as both sides arrive; state for rows
+    older than watermark+horizon is dropped. At scale, state is
+    partitioned by the join key across the cluster's state stores.
+    """
+    c = clicks_stream.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases_stream.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -172,3 +172,39 @@ def test_user_activity_tracker_stateful(spark, events_stream_source):
         assert bad.count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_source):
+    from dbt_glue_spark.streaming.pipelines import click_purchase_join_stream
+
+    events, stream = events_stream_source
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    # staged files interleave event time, so a realistic watermark would
+    # (correctly) drop late rows; a watermark wider than the data span
+    # makes everything on-time so stream output must equal the batch join.
+    out = _run_to_memory(
+        spark,
+        click_purchase_join_stream(clicks, purchases, watermark="3650 days"),
+        "cp_join",
+        "append",
+    )
+    bc = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bp = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = bc.join(
+        bp,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+    ).select("user_id", "click_id", "click_ts", "purchase_ts", "purchase_value")
+    assert out.count() == batch.count() > 0
+    assert out.subtract(batch).count() == 0
+    assert batch.subtract(out).count() == 0
