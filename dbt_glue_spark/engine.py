@@ -170,8 +170,16 @@ class Engine:
             if kind == "ref" and name in self.models
         ]
 
-    def run(self, names: list[str] | None = None) -> None:
-        """Topological DAG execution (dbt-core's orchestration role)."""
+    def run(self, names: list[str] | None = None, threads: int = 1) -> None:
+        """Topological DAG execution (dbt-core's orchestration role).
+
+        ``threads > 1`` materializes independent models concurrently,
+        level-by-level — the reference inherits exactly this from dbt-core's
+        ``threads`` profile setting. Spark job submission is thread-safe;
+        concurrent model builds keep a large cluster busy while one model's
+        shuffle is in flight. Dependents still wait for their full
+        dependency level (a level barrier, like dbt's scheduler).
+        """
         order: list[str] = []
         seen: dict[str, int] = {}
 
@@ -189,8 +197,22 @@ class Engine:
 
         for n in names or list(self.models):
             visit(n)
-        for n in order:
-            self.run_model(self.models[n])
+        if threads <= 1:
+            for n in order:
+                self.run_model(self.models[n])
+            return
+        # level = longest dependency path; nodes in a level are independent
+        level: dict[str, int] = {}
+        for n in order:  # topological ⇒ deps already labeled
+            deps = self._deps(self.models[n])
+            level[n] = 1 + max((level[d] for d in deps), default=-1)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            for lvl in sorted(set(level.values())):
+                batch = [n for n in order if level[n] == lvl]
+                # list() propagates the first worker exception
+                list(pool.map(lambda n: self.run_model(self.models[n]), batch))
 
     # -- materializations -------------------------------------------------
     def run_model(self, model: Model) -> Relation:

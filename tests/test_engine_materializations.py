@@ -391,3 +391,27 @@ def test_python_model_incremental_merge(engine):
     out = engine.ref_df("py_inc")
     assert out.count() == 8
     assert out.filter("tag = 'new'").count() == 8
+
+
+def test_parallel_dag_execution(engine):
+    engine.add(Model("base", seed_csv=BASE_CSV, config=ModelConfig(materialized="seed")))
+    for i in range(4):  # four independent children of base
+        engine.add(
+            Model(
+                f"child_{i}",
+                sql=f"select id, id * {i + 1} as v from {{{{ ref('base') }}}}",
+                config=ModelConfig(materialized="table"),
+            )
+        )
+    engine.add(
+        Model(
+            "summary",
+            sql="select (select count(*) from {{ ref('child_0') }})"
+            " + (select count(*) from {{ ref('child_3') }}) as total",
+            config=ModelConfig(materialized="table"),
+        )
+    )
+    engine.run(threads=4)
+    for i in range(4):
+        assert engine.ref_df(f"child_{i}").count() == 10
+    assert engine.ref_df("summary").collect()[0].total == 20
