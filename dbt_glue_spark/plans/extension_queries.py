@@ -712,3 +712,69 @@ def ext_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
     )
     return sketches.kmv_distinct(toks, "tok", k=128)
+
+
+def _curation_oracle() -> str:
+    """Compose the full-pipeline oracle from the registered single-stage
+    oracles (same strings the individual parity gates check, so the stages
+    can't drift apart)."""
+    from dbt_glue_spark.plans.catalog import _REGISTRY
+
+    quality = _REGISTRY["ext_quality_score"].oracle
+    lang = _REGISTRY["ext_language_id"].oracle
+    return rf"""
+    WITH kept AS (
+      SELECT d.doc_id, d.text, l.lang_pred, q.quality_score
+      FROM documents d
+      JOIN ({quality}) q ON q.doc_id = d.doc_id
+      JOIN ({lang}) l ON l.doc_id = d.doc_id
+      WHERE q.quality_score >= 0.5 AND l.lang_pred <> 'und'
+    ),
+    hashed AS (
+      SELECT *, MD5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS h
+      FROM kept
+    ),
+    keepmin AS (SELECT h, MIN(doc_id) AS doc_id FROM hashed GROUP BY h),
+    dedup AS (
+      SELECT x.doc_id, x.lang_pred, x.quality_score
+      FROM hashed x JOIN keepmin k ON x.h = k.h AND x.doc_id = k.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, lang_pred, quality_score,
+             row_number() OVER (PARTITION BY lang_pred
+                                ORDER BY {_duck_hash_fraction('doc_id')}, doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY lang_pred) AS n
+      FROM dedup
+    )
+    SELECT doc_id, lang_pred, quality_score
+    FROM ranked WHERE rn <= CEIL(n * 0.5)
+    """
+
+
+@register(
+    "ext_curation_pipeline",
+    _curation_oracle(),
+    doc="End-to-end training-data curation in one plan: quality filter "
+    "(≥0.5) ∘ language filter (identified) ∘ exact dedup (min-id per "
+    "normalized-text hash) ∘ 50% per-language stratified deterministic "
+    "sample. All stages are projections/filters over one documents scan "
+    "plus two metadata-sized shuffles (dedup hash, strata window) — the "
+    "composition pipelines; nothing materializes between stages. The "
+    "oracle reuses the registered single-stage oracle strings verbatim, "
+    "so pipeline and stages cannot drift apart.",
+)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text_analysis.quality_score(docs).select("doc_id", "quality_score")
+    lang = text_analysis.language_id(docs).select("doc_id", "lang_pred")
+    kept = (
+        docs.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter((F.col("quality_score") >= 0.5) & (F.col("lang_pred") != "und"))
+    )
+    deduped = dedup.exact_dedup(kept, normalize=True).select(
+        "doc_id", "lang_pred", "quality_score"
+    )
+    return sampling.stratified_sample(deduped, ["lang_pred"], "doc_id", 0.5)
