@@ -353,3 +353,76 @@ def mat_merge_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_key=["o_orderkey"],
         incremental_predicates=["tgt.status = 'F'"],
     )
+
+
+@register(
+    "mat_scd2_snapshot_timestamp",
+    f"""
+    WITH v1 AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal,
+             TIMESTAMP '{TS1}' AS updated_at
+      FROM customer WHERE c_custkey <= 100
+    ), v2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN CAST(c_acctbal AS DOUBLE) + 100.0
+                  ELSE CAST(c_acctbal AS DOUBLE) END AS bal,
+             CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '{TS2}'
+                  ELSE TIMESTAMP '{TS1}' END AS updated_at
+      FROM customer WHERE c_custkey <= 110 AND c_custkey % 17 <> 0
+    ), bumped AS (
+      SELECT v2.c_custkey FROM v2 JOIN v1 USING (c_custkey)
+      WHERE v2.updated_at > TIMESTAMP '{TS1}'
+    )
+    -- v1 rows: closed iff the source advanced updated_at; deletions open
+    SELECT v1.c_custkey, v1.bal, v1.updated_at,
+           TIMESTAMP '{TS1}' AS dbt_valid_from,
+           CASE WHEN b.c_custkey IS NOT NULL THEN TIMESTAMP '{TS2}' END
+             AS dbt_valid_to,
+           MD5(COALESCE(CAST(v1.c_custkey AS VARCHAR), '') || '|' ||
+               COALESCE(CAST(TIMESTAMP '{TS1}' AS VARCHAR), '')) AS dbt_scd_id
+    FROM v1 LEFT JOIN bumped b USING (c_custkey)
+    UNION ALL
+    -- new versions of bumped keys + inserts (valid_from = their updated_at)
+    SELECT v2.c_custkey, v2.bal, v2.updated_at,
+           v2.updated_at, CAST(NULL AS TIMESTAMP),
+           MD5(COALESCE(CAST(v2.c_custkey AS VARCHAR), '') || '|' ||
+               COALESCE(CAST(v2.updated_at AS VARCHAR), ''))
+    FROM v2
+    WHERE v2.c_custkey IN (SELECT c_custkey FROM bumped)
+       OR v2.c_custkey NOT IN (SELECT c_custkey FROM v1)
+    """,
+    doc="SCD2 snapshot, timestamp strategy (the reference's other "
+    "strategy, snapshot.sql:99-226): a row changes only when the source's "
+    "updated_at advances past the open row's dbt_updated_at — same-value "
+    "rewrites with a stale timestamp do NOT create versions (the key "
+    "behavioral difference from check). valid_from of new versions and "
+    "inserts is the source updated_at, not the run time.",
+)
+def mat_scd2_snapshot_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("double")
+    v1 = customer.filter(F.col("c_custkey") <= 100).select(
+        "c_custkey",
+        bal.alias("bal"),
+        F.lit(TS1).cast("timestamp").alias("updated_at"),
+    )
+    bump = F.col("c_custkey") % 10 == 0
+    v2 = (
+        customer.filter((F.col("c_custkey") <= 110) & (F.col("c_custkey") % 17 != 0))
+        .select(
+            "c_custkey",
+            F.when(bump, bal + 100.0).otherwise(bal).alias("bal"),
+            F.when(bump, F.lit(TS2)).otherwise(F.lit(TS1)).cast("timestamp").alias(
+                "updated_at"
+            ),
+        )
+    )
+    snap1 = scd2_apply(
+        None, v1, ["c_custkey"], TS1, strategy="timestamp", updated_at="updated_at"
+    )
+    snap2 = scd2_apply(
+        snap1, v2, ["c_custkey"], TS2, strategy="timestamp", updated_at="updated_at"
+    )
+    return snap2.select(
+        "c_custkey", "bal", "updated_at", "dbt_valid_from", "dbt_valid_to", "dbt_scd_id"
+    )
