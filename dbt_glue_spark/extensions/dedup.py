@@ -349,3 +349,37 @@ def dup_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def contamination_pairs(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_common: int = 5,
+) -> DataFrame:
+    """Train/test decontamination: (a_id, b_id, n_common) for cross-corpus
+    document pairs sharing ≥ ``min_common`` distinct word n-grams.
+
+    The standard eval-leakage check before a training run: corpus_a =
+    training shards, corpus_b = benchmark/eval sets. Same inverted-index
+    shape as ngram_jaccard_pairs but joining A-postings to B-postings
+    (never A×A or B×B), so cost ∝ Σ_shingle df_A × df_B — and corpus_b is
+    typically tiny (eval sets), which keeps the build side broadcastable.
+    Filtering to a count threshold rather than a Jaccard ratio is
+    deliberate: a 50-token leak inside a 10k-token training doc has
+    negligible Jaccard but is still contamination.
+    """
+    sh_a = _shingle_postings(corpus_a, text_col, id_col, n, None).withColumnRenamed(
+        "id", "a_id"
+    )
+    sh_b = _shingle_postings(corpus_b, text_col, id_col, n, None).withColumnRenamed(
+        "id", "b_id"
+    )
+    return (
+        sh_a.join(sh_b, "shingle")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -778,3 +778,78 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang_pred", "quality_score"
     )
     return sampling.stratified_sample(deduped, ["lang_pred"], "doc_id", 0.5)
+
+
+@register(
+    "ext_contamination_pairs",
+    "WITH "
+    + _TOK.replace("FROM documents", "FROM documents WHERE source <> 'src0'")
+    + r""",
+    sh AS (
+      SELECT doc_id AS a_id,
+             unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in generate_series(1, len(toks) - 2)]
+             )) AS shingle
+      FROM tok
+    ),
+    btok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents WHERE source = 'src0'
+    ),
+    bsh AS (
+      SELECT doc_id AS b_id,
+             unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in generate_series(1, len(toks) - 2)]
+             )) AS shingle
+      FROM btok
+    )
+    SELECT a_id, b_id, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM sh JOIN bsh USING (shingle)
+    GROUP BY a_id, b_id
+    HAVING COUNT(*) >= 5
+    """,
+    doc="Train/test decontamination: training docs (source≠src0) sharing "
+    "≥5 distinct 3-grams with any eval doc (source=src0). Inverted-index "
+    "A⋈B join — never A×A — with the tiny eval side broadcastable; count "
+    "threshold rather than Jaccard because a short verbatim leak inside a "
+    "long training doc is still contamination.",
+)
+def ext_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_ = docs.filter(F.col("source") == "src0")
+    return dedup.contamination_pairs(train, eval_, min_common=5)
+
+
+@register(
+    "ext_top_tokens",
+    r"""
+    WITH tk AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tk GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    doc="Corpus heavy hitters: top-20 word tokens. explode → count → "
+    "TakeOrderedAndProject top-k (partial per-partition top-k merge, no "
+    "global sort); tok tie-break makes the cut deterministic.",
+)
+def ext_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )

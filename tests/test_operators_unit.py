@@ -253,3 +253,19 @@ def test_kmv_exact_below_k_and_stable_above(spark):
     [r2] = kmv_distinct(big.repartition(13), "v", k=256).collect()
     assert r1.approx_distinct == r2.approx_distinct  # layout-invariant
     assert abs(r1.approx_distinct - 20000) / 20000 < 0.25
+
+
+def test_contamination_pairs_detects_verbatim_leak(spark):
+    from dbt_glue_spark.extensions.dedup import contamination_pairs
+
+    leak = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="completely unrelated training text about spark plans"),
+            Row(doc_id=2, text="prefix words " + leak + " suffix words here"),
+        ]
+    )
+    eval_ = spark.createDataFrame([Row(doc_id=100, text=leak)])
+    out = contamination_pairs(train, eval_, min_common=5).collect()
+    assert [(r.a_id, r.b_id) for r in out] == [(2, 100)]
+    assert out[0].n_common >= 5
