@@ -853,3 +853,30 @@ def ext_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(20)
     )
+
+
+@register(
+    "ext_token_positions",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+    FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+    WHERE doc_id <= 50
+    """,
+    doc="Positional token explode (posexplode ≙ LATERAL unnest with "
+    "ordinality): the flatten step sequence-labeling / BPE pipelines start "
+    "from. Pure row explosion — pipelines with the scan, no shuffle; "
+    "output order carried by (doc_id, pos), not row order.",
+)
+def ext_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
+    )

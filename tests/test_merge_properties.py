@@ -54,3 +54,39 @@ def test_merge_matches_model(spark, update_cols, tgt, src):
     )
     got = {r.k: (r.k, r.v1, r.v2) for r in out.collect()}
     assert got == model_merge(tgt, src, update_cols)
+
+
+# ---- sampling / sketch properties ----------------------------------------
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    frac=st.floats(min_value=0.05, max_value=0.95),
+    cutoff=st.integers(min_value=1, max_value=400),
+)
+def test_hash_sample_monotone_and_prefix_stable(spark, frac, cutoff):
+    """Membership is a pure function of the key: a corpus subset samples to
+    exactly the sample's subset, and a smaller fraction's sample is a
+    subset of a larger fraction's (nested samples — what lets you publish
+    1%/10%/100% dataset tiers that agree)."""
+    from dbt_glue_spark.extensions.sampling import hash_sample
+
+    df = spark.range(0, 400).withColumnRenamed("id", "k")
+    full = {r.k for r in hash_sample(df, "k", frac).collect()}
+    sub = {r.k for r in hash_sample(df.filter(f"k < {cutoff}"), "k", frac).collect()}
+    assert sub == {k for k in full if k < cutoff}
+    half = {r.k for r in hash_sample(df, "k", frac / 2).collect()}
+    assert half <= full
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n=st.integers(min_value=1, max_value=200), dup=st.integers(min_value=1, max_value=3))
+def test_kmv_exact_below_k_any_duplication(spark, n, dup):
+    """KMV must report the exact distinct count whenever it's below k,
+    regardless of how many duplicate rows carry each value."""
+    from dbt_glue_spark.extensions.sketches import kmv_distinct
+
+    rows = [(v,) for v in range(n) for _ in range(dup)]
+    df = spark.createDataFrame(rows, "v bigint")
+    [r] = kmv_distinct(df, "v", k=256).collect()
+    assert r.approx_distinct == float(n)
