@@ -263,3 +263,24 @@ def click_purchase_join_stream(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def dedup_stream(
+    events_stream: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within the
+    watermark window — the at-least-once → effectively-once repair step in
+    front of any streaming sink.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on ``keys`` and
+    expires entries once the watermark passes them, so state is bounded by
+    (arrival rate × watermark) instead of growing with the stream's
+    lifetime — the property that makes streaming dedup viable at all.
+    Batch twin: ``df.dropDuplicates(keys)``.
+    """
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

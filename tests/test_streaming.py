@@ -208,3 +208,20 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_source):
     assert out.count() == batch.count() > 0
     assert out.subtract(batch).count() == 0
     assert batch.subtract(out).count() == 0
+
+
+def test_dedup_stream_drops_redelivered_rows(spark, events_stream_source):
+    from dbt_glue_spark.streaming.pipelines import dedup_stream
+
+    events, stream = events_stream_source
+    # simulate at-least-once redelivery: every staged file already yields
+    # each event once, and micro-batches may re-present overlapping ids —
+    # dedup on event_id must leave exactly the distinct batch rows.
+    out = _run_to_memory(
+        spark,
+        dedup_stream(stream, ["event_id"], watermark="3650 days"),
+        "dedup_stream",
+        "append",
+    )
+    assert out.count() == events.dropDuplicates(["event_id"]).count()
+    assert out.select("event_id").distinct().count() == out.count()
