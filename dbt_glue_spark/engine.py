@@ -90,6 +90,12 @@ class Model:
     seed_csv: str | None = None
     column_types: dict[str, str] | None = None
     config: ModelConfig = field(default_factory=ModelConfig)
+    # dbt schema tests, column → list of test specs; each spec is
+    # "unique" | "not_null" | {"accepted_values": {"values": [...],
+    # "quote": bool}} | {"relationships": {"to": model_or_view,
+    # "field": col}} — the reference's generic tests (T1-T3,
+    # tests/generic/builtin.sql + dbt-core built-ins)
+    tests: dict[str, list] | None = None
 
 
 _REF = re.compile(r"\{\{\s*(ref|source)\s*\(\s*'([^']+)'\s*\)\s*\}\}")
@@ -339,6 +345,53 @@ class Engine:
             "results": [r.asDict(recursive=True) for r in rows],
             "description": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
         }
+
+    def test(self, names: list[str] | None = None) -> DataFrame:
+        """Run every declared schema test (``Model.tests``) — the ``dbt
+        test`` command. Returns a report DataFrame (model, column, test,
+        n_failures, passed); overall health = ``report.filter("NOT
+        passed")`` empty.
+
+        Each test evaluates lazily and only its failure COUNT is collected
+        (dbt likewise stores/c counts failures) — failing-row payloads stay
+        distributed; fetch them by re-running the underlying quality
+        operator when debugging.
+        """
+        from dbt_glue_spark.quality import tests as dq
+
+        report: list[tuple] = []
+        for name in names or list(self.models):
+            model = self.models[name]
+            if not model.tests:
+                continue
+            df = self.ref_df(name)
+            for column, specs in model.tests.items():
+                for spec in specs:
+                    if spec == "unique":
+                        fails = dq.unique(df, column)
+                        label = "unique"
+                    elif spec == "not_null":
+                        fails = dq.not_null(df, column)
+                        label = "not_null"
+                    elif isinstance(spec, dict) and "accepted_values" in spec:
+                        cfg = spec["accepted_values"]
+                        fails = dq.accepted_values(
+                            df, column, cfg["values"], cfg.get("quote", True)
+                        )
+                        label = "accepted_values"
+                    elif isinstance(spec, dict) and "relationships" in spec:
+                        cfg = spec["relationships"]
+                        parent = self.ref_df(cfg["to"]) if cfg["to"] in self.models else self.spark.table(cfg["to"])
+                        fails = dq.relationships(df, column, parent, cfg["field"])
+                        label = "relationships"
+                    else:
+                        raise ValueError(f"unknown test spec {spec!r} on {name}.{column}")
+                    n = fails.count()
+                    report.append((name, column, label, n, n == 0))
+        return self.spark.createDataFrame(
+            report or [("", "", "", 0, True)][:0],
+            "model string, column string, test string, n_failures bigint, passed boolean",
+        )
 
     def compact(
         self, name: str, target_file_bytes: int = 128 * 1024 * 1024

@@ -415,3 +415,36 @@ def test_parallel_dag_execution(engine):
     for i in range(4):
         assert engine.ref_df(f"child_{i}").count() == 10
     assert engine.ref_df("summary").collect()[0].total == 20
+
+
+def test_schema_test_runner(engine):
+    engine.add(
+        Model(
+            "base",
+            seed_csv=BASE_CSV,
+            config=ModelConfig(materialized="seed"),
+            tests={
+                "id": ["unique", "not_null"],
+                "gender": [{"accepted_values": {"values": ["Male", "Female"]}}],
+            },
+        )
+    )
+    engine.add(
+        Model(
+            "dupes",
+            sql="select id % 3 as grp, email from {{ ref('base') }}",
+            config=ModelConfig(materialized="table"),
+            tests={
+                "grp": ["unique"],  # must fail: 10 rows, 3 groups
+                "email": [{"relationships": {"to": "base", "field": "email"}}],
+            },
+        )
+    )
+    engine.run()
+    report = {(r.model, r.column, r.test): (r.n_failures, r.passed) for r in engine.test().collect()}
+    assert report[("base", "id", "unique")] == (0, True)
+    assert report[("base", "id", "not_null")] == (0, True)
+    assert report[("base", "gender", "accepted_values")] == (0, True)
+    assert report[("dupes", "email", "relationships")] == (0, True)
+    n_fail, passed = report[("dupes", "grp", "unique")]
+    assert not passed and n_fail == 3  # all three groups are duplicated
