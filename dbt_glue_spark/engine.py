@@ -346,6 +346,47 @@ class Engine:
             "description": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
         }
 
+    def backfill(
+        self,
+        name: str,
+        start: str,
+        end: str,
+        batch_days: int = 1,
+    ) -> list[tuple[str, str]]:
+        """Event-time backfill: run an incremental model once per period of
+        ``batch_days`` between ``start`` and ``end`` (dbt's microbatch
+        pattern). The model's SQL references ``{{ batch_start }}`` /
+        ``{{ batch_end }}`` (half-open interval) to constrain its read.
+
+        With ``insert_overwrite`` + ``partition_by`` on a period-derived
+        column, every batch replaces exactly its own partitions — each
+        period is independently retryable and idempotent, and a historical
+        reload touches only the partitions of the reloaded window. This is
+        the orchestration shape that keeps a 100 TB table's backfill cost
+        proportional to the window, never the table. Returns the list of
+        (batch_start, batch_end) run.
+        """
+        import dataclasses
+        import datetime as _dt
+
+        model = self.models[name]
+        if model.sql is None or "batch_start" not in model.sql:
+            raise ValueError(
+                f"model {name} must reference {{{{ batch_start }}}} to backfill"
+            )
+        lo = _dt.date.fromisoformat(start)
+        end_d = _dt.date.fromisoformat(end)
+        ran: list[tuple[str, str]] = []
+        while lo < end_d:
+            hi = min(lo + _dt.timedelta(days=batch_days), end_d)
+            sql = model.sql.replace("{{ batch_start }}", f"'{lo.isoformat()}'").replace(
+                "{{ batch_end }}", f"'{hi.isoformat()}'"
+            )
+            self.run_model(dataclasses.replace(model, sql=sql))
+            ran.append((lo.isoformat(), hi.isoformat()))
+            lo = hi
+        return ran
+
     def test(self, names: list[str] | None = None) -> DataFrame:
         """Run every declared schema test (``Model.tests``) — the ``dbt
         test`` command. Returns a report DataFrame (model, column, test,

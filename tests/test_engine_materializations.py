@@ -448,3 +448,40 @@ def test_schema_test_runner(engine):
     assert report[("dupes", "email", "relationships")] == (0, True)
     n_fail, passed = report[("dupes", "grp", "unique")]
     assert not passed and n_fail == 3  # all three groups are duplicated
+
+
+def test_backfill_microbatch_idempotent(engine, spark):
+    from dbt_glue_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001", ("events",))
+    engine.add(
+        Model(
+            "daily_events",
+            sql=(
+                "select event_id, user_id, cast(ts as date) as day, value "
+                "from events "
+                "where cast(ts as date) >= cast({{ batch_start }} as date) "
+                "and cast(ts as date) < cast({{ batch_end }} as date)"
+            ),
+            config=ModelConfig(
+                materialized="incremental",
+                incremental_strategy="insert_overwrite",
+                partition_by=["day"],
+            ),
+        )
+    )
+    ran = engine.backfill("daily_events", "2024-01-01", "2024-01-07", batch_days=2)
+    assert ran == [
+        ("2024-01-01", "2024-01-03"),
+        ("2024-01-03", "2024-01-05"),
+        ("2024-01-05", "2024-01-07"),
+    ]
+    expected = (
+        spark.table("events")
+        .filter("cast(ts as date) >= '2024-01-01' and cast(ts as date) < '2024-01-07'")
+        .count()
+    )
+    assert engine.ref_df("daily_events").count() == expected
+    # re-running one period must not duplicate (its partitions overwrite)
+    engine.backfill("daily_events", "2024-01-03", "2024-01-05", batch_days=2)
+    assert engine.ref_df("daily_events").count() == expected
