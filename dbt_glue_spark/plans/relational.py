@@ -1439,3 +1439,40 @@ def window_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_30d"),
     )
+
+
+@register(
+    "window_rank_family",
+    """
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS INT) AS price_quartile,
+           FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) / 1000000 AS cume,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_orderpriority) AS BIGINT)
+             AS prio_dense_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    LIMIT 1000000
+    """,
+    doc="Ranking-function family: ntile quartiles, percent_rank, "
+    "cume_dist, dense_rank. All evaluate in one pass per window after a "
+    "single o_orderstatus shuffle+sort; the unique o_orderkey tie-break "
+    "makes every rank deterministic (cume_dist/dense_rank are "
+    "peer-based and need none).",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wd = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+        F.dense_rank().over(wd).cast("bigint").alias("prio_dense_rank"),
+    )
