@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def _load_all() -> None:
     # imports populate _REGISTRY via the register decorator
     from dbt_glue_spark.plans import relational  # noqa: F401
+    from dbt_glue_spark.plans import tpch_suite  # noqa: F401
     from dbt_glue_spark.plans import materialization_queries  # noqa: F401
     from dbt_glue_spark.plans import extension_queries  # noqa: F401
 
