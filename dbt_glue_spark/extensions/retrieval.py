@@ -1,0 +1,150 @@
+"""Lexical retrieval operators for training-data curation: TF-IDF term
+weighting and BM25 ranked search over the documents table.
+
+These are the scoring primitives a corpus pipeline uses for quality-aware
+sampling, topic filtering, and query-based corpus auditing ("show me the
+docs that look like X") at 100 TB.
+
+Determinism note (cross-engine oracle parity): both scores use RATIONAL
+idf variants instead of the textbook ``ln``-based ones. IEEE-754 requires
++,-,*,/ to be correctly rounded — so integer-derived ratios like
+``(N+1)/(df+1)`` are bit-identical in Spark and DuckDB — but ``ln`` comes
+from each engine's libm and may differ in the last ulp. Rational idf keeps
+the ORDERING of classic idf (strictly decreasing in df) with zero
+transcendental calls. Per-doc BM25 term sums go through decimal so the
+(non-associative) double additions can't reorder across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.functions.scalars import half_up_round
+
+# Same lexer the corpus heavy-hitters query uses: lowercase alpha runs.
+_WORD_RE = "[a-z]+"
+
+
+def _words(text_col: str) -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scope: Column | None = None,
+) -> DataFrame:
+    """Top-``k`` terms per document by tf-idf.
+
+    idf is the rational ``(N+1)/(df+1)`` (smoothed, ln-free — see module
+    docstring); score = tf * idf, ranked per doc with the term string as
+    tie-break.
+
+    100 TB plan: document frequencies MUST come from the full corpus, so
+    the ``scope`` filter (which docs to emit terms for) applies only to the
+    tf branch — the df branch is a full explode→groupBy(term) whose output
+    is |vocab| rows, shuffled once on the term key where the (already
+    term-partitioned) tf side joins it. The per-doc top-k window
+    repartitions by doc_id only the scoped slice.
+    """
+    tokens = docs.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    df_t = tokens.distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    tf_src = docs.filter(scope) if scope is not None else docs
+    tf = (
+        tf_src.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf.join(df_t, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                (F.col("n_docs") + F.lit(1)).cast("double")
+                / (F.col("df") + F.lit(1)).cast("double")
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            half_up_round(F.col("score"), 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranking of ``docs`` against a bag of ``query_terms``.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the rational idf (N − df + 0.5)/(df + 0.5) (ln-free, same ordering
+    as the textbook Robertson idf for df < N/2 — see module docstring).
+
+    100 TB plan: doc lengths and term frequencies come from one explode
+    pass; df for the handful of query terms is a near-free aggregate
+    (filter on an IN-list of literals pushes to the scan side of the
+    explode); avgdl and N broadcast as one-row scalars; the per-doc term
+    sum is a decimal aggregate over ≤|query| rows per doc. Output is
+    top-k via TakeOrderedAndProject — no global sort.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qtoks = toks.filter(F.col("tok").isin(terms))
+    tf = qtoks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    df_t = (
+        qtoks.select(id_col, "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    per_term = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, id_col)
+        .join(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            (idf * (tf_d * F.lit(k1 + 1.0)) / norm)
+            .cast("decimal(18,9)")
+            .alias("term_score"),
+        )
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(F.sum("term_score").cast("double").alias("bm25_raw"))
+        .select(
+            id_col, half_up_round(F.col("bm25_raw"), 6).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(topk)
+    )

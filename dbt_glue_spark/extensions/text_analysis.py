@@ -127,3 +127,63 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.md5(F.concat_ws("", windows)).alias("fingerprint"),
         F.size(tok).cast("bigint").alias("n_tokens"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    size: int = 50,
+    stride: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks (the
+    context-window packing step of a training-data pipeline): chunk ``i``
+    covers tokens ``[i*stride, i*stride + size)``; the final chunk may be
+    short. ``stride < size`` gives overlap.
+
+    Pure narrow explode — ``sequence(starts) → transform(slice) →
+    posexplode`` pipelines with the scan, no shuffle; chunk identity is
+    carried by (doc_id, chunk_idx), never row order.
+    """
+    staged = tokenize_once(df, text_col, [F.col(id_col)])
+    tok = F.col("toks")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(tok) - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(tok, s + 1, size))
+    return staged.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int"),
+        F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("chunk")).alias("chunk_text"),
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of word ``n``-grams
+    that are duplicates of an earlier one in the same document
+    (``1 − distinct/total``; 0.0 for docs shorter than ``n`` tokens).
+
+    Complements ``text_stats``'s type-token ratio (1-gram): boilerplate
+    and looping generations repeat PHRASES, which unigram diversity
+    misses. Narrow per-row projection, no shuffle, no UDF.
+    """
+    staged = tokenize_once(df, text_col, [F.col(id_col)])
+    tok = F.col("toks")
+    total = F.greatest(F.size(tok) - (n - 1), F.lit(0))
+    idx = F.when(F.size(tok) >= n, F.sequence(F.lit(0), F.size(tok) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[tok[i + j] for j in range(n)]))
+    distinct = F.size(F.array_distinct(grams))
+    dup_frac = F.when(
+        total > 0, (total - distinct).cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        F.col(id_col),
+        total.cast("bigint").alias("n_ngrams"),
+        distinct.cast("bigint").alias("n_distinct_ngrams"),
+        half_up_round(dup_frac, 6).alias("dup_ngram_frac"),
+    )

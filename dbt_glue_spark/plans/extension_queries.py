@@ -880,3 +880,153 @@ def ext_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
     )
+
+
+# ---- lexical retrieval + chunking + repetition (training-data curation) --
+
+
+@register(
+    "ext_tfidf_top_terms",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tk WHERE doc_id <= 100 GROUP BY doc_id, tok
+    ),
+    dft AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tk GROUP BY tok
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tok, tf, df,
+             CAST(tf AS DOUBLE)
+               * (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS score
+      FROM tf JOIN dft USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df,
+           FLOOR(score * 1e6 + 0.5) / 1e6 AS tfidf,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, tok) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="Per-doc top-5 terms by tf-idf (rational ln-free idf (N+1)/(df+1) "
+    "— bit-identical across engines, same ordering as log idf). df comes "
+    "from the FULL corpus while tf is computed only for the scoped docs — "
+    "at 100 TB the vocab aggregate is the big (but |vocab|-bounded) "
+    "shuffle and the scoped tf side joins it on the term key.",
+)
+def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.tfidf_top_terms(docs, k=5, scope=F.col("doc_id") <= 100)
+
+
+@register(
+    "ext_bm25_search",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    qt AS (SELECT doc_id, tok FROM tk
+           WHERE tok IN ('spark', 'window', 'vector')),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY doc_id, tok),
+    dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY tok),
+    per AS (
+      SELECT doc_id,
+             CAST(((n_docs - df + 0.5) / (df + 0.5))
+                  * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               AS DECIMAL(18,9)) AS term_score
+      FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+    )
+    SELECT doc_id,
+           FLOOR(CAST(SUM(term_score) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS bm25
+    FROM per GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 top-20 for a 3-term query (k1=1.2, b=0.75; rational ln-free "
+    "idf). Doc lengths + tf from one explode pass; per-doc term sum goes "
+    "through decimal so double addition order can't differ across "
+    "engines; top-k via TakeOrderedAndProject, no global sort.",
+)
+def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_search(docs, ["spark", "window", "vector"], topk=20)
+
+
+@register(
+    "ext_doc_chunks",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents WHERE doc_id <= 50
+    ),
+    starts AS (
+      SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 40)) AS s
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(s // 40 AS INT) AS chunk_idx,
+           CAST(len(toks[s + 1 : s + 50]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[s + 1 : s + 50], ' ') AS chunk_text
+    FROM starts
+    """,
+    doc="Overlapping token-window chunking (size 50, stride 40): the "
+    "context-window packing step of a training pipeline. Narrow "
+    "sequence→slice→posexplode, pipelines with the scan — no shuffle; "
+    "chunk identity carried by (doc_id, chunk_idx).",
+)
+def ext_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    return text_analysis.chunk_tokens(docs, size=50, stride=40)
+
+
+@register(
+    "ext_repetition_ratio",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             GREATEST(len(toks) - 2, 0) AS n_ngrams,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_ngrams,
+           FLOOR((CASE WHEN n_ngrams > 0
+                       THEN CAST(n_ngrams - len(list_distinct(grams)) AS DOUBLE)
+                            / n_ngrams
+                       ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS dup_ngram_frac
+    FROM g
+    """,
+    doc="Gopher-style duplicate word-3-gram fraction per document — "
+    "boilerplate/looping-generation signal that unigram type-token ratio "
+    "misses. Pure per-row projection, no shuffle, no UDF.",
+)
+def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.repetition_ratio(docs, n=3)

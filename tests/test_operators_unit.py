@@ -269,3 +269,84 @@ def test_contamination_pairs_detects_verbatim_leak(spark):
     out = contamination_pairs(train, eval_, min_common=5).collect()
     assert [(r.a_id, r.b_id) for r in out] == [(2, 100)]
     assert out[0].n_common >= 5
+
+
+# ---- retrieval / chunking / repetition ------------------------------------
+
+
+def test_chunk_tokens_covers_every_token_once_per_stride(spark):
+    from dbt_glue_spark.extensions.text_analysis import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(95))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = chunk_tokens(df, size=50, stride=40).orderBy("chunk_idx").collect()
+    # starts 0, 40, 80 → lengths 50, 50, 15; last chunk short, none empty
+    assert [r.chunk_idx for r in rows] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in rows] == [50, 50, 15]
+    assert rows[2].chunk_text.split(" ")[0] == "t80"
+    # overlap: chunk 1 starts at t40, inside chunk 0's [0, 50) window
+    assert rows[1].chunk_text.split(" ")[0] == "t40"
+
+
+def test_chunk_tokens_doc_shorter_than_one_chunk(spark):
+    from dbt_glue_spark.extensions.text_analysis import chunk_tokens
+
+    df = spark.createDataFrame([(7, "a b c")], "doc_id bigint, text string")
+    rows = chunk_tokens(df, size=50, stride=40).collect()
+    assert len(rows) == 1
+    assert rows[0].n_chunk_tokens == 3
+    assert rows[0].chunk_text == "a b c"
+
+
+def test_repetition_ratio_extremes(spark):
+    from dbt_glue_spark.extensions.text_analysis import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y x y x y x y"),   # maximally repetitive 3-grams
+            (2, "a b c d e f g h"),   # all distinct
+            (3, "a b"),               # shorter than n → 0 ngrams, frac 0
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in repetition_ratio(df, n=3).collect()}
+    assert out[1].n_ngrams == 6 and out[1].n_distinct_ngrams == 2
+    assert out[1].dup_ngram_frac == pytest.approx(4 / 6, abs=1e-6)
+    assert out[2].dup_ngram_frac == 0.0
+    assert out[3].n_ngrams == 0 and out[3].dup_ngram_frac == 0.0
+
+
+def test_tfidf_df_counts_come_from_full_corpus(spark):
+    from pyspark.sql import functions as SF
+
+    from dbt_glue_spark.extensions.retrieval import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "rare common"), (2, "common"), (3, "common")],
+        "doc_id bigint, text string",
+    )
+    # scope only doc 1: its df column must still see docs 2-3
+    out = {r.tok: r for r in tfidf_top_terms(df, k=5, scope=SF.col("doc_id") == 1).collect()}
+    assert set(out) == {"rare", "common"}
+    assert out["common"].df == 3 and out["rare"].df == 1
+    # rarer term scores higher: idf (3+1)/(1+1)=2 vs (3+1)/(3+1)=1
+    assert out["rare"].tfidf > out["common"].tfidf
+    assert out["rare"].rnk == 1
+
+
+def test_bm25_prefers_matching_docs_and_shorter_docs(spark):
+    from dbt_glue_spark.extensions.retrieval import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),
+            (2, "spark " + "filler " * 40),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = bm25_search(df, ["spark"], topk=10).collect()
+    ids = [r.doc_id for r in rows]
+    assert 3 not in ids                      # no query term → no score row
+    assert ids[0] == 1                        # high tf, short doc wins
+    assert rows[0].bm25 > rows[1].bm25 > 0.0
