@@ -28,7 +28,11 @@ HEADLINE = [
     "order_priority_count",
     "customer_order_distribution",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q21_waiting_suppliers",
     "window_top_orders_per_customer",
     "window_running_total",
     "json_extract_events",
@@ -42,6 +46,8 @@ EXTENSION_HEADLINE = [
     "ext_dup_clusters",
     "ext_knn_bruteforce",
     "ext_text_stats",
+    "ext_bm25_search",
+    "ext_tfidf_top_terms",
     "mat_merge_upsert",
     "mat_scd2_snapshot_check",
     "asof_join_clicks_purchases",
