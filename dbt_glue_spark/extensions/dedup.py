@@ -327,24 +327,25 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        # Fuse the convergence flag into the propagation projection: the
+        # checkpointed frame carries a per-vertex "label shrank" bit, so
+        # detecting a fixed point is a filter over already-materialized
+        # data — not a labels⋈labels shuffle join per round.
+        stepped = (
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label")).alias(
+                    "__chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("__chg")).limit(1).count()
+        labels = stepped.drop("__chg")
         if changed == 0:
             break
     edges.unpersist()
