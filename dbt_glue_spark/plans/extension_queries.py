@@ -1030,3 +1030,21 @@ def ext_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.repetition_ratio(docs, n=3)
+
+
+@register(
+    "ext_kmeans_embeddings",
+    None,  # iterative (arbitrary-depth loop) — not one-shot SQL-expressible;
+    # correctness held by unit tests: blob separation, monotone inertia,
+    # deterministic re-run. Driver records the rows-only check.
+    doc="Distributed Lloyd's k-means over the embeddings table (k=10, 6 "
+    "rounds, deterministic lowest-id init). Per round: broadcast-k assign "
+    "(map-side) + one (cluster, dim) decimal-mean shuffle of k·d rows; "
+    "localCheckpoint keeps the plan constant-size. The clustering stage "
+    "of curation pipelines (topic bucketing, diversity sampling).",
+)
+def ext_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_assign(emb, k=10, max_iter=6)

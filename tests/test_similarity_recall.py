@@ -34,3 +34,42 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     lsh = _topk_sets(similarity.knn_lsh(emb, q, k=5, planes=4, dim=64))
     hits = sum(len(exact[k] & lsh.get(k, set())) for k in exact)
     assert hits > 0  # same-bucket probing finds a nonzero share of true NNs
+
+
+# ---- k-means ---------------------------------------------------------------
+
+
+def _blob_df(spark):
+    # two tight 3-d blobs far apart; ids interleaved so init picks one
+    # seed from each blob is NOT guaranteed — separation must come from
+    # the iterations, not the init.
+    rows = []
+    for i in range(20):
+        rows.append((i * 2, [0.0 + 0.01 * i, 0.0, 0.0]))          # blob A
+        rows.append((i * 2 + 1, [10.0, 10.0 + 0.01 * i, 10.0]))   # blob B
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_kmeans_separates_two_blobs(spark):
+    from dbt_glue_spark.extensions.clustering import kmeans_assign
+
+    out = kmeans_assign(_blob_df(spark), k=2, max_iter=5).collect()
+    by_blob = {0: set(), 1: set()}
+    for r in out:
+        by_blob[r.vec_id % 2].add(r.cluster_id)
+    # every even id in one cluster, every odd id in the other
+    assert len(by_blob[0]) == 1 and len(by_blob[1]) == 1
+    assert by_blob[0] != by_blob[1]
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark):
+    from dbt_glue_spark.extensions.clustering import kmeans_assign, kmeans_inertia
+
+    df = _blob_df(spark)
+    inertias = [
+        kmeans_inertia(kmeans_assign(df, k=2, max_iter=it)) for it in (1, 3, 5)
+    ]
+    assert inertias[0] >= inertias[1] >= inertias[2]
+    # bit-reproducible re-run
+    again = kmeans_inertia(kmeans_assign(df, k=2, max_iter=5))
+    assert again == inertias[2]
