@@ -107,3 +107,76 @@ def kmv_oracle_sql(
              AS approx_distinct
     FROM sk
     """
+
+
+# ---- count-min sketch ------------------------------------------------------
+
+#: power-of-two width ⇒ floor(fraction · width) is an exact double op
+_CM_WIDTH = 256
+_CM_DEPTH = 4
+
+
+def _cm_bucket(col, row: int) -> "F.Column":
+    """Bucket of ``col`` in sketch row ``row``: floor(md5-fraction · w)."""
+    salted = F.concat(F.lit(f"{row}:"), col.cast("string"))
+    return F.floor(hash_fraction(salted) * F.lit(_CM_WIDTH)).cast("int")
+
+
+def countmin_build(
+    df: DataFrame, col: str, depth: int = _CM_DEPTH, width: int = _CM_WIDTH
+) -> DataFrame:
+    """Count-min sketch of the frequency of ``col`` values:
+    (row_idx, bucket, cnt) with depth×width cells total.
+
+    Mergeable (cell-wise +) and engine-portable: buckets come from the md5
+    fraction (see module docstring), counts are exact bigints. At 100 TB
+    the build is ``depth`` map-side projections of the input collapsing
+    into a depth×width-row aggregate — the shuffle carries only
+    (row, bucket) pairs, and the sketch itself is ~4 KB regardless of
+    input size: THE constant-memory alternative to an exact groupBy when
+    only approximate per-item counts are needed.
+    """
+    assert width & (width - 1) == 0, "width must be a power of two (exact double math)"
+    rows = [
+        df.select(
+            F.lit(j).alias("row_idx"), _cm_bucket(F.col(col), j).alias("bucket")
+        )
+        for j in range(depth)
+    ]
+    stacked = rows[0]
+    for r in rows[1:]:
+        stacked = stacked.unionAll(r)
+    return stacked.groupBy("row_idx", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = _CM_DEPTH,
+    width: int = _CM_WIDTH,
+) -> DataFrame:
+    """Point-estimate frequencies for ``items[col]`` from a count-min
+    sketch: min over rows of the item's cell — an upper bound on the true
+    count (classic CM overestimate guarantee, exact equality when no
+    collisions). The sketch side is depth×width rows → broadcast; lookups
+    never shuffle the item side."""
+    probes = None
+    for j in range(depth):
+        p = items.select(
+            F.col(col), F.lit(j).alias("row_idx"), _cm_bucket(F.col(col), j).alias("bucket")
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cm_count"))
+    )
+
+
+def _duck_cm_bucket(expr: str, row: int) -> str:
+    """DuckDB mirror of :func:`_cm_bucket`."""
+    salted = "'" + str(row) + ":' || " + expr
+    return f"CAST(FLOOR({_duck_hash_fraction(salted)} * {_CM_WIDTH}) AS INT)"

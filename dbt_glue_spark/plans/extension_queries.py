@@ -1048,3 +1048,66 @@ def ext_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.kmeans_assign(emb, k=10, max_iter=6)
+
+
+def _cm_oracle() -> str:
+    from dbt_glue_spark.extensions.sketches import _CM_DEPTH, _duck_cm_bucket
+
+    build_arms = "\n      UNION ALL ".join(
+        f"SELECT {j} AS row_idx, {_duck_cm_bucket('tok', j)} AS bucket FROM tk"
+        for j in range(_CM_DEPTH)
+    )
+    probe_arms = "\n      UNION ALL ".join(
+        f"SELECT tok, true_n, {j} AS row_idx, {_duck_cm_bucket('tok', j)} AS bucket FROM top"
+        for j in range(_CM_DEPTH)
+    )
+    return f"""
+    WITH tk AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({build_arms})
+      GROUP BY row_idx, bucket
+    ),
+    top AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM tk GROUP BY tok ORDER BY true_n DESC, tok LIMIT 20
+    ),
+    probes AS ({probe_arms})
+    SELECT tok, true_n, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cm_count
+    FROM probes LEFT JOIN cells USING (row_idx, bucket)
+    GROUP BY tok, true_n
+    """
+
+
+@register(
+    "ext_countmin_tokens",
+    _cm_oracle(),
+    doc="Count-min sketch (depth 4 × width 256, md5-fraction buckets → "
+    "engine-portable, cell-exact) built over all word tokens, probed for "
+    "the true top-20 tokens: cm_count ≥ true_n by construction, equal "
+    "when no bucket collisions. The 100 TB story: the sketch shuffle "
+    "carries only (row, bucket) pairs into a ~4 KB aggregate — the "
+    "constant-memory alternative to exact per-token counting; probes "
+    "broadcast the sketch.",
+)
+def ext_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok")
+    ).persist()
+    sketch = sketches.countmin_build(tk, "tok")
+    top = (
+        tk.groupBy("tok")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("tok"))
+        .limit(20)
+    )
+    est = sketches.countmin_estimate(sketch, top.select("tok"), "tok")
+    return top.join(est, "tok").select("tok", "true_n", "cm_count")

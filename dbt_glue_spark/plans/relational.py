@@ -1476,3 +1476,102 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.cume_dist().over(w)).alias("cume"),
         F.dense_rank().over(wd).cast("bigint").alias("prio_dense_rank"),
     )
+
+
+@register(
+    "collection_functions",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents WHERE doc_id <= 20
+    ),
+    w AS (
+      SELECT doc_id, toks,
+             list_distinct(toks[1:10]) AS a1,
+             list_distinct(toks[6:15]) AS a2,
+             toks[1:10] AS first10
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(a1, a2)) AS INT) AS n_inter,
+           CAST(len(list_distinct(list_concat(a1, a2))) AS INT) AS n_union,
+           CAST(len(list_filter(a1, t -> NOT list_contains(a2, t))) AS INT) AS n_except,
+           CAST(len(list_filter(first10, t -> t = toks[1])) AS INT) AS first_tok_count,
+           CAST(len(list_distinct(first10)) AS INT) AS n_map_keys,
+           CAST(2 * len(first10) AS INT) AS doubled_total
+    FROM w
+    """,
+    doc="Collection + map function surface (§2.8): array_intersect/union/"
+    "except, map_from_arrays + element_at + map_keys + transform_values — "
+    "the oracle reproduces the same scalars with DuckDB list functions. "
+    "All per-row narrow expressions inside codegen; no shuffle.",
+)
+def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 20)
+    toks = tokens(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.array_distinct(F.slice(toks, 1, 10)).alias("a1"),
+        F.array_distinct(F.slice(toks, 6, 10)).alias("a2"),
+        F.slice(toks, 1, 10).alias("first10"),
+    )
+    # per-row token-frequency map over the first 10 tokens, then consumed
+    # via element_at / map_keys / transform_values + aggregate
+    freq = F.map_from_arrays(
+        F.col("a1"),
+        F.transform(
+            F.col("a1"),
+            lambda t: F.size(F.filter(F.col("first10"), lambda x: x == t)),
+        ),
+    )
+    doubled = F.transform_values(freq, lambda k, v: v * 2)
+    return staged.select(
+        "doc_id",
+        F.size(F.array_intersect("a1", "a2")).cast("int").alias("n_inter"),
+        F.size(F.array_union("a1", "a2")).cast("int").alias("n_union"),
+        F.size(F.array_except("a1", "a2")).cast("int").alias("n_except"),
+        F.element_at(freq, F.col("toks")[0]).cast("int").alias("first_tok_count"),
+        F.size(F.map_keys(freq)).cast("int").alias("n_map_keys"),
+        F.aggregate(
+            F.map_values(doubled), F.lit(0), lambda acc, v: acc + v
+        ).cast("int").alias("doubled_total"),
+    )
+
+
+@register(
+    "window_value_family",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(LAST_VALUE(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS DOUBLE) AS last_price,
+           CAST(NTH_VALUE(o_totalprice, 2) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS DOUBLE) AS second_price
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Window value family (§2.5): first_value / last_value / nth_value "
+    "with explicit full frames (last/nth need UNBOUNDED FOLLOWING — the "
+    "default frame stops at CURRENT ROW). Unique (orderdate, orderkey) "
+    "ordering makes every value deterministic. One shuffle on custkey.",
+)
+def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    grow = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = grow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(grow).cast("double").alias("first_price"),
+        F.last("o_totalprice").over(full).cast("double").alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).cast("double").alias("second_price"),
+    )

@@ -350,3 +350,31 @@ def test_bm25_prefers_matching_docs_and_shorter_docs(spark):
     assert 3 not in ids                      # no query term → no score row
     assert ids[0] == 1                        # high tf, short doc wins
     assert rows[0].bm25 > rows[1].bm25 > 0.0
+
+
+def test_countmin_overestimates_and_is_exact_without_collisions(spark):
+    from dbt_glue_spark.extensions.sketches import countmin_build, countmin_estimate
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "tok string"
+    )
+    sketch = countmin_build(df, "tok")
+    items = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "tok string")
+    out = {r.tok: r.cm_count for r in countmin_estimate(sketch, items, "tok").collect()}
+    # 3 distinct keys in 256 buckets: no collisions → exact; absent key → 0
+    assert out == {"a": 5, "b": 3, "c": 1, "zzz": 0}
+
+
+def test_countmin_merge_is_cellwise_sum(spark):
+    from pyspark.sql import functions as SF
+
+    from dbt_glue_spark.extensions.sketches import countmin_build, countmin_estimate
+
+    h1 = spark.createDataFrame([("a",)] * 2 + [("b",)], "tok string")
+    h2 = spark.createDataFrame([("a",)] * 3, "tok string")
+    merged = (
+        countmin_build(h1, "tok").unionAll(countmin_build(h2, "tok"))
+        .groupBy("row_idx", "bucket").agg(SF.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    whole = countmin_build(h1.unionAll(h2), "tok")
+    assert sorted(merged.collect()) == sorted(whole.collect())
