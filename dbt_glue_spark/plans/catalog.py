@@ -50,6 +50,7 @@ def _load_all() -> None:
     from dbt_glue_spark.plans import tpch_suite  # noqa: F401
     from dbt_glue_spark.plans import materialization_queries  # noqa: F401
     from dbt_glue_spark.plans import extension_queries  # noqa: F401
+    from dbt_glue_spark.plans import udf_queries  # noqa: F401
 
 
 def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
