@@ -284,3 +284,26 @@ def dedup_stream(
     return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def enrich_stream(
+    events_stream: DataFrame,
+    dim: DataFrame,
+    join_expr,
+    dim_cols: list[str],
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the stream is
+    left-joined against a static (batch) dimension table.
+
+    Stream-static joins are STATELESS — no watermark, no state store:
+    each micro-batch simply joins against the static side, which Spark
+    re-plans per batch (so a Delta/parquet dim picks up new files between
+    batches). Broadcasting the dim keeps the join map-side: the stream
+    partitioning is untouched, which at cluster scale means no shuffle is
+    ever introduced into the streaming stage — the canonical pattern for
+    attaching slowly-changing reference data (user → segment, id → nation)
+    to a high-rate event stream.
+    """
+    return events_stream.join(F.broadcast(dim), join_expr, "left").select(
+        events_stream["*"], *[dim[c] for c in dim_cols]
+    )

@@ -225,3 +225,31 @@ def test_dedup_stream_drops_redelivered_rows(spark, events_stream_source):
     )
     assert out.count() == events.dropDuplicates(["event_id"]).count()
     assert out.select("event_id").distinct().count() == out.count()
+
+
+def test_enrich_stream_matches_batch_left_join(spark, events_stream_source):
+    from dbt_glue_spark.sources.registry import load_table
+    from dbt_glue_spark.streaming.pipelines import enrich_stream
+
+    events, stream = events_stream_source
+    customer = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = _run_to_memory(
+        spark,
+        enrich_stream(
+            stream,
+            customer,
+            stream["user_id"] == customer["c_custkey"],
+            ["c_mktsegment"],
+        ),
+        "enriched",
+        "append",
+    )
+    batch = events.join(
+        customer, events["user_id"] == customer["c_custkey"], "left"
+    ).select(events["*"], customer["c_mktsegment"])
+    assert out.count() == batch.count() > 0
+    # stateless join must not drop or duplicate: exact multiset equality
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
