@@ -180,3 +180,67 @@ def _duck_cm_bucket(expr: str, row: int) -> str:
     """DuckDB mirror of :func:`_cm_bucket`."""
     salted = "'" + str(row) + ":' || " + expr
     return f"CAST(FLOOR({_duck_hash_fraction(salted)} * {_CM_WIDTH}) AS INT)"
+
+
+# ---- Bloom filter ----------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16  # power of two ⇒ floor(fraction · bits) exact
+_BLOOM_K = 4
+
+
+def _bloom_pos(col, j: int, bits: int = _BLOOM_BITS) -> "F.Column":
+    salted = F.concat(F.lit(f"b{j}:"), col.cast("string"))
+    return F.floor(hash_fraction(salted) * F.lit(bits)).cast("bigint")
+
+
+def bloom_build(
+    df: DataFrame, col: str, bits: int = _BLOOM_BITS, k: int = _BLOOM_K
+) -> DataFrame:
+    """Bloom filter of ``df[col]`` as the set of SET bit positions
+    (≤ min(k·|values|, bits) rows of one bigint).
+
+    md5-fraction positions → engine-portable and layout-invariant; the
+    position-set representation is mergeable by UNION. At 100 TB this is
+    the "have we seen this key" primitive for cross-batch dedup and
+    build-side join pruning: the whole filter is ≤ ``bits`` rows (64 KB
+    here) regardless of input size, so it always broadcasts.
+    """
+    assert bits & (bits - 1) == 0, "bits must be a power of two (exact double math)"
+    out = None
+    for j in range(k):
+        p = df.select(_bloom_pos(F.col(col), j, bits).alias("pos"))
+        out = p if out is None else out.unionAll(p)
+    return out.distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probe: DataFrame,
+    col: str,
+    bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Rows of ``probe`` whose ``col`` MIGHT be in the built set (all k bit
+    positions present — no false negatives, deterministic false positive
+    set). The filter side broadcasts; the probe side is never shuffled:
+    this is the semi-join pre-prune that cuts shuffle input before an
+    exact join at scale."""
+    probed = probe
+    marks = []
+    for j in range(k):
+        b = bloom.select(F.col("pos").alias(f"__p{j}"))
+        probed = probed.join(
+            F.broadcast(b),
+            _bloom_pos(F.col(col), j, bits) == F.col(f"__p{j}"),
+            "left",
+        )
+        marks.append(F.col(f"__p{j}").isNotNull())
+    keep = marks[0]
+    for m in marks[1:]:
+        keep = keep & m
+    return probed.filter(keep).drop(*[f"__p{j}" for j in range(k)])
+
+
+def _duck_bloom_pos(expr: str, j: int, bits: int = _BLOOM_BITS) -> str:
+    salted = "'b" + str(j) + ":' || " + expr
+    return f"CAST(FLOOR({_duck_hash_fraction(salted)} * {bits}) AS BIGINT)"

@@ -1111,3 +1111,77 @@ def ext_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = sketches.countmin_estimate(sketch, top.select("tok"), "tok")
     return top.join(est, "tok").select("tok", "true_n", "cm_count")
+
+
+def _bloom_oracle() -> str:
+    from dbt_glue_spark.extensions.sketches import _BLOOM_K, _duck_bloom_pos
+
+    build_arms = "\n        UNION ALL ".join(
+        f"SELECT {_duck_bloom_pos('c_custkey', j)} AS p FROM rich"
+        for j in range(_BLOOM_K)
+    )
+    probe_conds = "\n        AND ".join(
+        f"{_duck_bloom_pos('o_custkey', j)} IN (SELECT p FROM pos)"
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+    WITH rich AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 9500
+    ),
+    pos AS (SELECT DISTINCT p FROM ({build_arms})),
+    cand AS (
+      SELECT o_orderstatus FROM orders
+      WHERE {probe_conds}
+    ),
+    bloom_counts AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_bloom_candidates
+      FROM cand GROUP BY o_orderstatus
+    ),
+    exact_counts AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_exact_matches
+      FROM orders WHERE o_custkey IN (SELECT c_custkey FROM rich)
+      GROUP BY o_orderstatus
+    )
+    SELECT b.o_orderstatus, b.n_bloom_candidates,
+           COALESCE(e.n_exact_matches, 0) AS n_exact_matches
+    FROM bloom_counts b LEFT JOIN exact_counts e USING (o_orderstatus)
+    """
+
+
+@register(
+    "ext_bloom_prune",
+    _bloom_oracle(),
+    doc="Bloom-filter join pruning (2^16 bits, k=4, md5-fraction bit "
+    "positions → deterministic false-positive set, NO false negatives): "
+    "orders probed against a filter built from high-balance customers, "
+    "compared per status with the exact semi-join counts "
+    "(candidates ⊇ exact). The 100 TB pattern: the ≤64 KB position set "
+    "always broadcasts, pruning the fact side map-side BEFORE any "
+    "shuffle toward an exact join — cross-batch 'seen this key?' "
+    "dedup uses the same primitive.",
+)
+def ext_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import sketches
+
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select("c_custkey")
+        .distinct()
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    bloom = sketches.bloom_build(rich, "c_custkey")
+    cand = sketches.bloom_probe(bloom, orders, "o_custkey")
+    bloom_counts = cand.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_bloom_candidates")
+    )
+    exact_counts = (
+        orders.join(rich, orders.o_custkey == rich.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_exact_matches"))
+    )
+    return bloom_counts.join(exact_counts, "o_orderstatus", "left").select(
+        "o_orderstatus",
+        "n_bloom_candidates",
+        F.coalesce("n_exact_matches", F.lit(0)).cast("bigint").alias("n_exact_matches"),
+    )

@@ -378,3 +378,27 @@ def test_countmin_merge_is_cellwise_sum(spark):
     )
     whole = countmin_build(h1.unionAll(h2), "tok")
     assert sorted(merged.collect()) == sorted(whole.collect())
+
+
+def test_bloom_no_false_negatives_and_some_rejection(spark):
+    from dbt_glue_spark.extensions.sketches import bloom_build, bloom_probe
+
+    members = spark.range(0, 100).selectExpr("id AS k")
+    probe = spark.range(0, 10000).selectExpr("id AS k")
+    bloom = bloom_build(members, "k")
+    kept = {r.k for r in bloom_probe(bloom, probe, "k").collect()}
+    # every member passes (no false negatives)
+    assert set(range(100)) <= kept
+    # 2^16 bits / 400 set positions → vast majority of non-members rejected
+    assert len(kept) < 300
+
+
+def test_bloom_tiny_filter_has_false_positives_but_still_no_negatives(spark):
+    from dbt_glue_spark.extensions.sketches import bloom_build, bloom_probe
+
+    members = spark.range(0, 50).selectExpr("id AS k")
+    probe = spark.range(0, 500).selectExpr("id AS k")
+    bloom = bloom_build(members, "k", bits=64, k=2)
+    kept = {r.k for r in bloom_probe(bloom, probe, "k", bits=64, k=2).collect()}
+    assert set(range(50)) <= kept
+    assert len(kept) > 50  # saturated 64-bit filter must admit extras
