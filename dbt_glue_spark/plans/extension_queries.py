@@ -1185,3 +1185,65 @@ def ext_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bloom_candidates",
         F.coalesce("n_exact_matches", F.lit(0)).cast("bigint").alias("n_exact_matches"),
     )
+
+
+@register(
+    "ext_shard_packing",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR(CAST(SUM(n_tokens) OVER
+                    (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS DOUBLE) / 2000) AS INT) AS shard_id
+      FROM tok
+    )
+    SELECT source, shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM packed
+    GROUP BY source, shard_id
+    """,
+    doc="Token-budget shard packing: docs are assigned to ~2000-token "
+    "training shards by bucketing each doc's STARTING cumulative offset "
+    "(cumsum − own length) within its source — deterministic greedy "
+    "packing as one window + one groupBy. 100 TB shape: the window "
+    "partitions by source, so packing parallelizes across sources "
+    "instead of serializing through one global running sum; integer "
+    "token counts make the cumsum exact.",
+)
+def ext_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dbt_glue_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = tok.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / 2000
+        )
+        .cast("int")
+        .alias("shard_id"),
+    )
+    return packed.groupBy("source", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+    )

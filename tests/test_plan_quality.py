@@ -170,3 +170,41 @@ def test_dedup_shuffles_hashes_not_documents(spark, sf_dir, name):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_partitioned_table_scan_prunes_partitions(spark, sf_dir, warehouse):
+    # Hive-style partition layout (ModelConfig partition_by → partitionBy on
+    # write, reference adapters.sql:176-181): an equality predicate on the
+    # partition column must land in PartitionFilters with a pruned
+    # partition count — NOT be applied post-scan to all files. At 100 TB
+    # this is the difference between reading one partition and reading the
+    # table.
+    import uuid
+
+    from dbt_glue_spark.engine import Engine, Model, ModelConfig
+    from dbt_glue_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir, ("orders",))
+    schema = f"t_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse, schema=schema)
+    eng.add(
+        Model(
+            "p_orders",
+            sql="select o_orderkey, o_totalprice, o_orderstatus from orders",
+            config=ModelConfig(partition_by=["o_orderstatus"]),
+        )
+    )
+    try:
+        eng.run()
+        df = eng.ref_df("p_orders").filter(F.col("o_orderstatus") == "F")
+        plan = plan_of(df, mode="formatted")
+        assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+            "PartitionFilters", 1
+        )[1].split("\n", 1)[0], plan
+        # pruned: every input file lives under the single matching
+        # partition directory (the file index narrowed before execution)
+        files = df.inputFiles()
+        assert files and all("o_orderstatus=F" in f for f in files), files
+        assert df.count() > 0
+    finally:
+        eng.catalog.drop_schema(schema)
