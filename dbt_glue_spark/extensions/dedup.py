@@ -122,6 +122,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 8,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: h_i(doc) = min over shingles of a 32-bit hash
     slice — hash family = 8-hex-char substrings of
@@ -134,7 +135,9 @@ def minhash_signatures(
     factor. num_hashes ≤ 8 with this 64-hex-char family.
     """
     assert num_hashes <= 8, "hash family provides 8 x 32-bit slices"
-    sh = _shingle_postings(df, text_col, id_col, n, None)
+    # callers that also need the postings (LSH verification) pass them in
+    # so the tokenize+shingle explode runs once, not once per consumer
+    sh = postings if postings is not None else _shingle_postings(df, text_col, id_col, n, None)
     # barrier: without it CollapseProject inlines the two md5 calls into
     # every substring site (2*num_hashes evaluations per row)
     wide = F.concat(
@@ -179,7 +182,8 @@ def minhash_lsh_pairs(
     # each subtree computes once per action (ContextCleaner drops the cache
     # when the frames are GC'd). Signatures are 1 row/doc (tiny at any
     # scale); postings are ~doc_len rows/doc and spill to disk if needed.
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
+    sh = _shingle_postings(df, text_col, id_col, n, None).persist()
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, postings=sh).persist()
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -209,8 +213,8 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verification restricted to candidates: fan candidate
     # pairs out over id_a's postings, then equi-join id_b's postings on
     # (id_b, shingle). Cost ∝ |candidates| × shingles/doc — independent of
-    # corpus size, unlike an all-pairs verification.
-    sh = _shingle_postings(df, text_col, id_col, n, None).persist()
+    # corpus size, unlike an all-pairs verification. Reuses the postings
+    # persisted above (one tokenize+shingle pass for the whole pipeline).
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
