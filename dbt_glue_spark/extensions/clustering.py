@@ -105,3 +105,26 @@ def kmeans_inertia(assigned: DataFrame) -> float:
         F.sum(F.col("sq_dist").cast("decimal(28,12)")).cast("double").alias("i")
     ).collect()[0]
     return float(row.i)
+
+
+def cluster_representatives(assigned: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Diversity sampling: the single member closest to its centroid per
+    cluster (min sq_dist, id tie-break) — the "pick one exemplar per
+    topic" step after k-means bucketing.
+
+    One k-row aggregate over the assignment output: min-struct argmin, no
+    window, no shuffle beyond the k-group agg.
+    """
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(F.col("sq_dist"), F.col(id_col).alias("id"))
+            ).alias("best")
+        )
+        .select(
+            "cluster_id",
+            F.col("best.id").alias(id_col),
+            F.col("best.sq_dist").alias("sq_dist"),
+        )
+    )

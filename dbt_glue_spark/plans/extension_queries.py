@@ -1247,3 +1247,19 @@ def ext_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
     )
+
+
+@register(
+    "ext_diversity_sample",
+    None,  # downstream of iterative k-means → rows-only; exemplar
+    # minimality is unit-tested (test_cluster_representatives_are_argmin)
+    doc="Diversity sampling: the member closest to its centroid per "
+    "k-means cluster (argmin via struct-min, k-row output) — exemplar "
+    "selection for topic-balanced subcorpora.",
+)
+def ext_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = clustering.kmeans_assign(emb, k=10, max_iter=6)
+    return clustering.cluster_representatives(assigned)

@@ -73,3 +73,17 @@ def test_kmeans_inertia_monotone_and_deterministic(spark):
     # bit-reproducible re-run
     again = kmeans_inertia(kmeans_assign(df, k=2, max_iter=5))
     assert again == inertias[2]
+
+
+def test_cluster_representatives_are_argmin(spark):
+    from dbt_glue_spark.extensions.clustering import (
+        cluster_representatives,
+        kmeans_assign,
+    )
+
+    assigned = kmeans_assign(_blob_df(spark), k=2, max_iter=5)
+    reps = {r.cluster_id: r for r in cluster_representatives(assigned).collect()}
+    assert len(reps) == 2
+    for row in assigned.collect():
+        rep = reps[row.cluster_id]
+        assert rep.sq_dist <= row.sq_dist or rep.vec_id == row.vec_id
