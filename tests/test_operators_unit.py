@@ -402,3 +402,16 @@ def test_bloom_tiny_filter_has_false_positives_but_still_no_negatives(spark):
     kept = {r.k for r in bloom_probe(bloom, probe, "k", bits=64, k=2).collect()}
     assert set(range(50)) <= kept
     assert len(kept) > 50  # saturated 64-bit filter must admit extras
+
+
+def test_countmin_and_bloom_are_layout_invariant(spark):
+    from dbt_glue_spark.extensions.sketches import bloom_build, countmin_build
+
+    base = spark.range(0, 1000).selectExpr("CAST(id % 137 AS STRING) AS k")
+    for reshaped in (base.repartition(17), base.coalesce(1), base.repartition(5, "k")):
+        assert sorted(countmin_build(reshaped, "k").collect()) == sorted(
+            countmin_build(base, "k").collect()
+        )
+        assert sorted(bloom_build(reshaped, "k").collect()) == sorted(
+            bloom_build(base, "k").collect()
+        )
