@@ -244,3 +244,66 @@ def bloom_probe(
 def _duck_bloom_pos(expr: str, j: int, bits: int = _BLOOM_BITS) -> str:
     salted = "'b" + str(j) + ":' || " + expr
     return f"CAST(FLOOR({_duck_hash_fraction(salted)} * {bits}) AS BIGINT)"
+
+
+# ---- histogram quantile sketch ---------------------------------------------
+
+_HIST_BUCKETS = 256
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    buckets: int = _HIST_BUCKETS,
+) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram: (q, estimate).
+
+    Two passes — exact (min, max, n), then a ``buckets``-cell count
+    histogram; each quantile is linearly interpolated inside the first
+    bucket whose cumulative count reaches q·n. Every step is IEEE
+    +−×÷/floor on values both engines compute identically, so unlike
+    percentile_approx (GK sketch, implementation-defined) the result is
+    bit-reproducible and oracle-checkable. The histogram is mergeable
+    (cell-wise +) — with KMV (distinct), count-min (frequency) and Bloom
+    (membership) this completes the constant-memory sketch quartet: at
+    100 TB both passes are partial-aggregate trees over ≤``buckets`` cells,
+    and the quantile walk happens on a ``buckets``-row frame.
+    """
+    c = F.col(col).cast("double")
+    stats = df.agg(
+        F.min(c).alias("lo"), F.max(c).alias("hi"), F.count("*").alias("n")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(buckets))
+    hist = (
+        df.join(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((c - F.col("lo")) / width).cast("int"), F.lit(buckets - 1)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wdw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = hist.select("bucket", "cnt", F.sum("cnt").over(wdw).alias("cum"))
+    qdf = None
+    for q in qs:
+        p = cdf.join(F.broadcast(stats)).filter(
+            F.col("cum") >= F.lit(q) * F.col("n")
+        )
+        est = p.orderBy("bucket").limit(1).select(
+            F.lit(q).alias("q"),
+            half_up_round(
+                F.col("lo")
+                + (
+                    F.col("bucket")
+                    + (F.lit(q) * F.col("n") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                )
+                * ((F.col("hi") - F.col("lo")) / F.lit(float(buckets))),
+                6,
+            ).alias("estimate"),
+        )
+        qdf = est if qdf is None else qdf.unionAll(est)
+    return qdf

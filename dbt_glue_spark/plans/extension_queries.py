@@ -1263,3 +1263,57 @@ def ext_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = clustering.kmeans_assign(emb, k=10, max_iter=6)
     return clustering.cluster_representatives(assigned)
+
+
+def _hist_oracle() -> str:
+    from dbt_glue_spark.extensions.sketches import _HIST_BUCKETS
+
+    b = float(_HIST_BUCKETS)
+    arms = "\n    UNION ALL ".join(
+        f"""SELECT CAST({q} AS DOUBLE) AS q,
+           FLOOR((lo + (bucket + ({q} * n - (cum - cnt)) / cnt)
+                  * ((hi - lo) / {b})) * 1e6 + 0.5) / 1e6 AS estimate
+    FROM (SELECT * FROM cdf CROSS JOIN stats
+          WHERE cum >= {q} * n ORDER BY bucket LIMIT 1)"""
+        for q in (0.5, 0.9, 0.99)
+    )
+    return f"""
+    WITH stats AS (
+      SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+             MAX(CAST(o_totalprice AS DOUBLE)) AS hi,
+             COUNT(*) AS n
+      FROM orders
+    ),
+    hist AS (
+      SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo)
+                               / ((hi - lo) / {b})) AS INT),
+                   {_HIST_BUCKETS - 1}) AS bucket,
+             COUNT(*) AS cnt
+      FROM orders CROSS JOIN stats
+      GROUP BY 1
+    ),
+    cdf AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist
+    )
+    {arms}
+    """
+
+
+@register(
+    "ext_histogram_quantiles",
+    _hist_oracle(),
+    doc="Histogram quantile sketch (256 fixed-width cells, linear "
+    "interpolation): p50/p90/p99 of order totalprice. Bit-reproducible "
+    "across engines (pure IEEE arithmetic on identically-computed "
+    "values), unlike percentile_approx's GK sketch. Completes the "
+    "mergeable sketch quartet — both passes are partial-agg trees; "
+    "the quantile walk is a 256-row frame.",
+)
+def ext_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import sketches
+
+    orders = load_table(spark, sf_dir, "orders")
+    return sketches.histogram_quantiles(orders, "o_totalprice")

@@ -415,3 +415,20 @@ def test_countmin_and_bloom_are_layout_invariant(spark):
         assert sorted(bloom_build(reshaped, "k").collect()) == sorted(
             bloom_build(base, "k").collect()
         )
+
+
+def test_histogram_quantiles_close_to_exact_and_merge_friendly(spark):
+    from dbt_glue_spark.extensions.sketches import histogram_quantiles
+
+    df = spark.range(0, 10000).selectExpr("CAST(id AS DOUBLE) AS x")
+    out = {r.q: r.estimate for r in histogram_quantiles(df, "x").collect()}
+    # uniform 0..9999: p50 ≈ 5000 within one bucket width (10000/256 ≈ 39)
+    assert abs(out[0.5] - 5000) < 40
+    assert abs(out[0.9] - 9000) < 40
+    assert abs(out[0.99] - 9900) < 40
+    # layout invariance
+    out2 = {
+        r.q: r.estimate
+        for r in histogram_quantiles(df.repartition(13), "x").collect()
+    }
+    assert out == out2
