@@ -1317,3 +1317,48 @@ def ext_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return sketches.histogram_quantiles(orders, "o_totalprice")
+
+
+@register(
+    "ext_pagerank_trade",
+    None,  # iterative — rows-only; invariants unit-tested
+    # (Σ=1, symmetric graph → uniform, star → hub dominates)
+    doc="Weighted PageRank over the nation trade graph (supplier nation → "
+    "customer nation, edge weight = trade volume from the q7-style join). "
+    "Iterative: per round one dst-keyed shuffle reusing the node "
+    "partitioning; decimal inflow sums → bit-reproducible. The authority "
+    "signal for crawl/corpus source prioritization.",
+)
+def ext_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.graph import pagerank
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(ns), supplier.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(nc), customer.c_nationkey == F.col("c_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("volume")
+        )
+    )
+    return pagerank(edges, weight_col="volume", iterations=10)

@@ -87,3 +87,28 @@ def test_cluster_representatives_are_argmin(spark):
     for row in assigned.collect():
         rep = reps[row.cluster_id]
         assert rep.sq_dist <= row.sq_dist or rep.vec_id == row.vec_id
+
+
+# ---- PageRank --------------------------------------------------------------
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from dbt_glue_spark.extensions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    for v in ranks.values():
+        assert abs(v - 1 / 3) < 1e-9
+
+
+def test_pagerank_star_center_dominates_and_sums_to_one(spark):
+    from dbt_glue_spark.extensions.graph import pagerank
+
+    spokes = [(f"s{i}", "hub") for i in range(5)]
+    edges = spark.createDataFrame(spokes, "src string, dst string")
+    ranks = {r.node: r.rank for r in pagerank(edges, iterations=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["hub"] > max(v for k, v in ranks.items() if k != "hub") * 3
