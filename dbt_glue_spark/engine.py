@@ -435,7 +435,10 @@ class Engine:
         )
 
     def compact(
-        self, name: str, target_file_bytes: int = 128 * 1024 * 1024
+        self,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: list[str] | None = None,
     ) -> dict[str, int]:
         """Small-files compaction — the plain-parquet analogue of Iceberg
         ``rewrite_data_files`` / Delta ``OPTIMIZE`` (SURVEY §7.1 step 11).
@@ -446,6 +449,14 @@ class Engine:
         partitions through the same versioned-location swap every other
         rewrite uses (readers of the old generation stay valid until the
         catalog flips). Returns files/bytes before and after.
+
+        ``sort_by`` additionally range-clusters the rewrite on those
+        columns (repartitionByRange + sortWithinPartitions — the
+        OPTIMIZE ZORDER-lite): each output file then covers a disjoint
+        key range, so parquet min/max row-group stats let point/range
+        scans on those columns skip whole files. At 100 TB this is the
+        difference between touching every file and touching the few whose
+        stats overlap the predicate.
         """
         import math
         import os
@@ -468,7 +479,13 @@ class Engine:
 
         n_before, bytes_before = _stat(df)
         n_target = max(1, math.ceil(bytes_before / target_file_bytes)) if bytes_before else 1
-        self._write_swap(df.repartition(n_target), model)
+        if sort_by:
+            rewritten = df.repartitionByRange(
+                n_target, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+        else:
+            rewritten = df.repartition(n_target)
+        self._write_swap(rewritten, model)
         after = self.spark.table(rel.render())
         n_after, bytes_after = _stat(after)
         return {

@@ -6,6 +6,7 @@ import os
 import uuid
 
 import pytest
+from pyspark.sql import functions as F
 
 from dbt_glue_spark.engine import Engine, Model, ModelConfig
 from dbt_glue_spark.operators.governance import (
@@ -155,5 +156,47 @@ def test_compact_merges_small_files(spark, warehouse):
         assert stats["files_before"] >= 40
         assert stats["files_after"] <= 2
         assert eng.ref_df("frag").count() == before
+    finally:
+        eng.catalog.drop_schema(schema)
+
+
+def test_compact_sort_by_gives_disjoint_file_ranges(spark, warehouse):
+    import uuid
+    from urllib.parse import urlparse
+
+    from dbt_glue_spark.engine import Engine, Model, ModelConfig
+    from dbt_glue_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001", ("orders",))
+    schema = f"t_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse, schema=schema)
+    eng.add(
+        Model(
+            "clustered",
+            sql="select /*+ REPARTITION(20) */ o_orderkey, o_totalprice from orders",
+            config=ModelConfig(),
+        )
+    )
+    try:
+        eng.run()
+        before = eng.ref_df("clustered").count()
+        stats = eng.compact(
+            "clustered", target_file_bytes=16 * 1024, sort_by=["o_orderkey"]
+        )
+        assert stats["files_after"] >= 2  # multiple files so skipping matters
+        assert eng.ref_df("clustered").count() == before
+        # range clustering: per-file key ranges must not overlap — this is
+        # exactly what parquet min/max stats use to skip whole files
+        ranges = []
+        for uri in eng.ref_df("clustered").inputFiles():
+            path = urlparse(uri).path or uri
+            fdf = spark.read.parquet(path)
+            lohi = fdf.agg(
+                F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+            ).collect()[0]
+            ranges.append((lohi.lo, lohi.hi))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, ranges
     finally:
         eng.catalog.drop_schema(schema)
