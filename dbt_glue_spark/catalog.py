@@ -78,6 +78,20 @@ class Catalog:
         # python_utils.sql:268-275)
         self.spark.catalog.refreshTable(rel.render())
 
+    def analyze(self, rel: Relation, columns: list[str] | None = None) -> None:
+        """ANALYZE TABLE — table stats (rowCount/sizeInBytes) and optional
+        per-column min/max/ndv. Feeds Catalyst's cost-based optimizer:
+        with stats, join reordering and broadcast decisions use real
+        cardinalities instead of file-size guesses — at 100 TB the
+        difference between broadcasting a genuinely small filtered dim
+        and shuffling it."""
+        self.spark.sql(f"ANALYZE TABLE {rel.render()} COMPUTE STATISTICS")
+        if columns:
+            cols = ", ".join(quote(c) for c in columns)
+            self.spark.sql(
+                f"ANALYZE TABLE {rel.render()} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )
+
     def add_columns(self, rel: Relation, cols: StructType | list) -> None:
         fields = cols.fields if isinstance(cols, StructType) else cols
         if not fields:

@@ -502,6 +502,28 @@ class Engine:
 
         return catalog_info(self.spark, [self.schema])
 
+    def versions(self, name: str) -> list[int]:
+        """Retained table generations, newest first — the snapshot log of
+        the versioned-location scheme (what Iceberg exposes as
+        ``snapshots``; requires ``auto_vacuum=False`` to retain more than
+        the current one)."""
+        from dbt_glue_spark.operators.governance import list_versions
+
+        return [v for v, _ in list_versions(self.warehouse, self.schema, name)]
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Time travel: read a retained generation by version id, bypassing
+        the catalog pointer (which always tracks the newest). Plain-parquet
+        analogue of Delta ``VERSION AS OF`` — old generations are immutable
+        once written, so the read is consistent without any locking."""
+        from dbt_glue_spark.operators.governance import list_versions
+
+        model = self.models[name]
+        for v, path in list_versions(self.warehouse, self.schema, name):
+            if v == version:
+                return self.spark.read.format(model.config.file_format).load(path)
+        raise KeyError(f"version {version} of {name} not retained")
+
     def _mat_view(self, model: Model) -> Relation:
         rel = self.relation_for(model.name)
         self.spark.sql(

@@ -119,3 +119,19 @@ def vacuum_versions(warehouse: str, schema: str, model_name: str, keep: int = 1)
         shutil.rmtree(path, ignore_errors=True)
         deleted.append(path)
     return deleted
+
+
+def list_versions(warehouse: str, schema: str, model_name: str) -> list[tuple[int, str]]:
+    """All retained ``{model}__v{n}`` generations, newest first, as
+    (version, path). The read side of the versioned-location scheme —
+    what Delta/Iceberg expose as the snapshot log."""
+    schema_dir = os.path.join(warehouse, schema)
+    if not os.path.isdir(schema_dir):
+        return []
+    versions: list[tuple[int, str]] = []
+    for entry in os.listdir(schema_dir):
+        m = _VERSION_RE.match(entry)
+        if m and m.group("base") == model_name:
+            versions.append((int(m.group("ver")), os.path.join(schema_dir, entry)))
+    versions.sort(reverse=True)
+    return versions

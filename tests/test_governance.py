@@ -200,3 +200,58 @@ def test_compact_sort_by_gives_disjoint_file_ranges(spark, warehouse):
             assert hi1 <= lo2, ranges
     finally:
         eng.catalog.drop_schema(schema)
+
+
+def test_time_travel_reads_previous_generation(spark, warehouse):
+    from dbt_glue_spark.engine import Engine, Model, ModelConfig
+    from dbt_glue_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001", ("nation",))
+    schema = f"t_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse, schema=schema)
+    eng.add(
+        Model(
+            "snap_t",
+            sql="select n_nationkey, n_name from nation where n_nationkey < 5",
+            config=ModelConfig(auto_vacuum=False),
+        )
+    )
+    try:
+        eng.run()
+        v1 = eng.versions("snap_t")[0]
+        m = eng.models["snap_t"]
+        m.sql = "select n_nationkey, n_name from nation where n_nationkey < 10"
+        eng.run_model(m)  # table CTAS rewrite → new generation
+        vs = eng.versions("snap_t")
+        assert len(vs) == 2 and vs[0] > v1
+        # catalog tracks newest; time travel reads the retained old one
+        assert eng.ref_df("snap_t").count() == 10
+        assert eng.read_version("snap_t", v1).count() == 5
+        with pytest.raises(KeyError):
+            eng.read_version("snap_t", 123)
+    finally:
+        eng.catalog.drop_schema(schema)
+
+
+def test_analyze_populates_cbo_statistics(spark, warehouse):
+    from dbt_glue_spark.engine import Engine, Model, ModelConfig
+    from dbt_glue_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001", ("nation",))
+    schema = f"t_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse, schema=schema)
+    eng.add(Model("stats_t", sql="select * from nation", config=ModelConfig()))
+    try:
+        eng.run()
+        rel = eng.relation_for("stats_t")
+        eng.catalog.analyze(rel, columns=["n_nationkey"])
+        detail = spark.sql(f"DESCRIBE EXTENDED {rel.render()}").collect()
+        stats_line = " ".join(r.data_type for r in detail if r.col_name == "Statistics")
+        assert "rows" in stats_line, detail
+        coldesc = spark.sql(
+            f"DESCRIBE EXTENDED {rel.render()} n_nationkey"
+        ).collect()
+        info = {r.info_name: r.info_value for r in coldesc}
+        assert info.get("distinct_count") not in (None, "NULL"), info
+    finally:
+        eng.catalog.drop_schema(schema)
