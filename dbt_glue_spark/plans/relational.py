@@ -1575,3 +1575,48 @@ def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(full).cast("double").alias("last_price"),
         F.nth_value("o_totalprice", 2).over(full).cast("double").alias("second_price"),
     )
+
+
+@register(
+    "recursive_month_spine",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < DATE '2001-12-01'
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT m AS month, COALESCE(n, CAST(0 AS BIGINT)) AS n_orders
+    FROM months LEFT JOIN monthly ON mo = m
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): generate a complete "
+    "monthly calendar spine, left-join monthly order counts — the "
+    "zero-filled time series every reporting layer needs (a plain "
+    "GROUP BY silently drops empty months). The recursion materializes "
+    "84 rows driver-free; the spine side broadcasts into the join. "
+    "Oracle: DuckDB's recursive CTE computes the identical spine.",
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__rcte_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(m, 1) FROM months WHERE m < DATE '2001-12-01'
+        ),
+        monthly AS (
+          SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mo,
+                 COUNT(*) AS n
+          FROM __rcte_orders GROUP BY 1
+        )
+        SELECT m AS month, COALESCE(n, 0L) AS n_orders
+        FROM months LEFT JOIN monthly ON mo = m
+        """
+    )
