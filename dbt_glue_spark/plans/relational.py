@@ -1620,3 +1620,106 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN monthly ON mo = m
         """
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'a_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'b_click_after_view', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'c_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+    doc="Ordered funnel: users who viewed, then clicked AFTER the first "
+    "view, then purchased AFTER that click — each stage a min-timestamp "
+    "aggregate semi-constrained by the previous stage's time. All three "
+    "joins share user_id partitioning (one shuffle key end-to-end); "
+    "stage outputs are one row each.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = lambda df, label: df.agg(  # noqa: E731
+        F.count("*").alias("n_users")
+    ).select(F.lit(label).alias("stage"), "n_users")
+    return (
+        stage(v, "a_view")
+        .unionAll(stage(c, "b_click_after_view"))
+        .unionAll(stage(p, "c_purchase_after_click"))
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, act_week) / 7 AS INT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+    doc="Retention cohort matrix: users bucketed by first-seen week × "
+    "weeks-since-cohort activity. Two aggregates sharing the user_id "
+    "shuffle key; week offsets are exact day-multiples of 7 on both "
+    "engines (Monday-truncated weeks), so the integer division is exact. "
+    "Output bounded by |cohorts| × |weeks|.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )
