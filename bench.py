@@ -48,6 +48,10 @@ EXTENSION_HEADLINE = [
     "ext_text_stats",
     "ext_bm25_search",
     "ext_tfidf_top_terms",
+    "ext_countmin_tokens",
+    "ext_histogram_quantiles",
+    "ext_bloom_prune",
+    "ext_shard_packing",
     "mat_merge_upsert",
     "mat_scd2_snapshot_check",
     "asof_join_clicks_purchases",
