@@ -53,3 +53,28 @@ def stratified_sample(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction))
         .drop("__rn", "__n")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+) -> DataFrame:
+    """Deterministic three-way split: adds a ``split`` column
+    ('train'/'val'/'test') from the md5 hash fraction of ``key_col``.
+
+    Content-hash membership means the assignment is a pure function of the
+    key — stable across runs, engines, partitionings, and corpus growth
+    (adding documents never reassigns existing ones), which is exactly what
+    leakage-free ML splits require. Narrow projection, no shuffle.
+    """
+    assert val_fraction + test_fraction < 1.0
+    frac = _hash_frac(F.col(key_col))
+    train_hi = 1.0 - val_fraction - test_fraction
+    return df.withColumn(
+        "split",
+        F.when(frac < F.lit(train_hi), F.lit("train"))
+        .when(frac < F.lit(train_hi + val_fraction), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -1362,3 +1362,38 @@ def ext_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pagerank(edges, weight_col="volume", iterations=10)
+
+
+def _split_oracle() -> str:
+    frac = _duck_hash_fraction("doc_id")
+    return f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {frac} < 0.8 THEN 'train'
+                  WHEN {frac} < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """
+
+
+@register(
+    "ext_train_val_test_split",
+    _split_oracle(),
+    doc="Deterministic train/val/test split (80/10/10 by md5 hash "
+    "fraction of doc_id), counted per (split, lang). Content-hash "
+    "assignment is stable under corpus growth and layout — adding docs "
+    "never reassigns existing ones (no leakage churn between training "
+    "runs). Narrow projection + one tiny groupBy.",
+)
+def ext_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, "doc_id", 0.1, 0.1)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -432,3 +432,20 @@ def test_histogram_quantiles_close_to_exact_and_merge_friendly(spark):
         for r in histogram_quantiles(df.repartition(13), "x").collect()
     }
     assert out == out2
+
+
+def test_train_val_test_split_stable_under_corpus_growth(spark):
+    from dbt_glue_spark.extensions.sampling import train_val_test_split
+
+    small = spark.range(0, 500).selectExpr("id AS k")
+    big = spark.range(0, 1000).selectExpr("id AS k")
+    s_small = {r.k: r.split for r in train_val_test_split(small, "k").collect()}
+    s_big = {r.k: r.split for r in train_val_test_split(big, "k").collect()}
+    # growing the corpus never reassigns an existing key
+    assert all(s_big[k] == v for k, v in s_small.items())
+    # all three splits populated, proportions roughly 80/10/10
+    from collections import Counter
+
+    c = Counter(s_big.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 700 < c["train"] < 900
