@@ -1723,3 +1723,57 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+@register(
+    "anomaly_zscore_events",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS v,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER trail AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))
+                      * CAST(value AS DECIMAL(28,10))) OVER trail AS DOUBLE) AS sq,
+             COUNT(*) OVER trail AS n
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW trail AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           FLOOR(((v - s / n) / SQRT((sq - s * s / n) / n)) * 1e6 + 0.5) / 1e6
+             AS zscore
+    FROM w
+    WHERE n >= 5 AND (sq - s * s / n) / n > 0
+    """,
+    doc="Trailing-window z-score anomaly detection on purchase values: "
+    "each event scored against its user's previous ≤10 purchases. "
+    "Deterministic variance: window sums and sums-of-squares go through "
+    "decimal (order-free), then mean/variance/sqrt are correctly-rounded "
+    "IEEE ops — sqrt IS in IEEE's correctly-rounded set, unlike ln. One "
+    "shuffle on user_id; the trailing frame is O(1) state per row.",
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    trail = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-10, -1)
+    )
+    vdec = F.col("value").cast("decimal(28,10)")
+    w = events.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        F.sum(vdec).over(trail).cast("double").alias("s"),
+        F.sum(vdec * vdec).over(trail).cast("double").alias("sq"),
+        F.count("*").over(trail).alias("n"),
+    )
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    return (
+        w.filter((F.col("n") >= 5) & (var > 0))
+        .select(
+            "user_id",
+            "event_id",
+            (F.floor(((F.col("v") - F.col("s") / F.col("n")) / F.sqrt(var)) * 1e6 + F.lit(0.5)) / 1e6).alias("zscore"),
+        )
+    )
