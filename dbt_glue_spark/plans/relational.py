@@ -1777,3 +1777,64 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(((F.col("v") - F.col("s") / F.col("n")) / F.sqrt(var)) * 1e6 + F.lit(0.5)) / 1e6).alias("zscore"),
         )
     )
+
+
+@register(
+    "array_agg_orders",
+    """
+    SELECT o_custkey,
+           list_sort(list(o_orderstatus)) AS statuses,
+           CAST(len(list(o_orderstatus)) AS INT) AS n_orders
+    FROM orders
+    WHERE o_custkey <= 100
+    GROUP BY o_custkey
+    """,
+    doc="Aggregation INTO an array (collect_list + array_sort ≙ DuckDB "
+    "list_sort(list(...))): the denormalize step for feature vectors and "
+    "nested exports. Sorting makes the array deterministic — bare "
+    "collect_list order is shuffle-dependent and would never "
+    "cross-engine match. One shuffle on custkey.",
+)
+def array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    return orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderstatus")).alias("statuses"),
+        F.size(F.collect_list("o_orderstatus")).cast("int").alias("n_orders"),
+    )
+
+
+@register(
+    "null_safe_join",
+    """
+    WITH l AS (
+      SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer WHERE c_custkey <= 300
+    ),
+    r AS (
+      SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg, 1 AS tag
+      FROM customer
+    )
+    SELECT COALESCE(l.seg, '<null>') AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
+    GROUP BY 1
+    """,
+    doc="Null-safe equality join (Spark `<=>` ≙ SQL IS NOT DISTINCT "
+    "FROM): NULL keys MATCH each other, unlike plain `=` which silently "
+    "drops every NULL row — the semantics gap that corrupts dedup joins "
+    "on nullable keys. Still plans as an equi hash join (null-safe "
+    "equality is hashable), not a nested loop.",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    left = customer.filter(F.col("c_custkey") <= 300).select(
+        "c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg")
+    )
+    right = customer.select(
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("rseg")
+    ).distinct()
+    return (
+        left.join(right, left.seg.eqNullSafe(right.rseg))
+        .groupBy(F.coalesce("seg", F.lit("<null>")).alias("seg"))
+        .agg(F.count("*").alias("n_matched"))
+    )
