@@ -502,6 +502,29 @@ class Engine:
 
         return catalog_info(self.spark, [self.schema])
 
+    def delete_rows(self, name: str, predicate: str) -> int:
+        """Row-level DELETE — the plain-parquet analogue of Delta/Iceberg
+        ``DELETE FROM t WHERE ...`` (and the right-to-be-forgotten
+        primitive): rewrite the table WITHOUT the matching rows through
+        the same versioned-location swap every rewrite uses, so readers
+        of the old generation stay consistent until the catalog flips.
+        Returns the number of rows deleted.
+
+        At 100 TB with a transactional format this becomes a metadata
+        operation touching only affected files; here the cost is one
+        filtered rewrite — same shape as merge on parquet, documented in
+        SCALE.md known-trade-offs.
+        """
+        model = self.models[name]
+        rel = self.relation_for(name)
+        df = self.spark.table(rel.render())
+        n_before = df.count()
+        # DELETE removes rows where the predicate is TRUE; rows where it
+        # evaluates NULL are KEPT (plain NOT(pred) would be NULL → dropped)
+        kept = df.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+        self._write_swap(kept, model)
+        return n_before - self.spark.table(rel.render()).count()
+
     def versions(self, name: str) -> list[int]:
         """Retained table generations, newest first — the snapshot log of
         the versioned-location scheme (what Iceberg exposes as

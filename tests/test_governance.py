@@ -255,3 +255,41 @@ def test_analyze_populates_cbo_statistics(spark, warehouse):
         assert info.get("distinct_count") not in (None, "NULL"), info
     finally:
         eng.catalog.drop_schema(schema)
+
+
+def test_delete_rows_rewrites_without_matches(spark, warehouse):
+    from dbt_glue_spark.engine import Engine, Model, ModelConfig
+    from dbt_glue_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001", ("customer",))
+    schema = f"t_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse, schema=schema)
+    eng.add(
+        Model(
+            "gdpr_t",
+            sql="select c_custkey, c_name, c_mktsegment from customer",
+            config=ModelConfig(),
+        )
+    )
+    try:
+        eng.run()
+        total = eng.ref_df("gdpr_t").count()
+        seg = eng.ref_df("gdpr_t").filter(F.col("c_mktsegment") == "BUILDING").count()
+        assert seg > 0
+        deleted = eng.delete_rows("gdpr_t", "c_mktsegment = 'BUILDING'")
+        assert deleted == seg
+        after = eng.ref_df("gdpr_t")
+        assert after.count() == total - seg
+        assert after.filter(F.col("c_mktsegment") == "BUILDING").count() == 0
+        # NULL-safety: predicate rows with NULL evaluate false → kept
+        deleted2 = eng.delete_rows("gdpr_t", "c_mktsegment = 'NOPE'")
+        assert deleted2 == 0
+        # NULL predicate rows must be KEPT (SQL DELETE semantics):
+        # NULLIF makes the predicate NULL for every 'AUTOMOBILE' row
+        kept_before = eng.ref_df("gdpr_t").count()
+        deleted3 = eng.delete_rows(
+            "gdpr_t", "NULLIF(c_mktsegment, 'AUTOMOBILE') = 'NOPE'"
+        )
+        assert deleted3 == 0 and eng.ref_df("gdpr_t").count() == kept_before
+    finally:
+        eng.catalog.drop_schema(schema)
