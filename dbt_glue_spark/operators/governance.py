@@ -78,19 +78,33 @@ def create_secured_view(
     row_filter: str | None = None,
     column_names: list[str] | None = None,
     excluded_column_names: list[str] | None = None,
+    masked_columns: dict[str, str] | None = None,
 ) -> None:
     """Row/column-security view (LF FilterConfig semantics): exactly one of
     ``column_names`` / ``excluded_column_names`` may be given
     (lakeformation.py:168-201 enforces the XOR), plus an optional row
-    filter expression."""
+    filter expression.
+
+    ``masked_columns`` maps column → replacement SQL expression (e.g.
+    ``{"email": "sha2(email, 256)"}``): the column keeps its name but
+    consumers see the masked value — dynamic data masking, the third leg
+    of row/column/cell-level security."""
     if column_names and excluded_column_names:
         raise ValueError("column_names and excluded_column_names are exclusive")
-    cols = "*"
     if column_names:
-        cols = ", ".join(column_names)
+        visible = list(column_names)
     elif excluded_column_names:
         all_cols = spark.table(source).columns
-        cols = ", ".join(c for c in all_cols if c not in set(excluded_column_names))
+        visible = [c for c in all_cols if c not in set(excluded_column_names)]
+    else:
+        visible = spark.table(source).columns
+    masked = masked_columns or {}
+    unknown = set(masked) - set(visible)
+    if unknown:
+        raise ValueError(f"masked columns not in view: {sorted(unknown)}")
+    cols = ", ".join(
+        f"{masked[c]} AS {c}" if c in masked else c for c in visible
+    )
     where = f" WHERE {row_filter}" if row_filter else ""
     spark.sql(
         f"CREATE OR REPLACE VIEW {view_name} AS SELECT {cols} FROM {source}{where}"

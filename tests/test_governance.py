@@ -293,3 +293,22 @@ def test_delete_rows_rewrites_without_matches(spark, warehouse):
         assert deleted3 == 0 and eng.ref_df("gdpr_t").count() == kept_before
     finally:
         eng.catalog.drop_schema(schema)
+
+
+def test_secured_view_column_masking(engine, spark):
+    engine.add(Model("acct", seed_csv=CSV, config=ModelConfig(materialized="seed")))
+    engine.run()
+    src = engine.relation_for("acct").render()
+    sec = f"{engine.schema}.acct_masked"
+    create_secured_view(
+        spark, src, sec,
+        excluded_column_names=["balance"],
+        masked_columns={"secret": "sha2(secret, 256)"},
+    )
+    out = spark.table(sec)
+    assert set(out.columns) == {"id", "region", "secret"}
+    vals = {r.id: r.secret for r in out.collect()}
+    assert all(len(v) == 64 for v in vals.values())  # sha2 hex, not raw
+    assert "a" not in vals.values()
+    with pytest.raises(ValueError, match="masked columns not in view"):
+        create_secured_view(spark, src, sec, masked_columns={"nope": "1"})
