@@ -96,6 +96,11 @@ class Model:
     # "field": col}} — the reference's generic tests (T1-T3,
     # tests/generic/builtin.sql + dbt-core built-ins)
     tests: dict[str, list] | None = None
+    # dbt pre/post hooks: SQL statements run immediately before/after the
+    # materialization, with {{ ref }}/{{ source }}/{{ this }} resolved.
+    # Post-hooks are the dbt idiom for GRANTs, audit-log inserts, ANALYZE.
+    pre_hook: list[str] = field(default_factory=list)
+    post_hook: list[str] = field(default_factory=list)
 
 
 _REF = re.compile(r"\{\{\s*(ref|source)\s*\(\s*'([^']+)'\s*\)\s*\}\}")
@@ -231,17 +236,29 @@ class Engine:
         mat = cfg.materialized
         if mat == "ephemeral":
             return self.relation_for(model.name)  # nothing to build
+        self._run_hooks(model, model.pre_hook)
         if mat == "view":
-            return self._mat_view(model)
-        if mat == "table":
-            return self._mat_table(model)
-        if mat == "incremental":
-            return self._mat_incremental(model)
-        if mat == "snapshot":
-            return self._mat_snapshot(model)
-        if mat == "seed":
-            return self._mat_seed(model)
-        raise ValueError(f"unknown materialization {mat}")
+            rel = self._mat_view(model)
+        elif mat == "table":
+            rel = self._mat_table(model)
+        elif mat == "incremental":
+            rel = self._mat_incremental(model)
+        elif mat == "snapshot":
+            rel = self._mat_snapshot(model)
+        elif mat == "seed":
+            rel = self._mat_seed(model)
+        else:
+            raise ValueError(f"unknown materialization {mat}")
+        self._run_hooks(model, model.post_hook)
+        return rel
+
+    def _run_hooks(self, model: Model, hooks: list[str]) -> None:
+        """Execute hook SQL with the same ref/source/this resolution as the
+        model body (dbt pre_hook/post_hook semantics: statements run in
+        order; a failure aborts the model run)."""
+        for hook in hooks:
+            shim = Model(model.name, sql=hook, config=model.config)
+            self.spark.sql(self._resolve_sql(shim))
 
     @staticmethod
     def _check_contract(df: DataFrame, contract: dict[str, str]) -> None:

@@ -485,3 +485,48 @@ def test_backfill_microbatch_idempotent(engine, spark):
     # re-running one period must not duplicate (its partitions overwrite)
     engine.backfill("daily_events", "2024-01-03", "2024-01-05", batch_days=2)
     assert engine.ref_df("daily_events").count() == expected
+
+
+def test_pre_and_post_hooks_run_with_resolution(spark, warehouse):
+    import uuid
+
+    from dbt_glue_spark.engine import Engine, Model, ModelConfig
+
+    schema = f"t_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse, schema=schema)
+    eng.add(
+        Model(
+            "audit",
+            seed_csv="event,target\nboot,none\n",
+            config=ModelConfig(materialized="seed"),
+        )
+    )
+    eng.add(
+        Model(
+            "hooked",
+            sql="select 1 as x",
+            config=ModelConfig(),
+            pre_hook=[
+                "insert into {{ ref('audit') }} values ('pre', 'none')"
+            ],
+            post_hook=[
+                "insert into {{ ref('audit') }} select 'post', '{{ this }}'",
+                "alter table {{ this }} set tblproperties ('hooked' = 'yes')",
+            ],
+        )
+    )
+    try:
+        eng.run()
+        audit = {r.event: r.target for r in eng.ref_df("audit").collect()}
+        assert set(audit) == {"boot", "pre", "post"}
+        # {{ this }} resolved to the fully-qualified relation inside the hook
+        assert audit["post"] == eng.relation_for("hooked").render()
+        props = {
+            r.key: r.value
+            for r in spark.sql(
+                f"SHOW TBLPROPERTIES {eng.relation_for('hooked').render()}"
+            ).collect()
+        }
+        assert props.get("hooked") == "yes"
+    finally:
+        eng.catalog.drop_schema(schema)
