@@ -542,6 +542,33 @@ class Engine:
         self._write_swap(kept, model)
         return n_before - self.spark.table(rel.render()).count()
 
+    def update_rows(self, name: str, set: dict[str, str], predicate: str) -> int:
+        """Row-level UPDATE — the plain-parquet analogue of Delta/Iceberg
+        ``UPDATE t SET ... WHERE ...``: rewrite with each assigned column
+        wrapped in ``CASE WHEN pred THEN expr ELSE old END`` through the
+        versioned-location swap. Rows where the predicate is NULL are
+        untouched (CASE WHEN is falsy on NULL — SQL UPDATE semantics).
+        Returns the number of rows that matched the predicate.
+        """
+        model = self.models[name]
+        rel = self.relation_for(name)
+        df = self.spark.table(rel.render())
+        set_ = set  # param shadows the builtin to read like SQL UPDATE ... SET
+        missing = [c for c in set_ if c not in df.columns]
+        if missing:
+            raise ValueError(f"unknown columns in SET: {missing}")
+        n_match = df.filter(predicate).count()
+        updated = df.select(
+            *[
+                F.when(F.expr(predicate), F.expr(set_[c])).otherwise(F.col(c)).alias(c)
+                if c in set_
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        self._write_swap(updated, model)
+        return n_match
+
     def versions(self, name: str) -> list[int]:
         """Retained table generations, newest first — the snapshot log of
         the versioned-location scheme (what Iceberg exposes as

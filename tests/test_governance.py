@@ -312,3 +312,34 @@ def test_secured_view_column_masking(engine, spark):
     assert "a" not in vals.values()
     with pytest.raises(ValueError, match="masked columns not in view"):
         create_secured_view(spark, src, sec, masked_columns={"nope": "1"})
+
+
+def test_update_rows_case_semantics(spark, warehouse):
+    from dbt_glue_spark.engine import Engine, Model, ModelConfig
+    from dbt_glue_spark.sources.registry import register_sources
+
+    register_sources(spark, "/root/testdata/sf0.001", ("nation",))
+    schema = f"t_{uuid.uuid4().hex[:8]}"
+    eng = Engine(spark, warehouse, schema=schema)
+    eng.add(
+        Model(
+            "upd_t",
+            sql="select n_nationkey, n_name, n_regionkey from nation",
+            config=ModelConfig(),
+        )
+    )
+    try:
+        eng.run()
+        n = eng.update_rows(
+            "upd_t",
+            set={"n_name": "concat(n_name, '_X')", "n_regionkey": "n_regionkey + 100"},
+            predicate="n_nationkey < 3",
+        )
+        assert n == 3
+        rows = {r.n_nationkey: r for r in eng.ref_df("upd_t").collect()}
+        assert rows[0].n_name.endswith("_X") and rows[0].n_regionkey >= 100
+        assert not rows[5].n_name.endswith("_X")  # untouched
+        with pytest.raises(ValueError, match="unknown columns"):
+            eng.update_rows("upd_t", set={"nope": "1"}, predicate="true")
+    finally:
+        eng.catalog.drop_schema(schema)
