@@ -72,10 +72,15 @@ def main() -> None:
     # warmup: JVM + parquet footer caches
     force(specs["flagship_revenue_by_nation"].fn(spark, sf_dir))
     timings: dict[str, float] = {}
+    from dbt_glue_spark.extensions.dedup import release_caches
+
     for name in names:
         t0 = time.time()
         force(specs[name].fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        # free executor storage between queries so one query's cached
+        # intermediates don't skew the next one's memory budget
+        release_caches()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -22,6 +22,7 @@ for exactly that substitution).
 
 from __future__ import annotations
 
+import os
 import re
 import time
 from dataclasses import dataclass, field
@@ -304,19 +305,40 @@ class Engine:
         return out
 
     def _location(self, model: Model, version: int | None = None) -> str:
+        # custom locations are versioned too (``{custom}__v{n}``) — an
+        # unversioned custom path would make every rewrite an in-place
+        # overwrite of the directory a concurrent (or self-) read is
+        # scanning, and would break the "readers of the old generation
+        # stay valid until the catalog flips" invariant for that config.
+        custom = model.config.custom_location
+        if custom is not None and version is not None:
+            custom = f"{custom.rstrip('/')}__v{version}"
         ident = model.name if version is None else f"{model.name}__v{version}"
-        return build_location(
-            self.warehouse, self.schema, ident, model.config.custom_location
-        )
+        return build_location(self.warehouse, self.schema, ident, custom)
+
+    def _version_scan_args(self, model: Model) -> tuple[str, str]:
+        """(directory, base-name) where this model's ``__v{n}`` generations
+        live — beside a custom location, else under {warehouse}/{schema}."""
+        custom = model.config.custom_location
+        if custom:
+            custom = custom.rstrip("/")
+            return os.path.dirname(custom) or ".", os.path.basename(custom)
+        return os.path.join(self.warehouse, self.schema), model.name
 
     def _write_swap(self, df: DataFrame, model: Model) -> Relation:
-        """Write df to a fresh versioned location and re-point the catalog.
+        """Write df to a fresh versioned location, then re-point the catalog.
 
         The substitution point for transactional formats: with Delta/Iceberg
         this whole function becomes ``CREATE OR REPLACE TABLE`` /
         ``MERGE INTO`` (reference: adapters.sql:161-167). On plain parquet
         the version bump keeps readers of the old location valid until the
         catalog flips.
+
+        Commit ordering: the full write lands under a *staging* identifier
+        first; only after it succeeds is the old table dropped and the
+        staging entry renamed over it (two metadata-only statements). A
+        failed or killed write therefore leaves the previous table fully
+        intact — the failure window is the metadata flip, not the data job.
         """
         cfg = model.config
         rel = self.relation_for(model.name)
@@ -326,17 +348,23 @@ class Engine:
         if cfg.partition_by:
             writer = writer.partitionBy(*cfg.partition_by)
         writer = writer.option("path", loc)
-        self.catalog.drop(rel)
         if cfg.clustered_by and cfg.buckets:
             writer = writer.bucketBy(cfg.buckets, *cfg.clustered_by).sortBy(
                 *cfg.clustered_by
             )
-        writer.saveAsTable(rel.render())
+        stage = Relation(self.schema, f"{model.name}__stg{version}")
+        try:
+            writer.saveAsTable(stage.render())
+        except Exception:
+            self.catalog.drop(stage)
+            raise
+        self.catalog.drop(rel)
+        self.catalog.rename(stage, rel)
         self.catalog.refresh(rel)
         if cfg.auto_vacuum:
-            from dbt_glue_spark.operators.governance import vacuum_versions
+            from dbt_glue_spark.operators.governance import vacuum_versions_at
 
-            vacuum_versions(self.warehouse, self.schema, model.name, keep=1)
+            vacuum_versions_at(*self._version_scan_args(model), keep=1)
         return rel
 
     def execute_script(self, script: str, splitter: str = "dbt_next_query") -> DataFrame:
@@ -532,15 +560,21 @@ class Engine:
         filtered rewrite — same shape as merge on parquet, documented in
         SCALE.md known-trade-offs.
         """
+        from pyspark.sql import Observation
+
         model = self.models[name]
         rel = self.relation_for(name)
         df = self.spark.table(rel.render())
-        n_before = df.count()
         # DELETE removes rows where the predicate is TRUE; rows where it
-        # evaluates NULL are KEPT (plain NOT(pred) would be NULL → dropped)
-        kept = df.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+        # evaluates NULL are KEPT (plain NOT(pred) would be NULL → dropped).
+        # The deleted-row count rides the rewrite itself as an observed
+        # metric — one pass over the table, no separate count() jobs.
+        pred = F.coalesce(F.expr(predicate), F.lit(False))
+        obs = Observation()
+        annotated = df.observe(obs, F.sum(pred.cast("long")).alias("deleted"))
+        kept = annotated.filter(~pred)
         self._write_swap(kept, model)
-        return n_before - self.spark.table(rel.render()).count()
+        return int(obs.get["deleted"] or 0)
 
     def update_rows(self, name: str, set: dict[str, str], predicate: str) -> int:
         """Row-level UPDATE — the plain-parquet analogue of Delta/Iceberg
@@ -550,6 +584,8 @@ class Engine:
         untouched (CASE WHEN is falsy on NULL — SQL UPDATE semantics).
         Returns the number of rows that matched the predicate.
         """
+        from pyspark.sql import Observation
+
         model = self.models[name]
         rel = self.relation_for(name)
         df = self.spark.table(rel.render())
@@ -557,8 +593,14 @@ class Engine:
         missing = [c for c in set_ if c not in df.columns]
         if missing:
             raise ValueError(f"unknown columns in SET: {missing}")
-        n_match = df.filter(predicate).count()
-        updated = df.select(
+        # matched-row count observed during the rewrite — one pass, no
+        # separate count() job (sum skips NULL predicates, matching CASE
+        # WHEN falsy-on-NULL semantics).
+        obs = Observation()
+        annotated = df.observe(
+            obs, F.sum(F.expr(predicate).cast("long")).alias("matched")
+        )
+        updated = annotated.select(
             *[
                 F.when(F.expr(predicate), F.expr(set_[c])).otherwise(F.col(c)).alias(c)
                 if c in set_
@@ -567,26 +609,26 @@ class Engine:
             ]
         )
         self._write_swap(updated, model)
-        return n_match
+        return int(obs.get["matched"] or 0)
 
     def versions(self, name: str) -> list[int]:
         """Retained table generations, newest first — the snapshot log of
         the versioned-location scheme (what Iceberg exposes as
         ``snapshots``; requires ``auto_vacuum=False`` to retain more than
         the current one)."""
-        from dbt_glue_spark.operators.governance import list_versions
+        from dbt_glue_spark.operators.governance import scan_versions
 
-        return [v for v, _ in list_versions(self.warehouse, self.schema, name)]
+        return [v for v, _ in scan_versions(*self._version_scan_args(self.models[name]))]
 
     def read_version(self, name: str, version: int) -> DataFrame:
         """Time travel: read a retained generation by version id, bypassing
         the catalog pointer (which always tracks the newest). Plain-parquet
         analogue of Delta ``VERSION AS OF`` — old generations are immutable
         once written, so the read is consistent without any locking."""
-        from dbt_glue_spark.operators.governance import list_versions
+        from dbt_glue_spark.operators.governance import scan_versions
 
         model = self.models[name]
-        for v, path in list_versions(self.warehouse, self.schema, name):
+        for v, path in scan_versions(*self._version_scan_args(model)):
             if v == version:
                 return self.spark.read.format(model.config.file_format).load(path)
         raise KeyError(f"version {version} of {name} not retained")

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from dbt_glue_spark.functions.scalars import half_up_round
 from dbt_glue_spark.functions.text import (
@@ -32,6 +33,41 @@ from dbt_glue_spark.functions.text import (
     tokens,
     word_shingles,
 )
+
+# Cached intermediates of lazily-returned operators (the caller's action,
+# not this module, populates them — so they can't be unpersisted inside the
+# operator). ``release_caches()`` lets a long-lived session (a catalog
+# sweep, a bench loop) free executor storage deterministically between
+# runs; the registry itself is bounded — beyond _MAX_LIVE the oldest entry
+# is unpersisted on the way in, so a session that never calls
+# release_caches still can't accumulate unbounded cached partitions.
+_LIVE_CACHES: list[DataFrame] = []
+_MAX_LIVE = 16
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES.append(out)
+    while len(_LIVE_CACHES) > _MAX_LIVE:
+        try:
+            _LIVE_CACHES.pop(0).unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+    return out
+
+
+def release_caches() -> int:
+    """Unpersist every live cached intermediate created by this module's
+    operators. Returns how many frames were released. Call between runs in
+    a long-lived session; safe any time (caches rebuild on next use)."""
+    n = 0
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+    return n
 
 
 def exact_dedup(
@@ -52,7 +88,7 @@ def exact_dedup(
     # hashed feeds both the keep-set build and the probe side; persist so
     # the normalize+md5 regex pipeline runs once, not once per consumer
     # (measured 4x on the sf0.1 corpus; spills to disk if it can't cache)
-    hashed = df.withColumn("__h", F.md5(c)).persist()
+    hashed = _persist(df.withColumn("__h", F.md5(c)))
     keep = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
     return (
         hashed.join(keep, [ "__h", id_col], "left_semi")
@@ -185,8 +221,8 @@ def minhash_lsh_pairs(
     # each subtree computes once per action (ContextCleaner drops the cache
     # when the frames are GC'd). Signatures are 1 row/doc (tiny at any
     # scale); postings are ~doc_len rows/doc and spill to disk if needed.
-    sh = _shingle_postings(df, text_col, id_col, n, None).persist()
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, postings=sh).persist()
+    sh = _persist(_shingle_postings(df, text_col, id_col, n, None))
+    sig = _persist(minhash_signatures(df, text_col, id_col, n, num_hashes, postings=sh))
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
@@ -324,9 +360,9 @@ def dup_clusters(
     """
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    edges = _persist(
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
     labels = labels.localCheckpoint()
     for _ in range(max_iter):
         nbr = (

@@ -80,7 +80,15 @@ def scd2_apply(
     data_cols = source.columns
     if strategy == "timestamp":
         assert updated_at, "timestamp strategy requires updated_at"
-        changed_pred = F.col(f"s.{updated_at}").cast("timestamp") > F.col("o.dbt_updated_at")
+        # NULL-guard: if src.updated_at or the open row's dbt_updated_at is
+        # NULL the comparison is SQL NULL, which must mean "unchanged" (the
+        # reference MERGE leaves the target row untouched when the match
+        # condition is NULL) — without the coalesce the row satisfies
+        # neither branch and silently vanishes from the snapshot.
+        changed_pred = F.coalesce(
+            F.col(f"s.{updated_at}").cast("timestamp") > F.col("o.dbt_updated_at"),
+            F.lit(False),
+        )
         new_vfrom = F.col(f"s.{updated_at}").cast("timestamp")
     elif strategy == "check":
         cols = check_cols or [c for c in data_cols if c not in unique_key]

@@ -114,38 +114,40 @@ def create_secured_view(
 _VERSION_RE = re.compile(r"^(?P<base>.+)__v(?P<ver>\d+)$")
 
 
-def vacuum_versions(warehouse: str, schema: str, model_name: str, keep: int = 1) -> list[str]:
-    """Delete all but the newest ``keep`` ``{model}__v{n}`` generations
-    under ``{warehouse}/{schema}/``. Returns the deleted paths. Safe to run
-    after every incremental, like the reference's default-on snapshot
-    expiry."""
-    schema_dir = os.path.join(warehouse, schema)
-    if not os.path.isdir(schema_dir):
+def scan_versions(base_dir: str, base_name: str) -> list[tuple[int, str]]:
+    """All retained ``{base_name}__v{n}`` generations directly under
+    ``base_dir``, newest first, as (version, path). Works for both the
+    warehouse layout ({warehouse}/{schema}/{model}__v{n}) and custom
+    locations ({custom}__v{n} beside the configured path)."""
+    if not os.path.isdir(base_dir):
         return []
     versions: list[tuple[int, str]] = []
-    for entry in os.listdir(schema_dir):
+    for entry in os.listdir(base_dir):
         m = _VERSION_RE.match(entry)
-        if m and m.group("base") == model_name:
-            versions.append((int(m.group("ver")), os.path.join(schema_dir, entry)))
+        if m and m.group("base") == base_name:
+            versions.append((int(m.group("ver")), os.path.join(base_dir, entry)))
     versions.sort(reverse=True)
+    return versions
+
+
+def vacuum_versions_at(base_dir: str, base_name: str, keep: int = 1) -> list[str]:
+    """Delete all but the newest ``keep`` generations under ``base_dir``.
+    Returns the deleted paths. Safe to run after every incremental, like
+    the reference's default-on snapshot expiry."""
     deleted = []
-    for _, path in versions[keep:]:
+    for _, path in scan_versions(base_dir, base_name)[keep:]:
         shutil.rmtree(path, ignore_errors=True)
         deleted.append(path)
     return deleted
 
 
+def vacuum_versions(warehouse: str, schema: str, model_name: str, keep: int = 1) -> list[str]:
+    """Warehouse-layout vacuum (see ``vacuum_versions_at``)."""
+    return vacuum_versions_at(os.path.join(warehouse, schema), model_name, keep)
+
+
 def list_versions(warehouse: str, schema: str, model_name: str) -> list[tuple[int, str]]:
-    """All retained ``{model}__v{n}`` generations, newest first, as
-    (version, path). The read side of the versioned-location scheme —
-    what Delta/Iceberg expose as the snapshot log."""
-    schema_dir = os.path.join(warehouse, schema)
-    if not os.path.isdir(schema_dir):
-        return []
-    versions: list[tuple[int, str]] = []
-    for entry in os.listdir(schema_dir):
-        m = _VERSION_RE.match(entry)
-        if m and m.group("base") == model_name:
-            versions.append((int(m.group("ver")), os.path.join(schema_dir, entry)))
-    versions.sort(reverse=True)
-    return versions
+    """Warehouse-layout listing (see ``scan_versions``) — the read side of
+    the versioned-location scheme — what Delta/Iceberg expose as the
+    snapshot log."""
+    return scan_versions(os.path.join(warehouse, schema), model_name)

@@ -84,7 +84,31 @@ def merge_upsert(
         # Partial update: matched rows take update_columns from src, the
         # rest from tgt; unmatched src rows are inserted whole.
         upd = set(update_columns) - set(unique_key)
-        matched = tgt.join(src, cond, "inner").select(
+        if dedup_source_on is None:
+            # MERGE cardinality rule: >1 source row matching one target row
+            # is an error (ANSI/Delta raise; silently fanning out duplicates
+            # is worse). Enforced in-plan — a per-key count window on the
+            # small source side plus assert_true on matched rows — so it
+            # costs no extra job and fires lazily at execution, like a
+            # native MERGE would. Callers that expect duplicates opt out
+            # with dedup_source_on (precombine semantics).
+            wcnt = Window.partitionBy(*unique_key)
+            src_guard = (
+                source.withColumn("__src_cnt", F.count(F.lit(1)).over(wcnt)).alias("src")
+            )
+            guard = F.coalesce(
+                F.assert_true(
+                    F.col("src.__src_cnt") == F.lit(1),
+                    F.lit(
+                        "MERGE cardinality violation: multiple source rows match "
+                        "one target row; pass dedup_source_on to pick a winner"
+                    ),
+                ).cast("boolean"),
+                F.lit(True),
+            )
+        else:
+            src_guard, guard = src, F.lit(True)
+        matched = tgt.join(src_guard, cond, "inner").filter(guard).select(
             *[
                 (F.col(f"src.{c}") if c in upd else F.col(f"tgt.{c}")).alias(c)
                 for c in out_cols

@@ -1097,11 +1097,15 @@ def ext_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions import sketches
 
     docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select(
-        F.explode(
-            F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
-        ).alias("tok")
-    ).persist()
+    from dbt_glue_spark.extensions.dedup import _persist
+
+    tk = _persist(
+        docs.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("tok")
+        )
+    )
     sketch = sketches.countmin_build(tk, "tok")
     top = (
         tk.groupBy("tok")
