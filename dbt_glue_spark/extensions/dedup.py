@@ -322,6 +322,63 @@ def simhash(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints via bit-band LSH.
+
+    Candidate generation mirrors ``minhash_lsh_pairs``: the ``bits``-bit
+    fingerprint splits into ``bands`` contiguous bit-bands; two docs become
+    candidates iff at least one whole band is equal. By pigeonhole this
+    finds EVERY pair with hamming distance < ``bands`` (a distance-d pair
+    differs in ≤ d bands), so with max_hamming < bands the verification is
+    exhaustive, not approximate. Verification computes exact hamming on
+    candidates only — cost ∝ Σ band-bucket², never corpus².
+
+    Returns (id_a, id_b, hamming int), id_a < id_b, hamming ≤ max_hamming.
+    """
+    assert bits % bands == 0, "bits must divide evenly into bands"
+    width = bits // bands
+    mask = (1 << width) - 1
+    # fingerprint feeds the band stack and both verification sides
+    sig = _persist(simhash(df, text_col, id_col, bits))
+    stacked = sig.selectExpr(
+        "id",
+        "stack({}, {}) as (band_idx, band_key)".format(
+            bands,
+            ", ".join(
+                f"{b}, (shiftright(simhash, {b * width}) & {mask})"
+                for b in range(bands)
+            ),
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("__ha"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("__hb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", F.expr("cast(bit_count(__ha ^ __hb) as int)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

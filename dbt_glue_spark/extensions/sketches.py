@@ -56,15 +56,29 @@ def kmv_distinct(
     hashed = df.select(
         *keys, hash_fraction(F.col(col)).alias("__h")
     ).distinct()
-    w = Window.partitionBy(*keys).orderBy(F.col("__h").asc())
-    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
-    )
-    grouped = topk.groupBy(*keys) if keys else topk.groupBy()
-    sk = grouped.agg(
-        F.count("*").alias("__nk"),
-        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__kth"),
-    )
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(F.col("__h").asc())
+        topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= k
+        )
+        sk = topk.groupBy(*keys).agg(
+            F.count("*").alias("__nk"),
+            F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__kth"),
+        )
+    else:
+        # Ungrouped: a Window.partitionBy() row_number would funnel every
+        # distinct hash (the full vocabulary at 100 TB) through ONE
+        # partition. orderBy+limit compiles to TakeOrderedAndProject —
+        # per-partition top-k, then a k-row merge on the driver — the
+        # scale-safe shape for a global smallest-k.
+        topk = hashed.orderBy(F.col("__h").asc()).limit(k)
+        sk = topk.groupBy().agg(
+            F.count("*").alias("__nk"),
+            F.max("__h").alias("__maxh"),
+        ).select(
+            "__nk",
+            F.when(F.col("__nk") == k, F.col("__maxh")).alias("__kth"),
+        )
     est = F.when(F.col("__nk") < k, F.col("__nk").cast("double")).otherwise(
         (F.lit(k) - 1) / F.col("__kth")
     )

@@ -120,6 +120,32 @@ def ext_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_ngram_jaccard_cutoff",
+    "WITH "
+    + _SH
+    + """,
+    keepsh AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 5),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keepsh USING (shingle)),
+"""
+    + _JACCARD_TAIL.replace("FROM sh GROUP BY", "FROM shc GROUP BY").replace(
+        "FROM sh a JOIN sh b", "FROM shc a JOIN shc b"
+    )
+    + """
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+    doc="Word-3-gram Jaccard with the stop-shingle cutoff engaged "
+    "(document frequency > 5 dropped before the postings self-join) — "
+    "the operator's skew defense: a boilerplate shingle shared by k docs "
+    "costs k² join rows, so frequent shingles are exactly the ones that "
+    "blow up at 100 TB, and exactly the ones carrying no dedup signal.",
+)
+def ext_ngram_jaccard_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, df_freq_cutoff=5
+    )
+
+
+@register(
     "ext_minhash_signatures",
     "WITH " + _MINHASH_SIG + "SELECT * FROM sig",
     doc="MinHash signatures (8 hashes, md5-based → engine-portable); "
@@ -158,25 +184,34 @@ def ext_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@register(
-    "ext_simhash",
-    "WITH "
-    + _TOK
-    + """,
+def _simhash_cte(bits: int) -> str:
+    """CTE chain ending in ``sim(id, simhash)`` — the DuckDB mirror of
+    dedup.simhash at the given width."""
+    return (
+        _TOK
+        + f""",
     tokd AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM tok),
     th AS (SELECT doc_id, MD5(tok) AS h FROM tokd),
     votes AS (
       SELECT doc_id, bit,
              SUM(CASE WHEN (strpos('0123456789abcdef', substring(h, bit + 1, 1)) - 1) % 2 = 1
                       THEN 1 ELSE -1 END) AS v
-      FROM th, (SELECT unnest(generate_series(0, 15)) AS bit) bits
+      FROM th, (SELECT unnest(generate_series(0, {bits - 1})) AS bit) bits
       GROUP BY doc_id, bit
+    ),
+    sim AS (
+      SELECT doc_id AS id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
     )
-    SELECT doc_id AS id,
-           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-                AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
+"""
+    )
+
+
+@register(
+    "ext_simhash",
+    "WITH " + _simhash_cte(16) + "SELECT id, simhash FROM sim",
     doc="16-bit SimHash from token-md5 nibble parity; pure integer "
     "arithmetic, identical across engines.",
 )
@@ -185,25 +220,41 @@ def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ext_embedding_near_dup",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                 * 10000 + 0.5) / 10000 AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                * 10000 + 0.5) / 10000 >= 0.9
+    "ext_simhash_pairs",
+    "WITH "
+    + _simhash_cte(32)
+    + """,
+    bands AS (
+      SELECT id, b, (simhash >> (b * 8)) & 255 AS key
+      FROM sim, (SELECT unnest(generate_series(0, 3)) AS b) bs
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM bands a JOIN bands b2 ON a.b = b2.b AND a.key = b2.key AND a.id < b2.id
+    ),
+    ham AS (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+      FROM cand
+      JOIN sim sa ON sa.id = cand.id_a
+      JOIN sim sb ON sb.id = cand.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     """,
-    doc="Embedding-cosine near-dup pairs (exact all-pairs baseline; "
-    "LSH-bucketed variant = ext_knn_lsh's bucketing with buckets>0).",
+    doc="SimHash near-dup pairs: 32-bit fingerprint, 4 bit-band buckets "
+    "for candidates (pigeonhole-exhaustive for hamming < 4), exact "
+    "hamming verification on candidates only — the third near-dup "
+    "family beside minhash-LSH and embedding-LSH, same bucketed "
+    "never-corpus² shape.",
 )
-def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.9
+def ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), bits=32, bands=4, max_hamming=3
     )
 
 
 # ---- similarity search ---------------------------------------------------
+# (ext_embedding_near_dup is registered below, after _bucket_sql)
 
 
 @register(
@@ -240,6 +291,31 @@ def _bucket_sql(col: str, planes: int = 4, dim: int = 64) -> str:
             f"(CASE WHEN list_dot_product({col}, [{vec}]) >= 0 THEN '1' ELSE '0' END)"
         )
     return " || ".join(parts)
+
+
+@register(
+    "ext_embedding_near_dup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_bucket_sql('embedding::DOUBLE[]')} AS b
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           FLOOR(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 AS sim
+    FROM e a JOIN e b ON a.b = b.b AND a.vec_id < b.vec_id
+    WHERE FLOOR(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 >= 0.35
+    """,
+    doc="Embedding-cosine near-dup pairs on the LSH-bucketed path "
+    "(random-hyperplane sign buckets → equi-join within buckets only): "
+    "work ∝ Σ bucket_size², never corpus² — the 100 TB shape. Threshold "
+    "0.35 sits inside this synthetic corpus's similarity range (max "
+    "~0.51) so the gate checks real pair values, not an empty set. The "
+    "exact all-pairs variant (buckets=0) stays available for small "
+    "filtered sets via dedup.embedding_near_dup_pairs.",
+)
+def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35, buckets=4
+    )
 
 
 @register(

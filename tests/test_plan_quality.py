@@ -162,6 +162,27 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, warehouse):
         eng.catalog.drop_schema(schema)
 
 
+@pytest.mark.parametrize(
+    "name", ["ext_embedding_near_dup", "ext_simhash_pairs", "ext_minhash_lsh_pairs"]
+)
+def test_near_dup_pair_generation_is_bucketed(spark, sf_dir, name):
+    # Every near-dup pair generator must join on a bucket key (LSH sign
+    # bucket / bit-band / minhash band) — a bare `a.id < b.id` cross join
+    # is O(corpus²) and must never reappear in a registered plan.
+    plan = plan_of(SPECS()[name].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ungrouped_kmv_uses_take_ordered(spark, sf_dir):
+    # Global smallest-k must compile to TakeOrderedAndProject (per-partition
+    # top-k + k-row driver merge), not a single-partition global window
+    # ranking the entire distinct-hash vocabulary.
+    plan = plan_of(SPECS()["ext_kmv_distinct_tokens"].fn(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
 @pytest.mark.parametrize("name", ["ext_exact_dedup", "ext_minhash_lsh_pairs"])
 def test_dedup_shuffles_hashes_not_documents(spark, sf_dir, name):
     # The wide shuffles in the dedup path must travel md5/posting keys,
