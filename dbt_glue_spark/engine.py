@@ -611,6 +611,46 @@ class Engine:
         self._write_swap(updated, model)
         return int(obs.get["matched"] or 0)
 
+    def evolve_partitioning(
+        self,
+        name: str,
+        partition_by: list[str],
+        clustered_by: list[str] | None = None,
+        buckets: int | None = None,
+    ) -> dict[str, list[str]]:
+        """Explicit partition-spec evolution — the reference diffs ``SHOW
+        CREATE TABLE`` against the desired spec and emits ``ALTER TABLE ...
+        DROP/ADD PARTITION FIELD`` on Iceberg (reference:
+        dbt/include/glue/macros/python_utils.sql:197-230). Without a
+        transactional format a spec change can't be metadata-only (existing
+        files aren't laid out by the new key), so it is realized as ONE
+        guided rewrite through the versioned-location swap: the new
+        generation lands under the new directory layout, the catalog flips,
+        and subsequent scans filtered on the new key prune partitions.
+        Retained old generations keep their old layout — time travel is
+        unaffected. Returns {"previous": ..., "current": ...}.
+
+        At 100 TB this is a deliberate full rewrite (say, one backfill
+        window at a time via ``backfill``); on Iceberg the same call
+        becomes the metadata-only ALTER, which is why the config mutation
+        is isolated here rather than spread across call sites.
+        """
+        model = self.models[name]
+        rel = self.relation_for(name)
+        df = self.spark.table(rel.render())
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns not in table: {missing}")
+        previous = list(model.config.partition_by)
+        model.config.partition_by = list(partition_by)
+        if clustered_by is not None:
+            model.config.clustered_by = list(clustered_by)
+            model.config.buckets = buckets
+        # lazy self-read into the rewrite is safe: the write lands in a NEW
+        # versioned location while the scan reads the old generation
+        self._write_swap(df, model)
+        return {"previous": previous, "current": list(partition_by)}
+
     def versions(self, name: str) -> list[int]:
         """Retained table generations, newest first — the snapshot log of
         the versioned-location scheme (what Iceberg exposes as

@@ -161,6 +161,28 @@ def test_release_caches_frees_persisted_intermediates(spark):
     assert jsc.getPersistentRDDs().size() == 0
 
 
+def test_evolve_partitioning_relays_out_and_prunes(engine, spark):
+    m = Model(
+        "evo",
+        sql="select id, cast(id % 4 as int) as g, cast(id % 2 as int) as h from range(40)",
+        config=ModelConfig(partition_by=["g"], auto_vacuum=False),
+    )
+    engine.add(m)
+    engine.run(["evo"])
+    res = engine.evolve_partitioning("evo", ["h"])
+    assert res == {"previous": ["g"], "current": ["h"]}
+    df = engine.ref_df("evo").filter("h = 1")
+    # new generation is physically laid out by the new key and pruned scans
+    # touch only the matching partition directory
+    files = df.inputFiles()
+    assert files and all("h=1" in f for f in files), files
+    assert df.count() == 20
+    # old generation (old layout) is still retained for time travel
+    vs = engine.versions("evo")
+    assert len(vs) == 2
+    assert engine.read_version("evo", vs[-1]).count() == 40
+
+
 def test_dml_counts_single_pass(engine):
     m = Model("dmltbl", sql="select id, cast(id % 3 as int) as g from range(12)")
     engine.add(m)
