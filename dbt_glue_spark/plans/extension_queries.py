@@ -592,10 +592,13 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     None,  # no oracle: binary media + sha-based features are not SQL-portable
-    doc="Multimodal plumbing end-to-end: synthetic binary media table → "
-    "Arrow-batched mapInPandas feature extraction → per-kind aggregate. "
-    "Decode itself is stubbed (no codecs in env); schema/batching/"
-    "partitioning are real. Rows-only driver check.",
+    doc="Multimodal end-to-end: synthetic binary media table → Arrow-"
+    "batched mapInPandas feature extraction → per-kind aggregate. Image "
+    "rows are REAL PNGs decoded by the stdlib decoder (width/height in "
+    "the feature vector come from actual pixels; avg_decoded_width "
+    "proves it in the output); audio/video remain opaque sha features "
+    "(no codecs in env). Value-checked in tests/test_multimodal.py; "
+    "rows-only driver check.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions.multimodal import extract_features, synth_media_table
@@ -606,6 +609,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         F.count(F.col("content_sha")).cast("bigint").alias("n_hashed"),
+        # element_at(feature, 1) = decoded pixel width for images (from the
+        # real PNG decode), fake-feature byte value for audio/video
+        F.avg(
+            F.when(F.col("kind") == "image", F.element_at("feature", 1))
+        ).alias("avg_decoded_width"),
     )
 
 

@@ -1,0 +1,124 @@
+"""Multimodal decode tests — the PNG decoder is REAL (stdlib zlib), so
+these are value-checked against independently computed pixels, not
+plumbing-only row counts."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from dbt_glue_spark.extensions.multimodal import (
+    DecodeUnavailable,
+    _PNG_SIG,
+    _paeth,
+    extract_features,
+    image_features,
+    png_decode,
+    png_encode,
+    synth_media_table,
+    synth_png,
+)
+
+
+def _gradient(w: int, h: int, ch: int, seed: int = 0) -> bytes:
+    px = bytearray(w * h * ch)
+    for r in range(h):
+        for c in range(w):
+            for k in range(ch):
+                px[(r * w + c) * ch + k] = (r * 7 + c * 13 + k * 29 + seed) % 256
+    return bytes(px)
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_png_roundtrip(ch):
+    w, h = 17, 9  # odd sizes catch stride bugs
+    px = _gradient(w, h, ch)
+    out = png_decode(png_encode(w, h, px, channels=ch))
+    assert out == (w, h, ch, px)
+
+
+def _forward_filter(px: bytes, w: int, h: int, ch: int, ftype: int) -> bytes:
+    """Apply a PNG scanline filter (encoder side) so the decoder's
+    reconstruction can be verified against the original pixels."""
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        line = px[r * stride : (r + 1) * stride]
+        raw.append(ftype)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) >> 1,
+                4: _paeth(left, up, ul),
+            }[ftype]
+            raw.append((line[i] - pred) & 0xFF)
+        prev = line
+    return bytes(raw)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_decode_all_filters(ftype):
+    w, h, ch = 11, 6, 3
+    px = _gradient(w, h, ch, seed=ftype)
+    raw = _forward_filter(px, w, h, ch, ftype)
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert png_decode(data) == (w, h, ch, px)
+
+
+def test_non_png_raises_and_features_fall_back():
+    with pytest.raises(DecodeUnavailable):
+        png_decode(b"RIFF....WAVEfmt ")
+    feats = image_features(b"not an image at all")
+    assert len(feats) == 8 and all(-1.0 <= f <= 1.0 for f in feats)
+
+
+def test_image_features_match_numpy_recompute():
+    w, h = 20, 10
+    png = synth_png(3, w, h)
+    feats = image_features(png)
+    assert feats[:3] == [float(w), float(h), 3.0]
+    _, _, _, px = png_decode(png)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+    lum = 0.299 * arr[:, 0] + 0.587 * arr[:, 1] + 0.114 * arr[:, 2]
+    assert feats[3] == pytest.approx(lum.mean() / 255.0)
+    assert feats[4] == pytest.approx(lum.std() / 255.0)
+    assert sum(feats[5:8]) == pytest.approx(1.0)
+
+
+def test_extract_features_decodes_images_for_real(spark):
+    media = synth_media_table(spark, n=12)
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        if r["kind"] == "image":
+            # width/height recovered from ACTUAL pixel decode, matching the
+            # metadata columns the synth table declared
+            w, h = 64 + i % 32, 64 + (i * 7) % 32
+            assert r["feature"][0] == float(w)
+            assert r["feature"][1] == float(h)
+            assert r["feature"][2] == 3.0
+        else:
+            assert len(r["feature"]) == 8  # opaque fallback features
+        assert r["n_bytes"] > 0 and r["content_sha"] is not None
