@@ -187,3 +187,54 @@ def repetition_ratio(
         distinct.cast("bigint").alias("n_distinct_ngrams"),
         half_up_round(dup_frac, 6).alias("dup_ngram_frac"),
     )
+
+
+# PII patterns shared by scan/redact and embedded verbatim in the oracle
+# SQL. Deliberately restricted to syntax Java regex and RE2 (DuckDB)
+# interpret identically: no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+# redaction must apply in this fixed order (email first so later patterns
+# can't partially match digits inside an already-redacted marker)
+PII_ORDER = ("email", "ssn", "phone", "ipv4")
+
+
+def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII hit counts (email/ssn/phone/ipv4) + total.
+
+    The pre-training compliance scan: runs as a narrow per-row projection
+    (regexp_extract_all + size, whole-stage codegen, no shuffle, no UDF),
+    so at 100 TB it is a single pass bounded by scan throughput. Detection
+    only — see ``pii_redact`` for removal.
+    """
+    cols = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col), *cols)
+    total = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii_total", total.cast("bigint"))
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII in place: each match replaced by ``<TYPE>`` markers, in
+    the fixed ``PII_ORDER`` so overlapping patterns resolve identically on
+    every engine. Same narrow no-shuffle projection shape as ``pii_scan``.
+    """
+    redacted: Column = F.col(text_col)
+    for name in PII_ORDER:
+        redacted = F.regexp_replace(
+            redacted, PII_PATTERNS[name], f"<{name.upper()}>"
+        )
+    return df.select(F.col(id_col), redacted.alias("redacted_text"))

@@ -1116,6 +1116,89 @@ def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.repetition_ratio(docs, n=3)
 
 
+# The synthetic corpus contains no real PII, so the PII queries inject a
+# deterministic doc_id-derived strip (email always; phone/ssn/ip on
+# residue classes) in BOTH engines, making the scan/redact outputs
+# non-trivial and exactly comparable.
+_PII_MARKED = """
+    marked AS (
+      SELECT doc_id,
+             'contact user' || doc_id || '@example.com '
+             || CASE WHEN doc_id % 3 = 0 THEN 'call 555-123-4567 ' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN 'ssn 219-09-9999 ' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN 'ip 10.0.' || (doc_id % 256) || '.7 ' ELSE '' END
+             || text AS text
+      FROM documents
+    )
+"""
+
+
+def _pii_marked_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id"), F.lit("@example.com "),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("call 555-123-4567 ")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("ssn 219-09-9999 ")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("ip 10.0."), F.col("doc_id") % 256, F.lit(".7 ")),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+@register(
+    "ext_pii_scan",
+    "WITH "
+    + _PII_MARKED
+    + r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+              + len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+              + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+              + len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+             AS BIGINT) AS n_pii_total
+    FROM marked
+    """,
+    doc="PII compliance scan (email/ssn/phone/ipv4 hit counts per doc) — "
+    "narrow codegen projection, no shuffle/UDF; patterns restricted to "
+    "the Java-regex ∩ RE2 dialect so both engines count identically.",
+)
+def ext_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.pii_scan(_pii_marked_df(spark, sf_dir))
+
+
+@register(
+    "ext_pii_redact",
+    "WITH "
+    + _PII_MARKED
+    + r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS redacted_text
+    FROM marked
+    """,
+    doc="PII redaction: matches replaced by <TYPE> markers in a fixed "
+    "order (email first) so overlap resolution is engine-identical; "
+    "full redacted text is value-hashed against the oracle.",
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.pii_redact(_pii_marked_df(spark, sf_dir))
+
+
 @register(
     "ext_kmeans_embeddings",
     None,  # iterative (arbitrary-depth loop) — not one-shot SQL-expressible;
