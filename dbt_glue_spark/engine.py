@@ -81,6 +81,13 @@ class ModelConfig:
     # (validate.sql:38-47). Off by default because this environment has no
     # Delta/Iceberg jars — the engine composes merge semantics instead.
     require_transactional_merge: bool = False
+    # row-level CHECK constraints (Delta ``ADD CONSTRAINT ... CHECK``
+    # analogue): SQL boolean predicates enforced on EVERY write of this
+    # model. SQL CHECK semantics — a row violates only when the predicate
+    # is FALSE; NULL passes. Enforced in-plan (assert_true riding the
+    # write, no extra pass); a violating write fails mid-job and the
+    # staging swap leaves the previous table generation intact.
+    check_constraints: list[str] | None = None
 
 
 @dataclass
@@ -344,6 +351,16 @@ class Engine:
         rel = self.relation_for(model.name)
         version = int(time.time() * 1000)
         loc = self._location(model, version)
+        for c in cfg.check_constraints or []:
+            df = df.filter(
+                F.coalesce(
+                    F.assert_true(
+                        F.coalesce(F.expr(c), F.lit(True)),  # NULL passes (SQL CHECK)
+                        F.lit(f"CHECK constraint violated on {model.name}: {c}"),
+                    ).cast("boolean"),
+                    F.lit(True),
+                )
+            )
         writer = df.write.format(cfg.file_format).mode("overwrite")
         if cfg.partition_by:
             writer = writer.partitionBy(*cfg.partition_by)
@@ -650,6 +667,40 @@ class Engine:
         # versioned location while the scan reads the old generation
         self._write_swap(df, model)
         return {"previous": previous, "current": list(partition_by)}
+
+    def clone_table(self, name: str, target: str) -> Relation:
+        """Zero-copy shallow clone — the Delta ``SHALLOW CLONE`` analogue:
+        register a NEW catalog entry over the source's current versioned
+        generation directory. No data is copied; generations are immutable
+        once written, so the clone is a stable snapshot while the source
+        moves ahead through new generations (dev/test forks, audit pins).
+
+        Requires the source to retain generations (``auto_vacuum=False``) —
+        with vacuum on, the next source rewrite would delete the directory
+        the clone points at. Enforced here rather than discovered later as
+        a dangling table.
+        """
+        model = self.models[name]
+        if model.config.auto_vacuum:
+            raise ValueError(
+                f"clone_table requires auto_vacuum=False on {name!r}: vacuum "
+                "would delete the cloned generation on the next rewrite"
+            )
+        from dbt_glue_spark.operators.governance import scan_versions
+
+        gens = scan_versions(*self._version_scan_args(model))
+        if not gens:
+            raise KeyError(f"{name} has no materialized generation to clone")
+        _, src_loc = gens[0]
+        tgt = Relation(self.schema, target)
+        fmt = model.config.file_format
+        self.spark.sql(
+            f"CREATE TABLE {tgt.render()} USING {fmt} LOCATION '{src_loc}'"
+        )
+        if model.config.partition_by:
+            self.spark.sql(f"MSCK REPAIR TABLE {tgt.render()}")
+        self.catalog.refresh(tgt)
+        return tgt
 
     def versions(self, name: str) -> list[int]:
         """Retained table generations, newest first — the snapshot log of

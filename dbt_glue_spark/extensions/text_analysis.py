@@ -238,3 +238,58 @@ def pii_redact(
             redacted, PII_PATTERNS[name], f"<{name.upper()}>"
         )
     return df.select(F.col(id_col), redacted.alias("redacted_text"))
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 25,
+    min_ttr: float = 0.35,
+    max_dup_frac: float = 0.05,
+) -> DataFrame:
+    """Gopher-style composite quality gate: combine length, lexical
+    diversity (type-token ratio) and 3-gram repetition into one
+    keep/drop verdict with machine-readable reasons.
+
+    This is the shape a real corpus-cleaning pass takes — one narrow
+    projection computing every signal from a single tokenize, a boolean
+    per rule, ``keep`` = all rules pass, and ``reasons`` naming the failed
+    rules (comma-joined, fixed order) so downstream triage can group by
+    failure mode. No shuffle, no UDF; at 100 TB this runs at scan speed.
+    """
+    staged = tokenize_once(df, text_col, [F.col(id_col)])
+    tok = F.col("toks")
+    n = F.size(tok)
+    ttr = F.when(
+        n > 0, F.size(F.array_distinct(tok)).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    total3 = F.greatest(n - 2, F.lit(0))
+    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", tok[i], tok[i + 1], tok[i + 2]))
+    dup_frac = F.when(
+        total3 > 0,
+        (total3 - F.size(F.array_distinct(grams))).cast("double")
+        / total3.cast("double"),
+    ).otherwise(F.lit(0.0))
+    too_short = n < min_tokens
+    low_diversity = ttr < min_ttr
+    repetitive = dup_frac > max_dup_frac
+    return staged.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        half_up_round(ttr, 6).alias("ttr"),
+        half_up_round(dup_frac, 6).alias("dup_ngram_frac"),
+        too_short.alias("too_short"),
+        low_diversity.alias("low_diversity"),
+        repetitive.alias("repetitive"),
+        (~(too_short | low_diversity | repetitive)).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(too_short, F.lit("too_short")),
+            F.when(low_diversity, F.lit("low_diversity")),
+            F.when(repetitive, F.lit("repetitive")),
+        ).alias("reasons"),
+    )

@@ -684,10 +684,11 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ext_dup_clusters",
-    "WITH RECURSIVE "
-    + _SH
+# recursive-CTE transitive closure over 3-gram-Jaccard≥0.5 edges, ending
+# in clusters(doc_id, cluster_id) — shared by ext_dup_clusters and the
+# end-to-end keep-one query
+_CLUSTERS_SQL = (
+    _SH
     + ","
     + _JACCARD_TAIL
     + """,
@@ -698,13 +699,23 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a, b FROM sym
       UNION
       SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    clusters AS (
+      SELECT d.doc_id,
+             CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+               AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
     )
-    SELECT d.doc_id,
-           CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
-             AS cluster_id
-    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-    GROUP BY d.doc_id
-    """,
+"""
+)
+
+
+@register(
+    "ext_dup_clusters",
+    "WITH RECURSIVE "
+    + _CLUSTERS_SQL
+    + "SELECT doc_id, cluster_id FROM clusters",
     doc="Connected components over 3-gram-Jaccard≥0.5 near-dup pairs: every "
     "document labeled with the min id of its transitive dup group "
     "(singletons label themselves). Spark side is iterative min-label "
@@ -717,6 +728,39 @@ def ext_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
     return dedup.dup_clusters(docs, pairs)
+
+
+@register(
+    "ext_dedup_keep_one",
+    "WITH RECURSIVE "
+    + _CLUSTERS_SQL
+    + """
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE c.cluster_id = c.doc_id) AS BIGINT)
+             AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE c.cluster_id <> c.doc_id) AS BIGINT)
+             AS n_dropped
+    FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    doc="End-to-end corpus dedup: near-dup pairs → connected components → "
+    "keep the min-id doc per transitive group → per-source retention "
+    "report. The full pipeline a training-data cleaning run executes, "
+    "composed from the same bucketed-join + label-propagation operators "
+    "the individual gates already prove.",
+)
+def ext_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(docs, pairs)
+    joined = docs.join(clusters, "doc_id")
+    kept = F.col("cluster_id") == F.col("doc_id")
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(kept, 1)).cast("bigint").alias("n_kept"),
+        F.count(F.when(~kept, 1)).cast("bigint").alias("n_dropped"),
+    )
 
 
 # ---- deterministic sampling + sketches -----------------------------------
@@ -1114,6 +1158,50 @@ def ext_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.repetition_ratio(docs, n=3)
+
+
+@register(
+    "ext_quality_filter",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS ttr_raw,
+             CASE WHEN len(toks) >= 3 THEN
+               CAST(len(toks) - 2
+                    - len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                         for i in generate_series(1, len(toks) - 2)]))
+                 AS DOUBLE) / (len(toks) - 2)
+             ELSE 0.0 END AS dup_raw
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           FLOOR(ttr_raw * 1e6 + 0.5) / 1e6 AS ttr,
+           FLOOR(dup_raw * 1e6 + 0.5) / 1e6 AS dup_ngram_frac,
+           n < 25 AS too_short,
+           ttr_raw < 0.35 AS low_diversity,
+           dup_raw > 0.05 AS repetitive,
+           NOT (n < 25 OR ttr_raw < 0.35 OR dup_raw > 0.05) AS keep,
+           concat_ws(',',
+             CASE WHEN n < 25 THEN 'too_short' END,
+             CASE WHEN ttr_raw < 0.35 THEN 'low_diversity' END,
+             CASE WHEN dup_raw > 0.05 THEN 'repetitive' END) AS reasons
+    FROM s
+    """,
+    doc="Gopher-style composite quality gate: length + type-token ratio "
+    "+ 3-gram repetition folded into keep/drop with named reasons — one "
+    "tokenize, one narrow projection, runs at scan speed at any scale.",
+)
+def ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_analysis.quality_filter(load_table(spark, sf_dir, "documents"))
 
 
 # The synthetic corpus contains no real PII, so the PII queries inject a

@@ -183,6 +183,50 @@ def test_evolve_partitioning_relays_out_and_prunes(engine, spark):
     assert engine.read_version("evo", vs[-1]).count() == 40
 
 
+def test_check_constraints_enforced_on_write(engine):
+    m = Model(
+        "checked",
+        sql="select id, cast(id * 10 as int) as amount from range(5)",
+        config=ModelConfig(check_constraints=["amount >= 0", "id < 100"]),
+    )
+    engine.add(m)
+    engine.run(["checked"])  # all rows satisfy → builds
+    assert engine.ref_df("checked").count() == 5
+    # violating rewrite fails mid-job AND the old generation survives
+    m.sql = "select id, cast(id - 3 as int) as amount from range(5)"
+    with pytest.raises(Exception, match="CHECK constraint"):
+        engine.run_model(m)
+    assert engine.ref_df("checked").count() == 5
+    assert engine.ref_df("checked").filter("amount < 0").count() == 0
+    # NULL predicate passes (SQL CHECK semantics)
+    m.sql = "select id, cast(null as int) as amount from range(5)"
+    engine.run_model(m)
+    assert engine.ref_df("checked").count() == 5
+
+
+def test_shallow_clone_pins_generation(engine):
+    m = Model(
+        "src_tbl",
+        sql="select id, cast(id as int) as v from range(6)",
+        config=ModelConfig(auto_vacuum=False),
+    )
+    engine.add(m)
+    engine.run(["src_tbl"])
+    clone = engine.clone_table("src_tbl", "src_tbl_snap")
+    # source moves ahead; the clone stays on the cloned generation
+    assert engine.update_rows("src_tbl", {"v": "v + 100"}, "id >= 0") == 6
+    assert engine.ref_df("src_tbl").agg(F.min("v")).collect()[0][0] == 100
+    snap = engine.spark.table(clone.render())
+    assert snap.count() == 6
+    assert snap.agg(F.max("v")).collect()[0][0] == 5  # pre-update values
+    # vacuum-enabled sources refuse to clone (would dangle)
+    m2 = Model("vac_src", sql="select 1 as a")
+    engine.add(m2)
+    engine.run(["vac_src"])
+    with pytest.raises(ValueError, match="auto_vacuum"):
+        engine.clone_table("vac_src", "nope")
+
+
 def test_dml_counts_single_pass(engine):
     m = Model("dmltbl", sql="select id, cast(id % 3 as int) as g from range(12)")
     engine.add(m)
