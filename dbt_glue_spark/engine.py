@@ -332,7 +332,7 @@ class Engine:
             return os.path.dirname(custom) or ".", os.path.basename(custom)
         return os.path.join(self.warehouse, self.schema), model.name
 
-    def _write_swap(self, df: DataFrame, model: Model) -> Relation:
+    def _write_swap(self, df: DataFrame, model: Model, op: str = "WRITE") -> Relation:
         """Write df to a fresh versioned location, then re-point the catalog.
 
         The substitution point for transactional formats: with Delta/Iceberg
@@ -346,11 +346,21 @@ class Engine:
         staging entry renamed over it (two metadata-only statements). A
         failed or killed write therefore leaves the previous table fully
         intact — the failure window is the metadata flip, not the data job.
+
+        Every successful swap appends one line to the model's commit log
+        (``{base}__log.jsonl`` beside the generations) with the version,
+        operation, and rows written (an observed metric riding the write —
+        no extra pass). ``Engine.history`` is the DESCRIBE HISTORY read
+        side; a failed write logs nothing, matching the no-commit outcome.
         """
+        from pyspark.sql import Observation
+
         cfg = model.config
         rel = self.relation_for(model.name)
         version = int(time.time() * 1000)
         loc = self._location(model, version)
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         for c in cfg.check_constraints or []:
             df = df.filter(
                 F.coalesce(
@@ -378,6 +388,21 @@ class Engine:
         self.catalog.drop(rel)
         self.catalog.rename(stage, rel)
         self.catalog.refresh(rel)
+        try:
+            rows = int(obs.get["rows"] or 0)
+        except Exception:  # noqa: BLE001 — metric loss must not fail the commit
+            rows = -1
+        log_dir, base = self._version_scan_args(model)
+        import json as _json
+
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, f"{base}__log.jsonl"), "a") as fh:
+            fh.write(
+                _json.dumps(
+                    {"version": version, "ts_ms": version, "op": op, "rows": rows}
+                )
+                + "\n"
+            )
         if cfg.auto_vacuum:
             from dbt_glue_spark.operators.governance import vacuum_versions_at
 
@@ -547,7 +572,7 @@ class Engine:
             ).sortWithinPartitions(*sort_by)
         else:
             rewritten = df.repartition(n_target)
-        self._write_swap(rewritten, model)
+        self._write_swap(rewritten, model, op="OPTIMIZE")
         after = self.spark.table(rel.render())
         n_after, bytes_after = _stat(after)
         return {
@@ -590,7 +615,7 @@ class Engine:
         obs = Observation()
         annotated = df.observe(obs, F.sum(pred.cast("long")).alias("deleted"))
         kept = annotated.filter(~pred)
-        self._write_swap(kept, model)
+        self._write_swap(kept, model, op="DELETE")
         return int(obs.get["deleted"] or 0)
 
     def update_rows(self, name: str, set: dict[str, str], predicate: str) -> int:
@@ -625,7 +650,7 @@ class Engine:
                 for c in df.columns
             ]
         )
-        self._write_swap(updated, model)
+        self._write_swap(updated, model, op="UPDATE")
         return int(obs.get["matched"] or 0)
 
     def evolve_partitioning(
@@ -665,8 +690,33 @@ class Engine:
             model.config.buckets = buckets
         # lazy self-read into the rewrite is safe: the write lands in a NEW
         # versioned location while the scan reads the old generation
-        self._write_swap(df, model)
+        self._write_swap(df, model, op="EVOLVE PARTITIONING")
         return {"previous": previous, "current": list(partition_by)}
+
+    def history(self, name: str) -> list[dict]:
+        """Commit history, newest first — the ``DESCRIBE HISTORY`` analogue
+        for the versioned-location scheme. Each entry: version, ts_ms, op
+        (CREATE/APPEND/MERGE/DELETE/UPDATE/OPTIMIZE/...), rows written, and
+        whether that generation is still retained on disk (``retained`` —
+        history survives vacuum; data dirs may not)."""
+        import json as _json
+
+        log_dir, base = self._version_scan_args(self.models[name])
+        path = os.path.join(log_dir, f"{base}__log.jsonl")
+        if not os.path.exists(path):
+            return []
+        from dbt_glue_spark.operators.governance import scan_versions
+
+        retained = {v for v, _ in scan_versions(log_dir, base)}
+        out = []
+        with open(path) as fh:
+            for line in fh:
+                if line.strip():
+                    e = _json.loads(line)
+                    e["retained"] = e["version"] in retained
+                    out.append(e)
+        out.sort(key=lambda e: e["version"], reverse=True)
+        return out
 
     def clone_table(self, name: str, target: str) -> Relation:
         """Zero-copy shallow clone — the Delta ``SHALLOW CLONE`` analogue:
@@ -732,11 +782,11 @@ class Engine:
         return rel
 
     def _mat_table(self, model: Model) -> Relation:
-        return self._write_swap(self._model_df(model), model)
+        return self._write_swap(self._model_df(model), model, op="CREATE TABLE AS")
 
     def _mat_seed(self, model: Model) -> Relation:
         df = infer_seed_df(self.spark, model.seed_csv or "", model.column_types)
-        return self._write_swap(df, model)
+        return self._write_swap(df, model, op="SEED")
 
     def _mat_incremental(self, model: Model) -> Relation:
         cfg = model.config
@@ -755,7 +805,9 @@ class Engine:
             )
         exists = self.catalog.exists(rel)
         if not exists or cfg.full_refresh:
-            return self._write_swap(self._model_df(model, is_incremental=False), model)
+            return self._write_swap(
+                self._model_df(model, is_incremental=False), model, op="CREATE TABLE AS"
+            )
 
         batch = self._model_df(model, is_incremental=True)
         target_df = self.spark.table(rel.render())
@@ -779,7 +831,7 @@ class Engine:
                 self.catalog.refresh(rel)
                 return rel
             # no partitions ⇒ whole-table replace (strategies.sql:16-18)
-            return self._write_swap(batch, model)
+            return self._write_swap(batch, model, op="INSERT OVERWRITE")
 
         # merge
         key = cfg.unique_key
@@ -793,7 +845,7 @@ class Engine:
         )
         # a rewriting merge must not read-then-truncate its own input
         merged = merged.localCheckpoint(eager=True)
-        return self._write_swap(merged, model)
+        return self._write_swap(merged, model, op="MERGE")
 
     def _mat_snapshot(self, model: Model) -> Relation:
         cfg = model.config
@@ -813,7 +865,7 @@ class Engine:
         )
         if current is not None:
             snap = snap.localCheckpoint(eager=True)
-        return self._write_swap(snap, model)
+        return self._write_swap(snap, model, op="SNAPSHOT")
 
 
 def run_tests(

@@ -152,13 +152,17 @@ def test_release_caches_frees_persisted_intermediates(spark):
     df = spark.createDataFrame(
         [(i, f"doc text number {i % 3}") for i in range(30)], "doc_id int, text string"
     )
+    jsc = spark.sparkContext._jsc.sc()
+    dedup.release_caches()  # drain registry entries left by earlier tests
+    before = jsc.getPersistentRDDs().size()
     deduped = dedup.exact_dedup(df)
     assert deduped.count() == 3
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() > 0
+    assert jsc.getPersistentRDDs().size() > before
     released = dedup.release_caches()
     assert released >= 1
-    assert jsc.getPersistentRDDs().size() == 0
+    # other tests' localCheckpoints may coexist in the shared session —
+    # assert OUR cache was dropped, not a global zero
+    assert jsc.getPersistentRDDs().size() <= before
 
 
 def test_evolve_partitioning_relays_out_and_prunes(engine, spark):
@@ -225,6 +229,32 @@ def test_shallow_clone_pins_generation(engine):
     engine.run(["vac_src"])
     with pytest.raises(ValueError, match="auto_vacuum"):
         engine.clone_table("vac_src", "nope")
+
+
+def test_commit_history_describes_writes(engine):
+    m = Model(
+        "hist",
+        sql="select id, cast(id as int) as v from range(10)",
+        config=ModelConfig(auto_vacuum=False),
+    )
+    engine.add(m)
+    engine.run(["hist"])
+    engine.update_rows("hist", {"v": "v + 1"}, "id < 3")
+    engine.delete_rows("hist", "id >= 8")
+    engine.compact("hist")
+    h = engine.history("hist")
+    assert [e["op"] for e in h] == ["OPTIMIZE", "DELETE", "UPDATE", "CREATE TABLE AS"]
+    assert [e["rows"] for e in h] == [8, 8, 10, 10]  # rows written per commit
+    assert all(e["retained"] for e in h)  # auto_vacuum off → all generations live
+    assert h[0]["version"] == engine.versions("hist")[0]
+    # vacuum-enabled models keep full history but only the newest data dir
+    m2 = Model("hist2", sql="select 1 as a")
+    engine.add(m2)
+    engine.run(["hist2"])
+    engine.update_rows("hist2", {"a": "2"}, "a = 1")
+    h2 = engine.history("hist2")
+    assert len(h2) == 2
+    assert h2[0]["retained"] and not h2[1]["retained"]
 
 
 def test_dml_counts_single_pass(engine):
