@@ -693,6 +693,45 @@ class Engine:
         self._write_swap(df, model, op="EVOLVE PARTITIONING")
         return {"previous": previous, "current": list(partition_by)}
 
+    def restore(self, name: str, version: int) -> Relation:
+        """Roll the table back to a retained generation — the Delta
+        ``RESTORE TABLE ... VERSION AS OF`` analogue. Metadata-only: the
+        catalog re-points at the old generation's directory (generations
+        are immutable, so no data moves), and a RESTORE commit is logged.
+        Requires ``auto_vacuum=False`` history retention, like any time
+        travel here."""
+        import json as _json
+
+        model = self.models[name]
+        from dbt_glue_spark.operators.governance import scan_versions
+
+        log_dir, base = self._version_scan_args(model)
+        paths = dict(scan_versions(log_dir, base))
+        if version not in paths:
+            raise KeyError(f"version {version} of {name} not retained")
+        rel = self.relation_for(name)
+        self.catalog.drop(rel)
+        self.spark.sql(
+            f"CREATE TABLE {rel.render()} USING {model.config.file_format} "
+            f"LOCATION '{paths[version]}'"
+        )
+        if model.config.partition_by:
+            self.spark.sql(f"MSCK REPAIR TABLE {rel.render()}")
+        self.catalog.refresh(rel)
+        with open(os.path.join(log_dir, f"{base}__log.jsonl"), "a") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "version": int(time.time() * 1000),
+                        "ts_ms": int(time.time() * 1000),
+                        "op": f"RESTORE v{version}",
+                        "rows": -1,
+                    }
+                )
+                + "\n"
+            )
+        return rel
+
     def history(self, name: str) -> list[dict]:
         """Commit history, newest first — the ``DESCRIBE HISTORY`` analogue
         for the versioned-location scheme. Each entry: version, ts_ms, op

@@ -257,6 +257,28 @@ def test_commit_history_describes_writes(engine):
     assert h2[0]["retained"] and not h2[1]["retained"]
 
 
+def test_restore_rolls_back_to_retained_generation(engine):
+    m = Model(
+        "rest",
+        sql="select id, cast(id as int) as v from range(5)",
+        config=ModelConfig(auto_vacuum=False),
+    )
+    engine.add(m)
+    engine.run(["rest"])
+    v0 = engine.versions("rest")[0]
+    engine.update_rows("rest", {"v": "v * 100"}, "id >= 0")
+    assert engine.ref_df("rest").agg(F.max("v")).collect()[0][0] == 400
+    engine.restore("rest", v0)
+    # catalog now points at the pre-update generation, data unchanged
+    assert engine.ref_df("rest").agg(F.max("v")).collect()[0][0] == 4
+    assert engine.history("rest")[0]["op"] == f"RESTORE v{v0}"
+    with pytest.raises(KeyError):
+        engine.restore("rest", 123)
+    # a later rewrite moves forward normally from the restored state
+    assert engine.delete_rows("rest", "id = 0") == 1
+    assert engine.ref_df("rest").count() == 4
+
+
 def test_dml_counts_single_pass(engine):
     m = Model("dmltbl", sql="select id, cast(id % 3 as int) as g from range(12)")
     engine.add(m)
