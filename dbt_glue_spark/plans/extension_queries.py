@@ -1580,13 +1580,55 @@ def ext_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_pagerank_trade",
-    None,  # iterative — rows-only; invariants unit-tested
-    # (Σ=1, symmetric graph → uniform, star → hub dominates)
+    r"""
+    WITH RECURSIVE edges AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS volume
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      WHERE sn.n_name <> cn.n_name
+      GROUP BY 1, 2
+    ),
+    -- UNION ALL + DISTINCT, not plain UNION: inside WITH RECURSIVE DuckDB
+    -- gives a two-arm UNION recursive-union semantics and skips the dedup
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT src, CAST(SUM(CAST(volume AS DECIMAL(28,12))) AS DOUBLE) AS ow
+             FROM edges GROUP BY src),
+    trans AS (
+      SELECT e.src, e.dst, e.volume / o.ow AS share
+      FROM edges e JOIN outw o ON e.src = o.src
+      UNION ALL
+      SELECT node, node, 0.0 FROM nodes  -- zero self-loops keep every node present
+    ),
+    it(i, node, rank) AS (
+      SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+      UNION ALL
+      SELECT i + 1, t.dst,
+             ((0.15 / (SELECT n FROM nn))
+              + 0.85 * CAST(SUM(CAST(t.share * it.rank AS DECIMAL(28,12))) AS DOUBLE))
+             / CAST(SUM(CAST((0.15 / (SELECT n FROM nn))
+                     + 0.85 * CAST(SUM(CAST(t.share * it.rank AS DECIMAL(28,12))) AS DOUBLE)
+                   AS DECIMAL(28,12))) OVER () AS DOUBLE)
+      FROM it JOIN trans t ON t.src = it.node
+      WHERE it.i < 10
+      GROUP BY it.i, t.dst
+    )
+    SELECT node, FLOOR(rank * 1e6 + 0.5) / 1e6 AS rank FROM it WHERE i = 10
+    """,
     doc="Weighted PageRank over the nation trade graph (supplier nation → "
     "customer nation, edge weight = trade volume from the q7-style join). "
     "Iterative: per round one dst-keyed shuffle reusing the node "
-    "partitioning; decimal inflow sums → bit-reproducible. The authority "
-    "signal for crawl/corpus source prioritization.",
+    "partitioning; decimal inflow sums → bit-reproducible, which is what "
+    "lets a recursive-CTE oracle replay all 10 rounds to exact equality "
+    "(upgraded from rows-only). The authority signal for crawl/corpus "
+    "source prioritization.",
 )
 def ext_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions.graph import pagerank
@@ -1620,7 +1662,10 @@ def ext_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("volume")
         )
     )
-    return pagerank(edges, weight_col="volume", iterations=10)
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    ranks = pagerank(edges, weight_col="volume", iterations=10)
+    return ranks.select("node", half_up_round(F.col("rank"), 6).alias("rank"))
 
 
 def _split_oracle() -> str:
