@@ -155,13 +155,16 @@ def ivf_assign(
         F.lit(0.0),
         lambda acc, d: acc + d,
     )
+    # struct-min, not min_by: equal distances break ties on the LOWER cid
+    # deterministically (min_by tie order is engine/partition dependent)
     return (
         exploded.withColumn("dist", dist)
         .groupBy("id")
         .agg(
-            F.min_by(F.col("cent.cid"), F.col("dist")).alias("cell"),
+            F.min(F.struct(F.col("dist"), F.col("cent.cid").alias("cid"))).alias("best"),
             F.first("v").alias("v"),
         )
+        .select("id", F.col("best.cid").alias("cell"), "v")
     )
 
 
@@ -188,7 +191,14 @@ def ivf_train(
         means = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            # decimal mean → shuffle-order-independent (same discipline as
+            # clustering.kmeans_assign), making the codebook — and thus the
+            # whole IVF index — a pure function of the corpus
+            .agg(
+                (F.sum(F.col("x").cast("decimal(28,12)")) / F.count("*"))
+                .cast("double")
+                .alias("m")
+            )
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .collect()

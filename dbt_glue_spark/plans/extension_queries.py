@@ -671,11 +671,68 @@ def ext_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_knn_ivf",
-    None,  # centroid means are FP-order-dependent → rows-only; recall is
-    # pytest-verified against knn_bruteforce (test_similarity_recall)
-    doc="IVF approximate kNN: Lloyd-trained codebook (deterministic init), "
-    "corpus bucketed into cells, nprobe-cell probing per query. The third "
-    "ANN tier (brute force exact / LSH hash / IVF quantized).",
+    r"""
+    WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb(i, cid, c) AS (
+      SELECT 0, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, v
+      FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)
+      UNION ALL
+      SELECT i + 1, cell, list(m ORDER BY pos)
+      FROM (
+        SELECT a.i, a.cell, gs.pos,
+               CAST(SUM(CAST(a.v[gs.pos] AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS m
+        FROM (
+          SELECT ce.i, ee.id, ee.v,
+                 (MIN({'d2': list_sum(list_transform(list_zip(ee.v, ce.c),
+                                      p -> (p[1]-p[2])*(p[1]-p[2]))),
+                       'cid': ce.cid})).cid AS cell
+          FROM e ee, cb ce
+          WHERE ce.i < 3
+          GROUP BY ce.i, ee.id, ee.v
+        ) a, (SELECT unnest(generate_series(1, 64)) AS pos) gs
+        GROUP BY a.i, a.cell, gs.pos
+      )
+      GROUP BY i, cell
+    ),
+    fc AS (SELECT cid, c FROM cb WHERE i = 3),
+    cells AS (
+      SELECT ee.id,
+             (MIN({'d2': list_sum(list_transform(list_zip(ee.v, fc.c),
+                                  p -> (p[1]-p[2])*(p[1]-p[2]))),
+                   'cid': fc.cid})).cid AS cell,
+             ee.v
+      FROM e ee, fc GROUP BY ee.id, ee.v
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.id AS query_id, fc.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.id
+                 ORDER BY list_sum(list_transform(list_zip(q.v, fc.c),
+                           p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, fc.cid ASC) AS prk
+        FROM (SELECT id, v FROM e WHERE id < 10) q, fc
+      ) WHERE prk <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, c.id AS neighbor_id,
+             FLOOR(list_cosine_similarity(q.v, c.v) * 10000 + 0.5) / 10000 AS sim
+      FROM probes p
+      JOIN cells c ON c.cell = p.cell
+      JOIN e q ON q.id = p.query_id
+      WHERE c.id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+    doc="IVF approximate kNN: Lloyd-trained codebook (deterministic init, "
+    "decimal centroid means), corpus bucketed into cells, nprobe-cell "
+    "probing per query. The third ANN tier (brute force exact / LSH hash "
+    "/ IVF quantized). Codebook determinism lets a recursive-CTE oracle "
+    "replay training + assignment + probing exactly (upgraded from "
+    "rows-only); recall vs brute force stays pytest-verified.",
 )
 def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1287,22 +1344,67 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.pii_redact(_pii_marked_df(spark, sf_dir))
 
 
+_KMEANS_CTE = r"""
+    WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent(i, cid, c) AS (
+      SELECT 0, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, v
+      FROM (SELECT id, v FROM e ORDER BY id LIMIT 10)
+      UNION ALL
+      SELECT i + 1, cluster_id, list(m ORDER BY pos)
+      FROM (
+        SELECT a.i, a.cluster_id, gs.pos,
+               CAST(SUM(CAST(a.v[gs.pos] AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS m
+        FROM (
+          SELECT ce.i, ee.id, ee.v,
+                 (MIN({'d2': list_sum(list_transform(list_zip(ee.v, ce.c),
+                                      p -> (p[1]-p[2])*(p[1]-p[2]))),
+                       'cid': ce.cid})).cid AS cluster_id
+          FROM e ee, cent ce
+          WHERE ce.i < 6
+          GROUP BY ce.i, ee.id, ee.v
+        ) a, (SELECT unnest(generate_series(1, 64)) AS pos) gs
+        GROUP BY a.i, a.cluster_id, gs.pos
+      )
+      GROUP BY i, cluster_id
+    ),
+    final_cent AS (SELECT cid, c FROM cent WHERE i = 6),
+    assign AS (
+      SELECT ee.id,
+             MIN({'d2': list_sum(list_transform(list_zip(ee.v, fc.c),
+                                  p -> (p[1]-p[2])*(p[1]-p[2]))),
+                  'cid': fc.cid}) AS best
+      FROM e ee, final_cent fc
+      GROUP BY ee.id
+    )
+"""
+
+
 @register(
     "ext_kmeans_embeddings",
-    None,  # iterative (arbitrary-depth loop) — not one-shot SQL-expressible;
-    # correctness held by unit tests: blob separation, monotone inertia,
-    # deterministic re-run. Driver records the rows-only check.
+    _KMEANS_CTE
+    + """
+    SELECT id AS vec_id, (best).cid AS cluster_id,
+           FLOOR((best).d2 * 1e6 + 0.5) / 1e6 AS sq_dist
+    FROM assign
+    """,
     doc="Distributed Lloyd's k-means over the embeddings table (k=10, 6 "
     "rounds, deterministic lowest-id init). Per round: broadcast-k assign "
     "(map-side) + one (cluster, dim) decimal-mean shuffle of k·d rows; "
-    "localCheckpoint keeps the plan constant-size. The clustering stage "
-    "of curation pipelines (topic bucketing, diversity sampling).",
+    "localCheckpoint keeps the plan constant-size. Deterministic "
+    "throughout (sequential L2 folds, struct-min tie-breaks, decimal "
+    "means) — which is what lets a recursive-CTE oracle replay all 6 "
+    "Lloyd rounds to exact equality (upgraded from rows-only). The "
+    "clustering stage of curation pipelines.",
 )
 def ext_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions import clustering
+    from dbt_glue_spark.functions.scalars import half_up_round
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return clustering.kmeans_assign(emb, k=10, max_iter=6)
+    out = clustering.kmeans_assign(emb, k=10, max_iter=6)
+    return out.select(
+        "vec_id", "cluster_id", half_up_round(F.col("sq_dist"), 6).alias("sq_dist")
+    )
 
 
 def _cm_oracle() -> str:
@@ -1510,18 +1612,33 @@ def ext_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_diversity_sample",
-    None,  # downstream of iterative k-means → rows-only; exemplar
-    # minimality is unit-tested (test_cluster_representatives_are_argmin)
+    _KMEANS_CTE
+    + """
+    , best_per_cluster AS (
+      SELECT (best).cid AS cluster_id,
+             MIN({'d2': (best).d2, 'id': id}) AS rep
+      FROM assign
+      GROUP BY (best).cid
+    )
+    SELECT cluster_id, (rep).id AS vec_id,
+           FLOOR((rep).d2 * 1e6 + 0.5) / 1e6 AS sq_dist
+    FROM best_per_cluster
+    """,
     doc="Diversity sampling: the member closest to its centroid per "
     "k-means cluster (argmin via struct-min, k-row output) — exemplar "
-    "selection for topic-balanced subcorpora.",
+    "selection for topic-balanced subcorpora. Oracle replays the full "
+    "k-means + per-cluster argmin (upgraded from rows-only).",
 )
 def ext_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions import clustering
+    from dbt_glue_spark.functions.scalars import half_up_round
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = clustering.kmeans_assign(emb, k=10, max_iter=6)
-    return clustering.cluster_representatives(assigned)
+    reps = clustering.cluster_representatives(assigned)
+    return reps.select(
+        "cluster_id", "vec_id", half_up_round(F.col("sq_dist"), 6).alias("sq_dist")
+    )
 
 
 def _hist_oracle() -> str:
