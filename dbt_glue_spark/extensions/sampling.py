@@ -78,3 +78,26 @@ def train_val_test_split(
         .when(frac < F.lit(train_hi + val_fraction), F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Data-mixture sampling: keep each group at its own rate — the
+    "target mixture" step of training-set assembly (downsample the crawl,
+    keep curated sources whole). Same content-hash membership as
+    ``hash_sample``, so a document's in/out decision is a pure function of
+    its key and its group's rate: stable across runs, partitionings, and
+    corpus growth, and composable with incremental loads. Groups absent
+    from ``rates`` get ``default_rate`` (0.0 = drop).
+
+    Stateless projection + filter — no shuffle, scan-bounded at any scale.
+    """
+    rate = F.lit(float(default_rate))
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
+    return df.filter(_hash_frac(F.col(key_col)) < rate)

@@ -293,3 +293,47 @@ def quality_filter(
             F.when(repetitive, F.lit("repetitive")),
         ).alias("reasons"),
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    max_line_df: int = 50,
+) -> DataFrame:
+    """C4/CCNet-style boilerplate removal: drop every line that appears in
+    more than ``max_line_df`` distinct documents (nav bars, cookie
+    banners, copyright footers), preserving the order of surviving lines.
+
+    Output: (id, clean_text, n_lines_kept, n_lines_total); a document
+    whose lines are all boilerplate survives with an empty clean_text.
+
+    Plan: one explode + one line-keyed distinct-count shuffle + one doc
+    regroup — the line df is exactly an inverted-index document frequency,
+    so cost scales like the dedup postings pass, never doc².
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    )
+    freq = lines.groupBy("line").agg(F.countDistinct(id_col).alias("df_"))
+    ln = lines.join(freq, "line")
+    keep = F.col("df_") <= max_line_df
+    assembled = F.concat_ws(
+        line_sep,
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line", keep.alias("keep")))
+                ),
+                lambda s: s.keep,
+            ),
+            lambda s: s.line,
+        ),
+    )
+    return ln.groupBy(id_col).agg(
+        assembled.alias("clean_text"),
+        F.sum(keep.cast("long")).cast("bigint").alias("n_lines_kept"),
+        F.count("*").cast("bigint").alias("n_lines_total"),
+    )

@@ -843,6 +843,33 @@ def ext_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_sample(docs, "doc_id", 0.2)
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+@register(
+    "ext_mixture_sample",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, lang, source,
+             CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                         WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                         ELSE 0.05 END AS r
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM rated
+    WHERE {_duck_hash_fraction('doc_id')} < r
+    """,
+    doc="Data-mixture sampling: per-source keep rates (keep src0 whole, "
+    "downsample the rest, default 5%) via the same content-hash "
+    "membership as hash_sample — the target-mixture step of training-set "
+    "assembly, stable under repartitioning and corpus growth. Stateless "
+    "projection + filter; scan-bounded at any scale.",
+)
+def ext_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.mixture_sample(docs, _MIX_RATES, default_rate=0.05)
+
+
 @register(
     "ext_stratified_sample",
     f"""
@@ -1259,6 +1286,60 @@ def ext_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_boilerplate_strip",
+    r"""
+    WITH marked AS (
+      SELECT doc_id,
+             'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) || text || chr(10)
+             || CASE doc_id % 3 WHEN 0 THEN 'copyright acme corp'
+                                WHEN 1 THEN 'all rights reserved'
+                                ELSE 'follow us on social media' END AS text
+      FROM documents
+    ),
+    arr AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM marked),
+    l AS (
+      SELECT doc_id, unnest([{'pos': i, 'line': a[i]}
+                             for i in generate_series(1, len(a))],
+                            recursive := true)
+      FROM arr
+    ),
+    freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df_ FROM l GROUP BY line)
+    SELECT l.doc_id,
+           COALESCE(string_agg(l.line, chr(10) ORDER BY l.pos)
+                    FILTER (f.df_ <= 50), '') AS clean_text,
+           CAST(SUM(CASE WHEN f.df_ <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_total
+    FROM l JOIN freq f USING (line)
+    GROUP BY l.doc_id
+    """,
+    doc="C4-style boilerplate strip: drop lines appearing in > 50 distinct "
+    "docs (injected newsletter header + rotating footers on both engines, "
+    "since the token-soup corpus has no newlines), preserving body-line "
+    "order. Line df is an inverted-index document frequency — postings-"
+    "pass cost, never doc².",
+)
+def ext_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("SUBSCRIBE TO OUR NEWSLETTER\n"),
+            F.col("text"),
+            F.lit("\n"),
+            F.element_at(
+                F.array(
+                    F.lit("copyright acme corp"),
+                    F.lit("all rights reserved"),
+                    F.lit("follow us on social media"),
+                ),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    return text_analysis.boilerplate_strip(marked, max_line_df=50)
 
 
 # The synthetic corpus contains no real PII, so the PII queries inject a
