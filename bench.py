@@ -67,6 +67,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+    # keep the bench tail to timings: the remaining WindowExec warnings
+    # all concern intentional tiny-frame windows (≤256-row sketch/seed
+    # frames), not data-scale plans — those are plan-gated in tests
+    spark.sparkContext.setLogLevel("ERROR")
     specs = SPECS()
     names = [n for n in HEADLINE + EXTENSION_HEADLINE if n in specs]
     # warmup: JVM + parquet footer caches

@@ -59,6 +59,8 @@ def kmeans_assign(
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # global window is intentional: numbering runs over the k-row seed
+    # frame (already limited), never the corpus
     w = Window.orderBy("id")
     centroids = (
         vecs.orderBy("id")

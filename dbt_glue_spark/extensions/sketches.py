@@ -299,6 +299,10 @@ def histogram_quantiles(
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
+    # global window is intentional here: the cumulative runs over the
+    # ≤`buckets`-row histogram, never the data — one partition of ≤256
+    # rows IS the sketch contract (the "No Partition Defined" warning it
+    # logs is about data-scale windows and does not apply)
     wdw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cdf = hist.select("bucket", "cnt", F.sum("cnt").over(wdw).alias("cum"))
     qdf = None

@@ -122,3 +122,23 @@ def test_extract_features_decodes_images_for_real(spark):
         else:
             assert len(r["feature"]) == 8  # opaque fallback features
         assert r["n_bytes"] > 0 and r["content_sha"] is not None
+
+
+def test_png_roundtrip_property():
+    # property-based: any size/channel/pixel combination survives the
+    # encode→decode loop bit-exactly
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=1, max_value=24),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def roundtrip(w, h, ch, seed):
+        rnd = np.random.RandomState(seed)
+        px = rnd.randint(0, 256, size=w * h * ch, dtype=np.uint8).tobytes()
+        assert png_decode(png_encode(w, h, px, channels=ch)) == (w, h, ch, px)
+
+    roundtrip()
