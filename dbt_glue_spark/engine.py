@@ -474,16 +474,26 @@ class Engine:
             lo = hi
         return ran
 
-    def test(self, names: list[str] | None = None) -> DataFrame:
+    def test(
+        self, names: list[str] | None = None, store_failures: bool = False
+    ) -> DataFrame:
         """Run every declared schema test (``Model.tests``) — the ``dbt
         test`` command. Returns a report DataFrame (model, column, test,
         n_failures, passed); overall health = ``report.filter("NOT
         passed")`` empty.
 
         Each test evaluates lazily and only its failure COUNT is collected
-        (dbt likewise stores/c counts failures) — failing-row payloads stay
+        (dbt likewise stores/counts failures) — failing-row payloads stay
         distributed; fetch them by re-running the underlying quality
         operator when debugging.
+
+        ``store_failures=True`` is dbt's ``store_failures`` flag: each
+        FAILING test additionally materializes its failing rows as a table
+        ``{model}__{column}__{test}`` in the ``{schema}_dbt_test__audit``
+        schema (dbt's audit-schema convention), so triage queries run
+        against persisted evidence instead of re-deriving it. Passing
+        tests store nothing, and a re-run replaces prior audit tables
+        through the same versioned write path as any other table.
         """
         from dbt_glue_spark.quality import tests as dq
 
@@ -515,6 +525,15 @@ class Engine:
                     else:
                         raise ValueError(f"unknown test spec {spec!r} on {name}.{column}")
                     n = fails.count()
+                    if store_failures and n > 0:
+                        audit = Engine(
+                            self.spark,
+                            self.warehouse,
+                            schema=f"{self.schema}_dbt_test__audit",
+                        )
+                        audit_model = Model(f"{name}__{column}__{label}")
+                        audit.add(audit_model)
+                        audit._write_swap(fails, audit_model, op="STORE FAILURES")
                     report.append((name, column, label, n, n == 0))
         return self.spark.createDataFrame(
             report or [("", "", "", 0, True)][:0],

@@ -619,9 +619,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sampling",
-    None,  # no oracle: synthetic media table not visible to DuckDB
+    # the synthetic media table is a pure function of the row index
+    # (kind = i%3, duration_ms = 1000*(1+i%10)), so the oracle derives the
+    # expected 1 Hz frame count per video arithmetically: the gate checks
+    # the Spark-side explode/sequence plumbing against the spec
+    """
+    SELECT i AS media_id, CAST((i % 10) + 1 AS BIGINT) AS n_frames
+    FROM (SELECT unnest(generate_series(0, 95)) AS i)
+    WHERE i % 3 = 2
+    """,
     doc="Video frame-sampling plumbing: explode sampled timestamps per "
-    "video (1 Hz), count frames per media id. Rows-only driver check.",
+    "video (1 Hz), count frames per media id. Oracle = closed-form frame "
+    "count from the deterministic media-table spec (upgraded from "
+    "rows-only).",
 )
 def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions.multimodal import sample_frames, synth_media_table

@@ -279,6 +279,28 @@ def test_restore_rolls_back_to_retained_generation(engine):
     assert engine.ref_df("rest").count() == 4
 
 
+def test_store_failures_materializes_audit_tables(engine, spark):
+    m = Model(
+        "sf_model",
+        sql="select id, case when id = 2 then null else cast(id % 2 as int) end as flag from range(6)",
+        tests={"flag": ["not_null", {"accepted_values": {"values": [0], "quote": False}}]},
+    )
+    engine.add(m)
+    engine.run(["sf_model"])
+    report = engine.test(store_failures=True)
+    rows = {r["test"]: r["n_failures"] for r in report.collect()}
+    assert rows["not_null"] == 1  # id 2
+    # accepted_values reports one row per offending VALUE (dbt grouped
+    # form): the single disallowed value 1 (NULLs excluded by isin)
+    assert rows["accepted_values"] == 1
+    audit_schema = f"{engine.schema}_dbt_test__audit"
+    audit = spark.table(f"`{audit_schema}`.`sf_model__flag__not_null`")
+    assert audit.count() == 1
+    av = spark.table(f"`{audit_schema}`.`sf_model__flag__accepted_values`")
+    assert av.count() == rows["accepted_values"]
+    engine.catalog.drop_schema(audit_schema)
+
+
 def test_dml_counts_single_pass(engine):
     m = Model("dmltbl", sql="select id, cast(id % 3 as int) as g from range(12)")
     engine.add(m)
