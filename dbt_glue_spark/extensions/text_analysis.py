@@ -247,6 +247,7 @@ def quality_filter(
     min_tokens: int = 25,
     min_ttr: float = 0.35,
     max_dup_frac: float = 0.05,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style composite quality gate: combine length, lexical
     diversity (type-token ratio) and 3-gram repetition into one
@@ -256,9 +257,17 @@ def quality_filter(
     projection computing every signal from a single tokenize, a boolean
     per rule, ``keep`` = all rules pass, and ``reasons`` naming the failed
     rules (comma-joined, fixed order) so downstream triage can group by
-    failure mode. No shuffle, no UDF; at 100 TB this runs at scan speed.
+    failure mode. No shuffle, no UDF; at 100 TB this runs at scan speed —
+    and being stateless it drops into a Structured Streaming stage
+    unchanged (streaming/pipelines.clean_documents_stream).
+
+    ``passthrough`` columns are carried into the output unchanged (e.g.
+    the text itself, so a downstream redaction stage composes without a
+    join).
     """
-    staged = tokenize_once(df, text_col, [F.col(id_col)])
+    staged = tokenize_once(
+        df, text_col, [F.col(id_col), *(F.col(c) for c in passthrough)]
+    )
     tok = F.col("toks")
     n = F.size(tok)
     ttr = F.when(
@@ -279,6 +288,7 @@ def quality_filter(
     repetitive = dup_frac > max_dup_frac
     return staged.select(
         F.col(id_col),
+        *(F.col(c) for c in passthrough),
         n.cast("bigint").alias("n_tokens"),
         half_up_round(ttr, 6).alias("ttr"),
         half_up_round(dup_frac, 6).alias("dup_ngram_frac"),

@@ -307,3 +307,17 @@ def enrich_stream(
     return events_stream.join(F.broadcast(dim), join_expr, "left").select(
         events_stream["*"], *[dim[c] for c in dim_cols]
     )
+
+
+def clean_documents_stream(docs) -> "DataFrame":
+    """Streaming corpus cleaning: Gopher quality gate → keep-filter → PII
+    redaction, composed as ONE stateless narrow stage (no state store, no
+    watermark, no shuffle) — the shape that lets a landing-zone document
+    stream be cleaned at ingest instead of in a nightly batch. Exactly
+    equal to running the batch operators on the same rows (tested), since
+    every rule is a pure per-row projection.
+    """
+    from dbt_glue_spark.extensions.text_analysis import pii_redact, quality_filter
+
+    kept = quality_filter(docs, passthrough=("text",)).filter("keep")
+    return pii_redact(kept)

@@ -253,3 +253,29 @@ def test_enrich_stream_matches_batch_left_join(spark, events_stream_source):
     # stateless join must not drop or duplicate: exact multiset equality
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
+
+
+def test_clean_documents_stream_matches_batch(spark, sf_dir):
+    """The cleaning pipeline (quality gate -> PII redact) is stateless, so
+    its streaming output must equal the batch composition row-for-row."""
+    import tempfile
+
+    from dbt_glue_spark.extensions.text_analysis import pii_redact, quality_filter
+    from dbt_glue_spark.streaming.pipelines import clean_documents_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="dgs_docs_src_")
+    try:
+        docs.repartition(3).write.mode("overwrite").parquet(d)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = _run_to_memory(spark, clean_documents_stream(stream), "cleaned")
+        batch = pii_redact(quality_filter(docs, passthrough=("text",)).filter("keep"))
+        got = {(r["doc_id"], r["redacted_text"]) for r in out.collect()}
+        want = {(r["doc_id"], r["redacted_text"]) for r in batch.collect()}
+        assert got == want and len(want) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
