@@ -109,6 +109,8 @@ class Model:
     # Post-hooks are the dbt idiom for GRANTs, audit-log inserts, ANALYZE.
     pre_hook: list[str] = field(default_factory=list)
     post_hook: list[str] = field(default_factory=list)
+    # dbt node tags — the selection axis of `dbt run --select tag:x`
+    tags: list[str] = field(default_factory=list)
 
 
 _REF = re.compile(r"\{\{\s*(ref|source)\s*\(\s*'([^']+)'\s*\)\s*\}\}")
@@ -189,7 +191,12 @@ class Engine:
             if kind == "ref" and name in self.models
         ]
 
-    def run(self, names: list[str] | None = None, threads: int = 1) -> None:
+    def run(
+        self,
+        names: list[str] | None = None,
+        threads: int = 1,
+        select: str | None = None,
+    ) -> None:
         """Topological DAG execution (dbt-core's orchestration role).
 
         ``threads > 1`` materializes independent models concurrently,
@@ -198,7 +205,22 @@ class Engine:
         concurrent model builds keep a large cluster busy while one model's
         shuffle is in flight. Dependents still wait for their full
         dependency level (a level barrier, like dbt's scheduler).
+
+        ``select`` is the ``dbt run --select`` axis: ``"tag:x"`` picks every
+        model tagged ``x`` (their upstream dependencies build implicitly,
+        like dbt's auto-included ancestors); any other string selects the
+        model of that name. Mutually exclusive with ``names``.
         """
+        if select is not None:
+            if names is not None:
+                raise ValueError("pass either names or select, not both")
+            if select.startswith("tag:"):
+                tag = select[4:]
+                names = [n for n, m in self.models.items() if tag in m.tags]
+                if not names:
+                    raise KeyError(f"no models tagged {tag!r}")
+            else:
+                names = [select]
         order: list[str] = []
         seen: dict[str, int] = {}
 
@@ -539,6 +561,60 @@ class Engine:
             report or [("", "", "", 0, True)][:0],
             "model string, column string, test string, n_failures bigint, passed boolean",
         )
+
+    def unit_test(
+        self,
+        name: str,
+        given: dict[str, Any],
+        expect: Any,
+    ) -> dict:
+        """dbt 1.8-style unit test: run a model's SQL against MOCKED
+        inputs and compare to expected rows — no tables built, no state
+        touched, so model logic is testable before anything materializes.
+
+        ``given`` maps ref/source names to mock rows: a DataFrame, or a
+        ``(rows, schema)`` tuple for ``spark.createDataFrame``. Unmocked
+        refs resolve to their real tables (dbt requires full mocking; we
+        allow partial for pragmatism). ``expect`` is the same shapes.
+        Comparison is order-insensitive over the EXPECTED columns only
+        (dbt semantics — extra output columns don't fail the test).
+        Returns {"passed", "actual", "expected"} with the row diffs.
+        """
+        model = self.models[name]
+        if model.sql is None:
+            raise ValueError("unit tests cover SQL models")
+
+        def to_df(data: Any) -> DataFrame:
+            if isinstance(data, DataFrame):
+                return data
+            if isinstance(data, tuple):
+                return self.spark.createDataFrame(*data)
+            return self.spark.createDataFrame(data)
+
+        views: dict[str, str] = {}
+        for dep, data in given.items():
+            vname = f"__ut_{self.schema}_{dep}"
+            to_df(data).createOrReplaceTempView(vname)
+            views[dep] = vname
+
+        def sub(m: re.Match) -> str:
+            kind, nm = m.group(1), m.group(2)
+            if nm in views:
+                return views[nm]
+            return nm if kind == "source" else self.relation_for(nm).render()
+
+        sql = _REF.sub(sub, model.sql)
+        sql = _THIS.sub(self.relation_for(name).render(), sql)
+        actual_df = self.spark.sql(sql)
+        expect_df = to_df(expect)
+        cols = expect_df.columns
+        actual = sorted(
+            (tuple(r[c] for c in cols) for r in actual_df.select(*cols).collect())
+        )
+        expected = sorted((tuple(r[c] for c in cols) for r in expect_df.collect()))
+        for v in views.values():
+            self.spark.catalog.dropTempView(v)
+        return {"passed": actual == expected, "actual": actual, "expected": expected}
 
     def compact(
         self,

@@ -301,6 +301,57 @@ def test_store_failures_materializes_audit_tables(engine, spark):
     engine.catalog.drop_schema(audit_schema)
 
 
+def test_unit_test_runs_model_on_mocked_inputs(engine):
+    engine.add(Model("stg_orders", sql="select 1 as id"))  # never built
+    engine.add(
+        Model(
+            "order_totals",
+            sql=(
+                "select customer, sum(amount) as total "
+                "from {{ ref('stg_orders') }} group by customer"
+            ),
+        )
+    )
+    res = engine.unit_test(
+        "order_totals",
+        given={
+            "stg_orders": (
+                [("a", 10), ("a", 5), ("b", 7)],
+                "customer string, amount int",
+            )
+        },
+        expect=([("a", 15), ("b", 7)], "customer string, total bigint"),
+    )
+    assert res["passed"], res
+    bad = engine.unit_test(
+        "order_totals",
+        given={"stg_orders": ([("a", 1)], "customer string, amount int")},
+        expect=([("a", 2)], "customer string, total bigint"),
+    )
+    assert not bad["passed"]
+    assert bad["actual"] == [("a", 1)] and bad["expected"] == [("a", 2)]
+
+
+def test_run_select_by_tag(engine):
+    engine.add(Model("tagged_a", sql="select 1 as x", tags=["nightly"]))
+    engine.add(
+        Model(
+            "tagged_b",
+            sql="select x + 1 as y from {{ ref('tagged_a') }}",
+            tags=["nightly"],
+        )
+    )
+    engine.add(Model("untagged", sql="select 99 as z"))
+    engine.run(select="tag:nightly")
+    assert engine.ref_df("tagged_b").collect()[0]["y"] == 2
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        engine.ref_df("untagged").collect()  # not selected, never built
+    with _pt.raises(KeyError):
+        engine.run(select="tag:nope")
+
+
 def test_dml_counts_single_pass(engine):
     m = Model("dmltbl", sql="select id, cast(id % 3 as int) as g from range(12)")
     engine.add(m)
