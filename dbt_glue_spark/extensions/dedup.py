@@ -484,3 +484,40 @@ def contamination_pairs(
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    seen_hashes: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup — the production shape: each arriving batch
+    dedups against the ACCUMULATED corpus without ever rescanning it.
+
+    ``seen_hashes`` is the running ledger, one ``__h`` (md5) column
+    (16 bytes/doc — at 100 TB of text this ledger is GBs, joinable, and
+    the only state the pipeline carries). Returns ``(kept, new_ledger)``:
+    rows of ``new_df`` that are new both against the ledger AND within the
+    batch (min-id winner), and the ledger including this batch's hashes.
+
+    Plan: one anti-join against the ledger (hash-keyed shuffle or
+    broadcast when small) + the intra-batch min-id groupBy — per-batch
+    cost is O(batch + matching ledger partitions), never O(corpus).
+    """
+    c = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    hashed = _persist(new_df.withColumn("__h", F.md5(c)))
+    if seen_hashes is not None:
+        fresh = hashed.join(seen_hashes, "__h", "left_anti")
+    else:
+        fresh = hashed
+    keep = fresh.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    kept = fresh.join(keep, ["__h", id_col], "left_semi").drop("__h")
+    batch_hashes = hashed.select("__h").distinct()
+    new_ledger = (
+        seen_hashes.unionByName(batch_hashes).distinct()
+        if seen_hashes is not None
+        else batch_hashes
+    )
+    return kept, new_ledger
