@@ -260,6 +260,125 @@ def _duck_bloom_pos(expr: str, j: int, bits: int = _BLOOM_BITS) -> str:
     return f"CAST(FLOOR({_duck_hash_fraction(salted)} * {bits}) AS BIGINT)"
 
 
+# ---- HyperLogLog ------------------------------------------------------------
+
+_HLL_P = 8  #: register-index bits → m = 256 registers (~6.5% std error)
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_alpha_c(m: int) -> float:
+    """alpha_m · m² · 2^53 as ONE Python float literal, so both engines
+    evaluate the estimate as a single ``C / S`` division of identical
+    operands (no cross-engine multiply-ordering gap)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << 53)
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_by: list[str] | None = None,
+    p: int = _HLL_P,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate, optionally per group — the
+    fixed-memory counterpart of :func:`kmv_distinct` (m registers of one
+    byte vs KMV's k hashes; HLL wins when many groups each need a sketch).
+
+    Engine-portable by construction, unlike every stock HLL (Spark's
+    approx_count_distinct, DuckDB's approx_count_distinct — both
+    implementation-defined and mutually incompatible):
+
+    - register index  = first p bits of md5 (2 hex chars for p=8),
+    - rho             = leading-zero count of the next 52 bits + 1,
+      computed as ``53 - bitlength(v)`` where v is the 13-hex-char value —
+      exact integer ops on both engines (``bin()`` is zero-stripped in
+      both Spark and DuckDB),
+    - register sum    = Σ 2^(53-M_j) accumulated as BIGINT (≤ 2^61), so
+      the sum is EXACT and partition-order-free — summing 2^-M_j doubles
+      directly would round differently per shuffle layout,
+    - estimate        = C / S with C one shared float literal.
+
+    Raw HLL estimator only (no linear-counting small-range correction:
+    that needs ln(), which rounds differently across engines — see
+    module docstring; below ~2.5·m distinct use KMV, exact under k).
+
+    Scale shape: project → two partial-agg trees (max per register, sum
+    per group). The shuffle carries (group, register:int, rho:int) — a
+    constant 256 rows per group survive the first tree. No windows, no
+    driver state. Reference has no sketch surface; this extends
+    aws-samples/dbt-glue per SURVEY §2.14.
+    """
+    m = 1 << p
+    hexes = p // 4  # register hex chars (p=8 → 2)
+    keys = group_by or []
+    h = F.md5(F.col(col).cast("string"))
+    reg = F.conv(F.substring(h, 1, hexes), 16, 10).cast("int")
+    v = F.conv(F.substring(h, hexes + 1, _PREFIX_LEN), 16, 10).cast("bigint")
+    rho = F.when(v == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v)))
+    regs = (
+        df.select(*keys, reg.alias("__reg"), rho.alias("__rho"))
+        .groupBy(*keys, "__reg")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    # 2^(53-M) via pow: exponent ∈ [0,52] ⇒ pow is an exact power of two
+    # in double, cast back to bigint losslessly (shiftleft can't take a
+    # column shift amount).
+    term = F.pow(F.lit(2.0), F.lit(53) - F.col("__M")).cast("bigint")
+    sk = regs.groupBy(*keys).agg(
+        F.sum(term).alias("__sp"), F.count("*").alias("__r")
+    )
+    full = F.col("__sp") + (F.lit(m) - F.col("__r")) * F.lit(1 << 53).cast("bigint")
+    est = F.lit(_hll_alpha_c(m)) / full.cast("double")
+    return sk.select(*keys, half_up_round(est, 4).alias("approx_distinct"))
+
+
+def _duck_hex_int(col: str, start: int, n: int) -> str:
+    """DuckDB BIGINT from ``n`` hex chars of md5(col) starting at 1-based
+    ``start`` — exact-integer mirror of the Spark conv/substring pair."""
+    digits = " + ".join(
+        f"CAST(instr('0123456789abcdef', substring(md5(CAST({col} AS VARCHAR)), {start + i}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+    return f"({digits})"
+
+
+def hll_oracle_sql(
+    source: str, col: str, group_by: list[str] | None = None, p: int = _HLL_P
+) -> str:
+    """DuckDB SQL computing the identical HLL estimate (for parity gates)."""
+    m = 1 << p
+    hexes = p // 4
+    keys = ", ".join(group_by) if group_by else ""
+    sel_keys = f"{keys}, " if keys else ""
+    grp1 = f"GROUP BY {keys}, reg" if keys else "GROUP BY reg"
+    grp2 = f"GROUP BY {keys}" if keys else ""
+    c = _hll_alpha_c(m)
+    return f"""
+    WITH hashed AS (
+      SELECT {sel_keys}
+             {_duck_hex_int(col, 1, hexes)} AS reg,
+             {_duck_hex_int(col, hexes + 1, _PREFIX_LEN)} AS v
+      FROM {source}
+    ),
+    regs AS (
+      SELECT {sel_keys}reg,
+             MAX(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS M
+      FROM hashed {grp1}
+    ),
+    sk AS (
+      SELECT {sel_keys}
+             SUM(CAST(POWER(2.0, 53 - M) AS BIGINT)) AS sp,
+             COUNT(*) AS r
+      FROM regs {grp2}
+    )
+    SELECT {sel_keys}
+           FLOOR(({c!r} / CAST(sp + ({m} - r) * {1 << 53} AS DOUBLE)) * 1e4 + 0.5) / 1e4
+             AS approx_distinct
+    FROM sk
+    """
+
+
 # ---- histogram quantile sketch ---------------------------------------------
 
 _HIST_BUCKETS = 256

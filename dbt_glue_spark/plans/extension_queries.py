@@ -968,6 +968,36 @@ def ext_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_distinct(toks, "tok", k=128)
 
 
+@register(
+    "ext_hll_distinct_orders",
+    sketches.hll_oracle_sql("orders", "o_orderkey", group_by=["o_orderpriority"]),
+    doc="HyperLogLog distinct-order estimate per priority (m=256 one-byte "
+    "registers): the fixed-memory sketch for many-group cardinality "
+    "telemetry — 256 rows survive the first partial-agg tree per group "
+    "regardless of input size. Engine-portable registers (md5 + exact "
+    "bitlength), BIGINT register sum so the estimate is partition-order "
+    "free; ~6.5% expected error in the raw-estimator regime (~3000 "
+    "distinct/group here).",
+)
+def ext_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return sketches.hll_distinct(orders, "o_orderkey", group_by=["o_orderpriority"])
+
+
+@register(
+    "ext_hll_distinct_global",
+    sketches.hll_oracle_sql("lineitem", "l_orderkey"),
+    doc="Global HyperLogLog over lineitem.l_orderkey (~14.7k true distinct "
+    "at sf0.01): the ungrouped path — one (register, rho) projection, two "
+    "constant-size aggregate trees, no window, no driver state. Pairs with "
+    "ext_kmv_distinct_tokens to cover both sketch families: KMV exact "
+    "below k for small vocabularies, HLL constant-memory for the huge ones.",
+)
+def ext_hll_distinct_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return sketches.hll_distinct(li, "l_orderkey")
+
+
 def _curation_oracle() -> str:
     """Compose the full-pipeline oracle from the registered single-stage
     oracles (same strings the individual parity gates check, so the stages

@@ -255,6 +255,26 @@ def test_kmv_exact_below_k_and_stable_above(spark):
     assert abs(r1.approx_distinct - 20000) / 20000 < 0.25
 
 
+def test_hll_accuracy_layout_invariance_and_grouping(spark):
+    from dbt_glue_spark.extensions.sketches import hll_distinct
+
+    big = spark.range(0, 20000).withColumnRenamed("id", "v")
+    [r1] = hll_distinct(big, "v").collect()
+    [r2] = hll_distinct(big.repartition(17), "v").collect()
+    # BIGINT register sum ⇒ estimate is bit-identical under any layout
+    assert r1.approx_distinct == r2.approx_distinct
+    # m=256 ⇒ ~6.5% std error; allow 3 sigma
+    assert abs(r1.approx_distinct - 20000) / 20000 < 0.20
+
+    from pyspark.sql import functions as F
+
+    grouped = big.withColumn("g", F.col("v") % 2)
+    rows = {r.g: r.approx_distinct for r in hll_distinct(grouped, "v", ["g"]).collect()}
+    assert set(rows) == {0, 1}
+    for est in rows.values():
+        assert abs(est - 10000) / 10000 < 0.20
+
+
 def test_contamination_pairs_detects_verbatim_leak(spark):
     from dbt_glue_spark.extensions.dedup import contamination_pairs
 
