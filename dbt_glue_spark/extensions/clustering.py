@@ -101,6 +101,74 @@ def kmeans_assign(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 10,
+    max_iter: int = 6,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-bucket the
+    embedding space, compare pairs ONLY within a cluster, and for every
+    within-cluster pair with cosine ≥ ``threshold`` drop the member
+    farther from its centroid (the less prototypical duplicate; ties
+    break to the higher id). Returns the kept rows (id, cluster_id).
+
+    This is the scale story that makes semantic dedup tractable at all:
+    the pair join is an equi-join on cluster_id, so candidate volume is
+    Σ n_c² over clusters instead of n² over the corpus — with k sized so
+    clusters fit comfortably in a shuffle partition, the quadratic term
+    is bounded per-partition and embarrassingly parallel. Everything
+    deterministic: k-means is RNG-free (lowest-id seeds, struct-min
+    ties), cosine is a sequential fold rounded half-up 4 dp, and the
+    drop rule compares 6 dp-rounded distances so an ULP wobble can never
+    flip a victim choice.
+
+    Extends aws-samples/dbt-glue (no dedup surface in the reference);
+    complements the syntactic family in extensions/dedup.py — minhash
+    catches near-verbatim text, this catches paraphrases living close in
+    embedding space.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+    from dbt_glue_spark.functions.vectors import cosine_sim
+
+    assigned = kmeans_assign(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    m = (
+        assigned.select(
+            F.col(id_col).alias("id"),
+            "cluster_id",
+            half_up_round(F.col("sq_dist"), 6).alias("d2"),
+        )
+        .join(vecs, "id")
+        .localCheckpoint()  # cut the 6-round lineage before the self-join
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).withColumn(
+        "sim", half_up_round(cosine_sim(F.col("a.v"), F.col("b.v")), 4)
+    )
+    victim = (
+        F.when(F.col("a.d2") > F.col("b.d2"), F.col("a.id"))
+        .when(F.col("a.d2") < F.col("b.d2"), F.col("b.id"))
+        .otherwise(F.greatest(F.col("a.id"), F.col("b.id")))
+    )
+    dropped = (
+        pairs.filter(F.col("sim") >= F.lit(threshold))
+        .select(victim.alias("id"))
+        .distinct()
+    )
+    return m.join(dropped, "id", "left_anti").select(
+        F.col("id").alias(id_col), "cluster_id"
+    )
+
+
 def kmeans_inertia(assigned: DataFrame) -> float:
     """Total within-cluster squared distance (decimal-summed, exact)."""
     row = assigned.agg(

@@ -1560,6 +1560,41 @@ def ext_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_semantic_dedup",
+    _KMEANS_CTE
+    + """
+    , m AS (
+      SELECT a2.id, (a2.best).cid AS cid,
+             FLOOR((a2.best).d2 * 1e6 + 0.5) / 1e6 AS d2, e2.v
+      FROM assign a2 JOIN e e2 USING (id)
+    ),
+    dup AS (
+      SELECT DISTINCT CASE WHEN x.d2 > y.d2 THEN x.id
+                           WHEN x.d2 < y.d2 THEN y.id
+                           ELSE greatest(x.id, y.id) END AS id
+      FROM m x JOIN m y ON x.cid = y.cid AND x.id < y.id
+      WHERE FLOOR(list_cosine_similarity(x.v, y.v) * 1e4 + 0.5) / 1e4 >= 0.30
+    )
+    SELECT id AS vec_id, cid AS cluster_id FROM m
+    WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.id = m.id)
+    """,
+    doc="Semantic dedup (SemDeDup): k-means buckets the embedding space, "
+    "pairs are compared ONLY within a cluster (equi-join on cluster_id — "
+    "candidate volume is per-cluster quadratic, not corpus-quadratic), "
+    "and each cosine≥0.30 pair drops its less-prototypical member "
+    "(farther from centroid, 6dp-rounded compare so ULP wobble can't "
+    "flip a victim). Keeps 255 of ~500 at sf0.01. The paraphrase-level "
+    "complement to minhash: oracle replays all 6 Lloyd rounds via "
+    "recursive CTE, then mirrors the pair-prune exactly.",
+)
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.semantic_dedup(emb, k=10, max_iter=6, threshold=0.30)
+
+
 def _cm_oracle() -> str:
     from dbt_glue_spark.extensions.sketches import _CM_DEPTH, _duck_cm_bucket
 

@@ -75,6 +75,28 @@ def test_kmeans_inertia_monotone_and_deterministic(spark):
     assert again == inertias[2]
 
 
+def test_semantic_dedup_drops_one_of_a_near_pair(spark):
+    from dbt_glue_spark.extensions.clustering import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),     # near-dup pair with id 1 (cos ≈ 0.9998)
+        (1, [1.0, 0.02, 0.0]),
+        (2, [0.5, 0.9, 0.0]),     # same region, cos vs 0/1 ≈ 0.49 — kept
+        (10, [-8.0, -8.0, 8.0]),  # far blob: own cluster, no dups
+        (11, [-8.0, -8.1, 8.0]),
+    ]
+    # ids 10/11 are near-dups of each other too (cos ≈ 1.0) — expect one
+    # drop per pair, so 5 - 2 = 3 survivors, and id 2 always survives
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    kept1 = sorted(r.vec_id for r in semantic_dedup(df, k=2, max_iter=4, threshold=0.95).collect())
+    kept2 = sorted(r.vec_id for r in semantic_dedup(df, k=2, max_iter=4, threshold=0.95).collect())
+    assert kept1 == kept2  # deterministic
+    assert len(kept1) == 3
+    assert 2 in kept1
+    assert len({0, 1} & set(kept1)) == 1  # exactly one of the near pair
+    assert len({10, 11} & set(kept1)) == 1
+
+
 def test_cluster_representatives_are_argmin(spark):
     from dbt_glue_spark.extensions.clustering import (
         cluster_representatives,
