@@ -886,6 +886,52 @@ class Engine:
         self.catalog.refresh(tgt)
         return tgt
 
+    def analyze_table(self, name: str, columns: list[str] | None = None) -> dict:
+        """``ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …]`` — populate
+        Catalyst's cost-based-optimizer statistics for a materialized model
+        and return the table-level numbers ``{"rows": n, "bytes": b}``.
+
+        Why this is a first-class op at 100 TB: CBO join reordering and
+        broadcast decisions (``spark.sql.cbo.enabled``,
+        ``autoBroadcastJoinThreshold``) read exactly these stats — a dim
+        table that never got ANALYZEd sort-merge-joins when it should
+        broadcast. The reference delegates stats to the Glue catalog
+        (crawlers); in-process the native Spark statement is the idiomatic
+        equivalent (aws-samples/dbt-glue has no ANALYZE surface —
+        engine extension).
+        """
+        rel = self.relation_for(name)
+        self.spark.sql(f"ANALYZE TABLE {rel.render()} COMPUTE STATISTICS")
+        if columns:
+            self.spark.sql(
+                f"ANALYZE TABLE {rel.render()} COMPUTE STATISTICS FOR COLUMNS "
+                + ", ".join(columns)
+            )
+        stats: dict = {}
+        for row in self.spark.sql(f"DESCRIBE TABLE EXTENDED {rel.render()}").collect():
+            if row.col_name == "Statistics":
+                # e.g. "1234 bytes, 56 rows"
+                for part in row.data_type.split(","):
+                    n, unit = part.strip().split(" ", 1)
+                    stats[{"bytes": "bytes", "rows": "rows"}.get(unit, unit)] = int(n)
+        return stats
+
+    def column_stats(self, name: str, column: str) -> dict:
+        """Per-column CBO stats (min/max/nulls/distinct_count/lengths) as
+        recorded by :meth:`analyze_table` — ``DESCRIBE EXTENDED tbl col``,
+        parsed to a dict with ints where the values are numeric. Values
+        are Spark's stringified stats; ``distinct_count`` is an HLL++
+        estimate, exact on small tables."""
+        rel = self.relation_for(name)
+        out: dict = {}
+        for row in self.spark.sql(
+            f"DESCRIBE TABLE EXTENDED {rel.render()} {column}"
+        ).collect():
+            key = row.info_name.strip().lower().replace(" ", "_")
+            val = row.info_value
+            out[key] = int(val) if val is not None and val.lstrip("-").isdigit() else val
+        return out
+
     def versions(self, name: str) -> list[int]:
         """Retained table generations, newest first — the snapshot log of
         the versioned-location scheme (what Iceberg exposes as

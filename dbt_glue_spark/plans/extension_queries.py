@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from dbt_glue_spark.extensions import dedup, similarity, text_analysis
 from dbt_glue_spark.extensions.similarity import _hyperplane
 from dbt_glue_spark.plans.catalog import register
+from dbt_glue_spark.quality import profile
 from dbt_glue_spark.quality import tests as dq
 from dbt_glue_spark.sources.registry import load_table
 
@@ -966,6 +967,25 @@ def ext_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
     )
     return sketches.kmv_distinct(toks, "tok", k=128)
+
+
+@register(
+    "ext_column_profile",
+    profile.profile_oracle_sql(
+        "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ),
+    doc="Distributed column profiling (null rate, exact cardinality, "
+    "range) over four lineitem measures in ONE aggregate job — the "
+    "pre-filter reconnaissance pass of a curation pipeline. The 1-row "
+    "aggregate is pivoted to per-column rows via explode(array(struct)); "
+    "exact COUNT(DISTINCT) costs one Expand (deliberate — exactness is "
+    "what the oracle checks; hll_distinct is the wide-table path).",
+)
+def ext_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile.profile_columns(
+        li, ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
 
 
 @register(

@@ -365,3 +365,36 @@ def test_dml_counts_single_pass(engine):
     engine.run(["dmlnull"])
     assert engine.delete_rows("dmlnull", "x > 0") == 0
     assert engine.ref_df("dmlnull").count() == 3
+
+
+def test_analyze_table_and_column_stats(engine):
+    m = Model(
+        "stats_tbl",
+        sql="select id, cast(id % 5 as int) as g, "
+        "case when id = 7 then null else concat('u', id) end as label "
+        "from range(50)",
+    )
+    engine.add(m)
+    engine.run(["stats_tbl"])
+    stats = engine.analyze_table("stats_tbl", columns=["id", "g", "label"])
+    assert stats["rows"] == 50
+    assert stats["bytes"] > 0
+    cs = engine.column_stats("stats_tbl", "g")
+    assert cs["distinct_count"] == 5
+    assert cs["num_nulls"] == 0
+    assert cs["min"] == 0 and cs["max"] == 4
+    cl = engine.column_stats("stats_tbl", "label")
+    assert cl["num_nulls"] == 1
+
+
+def test_profile_columns_matches_exact_aggregates(spark):
+    from dbt_glue_spark.quality.profile import profile_columns
+
+    df = spark.range(0, 100).selectExpr(
+        "id", "case when id % 10 = 0 then null else cast(id as double) end as v"
+    )
+    rows = {r.col_name: r for r in profile_columns(df, ["id", "v"]).collect()}
+    assert rows["id"].n_rows == 100 and rows["id"].n_nulls == 0
+    assert rows["id"].n_distinct == 100
+    assert rows["id"].min_value == 0.0 and rows["id"].max_value == 99.0
+    assert rows["v"].n_nulls == 10 and rows["v"].n_distinct == 90
