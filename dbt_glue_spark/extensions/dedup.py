@@ -521,3 +521,60 @@ def exact_dedup_incremental(
         else batch_hashes
     )
     return kept, new_ledger
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Sub-document dedup at paragraph granularity (the CCNet/Dolma pass,
+    after Lee et al. 2022): every paragraph that occurs more than once
+    corpus-wide is kept ONLY at its first occurrence — lowest (doc id,
+    position) — and removed everywhere else; documents are reassembled
+    from their surviving paragraphs in order.
+
+    Distinct from :func:`text_analysis.boilerplate_strip`: that drops
+    high-df lines EVERYWHERE (nobody keeps a cookie banner); this keeps
+    exactly one canonical copy (news wire stories, quoted passages —
+    content that should survive once).
+
+    Output: (id, dedup_text, n_paras_kept, n_paras_total).
+
+    Plan: explode → md5-keyed groupBy-min for the winner (partial-agg
+    combine, so a paragraph duplicated 10M× at 100 TB collapses map-side
+    instead of sorting one hot window partition) → hash join back → one
+    doc regroup. Two shuffles total, both narrow (16-byte hash keys).
+    """
+    import re as _re
+
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "para"
+        ),
+    )
+    hashed = paras.withColumn("__h", F.md5(F.col("para")))
+    winners = hashed.groupBy("__h").agg(
+        F.min(F.struct(F.col("__id").alias("i"), F.col("pos").alias("p"))).alias("w")
+    )
+    ln = hashed.join(winners, "__h")
+    keep = (F.col("__id") == F.col("w.i")) & (F.col("pos") == F.col("w.p"))
+    assembled = F.concat_ws(
+        sep,
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "para", keep.alias("keep")))
+                ),
+                lambda s: s.keep,
+            ),
+            lambda s: s.para,
+        ),
+    )
+    return ln.groupBy("__id").agg(
+        assembled.alias("dedup_text"),
+        F.sum(keep.cast("long")).cast("bigint").alias("n_paras_kept"),
+        F.count("*").cast("bigint").alias("n_paras_total"),
+    ).withColumnRenamed("__id", id_col)

@@ -1434,6 +1434,68 @@ def ext_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.boilerplate_strip(marked, max_line_df=50)
 
 
+@register(
+    "ext_paragraph_dedup",
+    r"""
+    WITH marked AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'THIS STORY FIRST APPEARED ON THE WIRE' || chr(10) || chr(10)
+                  ELSE '' END
+             || text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || chr(10) || 'reprinted with permission from the original publisher'
+                     ELSE '' END AS text
+      FROM documents
+    ),
+    arr AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS a FROM marked),
+    l AS (
+      SELECT doc_id, unnest([{'pos': i, 'para': a[i]}
+                             for i in generate_series(1, len(a))],
+                            recursive := true)
+      FROM arr
+    ),
+    w AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      FROM l
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                    FILTER (rn = 1), '') AS dedup_text,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_paras_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_paras_total
+    FROM w GROUP BY doc_id
+    """,
+    doc="Sub-document paragraph dedup (CCNet/Dolma pass, Lee et al. 2022): "
+    "a duplicated paragraph survives ONLY at its first (doc_id, pos) "
+    "occurrence — unlike boilerplate_strip, one canonical copy is kept. "
+    "Wire-header and reprint-footer paragraphs are injected on both "
+    "engines (token-soup corpus has no repeated paragraphs). Winner "
+    "selection is a groupBy-min (map-side combine — no hot window "
+    "partition when one paragraph repeats 10M× at 100 TB); the oracle "
+    "mirrors it with a row_number()=1 window, which is total-order "
+    "equivalent.",
+)
+def ext_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("THIS STORY FIRST APPEARED ON THE WIRE\n\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\n\nreprinted with permission from the original publisher"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup.paragraph_dedup(marked)
+
+
 # The synthetic corpus contains no real PII, so the PII queries inject a
 # deterministic doc_id-derived strip (email always; phone/ssn/ip on
 # residue classes) in BOTH engines, making the scan/redact outputs

@@ -255,6 +255,29 @@ def test_kmv_exact_below_k_and_stable_above(spark):
     assert abs(r1.approx_distinct - 20000) / 20000 < 0.25
 
 
+def test_paragraph_dedup_keeps_first_occurrence_only(spark):
+    from dbt_glue_spark.extensions.dedup import paragraph_dedup
+
+    sep = "\n\n"
+    df = spark.createDataFrame(
+        [
+            (1, sep.join(["shared para", "unique one"])),
+            (2, sep.join(["shared para", "unique two", "shared para"])),
+            (3, "shared para"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    # doc 1 has the first (lowest doc_id, pos) occurrence — keeps both
+    assert out[1].dedup_text == "shared para" + sep + "unique one"
+    assert out[1].n_paras_kept == 2
+    # doc 2 loses both copies (its pos-0 copy is not the corpus-first)
+    assert out[2].dedup_text == "unique two"
+    assert out[2].n_paras_kept == 1 and out[2].n_paras_total == 3
+    # doc 3 was ONLY the shared para → survives as empty text
+    assert out[3].dedup_text == "" and out[3].n_paras_kept == 0
+
+
 def test_hll_accuracy_layout_invariance_and_grouping(spark):
     from dbt_glue_spark.extensions.sketches import hll_distinct
 
