@@ -621,6 +621,7 @@ class Engine:
         name: str,
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict[str, int]:
         """Small-files compaction — the plain-parquet analogue of Iceberg
         ``rewrite_data_files`` / Delta ``OPTIMIZE`` (SURVEY §7.1 step 11).
@@ -639,6 +640,12 @@ class Engine:
         scans on those columns skip whole files. At 100 TB this is the
         difference between touching every file and touching the few whose
         stats overlap the predicate.
+
+        ``zorder_by`` clusters along a Morton z-curve instead (Delta
+        ``OPTIMIZE ZORDER BY`` semantics, operators/zorder.py): linear
+        sort prunes only its leading column; z-order makes files
+        axis-aligned tiles so min/max stats prune on EVERY listed column
+        independently. Mutually exclusive with ``sort_by``.
         """
         import math
         import os
@@ -659,9 +666,15 @@ class Engine:
                     pass
             return len(files), total
 
+        if sort_by and zorder_by:
+            raise ValueError("compact: pass sort_by or zorder_by, not both")
         n_before, bytes_before = _stat(df)
         n_target = max(1, math.ceil(bytes_before / target_file_bytes)) if bytes_before else 1
-        if sort_by:
+        if zorder_by:
+            from dbt_glue_spark.operators.zorder import zorder_rewrite
+
+            rewritten = zorder_rewrite(df, zorder_by, n_target)
+        elif sort_by:
             rewritten = df.repartitionByRange(
                 n_target, *[F.col(c) for c in sort_by]
             ).sortWithinPartitions(*sort_by)
