@@ -229,3 +229,36 @@ def test_partitioned_table_scan_prunes_partitions(spark, sf_dir, warehouse):
         assert df.count() > 0
     finally:
         eng.catalog.drop_schema(schema)
+
+
+def test_semantic_dedup_join_is_keyed_not_cartesian(spark, sf_dir):
+    # SemDedup's whole scale claim is that pair comparison is an equi-join
+    # on cluster_id — never an all-pairs product over the corpus.
+    plan = plan_of(SPECS()["ext_semantic_dedup"].fn(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_column_profile_is_one_scan(spark, sf_dir):
+    # Four columns profiled = ONE table pass (single scan feeding one
+    # aggregate; the Expand for multi-distinct is the documented cost).
+    plan = plan_of(SPECS()["ext_column_profile"].fn(spark, sf_dir), mode="simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+
+
+def test_hll_is_two_aggregate_trees_no_window(spark, sf_dir):
+    # HLL must stay a pair of partial-agg trees (max-per-register, then
+    # sum-per-group); a window or global sort here would be a scale bug.
+    for q in ("ext_hll_distinct_global", "ext_hll_distinct_orders"):
+        plan = plan_of(SPECS()[q].fn(spark, sf_dir), mode="simple")
+        assert "Window" not in plan, (q, plan)
+        assert "Sort" not in plan.replace("SortAggregate", ""), (q, plan)
+
+
+def test_paragraph_dedup_winner_is_aggregate_not_window(spark, sf_dir):
+    # Keep-first selection must be groupBy-min (map-side combine survives
+    # a 10M-copy hot paragraph); row_number over the hash key would sort
+    # the hot key in one partition.
+    plan = plan_of(SPECS()["ext_paragraph_dedup"].fn(spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan
