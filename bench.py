@@ -78,25 +78,30 @@ def main() -> None:
     timings: dict[str, float] = {}
     from dbt_glue_spark.extensions.dedup import release_caches
 
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.time()
-        force(specs[name].fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        # Fault isolation: one broken query must not zero the whole round's
+        # perf record — record the error, keep timing the rest.
+        try:
+            force(specs[name].fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         # free executor storage between queries so one query's cached
         # intermediates don't skew the next one's memory budget
         release_caches()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

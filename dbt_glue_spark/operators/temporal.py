@@ -46,6 +46,16 @@ def asof_join(
         right_cols = [c for c in right.columns if c != on and c not in by]
     payload = [on, *right_cols]
 
+    # The union formulation requires the shared key/ts columns to agree in
+    # type; a mismatch would otherwise be silently null-cast below.
+    for c in (on, *by):
+        lt, rt = left.schema[c].dataType, right.schema[c].dataType
+        if lt != rt:
+            raise TypeError(
+                f"asof_join: column '{c}' type mismatch — left {lt.simpleString()}"
+                f" vs right {rt.simpleString()}; cast the sides to agree"
+            )
+
     l = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
@@ -108,16 +118,18 @@ def range_join(
         .withColumn("__hi", F.expr(upper_expr))
         .withColumn(
             "__bucket",
+            # unix_timestamp (not cast-to-long): resolves on TIMESTAMP and
+            # TIMESTAMP_NTZ alike — NTZ forbids a direct BIGINT cast.
             F.explode(
                 F.sequence(
-                    F.expr(f"cast(__lo as long) div {bucket_seconds}"),
-                    F.expr(f"cast(__hi as long) div {bucket_seconds}"),
+                    F.expr(f"unix_timestamp(__lo) div {bucket_seconds}"),
+                    F.expr(f"unix_timestamp(__hi) div {bucket_seconds}"),
                 )
             ),
         )
     )
     r = right.withColumn(
-        "__bucket", F.expr(f"cast({right_ts} as long) div {bucket_seconds}")
+        "__bucket", F.expr(f"unix_timestamp({right_ts}) div {bucket_seconds}")
     )
     cond = F.col("l.__bucket") == F.col("r.__bucket")
     for lc, rc in extra_on:

@@ -53,16 +53,57 @@ def _load_all() -> None:
     from dbt_glue_spark.plans import udf_queries  # noqa: F401
 
 
+def _family(name: str) -> str:
+    """Coarse operator family, by naming convention."""
+    for prefix in ("ext_", "mat_", "dq_", "udf_", "udtf_", "streaming_"):
+        if name.startswith(prefix):
+            return prefix
+    if name.startswith("q") and name[1:2].isdigit():
+        return "tpch"
+    return "relational"
+
+
+def _interleaved() -> dict[str, QuerySpec]:
+    """Registry round-robined across operator families.
+
+    Catalog consumers that sample a prefix (the driver correctness gate
+    checks the first N entries) would otherwise only ever see the first
+    registered module's queries — all relational. Interleaving makes any
+    prefix of the catalog span relational + TPC-H + materializations +
+    extensions + UDF families, so sampled correctness carries signal for
+    every operator class. Deterministic: intra-family registration order
+    is preserved, families rotate in fixed order.
+    """
+    buckets: dict[str, list[QuerySpec]] = {}
+    for spec in _REGISTRY.values():
+        buckets.setdefault(_family(spec.name), []).append(spec)
+    order = ["relational", "ext_", "mat_", "tpch", "dq_", "udf_", "udtf_", "streaming_"]
+    families = [buckets[f] for f in order if f in buckets]
+    families += [b for f, b in buckets.items() if f not in order]
+    out: dict[str, QuerySpec] = {}
+    i = 0
+    while any(families):
+        for fam in families:
+            if i < len(fam):
+                out[fam[i].name] = fam[i]
+        i += 1
+        if all(i >= len(fam) for fam in families):
+            break
+    return out
+
+
 def QUERIES() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {name: spec.fn for name, spec in _REGISTRY.items()}
+    return {name: spec.fn for name, spec in _interleaved().items()}
 
 
 def ORACLES() -> dict[str, str]:
     _load_all()
-    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle}
+    return {
+        name: spec.oracle for name, spec in _interleaved().items() if spec.oracle
+    }
 
 
 def SPECS() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(_REGISTRY)
+    return _interleaved()

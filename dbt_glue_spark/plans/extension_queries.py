@@ -623,6 +623,67 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+                       - epoch(LAG(CAST(ts AS TIMESTAMP)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="Structured Streaming sessionization end-to-end: events staged as a "
+    "4-file stream (files NOT in event-time order — the Kappa backfill "
+    "shape), session_window(gap=30min) per user, complete-mode memory sink, "
+    "unwatermarked (a watermark would evict the out-of-order history; see "
+    "streaming/pipelines.sessionize_stream). Must equal batch "
+    "sessionization exactly — the oracle is the batch lag+cumsum SQL.",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from dbt_glue_spark.streaming.pipelines import sessionize_stream
+
+    events = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="dgs_q_sess_")
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    name = f"q_sess_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessionize_stream(stream, watermark=None)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select("user_id", "session_start", "n_events")
+
+
+@register(
     "multimodal_features",
     None,  # no oracle: binary media + sha-based features are not SQL-portable
     doc="Multimodal end-to-end: synthetic binary media table → Arrow-"

@@ -705,6 +705,45 @@ def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_forward_next_purchase",
+    """
+    WITH signups AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+      FROM events WHERE event_type = 'signup'
+    ), purch AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(MAX(event_id) AS BIGINT) AS p_event
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT s.event_id, s.ts, s.user_id,
+           p.ts AS ts_matched, p.p_event AS p_event_matched
+    FROM signups s ASOF LEFT JOIN purch p
+      ON s.user_id = p.user_id AND s.ts <= p.ts
+    """,
+    doc="Forward as-of join (operators/temporal.py direction='forward'): "
+    "each signup matched to the user's EARLIEST purchase at-or-after it — "
+    "time-to-first-conversion shape. Same union+window sort-merge plan as "
+    "backward, descending scan; DuckDB forward ASOF JOIN is the oracle.",
+)
+def asof_join_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "event_id", "ts", "user_id"
+    )
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event"))
+    )
+    return asof_join(
+        signups, purch, on="ts", by="user_id", right_cols=["p_event"],
+        direction="forward",
+    )
+
+
+@register(
     "range_join_signup_purchases",
     """
     SELECT s.event_id, CAST(COUNT(*) AS BIGINT) AS n_purchases_3d
@@ -772,8 +811,9 @@ def range_join_signup_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_timestamp, not cast-to-long: legal on TIMESTAMP_NTZ inputs too.
     new_sess = F.when(
-        (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800)
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag(F.col("ts")).over(w)) > 1800)
         | F.lag("ts").over(w).isNull(),
         1,
     ).otherwise(0)

@@ -33,6 +33,13 @@ _DEFAULT_CONF: dict[str, str] = {
     # Read parquet TIMESTAMP(NANOS) as bigint ns (sources/registry.py
     # converts back to timestamp_micros); vectorized reader errors otherwise.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark 4 infers parquet timestamp[us] w/o tz metadata as TIMESTAMP_NTZ,
+    # which watermarks reject and cast-to-long forbids. The engine owns
+    # timestamp semantics (session tz pinned UTC, matching the DuckDB
+    # oracle), so pin inference to TIMESTAMP here; sources/registry.py
+    # additionally normalizes any NTZ column that slips through a reader
+    # that didn't get this conf (e.g. a driver-provided static session).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -54,13 +54,33 @@ def _nano_ts_columns(path: str) -> list[str]:
     return _NANO_TS_COLS[path]
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (session tz = UTC).
+
+    Single choke-point for timestamp-type semantics: Spark 4's
+    ``inferTimestampNTZ`` default reads tz-less parquet ``timestamp[us]``
+    as TIMESTAMP_NTZ, which ``withWatermark`` rejects and arithmetic casts
+    forbid. The session conf pins inference off, but a reader built from a
+    session the engine didn't configure can still surface NTZ — so every
+    source load funnels through this normalization. With the session tz
+    pinned UTC the wall-clock values are identical, matching the DuckDB
+    oracle (whose columns are tz-less too).
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for col in ntz:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table from ``sf_dir`` as a DataFrame."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for col in _nano_ts_columns(path):
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
-    return df
+    return normalize_timestamps(df)
 
 
 def register_sources(

@@ -21,6 +21,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _with_event_time_watermark(
+    df: DataFrame, ts_col: str, watermark: str
+) -> DataFrame:
+    """``withWatermark`` that tolerates TIMESTAMP_NTZ event time.
+
+    Spark's watermark requires a TIMESTAMP column
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ); Spark 4's parquet
+    inference can hand streaming readers NTZ for tz-less files. Cast is a
+    no-op on already-TIMESTAMP columns and, with the session tz pinned
+    UTC, value-preserving on NTZ — the single normalization point for
+    every streaming pipeline's event-time column.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark)
+
+
 def hourly_event_counts_stream(
     events_stream: DataFrame,
     watermark: str = "2 hours",
@@ -29,7 +48,7 @@ def hourly_event_counts_stream(
     """Streaming twin of the batch ``events_hourly`` catalog query:
     tumbling event-time window + late-data watermark."""
     return (
-        events_stream.withWatermark("ts", watermark)
+        _with_event_time_watermark(events_stream, "ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -47,13 +66,24 @@ def hourly_event_counts_stream(
 def sessionize_stream(
     events_stream: DataFrame,
     gap: str = "30 minutes",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
 ) -> DataFrame:
     """Session windows per user (gap-based), the canonical stateful
-    streaming operator the reference cannot express at all."""
+    streaming operator the reference cannot express at all.
+
+    ``watermark=None`` disables late-data eviction (requires ``complete``
+    output mode downstream): session windows drop input older than the
+    watermark even in complete mode, so a historical backfill whose files
+    arrive out of event-time order (the Kappa reprocessing shape) must run
+    unwatermarked to reproduce batch sessionization exactly. Live
+    pipelines keep the watermark — that is what bounds state.
+    """
+    if watermark is None:
+        src = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    else:
+        src = _with_event_time_watermark(events_stream, "ts", watermark)
     return (
-        events_stream.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             F.col("w.start").alias("session_start"),
@@ -240,12 +270,12 @@ def click_purchase_join_stream(
     older than watermark+horizon is dropped. At scale, state is
     partitioned by the join key across the cluster's state stores.
     """
-    c = clicks_stream.withWatermark("ts", watermark).select(
+    c = _with_event_time_watermark(clicks_stream, "ts", watermark).select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
     )
-    p = purchases_stream.withWatermark("ts", watermark).select(
+    p = _with_event_time_watermark(purchases_stream, "ts", watermark).select(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
@@ -281,9 +311,9 @@ def dedup_stream(
     lifetime — the property that makes streaming dedup viable at all.
     Batch twin: ``df.dropDuplicates(keys)``.
     """
-    return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        keys
-    )
+    return _with_event_time_watermark(
+        events_stream, ts_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
 
 
 def enrich_stream(
