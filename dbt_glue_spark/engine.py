@@ -410,6 +410,11 @@ class Engine:
         self.catalog.drop(rel)
         self.catalog.rename(stage, rel)
         self.catalog.refresh(rel)
+        # committed generation's location — lets callers (compact) account
+        # for the files they just wrote without building a second Spark
+        # FileIndex over the new table (one listing per rewrite, not two;
+        # at 100 TB object-store listing is a real cost)
+        self._last_swap_location = loc
         try:
             rows = int(obs.get["rows"] or 0)
         except Exception:  # noqa: BLE001 — metric loss must not fail the commit
@@ -681,8 +686,22 @@ class Engine:
         else:
             rewritten = df.repartition(n_target)
         self._write_swap(rewritten, model, op="OPTIMIZE")
-        after = self.spark.table(rel.render())
-        n_after, bytes_after = _stat(after)
+        # after-stats from ONE driver-side walk of the generation we just
+        # committed — not a second Spark FileIndex over the new table (on
+        # an object store that second listing is not free; with a
+        # transactional format this becomes a manifest read instead)
+        n_after, bytes_after = 0, 0
+        for root, _dirs, files in os.walk(
+            urlparse(self._last_swap_location).path or self._last_swap_location
+        ):
+            for f in files:
+                if f.startswith((".", "_")) or f.endswith(".crc"):
+                    continue
+                n_after += 1
+                try:
+                    bytes_after += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
         return {
             "files_before": n_before,
             "files_after": n_after,

@@ -248,6 +248,61 @@ def mat_insert_overwrite_partitions(spark: SparkSession, sf_dir: str) -> DataFra
     return eng.ref_df("orders_part").select("o_orderkey", "mon", "tag")
 
 
+@register(
+    "mat_backfill_partitions",
+    """
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
+      AND CAST(ts AS DATE) < DATE '2024-01-11'
+    GROUP BY 1, 2
+    """,
+    doc="Engine.backfill end-to-end (dbt microbatch over insert_overwrite, "
+    "reference: strategies.sql:1-19 per-partition replace): the table is "
+    "first created with deliberately WRONG values (value*2) over the "
+    "window, then backfilled 2024-01-05 → 2024-01-11 in 2-day batches — "
+    "the oracle matches only if every batch replaced exactly its own "
+    "date partitions. Each period is independently retryable; reload cost "
+    "is proportional to the window, never the table.",
+)
+def mat_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.engine import Engine, Model, ModelConfig
+    from dbt_glue_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir, ("events",))
+    wh = tempfile.mkdtemp(prefix="dgs_q_wh_")
+    eng = Engine(spark, wh, schema=f"q_{uuid.uuid4().hex[:8]}")
+    agg = (
+        "select cast(ts as date) as event_date, event_type, "
+        "cast(count(*) as bigint) as n_events, "
+        "cast(sum(cast(value as decimal(18,4))){mult} as double) as total_value "
+        "from events "
+        "where cast(ts as date) >= date {{{{ batch_start }}}} "
+        "and cast(ts as date) < date {{{{ batch_end }}}} "
+        "group by 1, 2"
+    )
+    m = Model(
+        "events_daily",
+        sql=agg.format(mult=" * 2")
+        .replace("{{ batch_start }}", "'2024-01-05'")
+        .replace("{{ batch_end }}", "'2024-01-11'"),
+        config=ModelConfig(
+            materialized="incremental",
+            incremental_strategy="insert_overwrite",
+            partition_by=["event_date"],
+        ),
+    )
+    eng.add(m)
+    eng.run_model(m)  # seed the window with stale (doubled) values
+    m.sql = agg.format(mult="")
+    eng.backfill("events_daily", "2024-01-05", "2024-01-11", batch_days=2)
+    return eng.ref_df("events_daily").select(
+        "event_date", "event_type", "n_events", "total_value"
+    )
+
+
 _SEED_CSV = """id,name,score,joined,seen_at,active,code
 1,alice,3.5,2024-01-01,2024-01-01 10:00:00,true,007
 2,bob,4.25,2024-02-03,2024-02-03 11:30:00,false,12
