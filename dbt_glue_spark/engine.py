@@ -140,6 +140,26 @@ class DbtContext:
         return None
 
 
+def sanitize_sql(sql: str) -> str:
+    """Statement sanitation, reference cursor parity (P6).
+
+    dbt prepends every compiled statement with a ``/* ... */`` metadata
+    comment header; the reference strips it before shipping the statement
+    to Glue (reference: dbt/adapters/glue/gluedbapi/cursor.py:57-65
+    ``remove_comments_header``) and pads statements ending in a single
+    quote (cursor.py:67-74 ``add_end_space_if_single_quote`` — the Glue
+    statement channel chokes on a trailing quote). In-process Spark parses
+    comments fine, but the engine keeps the same observable contract so a
+    dbt-generated script behaves identically.
+    """
+    comment_start, comment_end = "/*", "*/\n"
+    if sql.startswith(comment_start) and comment_end in sql:
+        sql = sql[sql.index(comment_end) + len(comment_end):]
+    if sql.endswith("'"):
+        sql += " "
+    return sql
+
+
 class Engine:
     def __init__(
         self,
@@ -174,7 +194,7 @@ class Engine:
             return self.relation_for(name).render()
 
         sql = _REF.sub(sub, model.sql or "")
-        return _THIS.sub(self.relation_for(model.name).render(), sql)
+        return sanitize_sql(_THIS.sub(self.relation_for(model.name).render(), sql))
 
     def ref_df(self, name: str) -> DataFrame:
         dep = self.models.get(name)
@@ -439,11 +459,13 @@ class Engine:
     def execute_script(self, script: str, splitter: str = "dbt_next_query") -> DataFrame:
         """Multi-statement batch: split on the marker, run sequentially,
         return the last result — the reference's ``dbt_next_query``
-        protocol (connection.py:417-427, used by strategies.sql:14-15)."""
+        protocol (connection.py:417-427, used by strategies.sql:14-15).
+        Each statement passes through :func:`sanitize_sql` (comment-header
+        strip + quote pad), the reference's cursor-side behavior."""
         result = None
         for stmt in script.split(splitter):
-            stmt = stmt.strip()
-            if stmt:
+            stmt = sanitize_sql(stmt.strip())
+            if stmt.strip():
                 result = self.spark.sql(stmt)
         if result is None:
             raise ValueError("empty script")
@@ -708,6 +730,45 @@ class Engine:
             "bytes_before": bytes_before,
             "bytes_after": bytes_after,
         }
+
+    def generate_symlink_manifest(self, name: str) -> dict[str, list[str]]:
+        """Athena/Presto symlink manifest for the table's current
+        generation — S8, the reference's ``delta_update_manifest``
+        (impl.py:766-793: ``deltaTable.generate("symlink_format_manifest")``
+        + MSCK REPAIR for partitioned tables).
+
+        Writes ``_symlink_format_manifest/[<partition-path>/]manifest``
+        under the table location, each file listing the absolute data-file
+        URIs of that partition (one per line) — the layout engines that
+        cannot read the table format natively (Athena on Delta) scan
+        instead of the data directory. Metadata-only: one listing of the
+        current generation, no data pass. Returns
+        ``{partition_path or '': [file, ...]}``; re-running replaces the
+        manifests (stale manifests must not survive a rewrite).
+        """
+        from urllib.parse import urlparse
+
+        rel = self.relation_for(name)
+        df = self.spark.table(rel.render())
+        files = sorted(df.inputFiles())
+        if not files:
+            raise ValueError(f"{name}: no data files to manifest")
+        paths = [urlparse(f).path or f for f in files]
+        root = os.path.commonpath([os.path.dirname(p) for p in paths])
+        by_partition: dict[str, list[str]] = {}
+        for uri, p in zip(files, paths):
+            part = os.path.relpath(os.path.dirname(p), root)
+            by_partition.setdefault("" if part == "." else part, []).append(uri)
+        manifest_root = os.path.join(root, "_symlink_format_manifest")
+        import shutil
+
+        shutil.rmtree(manifest_root, ignore_errors=True)
+        for part, uris in by_partition.items():
+            d = os.path.join(manifest_root, part) if part else manifest_root
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "manifest"), "w") as fh:
+                fh.write("\n".join(uris) + "\n")
+        return by_partition
 
     def docs(self) -> DataFrame:
         """Catalog/docs extraction for this project's schema (the
