@@ -130,7 +130,10 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard half-up rounded
     to 6 dp for stable cross-engine comparison.
     """
-    sh = _shingle_postings(df, text_col, id_col, n, df_freq_cutoff)
+    # postings feed the join twice (a/b sides) plus the per-doc size agg —
+    # persist so the tokenize+shingle explode runs once, not three times
+    # (measured ~2x on the sf0.1 corpus; same discipline as minhash)
+    sh = _persist(_shingle_postings(df, text_col, id_col, n, df_freq_cutoff))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -414,13 +417,25 @@ def dup_clusters(
     size) stays constant across iterations — the standard Spark iterative-
     algorithm discipline. Driver-side only the 1-row convergence count is
     collected; vertex/edge data never leaves the cluster.
+
+    Scale shape: the loop runs over V(E) — only vertices incident to at
+    least one edge — not the full corpus. Non-duplicate docs (the vast
+    majority at 100 TB; dup rate is typically single-digit %) never enter
+    an iteration; they label themselves in one final left join. Per-round
+    cost is therefore ∝ |E|, independent of corpus size.
     """
-    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # persist the pair list BEFORE symmetrizing: the union's two branches
+    # share one cached evaluation of the (expensive) pair-generation plan
+    # instead of computing it twice
+    e = _persist(pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     edges = _persist(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
-    labels = labels.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
@@ -449,7 +464,13 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    # singletons (no incident edge) label themselves — one left join at the
+    # end; the iterated frame above never contained them
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(labels, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
+    )
 
 
 def contamination_pairs(
