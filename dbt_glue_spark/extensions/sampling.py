@@ -101,3 +101,78 @@ def mixture_sample(
     for g, r in sorted(rates.items()):
         rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
     return df.filter(_hash_frac(F.col(key_col)) < rate)
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic seeded global shuffle → (id, shard, pos_in_shard).
+
+    The shuffle-before-training step for a dataset release: every row gets
+    a pseudo-random but fully reproducible position, derived only from
+    (seed, id) — stable across partitionings, engines, and re-runs, unlike
+    ``df.orderBy(rand(seed))`` whose layout-dependent sampling makes
+    releases unreproducible.
+
+    Scale shape: NO global sort/row_number (a total order over 100 TB is
+    one executor's problem). The hash key assigns each row to one of
+    ``n_shards`` shards; position is a row_number window *within* the
+    shard. Readers consume shard-by-shard (shard order + pos order = the
+    shuffled order). At 100 TB pick n_shards ≈ corpus/250 MB so each
+    shard's window fits an executor; the window cost is one hash shuffle.
+    """
+    key = _hash_frac(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    keyed = df.select(F.col(id_col)).withColumn("__k", key).withColumn(
+        "shard", F.floor(F.col("__k") * n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__k", id_col)
+    return keyed.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain mixture statistics + temperature-scaled sampling weight.
+
+    The planning step before mixture_sample: for each domain (source),
+    token counts, corpus share, and a sqrt-temperature weight
+    ``mix_weight = sqrt(n_tokens / max_domain_tokens)`` — the alpha=0.5
+    upsampling of small domains used in multilingual/multidomain training
+    recipes. Max-normalized (not sum-normalized) so every number is a
+    ratio of exact integer aggregates → bit-identical across engines: a
+    sum over per-domain doubles would be accumulation-order-dependent.
+
+    One tokenize pass + one groupBy; the 1-row totals frame broadcasts.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+    from dbt_glue_spark.functions.text import tokenize_once
+
+    staged = tokenize_once(df, text_col, [F.col(group_col)])
+    per = staged.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("__tot"),
+        F.max("n_tokens").alias("__mx"),
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        half_up_round(F.col("n_tokens") / F.col("__tot"), 6).alias("token_share"),
+        half_up_round(F.sqrt(F.col("n_tokens") / F.col("__mx")), 6).alias(
+            "mix_weight"
+        ),
+    )

@@ -347,3 +347,51 @@ def boilerplate_strip(
         F.sum(keep.cast("long")).cast("bigint").alias("n_lines_kept"),
         F.count("*").cast("bigint").alias("n_lines_total"),
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Hashing-trick linear quality classifier (fastText-style shape).
+
+    score(doc) = mean over tokens of w[bucket(token)] where bucket =
+    hash(token) mod n_buckets and w is a fixed weight table — the exact
+    inference shape of a trained linear text classifier with feature
+    hashing, the standard model-based quality gate in web-corpus
+    pipelines (CCNet/FineWeb). Weights here are a deterministic
+    pseudo-table w[b] = ((b·2654435761) mod 1024 − 512)/1024 (Knuth
+    multiplicative hash) so the oracle can replay them; swapping in
+    trained weights is a broadcast-join or expression change, not a new
+    plan.
+
+    Determinism: the per-doc sum accumulates INTEGER numerators (exact in
+    any order) and divides once — a double sum would be
+    accumulation-order-dependent across engines. Pure Catalyst: explode →
+    groupBy, one shuffle of (id, int) pairs; the text never shuffles.
+    """
+    from dbt_glue_spark.extensions.sketches import hash_fraction
+
+    staged = tokenize_once(df, text_col, [F.col(id_col)])
+    tok = staged.select(id_col, F.explode("toks").alias("t"))
+    bucket = F.floor(
+        hash_fraction(F.concat(F.lit("q:"), F.col("t"))) * F.lit(n_buckets)
+    ).cast("bigint")
+    w_num = (bucket * F.lit(2654435761)) % F.lit(1024) - F.lit(512)
+    return (
+        tok.select(id_col, w_num.alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("w").alias("__num"),
+            F.count("*").alias("__n"),
+        )
+        .select(
+            id_col,
+            half_up_round(
+                F.col("__num") / (F.lit(1024) * F.col("__n")), 6
+            ).alias("quality_margin"),
+            (F.col("__num") > 0).alias("keep"),
+        )
+    )

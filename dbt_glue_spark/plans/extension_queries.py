@@ -997,6 +997,98 @@ def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_corpus_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {_duck_hash_fraction("'42:' || CAST(doc_id AS VARCHAR)")} AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(FLOOR(k * 8) AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(FLOOR(k * 8) AS INT) ORDER BY k, doc_id
+           ) AS BIGINT) AS pos
+    FROM keyed
+    """,
+    doc="Deterministic seeded corpus shuffle (sampling.corpus_shuffle): "
+    "every doc gets a reproducible (shard, position) from md5(seed:id) — "
+    "the shuffle-before-training step, stable across partitionings and "
+    "engines. No global sort: per-shard row_number windows; shard count "
+    "scales the window to executor-sized slices at 100 TB.",
+)
+def ext_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.corpus_shuffle(docs, "doc_id", seed=42, n_shards=8)
+
+
+@register(
+    "ext_mixture_weights",
+    "WITH "
+    + _TOK
+    + """,
+    per AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(t.toks)) AS BIGINT) AS n_tokens
+      FROM documents d JOIN tok t USING (doc_id)
+      GROUP BY d.source
+    )
+    SELECT source, n_docs, n_tokens,
+           FLOOR(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per)
+                 * 1000000 + 0.5) / 1000000 AS token_share,
+           FLOOR(SQRT(CAST(n_tokens AS DOUBLE)
+                      / (SELECT MAX(n_tokens) FROM per))
+                 * 1000000 + 0.5) / 1000000 AS mix_weight
+    FROM per
+    """,
+    doc="Per-domain mixture planning (sampling.mixture_weights): token "
+    "share + sqrt-temperature sampling weight per source — the alpha=0.5 "
+    "small-domain upsampling recipe. Max-normalized so every value is a "
+    "ratio of exact integer aggregates (bit-identical across engines); "
+    "one tokenize pass + one groupBy, totals broadcast.",
+)
+def ext_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mixture_weights(docs, "source", "text")
+
+
+@register(
+    "ext_quality_classifier",
+    "WITH "
+    + _TOK
+    + f""",
+    t AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+    b AS (
+      SELECT doc_id,
+             CAST(FLOOR({_duck_hash_fraction("'q:' || t")} * 256) AS BIGINT)
+               AS bkt
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id,
+             SUM((bkt * 2654435761) % 1024 - 512) AS num,
+             COUNT(*) AS n
+      FROM b GROUP BY doc_id
+    )
+    SELECT doc_id,
+           FLOOR(CAST(num AS DOUBLE) / (1024 * n) * 1000000 + 0.5) / 1000000
+             AS quality_margin,
+           num > 0 AS keep
+    FROM s
+    """,
+    doc="Hashing-trick linear quality classifier "
+    "(text_analysis.quality_classifier): fastText-inference shape — token "
+    "→ hash bucket → weight-table lookup → mean margin per doc. Integer "
+    "numerator accumulation keeps the distributed sum exact; swapping in "
+    "trained weights is a broadcast join, same plan. Pure Catalyst, one "
+    "(id, int) shuffle.",
+)
+def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.quality_classifier(docs)
+
+
+@register(
     "ext_kmv_distinct_users",
     sketches.kmv_oracle_sql("events", "user_id", k=64, group_by=["event_type"]),
     doc="KMV (k-minimum-values) distinct-count sketch per event_type, k=64: "
