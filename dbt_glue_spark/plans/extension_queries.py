@@ -684,6 +684,48 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="Streaming exact dedup end-to-end: events staged as a 4-file "
+    "stream, dropDuplicates on (user_id, event_type), append-mode memory "
+    "sink — final emitted set must equal batch DISTINCT. Unwatermarked "
+    "(full-history state) because the backfill arrives out of event-time "
+    "order; the bounded-state live variant is "
+    "streaming/pipelines.dedup_stream (dropDuplicatesWithinWatermark), "
+    "whose state expires with the watermark.",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="dgs_q_dedup_")
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    name = f"q_dedup_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+@register(
     "multimodal_features",
     None,  # no oracle: binary media + sha-based features are not SQL-portable
     doc="Multimodal end-to-end: synthetic binary media table → Arrow-"

@@ -262,3 +262,46 @@ def test_paragraph_dedup_winner_is_aggregate_not_window(spark, sf_dir):
     # the hot key in one partition.
     plan = plan_of(SPECS()["ext_paragraph_dedup"].fn(spark, sf_dir), mode="simple")
     assert "Window" not in plan, plan
+
+
+def test_corpus_shuffle_window_is_sharded_not_global(spark, sf_dir):
+    # The shuffle position must be a PER-SHARD window; a global row_number
+    # (empty partition spec) funnels the corpus through one task.
+    from dbt_glue_spark.extensions.sampling import corpus_shuffle
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(corpus_shuffle(docs), mode="formatted")
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower() or "Window [" in line:
+            assert "shard" in line, f"global (unsharded) window: {line}"
+
+
+def test_quality_classifier_shuffles_ints_not_text(spark, sf_dir):
+    # The per-doc aggregation must shuffle (id, int) pairs — the document
+    # text must be pruned before the exchange, like the dedup operators.
+    from dbt_glue_spark.extensions.text_analysis import quality_classifier
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(quality_classifier(docs), mode="formatted")
+    ex = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line or "exchange" in line.lower()
+    ]
+    assert ex, "expected a hash exchange for the per-doc aggregate"
+    assert all("text" not in line for line in ex), ex
+
+
+def test_mixture_weights_totals_broadcast(spark, sf_dir):
+    # The 1-row totals frame must broadcast into the per-domain frame —
+    # never a shuffle join against a singleton.
+    from dbt_glue_spark.extensions.sampling import mixture_weights
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(mixture_weights(docs), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

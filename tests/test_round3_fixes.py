@@ -82,3 +82,55 @@ def test_symlink_manifest_partitioned_and_rerun_replaces(spark, engine):
     old_files = {u for us in parts.values() for u in us}
     new_files = {u for us in parts2.values() for u in us}
     assert old_files.isdisjoint(new_files)  # fresh generation's files
+
+
+# ---- round-3 LLM-pipeline operators ---------------------------------------
+
+
+def test_corpus_shuffle_is_repartition_proof(spark, sf_dir):
+    from dbt_glue_spark.extensions.sampling import corpus_shuffle
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = corpus_shuffle(docs, "doc_id", seed=7, n_shards=4)
+    b = corpus_shuffle(docs.repartition(13), "doc_id", seed=7, n_shards=4)
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    # positions are dense 1..n within each shard
+    from pyspark.sql import functions as F
+
+    per = a.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    assert per.filter("mx <> n OR mn <> 1").count() == 0
+    # a different seed produces a different permutation
+    c = corpus_shuffle(docs, "doc_id", seed=8, n_shards=4)
+    assert a.subtract(c).count() > 0
+
+
+def test_quality_classifier_margin_bounds(spark, sf_dir):
+    from dbt_glue_spark.extensions.text_analysis import quality_classifier
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_classifier(docs)
+    assert out.count() == docs.count()
+    # mean of weights in [-0.5, 0.5) stays in that band
+    assert out.filter("quality_margin < -0.5 OR quality_margin >= 0.5").count() == 0
+    assert out.filter("keep <> (quality_margin > 0)").count() == 0
+
+
+def test_mixture_weights_invariants(spark, sf_dir):
+    from dbt_glue_spark.extensions.sampling import mixture_weights
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_weights(docs).collect()
+    assert len(out) == docs.select("source").distinct().count()
+    shares = sum(r.token_share for r in out)
+    assert abs(shares - 1.0) < 1e-4  # rounding residue only
+    assert max(r.mix_weight for r in out) == 1.0  # max-normalized
+    # sqrt temperature upsamples small domains: weight ordering follows
+    # token ordering but compressed toward 1
+    by_tok = sorted(out, key=lambda r: r.n_tokens)
+    ws = [r.mix_weight for r in by_tok]
+    assert ws == sorted(ws)
