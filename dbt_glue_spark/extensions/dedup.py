@@ -544,6 +544,100 @@ def exact_dedup_incremental(
     return kept, new_ledger
 
 
+def minhash_band_ledger(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(band_idx, band_key, id) LSH state for :func:`minhash_lsh_incremental`.
+
+    The carried near-dup ledger: ``bands`` md5 keys per doc (~36 bytes
+    each) — the only state an incremental near-dup pipeline needs, and
+    ~constant per doc regardless of document length. Contrast with keeping
+    postings (∝ doc length) or re-banding the corpus every batch.
+    """
+    assert num_hashes % bands == 0, "num_hashes must divide evenly into bands"
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ],
+    )
+    return banded.selectExpr(
+        "id",
+        "stack({}, {}) as (band_idx, band_key)".format(
+            bands, ", ".join(f"'{b}', band{b}" for b in range(bands))
+        ),
+    ).select("band_idx", "band_key", "id")
+
+
+def minhash_lsh_incremental(
+    new_df: DataFrame,
+    band_ledger: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental MinHash-LSH near-dup candidates — the near-dup twin of
+    :func:`exact_dedup_incremental`: each arriving batch is banded once and
+    checked against the accumulated band ledger, never against raw corpus
+    text.
+
+    Returns ``(pairs, new_ledger)``: candidate pairs (id_a < id_b) between
+    batch docs and ledger docs PLUS within the batch, and the ledger
+    including this batch. Candidates-only by design: at 100 TB the exact-
+    Jaccard verification joins postings (∝ corpus text) — production
+    pipelines verify lazily by fetching just the candidate docs, keeping
+    carried state at ~36 bytes × bands per doc. Per-batch cost is
+    O(batch × matching buckets), never O(corpus).
+    """
+    batch = _persist(
+        minhash_band_ledger(new_df, text_col, id_col, n, num_hashes, bands)
+    )
+    a = batch.alias("a")
+    intra = (
+        a.join(
+            batch.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    if band_ledger is not None:
+        vs_corpus = (
+            a.join(
+                band_ledger.alias("l"),
+                (F.col("a.band_idx") == F.col("l.band_idx"))
+                & (F.col("a.band_key") == F.col("l.band_key"))
+                & (F.col("a.id") != F.col("l.id")),
+            )
+            .select(
+                F.least(F.col("a.id"), F.col("l.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("l.id")).alias("id_b"),
+            )
+        )
+        pairs = intra.unionByName(vs_corpus).distinct()
+        new_ledger = band_ledger.unionByName(batch)
+    else:
+        pairs = intra.distinct()
+        new_ledger = batch
+    return pairs, new_ledger
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",

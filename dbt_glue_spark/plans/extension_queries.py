@@ -217,6 +217,48 @@ def ext_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register(
+    "ext_minhash_incremental",
+    "WITH "
+    + _MINHASH_SIG
+    + """,
+    bands AS (
+      SELECT id, b, key FROM sig, LATERAL (VALUES
+        (0, MD5(h0 || '|' || h1)), (1, MD5(h2 || '|' || h3)),
+        (2, MD5(h4 || '|' || h5)), (3, MD5(h6 || '|' || h7))
+      ) AS v(b, key)
+    ),
+    corpus AS (SELECT * FROM bands WHERE id % 4 <> 0),
+    batch  AS (SELECT * FROM bands WHERE id % 4 = 0),
+    intra AS (
+      SELECT a.id AS id_a, b2.id AS id_b
+      FROM batch a JOIN batch b2
+        ON a.key = b2.key AND a.b = b2.b AND a.id < b2.id
+    ),
+    vs_corpus AS (
+      SELECT LEAST(a.id, c.id) AS id_a, GREATEST(a.id, c.id) AS id_b
+      FROM batch a JOIN corpus c ON a.key = c.key AND a.b = c.b AND a.id <> c.id
+    )
+    SELECT DISTINCT id_a, id_b FROM (
+      SELECT * FROM intra UNION ALL SELECT * FROM vs_corpus
+    )
+    """,
+    doc="Incremental MinHash-LSH (dedup.minhash_lsh_incremental): the "
+    "arriving batch (doc_id % 4 = 0) is banded once and joined against "
+    "the corpus band ledger (doc_id % 4 <> 0) — candidate pairs within "
+    "the batch and vs the corpus, per-batch cost O(batch x matching "
+    "buckets), carried state ~36 bytes x 4 bands per doc. The production "
+    "shape of continuous near-dedup at ingest.",
+)
+def ext_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    ledger = dedup.minhash_band_ledger(corpus)
+    pairs, _new_ledger = dedup.minhash_lsh_incremental(batch, ledger)
+    return pairs
+
+
 def _simhash_cte(bits: int) -> str:
     """CTE chain ending in ``sim(id, simhash)`` — the DuckDB mirror of
     dedup.simhash at the given width."""
