@@ -52,6 +52,9 @@ EXTENSION_HEADLINE = [
     "ext_histogram_quantiles",
     "ext_bloom_prune",
     "ext_shard_packing",
+    "ext_corpus_shuffle",
+    "ext_quality_classifier",
+    "ext_minhash_incremental",
     "mat_merge_upsert",
     "mat_scd2_snapshot_check",
     "asof_join_clicks_purchases",
