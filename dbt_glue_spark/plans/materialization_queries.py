@@ -303,6 +303,48 @@ def mat_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mat_post_hook_audit",
+    """
+    SELECT 'ord_sum' AS model_name,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS total_orders
+    FROM orders
+    """,
+    doc="pre/post hook execution under the oracle (dbt on-run hooks; "
+    "reference inherits them from dbt-core and runs them through the same "
+    "cursor as model SQL): the post_hook audits the just-built model via "
+    "{{ this }} resolution — the audit row matches only if the hook ran "
+    "AFTER the materialization with the model's own relation bound.",
+)
+def mat_post_hook_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from dbt_glue_spark.engine import Engine, Model, ModelConfig
+    from dbt_glue_spark.sources.registry import register_sources
+
+    register_sources(spark, sf_dir, ("orders",))
+    wh = _tf.mkdtemp(prefix="dgs_q_wh_")
+    eng = Engine(spark, wh, schema=f"q_{uuid.uuid4().hex[:8]}")
+    m = Model(
+        "ord_sum",
+        sql=(
+            "select o_orderstatus, cast(count(*) as bigint) as n "
+            "from orders group by o_orderstatus"
+        ),
+        config=ModelConfig(materialized="table"),
+        post_hook=[
+            "create or replace temporary view ord_sum_audit as "
+            "select 'ord_sum' as model_name, "
+            "cast(count(*) as bigint) as n_rows, "
+            "cast(sum(n) as bigint) as total_orders from {{ this }}"
+        ],
+    )
+    eng.add(m)
+    eng.run_model(m)
+    return spark.table("ord_sum_audit")
+
+
 _SEED_CSV = """id,name,score,joined,seen_at,active,code
 1,alice,3.5,2024-01-01,2024-01-01 10:00:00,true,007
 2,bob,4.25,2024-02-03,2024-02-03 11:30:00,false,12
