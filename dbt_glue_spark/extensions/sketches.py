@@ -151,15 +151,13 @@ def countmin_build(
     only approximate per-item counts are needed.
     """
     assert width & (width - 1) == 0, "width must be a power of two (exact double math)"
-    rows = [
-        df.select(
-            F.lit(j).alias("row_idx"), _cm_bucket(F.col(col), j).alias("bucket")
-        )
-        for j in range(depth)
-    ]
-    stacked = rows[0]
-    for r in rows[1:]:
-        stacked = stacked.unionAll(r)
+    # ONE scan: posexplode of the depth-wide bucket array (position = row
+    # index) — a union of depth branches would read the input depth times.
+    stacked = df.select(
+        F.posexplode(
+            F.array(*[_cm_bucket(F.col(col), j) for j in range(depth)])
+        ).alias("row_idx", "bucket")
+    )
     return stacked.groupBy("row_idx", "bucket").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
@@ -177,12 +175,12 @@ def countmin_estimate(
     count (classic CM overestimate guarantee, exact equality when no
     collisions). The sketch side is depth×width rows → broadcast; lookups
     never shuffle the item side."""
-    probes = None
-    for j in range(depth):
-        p = items.select(
-            F.col(col), F.lit(j).alias("row_idx"), _cm_bucket(F.col(col), j).alias("bucket")
-        )
-        probes = p if probes is None else probes.unionAll(p)
+    probes = items.select(
+        F.col(col),
+        F.posexplode(
+            F.array(*[_cm_bucket(F.col(col), j) for j in range(depth)])
+        ).alias("row_idx", "bucket"),
+    )
     return (
         probes.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
         .groupBy(col)
@@ -220,11 +218,13 @@ def bloom_build(
     here) regardless of input size, so it always broadcasts.
     """
     assert bits & (bits - 1) == 0, "bits must be a power of two (exact double math)"
-    out = None
-    for j in range(k):
-        p = df.select(_bloom_pos(F.col(col), j, bits).alias("pos"))
-        out = p if out is None else out.unionAll(p)
-    return out.distinct()
+    # ONE scan: explode the k positions per value — a union of k branches
+    # would read the build side k times.
+    return df.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(col), j, bits) for j in range(k)])
+        ).alias("pos")
+    ).distinct()
 
 
 def bloom_probe(
