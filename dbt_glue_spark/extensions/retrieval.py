@@ -50,15 +50,22 @@ def tfidf_top_terms(
     term-partitioned) tf side joins it. The per-doc top-k window
     repartitions by doc_id only the scoped slice.
     """
-    tokens = docs.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
+    from dbt_glue_spark.extensions.dedup import _persist
+
+    # the token explode feeds both the df branch and (unscoped) the tf
+    # branch — persist so the regex lexer runs once per action
+    tokens = _persist(
+        docs.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
+    )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     df_t = tokens.distinct().groupBy("tok").agg(F.count("*").alias("df"))
-    tf_src = docs.filter(scope) if scope is not None else docs
-    tf = (
-        tf_src.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").alias("tf"))
-    )
+    if scope is not None:
+        tf_toks = docs.filter(scope).select(
+            F.col(id_col), F.explode(_words(text_col)).alias("tok")
+        )
+    else:
+        tf_toks = tokens
+    tf = tf_toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
     scored = (
         tf.join(df_t, "tok")
         .join(F.broadcast(n_docs))
@@ -108,8 +115,13 @@ def bm25_search(
     sum is a decimal aggregate over ≤|query| rows per doc. Output is
     top-k via TakeOrderedAndProject — no global sort.
     """
+    from dbt_glue_spark.extensions.dedup import _persist
+
     terms = [t.lower() for t in query_terms]
-    toks = docs.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
+    # one lexer pass feeds doc lengths AND the query-term branch
+    toks = _persist(
+        docs.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
+    )
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     corpus = dl.agg(
         F.count("*").alias("n_docs"),
