@@ -544,6 +544,66 @@ def exact_dedup_incremental(
     return kept, new_ledger
 
 
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 32,
+) -> DataFrame:
+    """Stride-window exact-substring duplication report (the tractable
+    approximation of Lee et al. 2022's suffix-array substring dedup).
+
+    Documents are cut into ``window``-token spans every ``stride`` tokens;
+    a span occurring anywhere earlier in the corpus (first occurrence =
+    lowest (doc id, span index)) marks the later copies as duplicated.
+    Output per doc: (id, n_spans, n_dup_spans, dup_span_ratio) — the
+    signal used to drop or trim documents that embed copied passages too
+    short for doc-level dedup and too long to ignore.
+
+    Plan: one tokenize pass → span explode (rows ∝ corpus tokens/stride)
+    → md5-keyed groupBy-min winner (map-side combine absorbs hot spans) →
+    hash join back → per-doc aggregate. Same two-narrow-shuffle shape as
+    paragraph_dedup; only 16-byte hashes and (id, idx) pairs cross the
+    wide exchanges.
+    """
+    staged = tokenize_once(df, text_col, [F.col(id_col).alias("__id")])
+    spans = (
+        staged.select(
+            "__id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, greatest(cast(ceil(size(toks) / {stride}.0)"
+                    f" as int) - 1, 0)), i -> concat_ws(' ', slice(toks,"
+                    f" i * {stride} + 1, {window})))"
+                )
+            ).alias("span_idx", "span"),
+        )
+        .filter(F.col("span") != "")
+    )
+    hashed = spans.select(
+        "__id", "span_idx", F.md5(F.col("span")).alias("__h")
+    )
+    winners = hashed.groupBy("__h").agg(
+        F.min(
+            F.struct(F.col("__id").alias("i"), F.col("span_idx").alias("p"))
+        ).alias("w")
+    )
+    ln = hashed.join(winners, "__h")
+    dup = (F.col("__id") != F.col("w.i")) | (F.col("span_idx") != F.col("w.p"))
+    return (
+        ln.groupBy("__id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum(dup.cast("long")).cast("bigint").alias("n_dup_spans"),
+            half_up_round(
+                F.sum(dup.cast("long")) / F.count("*"), 6
+            ).alias("dup_span_ratio"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def minhash_band_ledger(
     df: DataFrame,
     text_col: str = "text",

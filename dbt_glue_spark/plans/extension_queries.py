@@ -218,6 +218,46 @@ def ext_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_span_dedup",
+    "WITH "
+    + _TOK
+    + """,
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               GREATEST(CAST(CEIL(len(toks) / 32.0) AS INT) - 1, 0))) AS i
+      FROM tok
+    ),
+    spans AS (
+      SELECT doc_id, i AS span_idx,
+             array_to_string(toks[(i * 32 + 1):(i * 32 + 32)], ' ') AS span
+      FROM idx
+    ),
+    w AS (
+      SELECT doc_id, span_idx,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx)
+               AS rn
+      FROM spans WHERE span <> ''
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           FLOOR(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS dup_span_ratio
+    FROM w GROUP BY doc_id
+    """,
+    doc="Stride-window exact-substring duplication report "
+    "(dedup.span_dedup — the tractable shape of Lee et al. 2022 substring "
+    "dedup): 32-token spans every 32 tokens, first (doc, idx) occurrence "
+    "wins, later copies count as duplicated. Flags docs embedding copied "
+    "passages below doc-level dedup granularity. Two narrow shuffles "
+    "(16-byte hashes, (id, idx) pairs).",
+)
+def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.span_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "ext_minhash_incremental",
     "WITH "
     + _MINHASH_SIG
