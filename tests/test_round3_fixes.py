@@ -134,3 +134,26 @@ def test_mixture_weights_invariants(spark, sf_dir):
     by_tok = sorted(out, key=lambda r: r.n_tokens)
     ws = [r.mix_weight for r in by_tok]
     assert ws == sorted(ws)
+
+
+def test_minhash_incremental_equals_batch(spark, sf_dir):
+    # Two incremental batches against the carried ledger must surface
+    # exactly the candidate pairs a single all-at-once banding finds.
+    from dbt_glue_spark.extensions.dedup import (
+        minhash_lsh_incremental,
+        release_caches,
+    )
+    from dbt_glue_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    p1, led1 = minhash_lsh_incremental(b1, None)
+    p2, led2 = minhash_lsh_incremental(b2, led1)
+    incremental = p1.unionByName(p2).distinct()
+    batch, _ = minhash_lsh_incremental(docs, None)
+    assert incremental.subtract(batch).count() == 0
+    assert batch.subtract(incremental).count() == 0
+    assert led2.count() == docs.count() * 4  # 4 band rows per doc
+    release_caches()
