@@ -157,3 +157,20 @@ def test_minhash_incremental_equals_batch(spark, sf_dir):
     assert batch.subtract(incremental).count() == 0
     assert led2.count() == docs.count() * 4  # 4 band rows per doc
     release_caches()
+
+
+def test_sanitize_sql_properties():
+    # Property sweep (no Spark): never raises, idempotent, and any
+    # produced statement never ends in a bare single quote.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=200))
+    def prop(sql):
+        out = sanitize_sql(sql)
+        assert isinstance(out, str)
+        assert not out.endswith("'")
+        assert sanitize_sql(out) == out or out.endswith(" ")
+
+    prop()
