@@ -87,12 +87,24 @@ GOLDEN = {
 }
 
 
+_SF_DIRS = [
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    if __import__("os").path.isdir(d)
+]
+
+
+@pytest.mark.parametrize("sf", _SF_DIRS)
 @pytest.mark.parametrize("name", TABLES)
-def test_engine_visible_schema_matches_golden(spark, sf_dir, name):
-    df = load_table(spark, sf_dir, name)
+def test_engine_visible_schema_matches_golden(spark, sf, name):
+    df = load_table(spark, sf, name)
     got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     assert got == GOLDEN[name], (
-        f"schema drift on '{name}': {got} != golden {GOLDEN[name]} — "
+        f"schema drift on '{name}' at {sf}: {got} != golden {GOLDEN[name]} — "
         "a Spark inference default or the testdata generator changed; "
         "normalize in sources/registry.load_table, then update GOLDEN"
     )
