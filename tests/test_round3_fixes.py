@@ -174,3 +174,19 @@ def test_sanitize_sql_properties():
         assert sanitize_sql(out) == out or out.endswith(" ")
 
     prop()
+
+
+def test_span_dedup_short_docs_and_exact_copies(spark):
+    from dbt_glue_spark.extensions.dedup import span_dedup
+
+    rows = [
+        (1, "alpha beta gamma"),                # < window → one span
+        (2, "alpha beta gamma"),                # exact copy → fully dup
+        (3, " ".join(f"w{i}" for i in range(70))),  # 3 spans (70/32)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in span_dedup(df).collect()}
+    assert out[1].n_spans == 1 and out[1].n_dup_spans == 0
+    assert out[2].n_spans == 1 and out[2].n_dup_spans == 1
+    assert out[2].dup_span_ratio == 1.0
+    assert out[3].n_spans == 3 and out[3].n_dup_spans == 0
