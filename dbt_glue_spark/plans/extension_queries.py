@@ -808,6 +808,67 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_activity_tracker",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(FLOOR(value * 10000 + 0.5)) AS DOUBLE) AS total_value,
+           CAST(MIN(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) AS first_ts_ms,
+           CAST(MAX(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_ts_ms
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator under the oracle "
+    "(streaming/pipelines.user_activity_tracker, applyInPandasWithState): "
+    "per-user activity state folded across micro-batches, flushed on "
+    "processing-time timeout — the operator class built-in aggregations "
+    "cannot express (custom state shape + emission policy). Values are "
+    "pre-scaled to integer-valued doubles so the per-batch pandas fold is "
+    "exact in any accumulation order; the flushed summaries must equal "
+    "the batch GROUP BY exactly.",
+)
+def streaming_activity_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import time as _time
+    import uuid
+
+    from dbt_glue_spark.streaming.pipelines import user_activity_tracker
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("double").alias("value"),
+    )
+    stage = tempfile.mkdtemp(prefix="dgs_q_track_")
+    events.coalesce(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(events.schema).parquet(stage)
+    name = f"q_track_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    n_users = events.select("user_id").distinct().count()
+    try:
+        q = (
+            user_activity_tracker(stream, inactivity_timeout_ms=1)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        # batch 1 folds all rows into state; empty follow-up batches fire
+        # the processing-time timeout pass that flushes each user
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            _time.sleep(2)
+            events.limit(0).write.mode("append").parquet(stage)
+            emitted = spark.table(name).count()
+            if emitted >= n_users:
+                break
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+@register(
     "multimodal_features",
     None,  # no oracle: binary media + sha-based features are not SQL-portable
     doc="Multimodal end-to-end: synthetic binary media table → Arrow-"
