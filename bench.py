@@ -55,6 +55,7 @@ EXTENSION_HEADLINE = [
     "ext_corpus_shuffle",
     "ext_quality_classifier",
     "ext_minhash_incremental",
+    "ext_span_dedup",
     "mat_merge_upsert",
     "mat_scd2_snapshot_check",
     "asof_join_clicks_purchases",
