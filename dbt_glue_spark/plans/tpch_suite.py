@@ -498,3 +498,72 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "s_name", F.col("min_price").cast("double"))
         .distinct()
     )
+
+
+@register(
+    "q20_excess_shipments",
+    """
+    WITH small_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small %'
+    ),
+    per AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '2000-06-01'
+                      THEN CAST(l_quantity AS DECIMAL(18,6)) ELSE 0 END)
+               AS q_recent,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS q_total
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM small_parts)
+      GROUP BY l_suppkey, l_partkey
+    ),
+    excess AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+      FROM per WHERE q_recent * 2 > q_total GROUP BY l_suppkey
+    )
+    SELECT s_name, n_name, n_excess_parts
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN excess ON s_suppkey = l_suppkey
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape (no partsupp table in this schema, so availqty is "
+    "replaced by the supplier's own shipment history): suppliers whose "
+    "2000H2+ shipments of a name-matched part family exceed half their "
+    "all-time shipments of it — the nested-IN semi-join chain with an "
+    "aggregate threshold that defines Q20. 100 TB plan: the part-family "
+    "filter broadcasts into the lineitem scan as a semi join, the "
+    "conditional/total sums share ONE (suppkey, partkey) aggregation "
+    "pass, and the final supplier lookup is a broadcast semi join — "
+    "decimal sums keep the comparison exact under any partitioning "
+    "(q_recent*2 > q_total avoids a double division entirely).",
+)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    small = part.filter(F.col("p_name").like("small %")).select("p_partkey")
+    per = (
+        li.join(F.broadcast(small), li.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_shipdate") >= F.lit("2000-06-01").cast("timestamp"),
+                    F.col("l_quantity").cast("decimal(18,6)"),
+                ).otherwise(F.lit(0).cast("decimal(18,6)"))
+            ).alias("q_recent"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q_total"),
+        )
+    )
+    excess = (
+        per.filter(F.col("q_recent") * 2 > F.col("q_total"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("n_excess_parts"))
+    )
+    return (
+        supplier.join(F.broadcast(excess), supplier.s_suppkey == excess.l_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name", "n_excess_parts")
+        .orderBy("s_name")
+    )
