@@ -90,18 +90,30 @@ def test_hot_path_stays_in_codegen(spark, sf_dir):
 # Catalyst plans that as a BroadcastNestedLoopJoin, which is exactly what
 # its own scalar-subquery rewrite produces: the singleton is computed once
 # and shipped to every task. Constant work, correct at any scale.
-SINGLETON_BROADCAST_OK = {"scalar_subquery_filter", "events_incremental_batch"}
+SINGLETON_BROADCAST_OK = {
+    "scalar_subquery_filter",
+    "events_incremental_batch",
+    # global-average thresholds: Q11's HAVING > avg·1.5 and Q22's
+    # acctbal > avg — a ONE-ROW aggregate broadcast into an inequality
+    # filter is constant work at any scale (same class as the HWM reads)
+    "q11_important_parts",
+    "q22_sales_opportunity",
+}
 
 
 def test_no_accidental_cartesian_products(spark, sf_dir):
     allowed = {"cross_join_region_pairs"} | SINGLETON_BROADCAST_OK
     specs = SPECS()
+    swept_modules = {
+        "dbt_glue_spark.plans.relational",
+        "dbt_glue_spark.plans.tpch_suite",
+    }
     relational = {
         n: s
         for n, s in specs.items()
-        if s.fn.__module__ == "dbt_glue_spark.plans.relational" and n not in allowed
+        if s.fn.__module__ in swept_modules and n not in allowed
     }
-    assert len(relational) >= 30  # sweep actually covers the surface
+    assert len(relational) >= 40  # sweep actually covers the surface
     offenders = []
     for name, spec in relational.items():
         plan = plan_of(spec.fn(spark, sf_dir), mode="simple")
