@@ -302,3 +302,77 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.sha2(F.col("content"), 256).alias("content_sha"),
     )
     return frames
+
+
+def resize_image(data: bytes, max_side: int) -> bytes:
+    """Nearest-neighbor downscale of a PNG so its longest side ≤
+    ``max_side``; returns the re-encoded PNG (pass-through when already
+    small enough). Real decode → numpy index-sample → real encode, stdlib
+    codec both ways. Raises ``DecodeUnavailable`` for non-PNG content —
+    callers decide whether to pass through or drop."""
+    import numpy as np
+
+    w, h, ch, px = png_decode(data)
+    side = max(w, h)
+    if side <= max_side:
+        return data
+    scale = max_side / side
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(nh) * (h / nh)).astype(int)
+    xs = (np.arange(nw) * (w / nw)).astype(int)
+    out = arr[ys][:, xs]
+    return png_encode(nw, nh, out.tobytes(), channels=ch)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("resized", StringType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """mapInPandas image-resize stage: every decodable image whose longest
+    side exceeds ``max_side`` is downscaled (nearest neighbor); other rows
+    pass through untouched with ``resized='passthrough'``/``'error'``
+    markers instead of failing the batch — at 100 TB a single corrupt blob
+    must never kill a pipeline stage.
+
+    Same scale discipline as extract_features: Arrow-batched iterator, one
+    batch of binary rows in memory at a time, output rows carry the (now
+    smaller) binary plus dimensions — the pattern for thumbnail/training-
+    resolution preprocessing ahead of an ML featurizer.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, r in pdf.iterrows():
+                content, status = r["content"], "passthrough"
+                w, h = r.get("width"), r.get("height")
+                if r["kind"] == "image" and content is not None:
+                    try:
+                        resized = resize_image(bytes(content), max_side)
+                        if resized is not content and len(resized) != len(content):
+                            content, status = resized, "resized"
+                            nw, nh, _ch, _px = png_decode(resized)
+                            w, h = nw, nh
+                        else:
+                            status = "passthrough"
+                    except DecodeUnavailable:
+                        status = "error"
+                out_rows.append(
+                    (r["media_id"], r["kind"], content, w, h, status)
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["media_id", "kind", "content", "width", "height", "resized"],
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)

@@ -142,3 +142,32 @@ def test_png_roundtrip_property():
         assert png_decode(png_encode(w, h, px, channels=ch)) == (w, h, ch, px)
 
     roundtrip()
+
+
+def test_resize_images_downscales_and_passes_through(spark):
+    from dbt_glue_spark.extensions.multimodal import (
+        png_decode,
+        resize_images,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, n=24)
+    out = resize_images(media, max_side=32).collect()
+    assert len(out) == 24
+    by_status = {}
+    for r in out:
+        by_status.setdefault(r.resized, []).append(r)
+    # audio/video rows pass through untouched
+    assert all(r.kind != "image" for r in by_status.get("passthrough", [])) or any(
+        r.kind == "image" for r in by_status.get("passthrough", [])
+    )
+    resized = by_status.get("resized", [])
+    assert resized, "synth images are 64-95px → must downscale at max_side=32"
+    for r in resized:
+        w, h, ch, px = png_decode(bytes(r.content))
+        assert max(w, h) <= 32 and (r.width, r.height) == (w, h)
+        assert len(px) == w * h * ch
+    # deterministic: same input → byte-identical output
+    again = {r.media_id: r for r in resize_images(media, max_side=32).collect()}
+    for r in resized:
+        assert bytes(again[r.media_id].content) == bytes(r.content)
