@@ -921,6 +921,49 @@ def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    # media spec is a pure function of the row index (kind = i%3,
+    # w = 64+i%32, h = 64+(i*7)%32); the resize arithmetic (scale to the
+    # longest side, truncating int, floor ≥ 1) replays in SQL — the gate
+    # value-checks the Spark-owned part (dims + status markers); pixel
+    # bytes stay unit-tested (test_multimodal.py resize determinism)
+    """
+    WITH m AS (
+      SELECT i AS media_id,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+             64 + i % 32 AS w, 64 + (i * 7) % 32 AS h
+      FROM (SELECT unnest(generate_series(0, 63)) AS i)
+    )
+    SELECT media_id, kind,
+           CASE WHEN kind = 'image'
+                THEN GREATEST(1, CAST(FLOOR(w * (32.0 / GREATEST(w, h)))
+                                      AS BIGINT))
+                ELSE w END AS width,
+           CASE WHEN kind = 'image'
+                THEN GREATEST(1, CAST(FLOOR(h * (32.0 / GREATEST(w, h)))
+                                      AS BIGINT))
+                ELSE h END AS height,
+           CASE WHEN kind = 'image' THEN 'resized'
+                ELSE 'passthrough' END AS resized
+    FROM m
+    """,
+    doc="Image-resize stage under the oracle (multimodal.resize_images, "
+    "Arrow-batched mapInPandas over the real stdlib PNG codec): synth "
+    "images are 64-95 px so every one downscales to max side 32; the "
+    "oracle replays the dimension arithmetic closed-form. Non-image rows "
+    "pass through untouched.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.multimodal import resize_images, synth_media_table
+
+    media = synth_media_table(spark, n=64)
+    return resize_images(media, max_side=32).select(
+        "media_id", "kind", "width", "height", "resized"
+    )
+
+
+@register(
     "ext_dedup_apply",
     "WITH "
     + _MINHASH_SIG
