@@ -175,7 +175,13 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, warehouse):
 
 
 @pytest.mark.parametrize(
-    "name", ["ext_embedding_near_dup", "ext_simhash_pairs", "ext_minhash_lsh_pairs"]
+    "name",
+    [
+        "ext_embedding_near_dup",
+        "ext_simhash_pairs",
+        "ext_minhash_lsh_pairs",
+        "ext_minhash_incremental",
+    ],
 )
 def test_near_dup_pair_generation_is_bucketed(spark, sf_dir, name):
     # Every near-dup pair generator must join on a bucket key (LSH sign
@@ -317,3 +323,11 @@ def test_mixture_weights_totals_broadcast(spark, sf_dir):
     plan = plan_of(mixture_weights(docs), mode="simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_winner_is_aggregate_not_window(spark, sf_dir):
+    # Same rule as paragraph dedup: the first-occurrence winner must be a
+    # groupBy-min (map-side combine survives a hot span duplicated 10M
+    # times); a row_number window would sort the hot key in one partition.
+    plan = plan_of(SPECS()["ext_span_dedup"].fn(spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan
