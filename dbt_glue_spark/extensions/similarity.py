@@ -296,3 +296,55 @@ def all_pairs_cosine(
         .filter(F.col("sim") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "sim")
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = -0.15,
+) -> DataFrame:
+    """Embedding sanity gate: cosine of every vector to the corpus
+    centroid, flagging vectors below ``threshold`` as outliers — the
+    cheap screen for corrupt/zeroed/mis-normalized embeddings (and, on
+    real model embeddings, gross domain outliers) run before any
+    ANN/clustering stage trusts the column.
+
+    Scale shape: one posexplode pass builds the per-dimension centroid
+    (|dim| rows — broadcasts anywhere), a second aggregates per-vector
+    dot/norm against it; the corpus never shuffles full vectors, only
+    (id, dim, value) triples into a map-side-combined sum. Decimal-cast
+    accumulation keeps every sum order-independent, so the score is
+    bit-identical across engines and partitionings.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = pos.groupBy("dim").agg(
+        (F.sum(F.col("v").cast("decimal(28,10)")) / F.count("*"))
+        .cast("double")
+        .alias("c")
+    )
+    j = pos.join(F.broadcast(cent), "dim")
+    per = j.groupBy("id").agg(
+        F.sum((F.col("v") * F.col("c")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("dot"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("nv"),
+    )
+    nc = cent.agg(
+        F.sum((F.col("c") * F.col("c")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("nc")
+    )
+    sim = half_up_round(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), 4)
+    return per.crossJoin(F.broadcast(nc)).select(
+        F.col("id").alias(id_col),
+        sim.alias("centroid_sim"),
+        (sim < threshold).alias("outlier"),
+    )

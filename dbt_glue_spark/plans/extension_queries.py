@@ -398,6 +398,47 @@ def ext_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "ext_embedding_outliers",
+    """
+    WITH dims AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+    ),
+    cent AS (
+      SELECT dim, CAST(SUM(CAST(v AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE)
+               AS c
+      FROM dims GROUP BY dim
+    ),
+    per AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(v * c AS DECIMAL(28,10))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(v * v AS DECIMAL(28,10))) AS DOUBLE) AS nv
+      FROM dims JOIN cent USING (dim) GROUP BY vec_id
+    ),
+    nc AS (SELECT CAST(SUM(CAST(c * c AS DECIMAL(28,10))) AS DOUBLE) AS n
+           FROM cent)
+    SELECT vec_id,
+           FLOOR(dot / SQRT(nv * n) * 10000 + 0.5) / 10000 AS centroid_sim,
+           FLOOR(dot / SQRT(nv * n) * 10000 + 0.5) / 10000 < -0.15 AS outlier
+    FROM per, nc
+    """,
+    doc="Embedding sanity gate (similarity.centroid_outliers): cosine of "
+    "every vector to the corpus centroid, outliers below -0.15 — the "
+    "cheap screen for corrupt/mis-normalized embeddings before ANN or "
+    "clustering trusts the column. One posexplode pass builds the "
+    "|dim|-row centroid (broadcasts anywhere); vectors never shuffle "
+    "whole; decimal accumulation keeps scores partition-invariant.",
+)
+def ext_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Spark posexplode is 0-based, the oracle's generate_series is 1-based;
+    # both enumerate the same (vector, component) pairs so the aggregates
+    # agree — dim never appears in the output.
+    return similarity.centroid_outliers(emb)
+
+
 def _bucket_sql(col: str, planes: int = 4, dim: int = 64) -> str:
     parts = []
     for p in range(planes):
