@@ -962,6 +962,48 @@ def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_incremental_append",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS event_hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Streaming incremental-append SINK end-to-end "
+    "(streaming/pipelines.incremental_stream_sink): events staged as a "
+    "4-file stream, availableNow parquet sink partitioned by event hour "
+    "with a checkpoint, then the SINK's files re-read and aggregated — "
+    "exactly-once file-sink semantics must reproduce the batch aggregate. "
+    "This is the streaming twin of the incremental/append "
+    "materialization (the driver-triggered micro-batch run).",
+)
+def streaming_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dbt_glue_spark.streaming.pipelines import incremental_stream_sink
+
+    events = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="dgs_q_appendsrc_")
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage)
+    )
+    sink = tempfile.mkdtemp(prefix="dgs_q_appendsink_")
+    q = incremental_stream_sink(
+        stream,
+        os.path.join(sink, "data"),
+        os.path.join(sink, "ckpt"),
+    )
+    q.awaitTermination(300)
+    written = spark.read.parquet(os.path.join(sink, "data"))
+    return written.groupBy(
+        F.col("event_hour").alias("event_hour"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+
+
+@register(
     "multimodal_resize",
     # media spec is a pure function of the row index (kind = i%3,
     # w = 64+i%32, h = 64+(i*7)%32); the resize arithmetic (scale to the
