@@ -1004,6 +1004,60 @@ def streaming_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_merge_upsert",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id AS last_event_id
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Streaming upsert sink end-to-end "
+    "(streaming/pipelines.merge_stream_sink): each micro-batch merges "
+    "into a parquet target with precombine latest-wins on event_id — the "
+    "Hudi-style streaming upsert. The final target must hold exactly the "
+    "max-event_id row per (user, event_type) REGARDLESS of how the "
+    "stream was batched: out-of-order batches must not clobber newer "
+    "target rows, which is precisely the precombine-vs-target semantics "
+    "being gated.",
+)
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dbt_glue_spark.streaming.pipelines import merge_stream_sink
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id"
+    )
+    stage = tempfile.mkdtemp(prefix="dgs_q_mergesrc_")
+    # repartition => batches arrive in no particular event order
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    target = tempfile.mkdtemp(prefix="dgs_q_mergetgt_")
+    q = merge_stream_sink(
+        stream,
+        spark,
+        target,
+        os.path.join(target, "ckpt"),
+        unique_key=["user_id", "event_type"],
+        dedup_source_on="event_id",
+    )
+    q.awaitTermination(300)
+    final = spark.read.parquet(os.path.join(target, "data"))
+    return final.select(
+        "user_id", "event_type", F.col("event_id").alias("last_event_id")
+    )
+
+
+@register(
     "multimodal_resize",
     # media spec is a pure function of the row index (kind = i%3,
     # w = 64+i%32, h = 64+(i*7)%32); the resize arithmetic (scale to the
