@@ -1058,6 +1058,68 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+    doc="Stream-stream interval join end-to-end "
+    "(streaming/pipelines.click_purchase_join_stream): clicks and "
+    "purchases arrive as two file streams in no particular event order; "
+    "each click joins same-user purchases within [click_ts, +1h]. "
+    "Unwatermarked (full-history state) for the Kappa backfill — the "
+    "live variant's watermark pair is what lets Spark evict join state. "
+    "Emitted rows must equal the batch interval join exactly.",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from dbt_glue_spark.streaming.pipelines import click_purchase_join_stream
+
+    events = load_table(spark, sf_dir, "events")
+    clicks_dir = tempfile.mkdtemp(prefix="dgs_q_clicks_")
+    purch_dir = tempfile.mkdtemp(prefix="dgs_q_purch_")
+    events.filter(F.col("event_type") == "click").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(clicks_dir)
+    events.filter(F.col("event_type") == "purchase").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(purch_dir)
+    schema = events.schema
+    c_stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(clicks_dir)
+    )
+    p_stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(purch_dir)
+    )
+    name = f"q_ivj_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            click_purchase_join_stream(c_stream, p_stream, watermark=None)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select(
+        "user_id", "click_id", "click_ts", "purchase_ts"
+    )
+
+
+@register(
     "multimodal_resize",
     # media spec is a pure function of the row index (kind = i%3,
     # w = 64+i%32, h = 64+(i*7)%32); the resize arithmetic (scale to the

@@ -257,7 +257,7 @@ def click_purchase_join_stream(
     clicks_stream: DataFrame,
     purchases_stream: DataFrame,
     horizon: str = "1 hour",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
 ) -> DataFrame:
     """Stream-stream interval join: each click matched to same-user
     purchases within ``[click_ts, click_ts + horizon]`` event time.
@@ -270,12 +270,19 @@ def click_purchase_join_stream(
     older than watermark+horizon is dropped. At scale, state is
     partitioned by the join key across the cluster's state stores.
     """
-    c = _with_event_time_watermark(clicks_stream, "ts", watermark).select(
+    # watermark=None → no state eviction (full-history join): required for
+    # an out-of-event-time-order backfill, same trade as sessionize_stream
+    def _wm(df: DataFrame) -> DataFrame:
+        if watermark is None:
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return _with_event_time_watermark(df, "ts", watermark)
+
+    c = _wm(clicks_stream).select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
     )
-    p = _with_event_time_watermark(purchases_stream, "ts", watermark).select(
+    p = _wm(purchases_stream).select(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
