@@ -1120,6 +1120,58 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_enrich",
+    """
+    SELECT event_id, user_id,
+           'seg' || CAST(user_id % 25 AS VARCHAR) AS segment
+    FROM events
+    """,
+    doc="Stream-static enrichment join end-to-end "
+    "(streaming/pipelines.enrich_stream): every micro-batch left-joins a "
+    "broadcast static dimension (user segment) — STATELESS, no "
+    "watermark, no state store; the dim re-plans per batch so reference "
+    "data can change between batches. The enriched stream must equal the "
+    "batch left join exactly.",
+)
+def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from dbt_glue_spark.streaming.pipelines import enrich_stream
+
+    events = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="dgs_q_enrich_")
+    events.repartition(2).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .select("event_id", "user_id")
+    )
+    dim = spark.range(25).select(
+        F.col("id").alias("seg_key"),
+        F.concat(F.lit("seg"), F.col("id").cast("string")).alias("segment"),
+    )
+    name = f"q_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_stream(
+            stream,
+            dim,
+            stream["user_id"] % 25 == dim["seg_key"],
+            ["segment"],
+        )
+        .select("event_id", "user_id", "segment")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register(
     "multimodal_resize",
     # media spec is a pure function of the row index (kind = i%3,
     # w = 64+i%32, h = 64+(i*7)%32); the resize arithmetic (scale to the
