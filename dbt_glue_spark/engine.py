@@ -88,6 +88,11 @@ class ModelConfig:
     # write, no extra pass); a violating write fails mid-job and the
     # staging swap leaves the previous table generation intact.
     check_constraints: list[str] | None = None
+    # regenerate the Athena/Presto symlink manifest after EVERY write of
+    # this model (reference ties delta_update_manifest to the write path,
+    # impl.py:766-793 + MSCK for partitioned tables) — engines that read
+    # the manifest instead of the table format never see a stale file list
+    athena_manifest: bool = False
 
 
 @dataclass
@@ -454,6 +459,8 @@ class Engine:
             from dbt_glue_spark.operators.governance import vacuum_versions_at
 
             vacuum_versions_at(*self._version_scan_args(model), keep=1)
+        if cfg.athena_manifest:
+            self.generate_symlink_manifest(model.name)
         return rel
 
     def execute_script(self, script: str, splitter: str = "dbt_next_query") -> DataFrame:

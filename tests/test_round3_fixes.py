@@ -190,3 +190,28 @@ def test_span_dedup_short_docs_and_exact_copies(spark):
     assert out[2].n_spans == 1 and out[2].n_dup_spans == 1
     assert out[2].dup_span_ratio == 1.0
     assert out[3].n_spans == 3 and out[3].n_dup_spans == 0
+
+
+def test_athena_manifest_auto_refreshes_on_write(spark, engine):
+    import os
+    from urllib.parse import urlparse
+
+    m = Model(
+        "auto_mani",
+        sql="select 1 as a union all select 2",
+        config=ModelConfig(athena_manifest=True),
+    )
+    engine.add(m)
+    engine.run_model(m)
+    files1 = engine.ref_df("auto_mani").inputFiles()
+    root1 = os.path.dirname(urlparse(files1[0]).path)
+    mf1 = os.path.join(root1, "_symlink_format_manifest", "manifest")
+    assert os.path.exists(mf1)
+    # rewrite → manifest regenerated beside the NEW generation
+    engine.run_model(m)
+    files2 = engine.ref_df("auto_mani").inputFiles()
+    root2 = os.path.dirname(urlparse(files2[0]).path)
+    assert root2 != root1
+    mf2 = os.path.join(root2, "_symlink_format_manifest", "manifest")
+    assert os.path.exists(mf2)
+    assert sorted(open(mf2).read().split()) == sorted(files2)
