@@ -244,6 +244,34 @@ class Engine:
                 names = [n for n, m in self.models.items() if tag in m.tags]
                 if not names:
                     raise KeyError(f"no models tagged {tag!r}")
+            elif select.startswith("+") or select.endswith("+"):
+                # dbt graph selectors: ``+name`` = name and its ancestors,
+                # ``name+`` = name and its descendants, ``+name+`` = both
+                # (dbt-core node selection syntax, inherited by the
+                # reference through dbt)
+                base = select.strip("+")
+                if base not in self.models:
+                    raise KeyError(f"unknown model {base!r}")
+                picked = {base}
+                if select.startswith("+"):
+                    frontier = [base]
+                    while frontier:
+                        n = frontier.pop()
+                        for d in self._deps(self.models[n]):
+                            if d not in picked:
+                                picked.add(d)
+                                frontier.append(d)
+                if select.endswith("+"):
+                    changed = True
+                    while changed:
+                        changed = False
+                        for n, m in self.models.items():
+                            if n not in picked and any(
+                                d in picked for d in self._deps(m)
+                            ):
+                                picked.add(n)
+                                changed = True
+                names = [n for n in self.models if n in picked]
             else:
                 names = [select]
         order: list[str] = []
@@ -737,6 +765,36 @@ class Engine:
             "bytes_before": bytes_before,
             "bytes_after": bytes_after,
         }
+
+    def source_freshness(
+        self,
+        source: str | DataFrame,
+        loaded_at_field: str,
+        warn_after_s: float,
+        error_after_s: float,
+    ) -> dict:
+        """``dbt source freshness``: age of the newest row vs thresholds.
+
+        The reference inherits this from dbt-core (freshness checks run
+        ``select max(loaded_at_field)`` through the adapter and compare
+        against ``warn_after``/``error_after``). One MAX aggregate — a
+        metadata-sized driver read; on a partitioned-by-time table the
+        scan prunes to recent partitions. Returns
+        ``{max_loaded_at, age_s, status}`` with status pass|warn|error
+        (never-loaded sources are ``error`` with ``age_s=None``).
+        """
+        import datetime as _dt
+
+        df = self.spark.table(source) if isinstance(source, str) else source
+        max_ts = df.agg(F.max(loaded_at_field).alias("m")).collect()[0]["m"]
+        if max_ts is None:
+            return {"max_loaded_at": None, "age_s": None, "status": "error"}
+        now = _dt.datetime.strptime(self._now(), "%Y-%m-%d %H:%M:%S")
+        age = (now - max_ts).total_seconds()
+        status = (
+            "error" if age > error_after_s else "warn" if age > warn_after_s else "pass"
+        )
+        return {"max_loaded_at": max_ts, "age_s": age, "status": status}
 
     def generate_symlink_manifest(self, name: str) -> dict[str, list[str]]:
         """Athena/Presto symlink manifest for the table's current

@@ -215,3 +215,44 @@ def test_athena_manifest_auto_refreshes_on_write(spark, engine):
     mf2 = os.path.join(root2, "_symlink_format_manifest", "manifest")
     assert os.path.exists(mf2)
     assert sorted(open(mf2).read().split()) == sorted(files2)
+
+
+def test_graph_selectors_ancestors_descendants(spark, engine):
+    spark.range(3).createOrReplaceTempView("r3_g_src")
+    engine.add(Model("g_base", sql="select id from {{ source('r3_g_src') }}"))
+    engine.add(Model("g_mid", sql="select id from {{ ref('g_base') }}"))
+    engine.add(Model("g_leaf", sql="select id from {{ ref('g_mid') }}"))
+    engine.add(Model("g_other", sql="select id from {{ source('r3_g_src') }}"))
+    # +g_mid builds g_base then g_mid, never g_leaf/g_other
+    engine.run(select="+g_mid")
+    assert engine.catalog.exists(engine.relation_for("g_mid"))
+    assert engine.catalog.exists(engine.relation_for("g_base"))
+    assert not engine.catalog.exists(engine.relation_for("g_leaf"))
+    assert not engine.catalog.exists(engine.relation_for("g_other"))
+    # g_mid+ adds descendants
+    engine.run(select="g_mid+")
+    assert engine.catalog.exists(engine.relation_for("g_leaf"))
+    assert not engine.catalog.exists(engine.relation_for("g_other"))
+
+
+def test_source_freshness_thresholds(spark):
+    import tempfile
+
+    eng = Engine(
+        spark,
+        tempfile.mkdtemp(prefix="dgs_fresh_"),
+        schema="r3_fresh",
+        now=lambda: "2024-02-01 00:00:00",
+    )
+    df = spark.sql(
+        "select timestamp'2024-01-31 23:30:00' as loaded_at"
+        " union all select timestamp'2024-01-30 00:00:00'"
+    )
+    r = eng.source_freshness(df, "loaded_at", warn_after_s=600, error_after_s=7200)
+    assert r["status"] == "warn" and r["age_s"] == 1800.0
+    r2 = eng.source_freshness(df, "loaded_at", warn_after_s=60, error_after_s=900)
+    assert r2["status"] == "error"
+    r3 = eng.source_freshness(df, "loaded_at", warn_after_s=3600, error_after_s=7200)
+    assert r3["status"] == "pass"
+    empty = spark.sql("select timestamp'2024-01-01' as loaded_at where false")
+    assert eng.source_freshness(empty, "loaded_at", 1, 2)["status"] == "error"
