@@ -766,6 +766,13 @@ class Engine:
             "bytes_after": bytes_after,
         }
 
+    def compile(self, name: str) -> str:
+        """``dbt compile``: the model's SQL with every ``{{ ref }}`` /
+        ``{{ source }}`` / ``{{ this }}`` resolved (ephemeral deps inlined
+        as subqueries) and the comment header stripped — exactly what
+        ``run_model`` would execute."""
+        return self._resolve_sql(self.models[name])
+
     def source_freshness(
         self,
         source: str | DataFrame,

@@ -256,3 +256,20 @@ def test_source_freshness_thresholds(spark):
     assert r3["status"] == "pass"
     empty = spark.sql("select timestamp'2024-01-01' as loaded_at where false")
     assert eng.source_freshness(empty, "loaded_at", 1, 2)["status"] == "error"
+
+
+def test_compile_resolves_refs_and_inlines_ephemeral(spark, engine):
+    engine.add(
+        Model(
+            "c_eph",
+            sql="select 1 as k",
+            config=ModelConfig(materialized="ephemeral"),
+        )
+    )
+    engine.add(Model("c_user", sql="select k from {{ ref('c_eph') }} t"))
+    compiled = engine.compile("c_user")
+    assert "{{" not in compiled
+    assert "(select 1 as k) AS __ephemeral_c_eph" in compiled
+    engine.add(Model("c_tbl", sql="select 2 as k"))
+    engine.add(Model("c_user2", sql="select k from {{ ref('c_tbl') }}"))
+    assert engine.relation_for("c_tbl").render() in engine.compile("c_user2")
