@@ -100,6 +100,10 @@ class Model:
     name: str
     sql: str | None = None
     fn: Callable[..., DataFrame] | None = None  # python model: fn(ctx, spark)
+    # python model as SOURCE TEXT defining model(dbt, session) — the
+    # reference's submission channel ships exactly this string to Glue
+    # (python_utils.sql:1-49); exec'd in-process with the same contract
+    python_source: str | None = None
     seed_csv: str | None = None
     column_types: dict[str, str] | None = None
     config: ModelConfig = field(default_factory=ModelConfig)
@@ -365,9 +369,26 @@ class Engine:
             raise ValueError("contract violation: " + "; ".join(problems))
 
     def _model_df(self, model: Model, is_incremental: bool = False) -> DataFrame:
-        if model.fn is not None:
+        fn = model.fn
+        if fn is None and model.python_source is not None:
+            # U4: arbitrary PySpark source string — the reference ships the
+            # compiled python model text to Glue for exec with a `model(dbt,
+            # session)` entry point (python_utils.sql:1-49 wraps exactly
+            # this shape); in-process we exec the same contract. Same trust
+            # model as the reference: model code is user-authored code.
+            ns: dict = {}
+            exec(  # noqa: S102 — the python-model execution channel
+                compile(model.python_source, f"<python model {model.name}>", "exec"),
+                ns,
+            )
+            if "model" not in ns or not callable(ns["model"]):
+                raise ValueError(
+                    f"python model {model.name} must define model(dbt, session)"
+                )
+            fn = ns["model"]
+        if fn is not None:
             ctx = DbtContext(self, model, is_incremental)
-            out = model.fn(ctx, self.spark)
+            out = fn(ctx, self.spark)
             if not isinstance(out, DataFrame):
                 try:  # pandas / pandas-on-Spark conversion chain
                     import pandas as pd

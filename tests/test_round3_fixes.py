@@ -273,3 +273,25 @@ def test_compile_resolves_refs_and_inlines_ephemeral(spark, engine):
     engine.add(Model("c_tbl", sql="select 2 as k"))
     engine.add(Model("c_user2", sql="select k from {{ ref('c_tbl') }}"))
     assert engine.relation_for("c_tbl").render() in engine.compile("c_user2")
+
+
+def test_python_source_model_executes_with_dbt_context(spark, engine):
+    spark.range(5).createOrReplaceTempView("r3_py_src")
+    src = """
+from pyspark.sql import functions as F
+
+def model(dbt, session):
+    base = dbt.source("r3_py_src")
+    return base.filter(F.col("id") >= 2).withColumn("doubled", F.col("id") * 2)
+"""
+    m = Model("py_text", python_source=src, config=ModelConfig(materialized="table"))
+    engine.add(m)
+    engine.run_model(m)
+    rows = {r.id: r.doubled for r in engine.ref_df("py_text").collect()}
+    assert rows == {2: 4, 3: 6, 4: 8}
+    bad = Model("py_bad", python_source="x = 1", config=ModelConfig())
+    engine.add(bad)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="must define model"):
+        engine.run_model(bad)
