@@ -331,3 +331,13 @@ def test_span_dedup_winner_is_aggregate_not_window(spark, sf_dir):
     # times); a row_number window would sort the hot key in one partition.
     plan = plan_of(SPECS()["ext_span_dedup"].fn(spark, sf_dir), mode="simple")
     assert "Window" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["ext_span_dedup", "ext_paragraph_dedup"])
+def test_dedup_winner_aggregates_have_map_side_partials(spark, sf_dir, name):
+    # The skew-survival claim, verified: the first-occurrence winner must
+    # compile with partial_min BEFORE the exchange — a hot span/paragraph
+    # duplicated 10M times then collapses map-side instead of flooding one
+    # reducer partition.
+    plan = plan_of(SPECS()[name].fn(spark, sf_dir), mode="formatted")
+    assert "partial_min" in plan, plan
