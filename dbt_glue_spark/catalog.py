@@ -107,3 +107,14 @@ class Catalog:
 
     def show_create(self, rel: Relation) -> str:
         return self.spark.sql(f"SHOW CREATE TABLE {rel.render()}").collect()[0][0]
+
+    def location(self, rel: Relation) -> str | None:
+        """The table's storage location URI from catalog metadata.
+
+        One DESCRIBE — a metadata read, no file listing. Views (and any
+        relation without storage) return None.
+        """
+        for row in self.spark.sql(f"DESCRIBE FORMATTED {rel.render()}").collect():
+            if row["col_name"] == "Location":
+                return row["data_type"]
+        return None

@@ -509,7 +509,7 @@ class Engine:
 
             vacuum_versions_at(*self._version_scan_args(model), keep=1)
         if cfg.athena_manifest:
-            self.generate_symlink_manifest(model.name)
+            self.generate_symlink_manifest(model.name, strict=False)
         return rel
 
     def execute_script(self, script: str, splitter: str = "dbt_next_query") -> DataFrame:
@@ -772,6 +772,9 @@ class Engine:
         for root, _dirs, files in os.walk(
             urlparse(self._last_swap_location).path or self._last_swap_location
         ):
+            # prune hidden/metadata dirs (_symlink_format_manifest etc.) —
+            # their files are not data and must not inflate after-stats
+            _dirs[:] = [d for d in _dirs if not d.startswith((".", "_"))]
             for f in files:
                 if f.startswith((".", "_")) or f.endswith(".crc"):
                     continue
@@ -824,7 +827,9 @@ class Engine:
         )
         return {"max_loaded_at": max_ts, "age_s": age, "status": status}
 
-    def generate_symlink_manifest(self, name: str) -> dict[str, list[str]]:
+    def generate_symlink_manifest(
+        self, name: str, strict: bool = True
+    ) -> dict[str, list[str]]:
         """Athena/Presto symlink manifest for the table's current
         generation — S8, the reference's ``delta_update_manifest``
         (impl.py:766-793: ``deltaTable.generate("symlink_format_manifest")``
@@ -838,20 +843,38 @@ class Engine:
         current generation, no data pass. Returns
         ``{partition_path or '': [file, ...]}``; re-running replaces the
         manifests (stale manifests must not survive a rewrite).
+
+        The manifest root is the table's CATALOG location (one DESCRIBE,
+        like ``deltaTable.generate`` anchoring at the Delta table root) —
+        never inferred from data-file paths: with a single live partition
+        a commonpath inference would collapse into that partition dir and
+        Athena would look for ``<loc>/_symlink_format_manifest/part=x/``
+        in the wrong place.
+
+        ``strict=False`` (the write path) writes an empty root manifest
+        for a zero-file generation instead of raising — the write already
+        committed; a post-commit raise would fail a successful run.
         """
         from urllib.parse import urlparse
 
         rel = self.relation_for(name)
         df = self.spark.table(rel.render())
         files = sorted(df.inputFiles())
-        if not files:
-            raise ValueError(f"{name}: no data files to manifest")
+        loc = self.catalog.location(rel)
+        root = urlparse(loc).path or loc if loc else None
         paths = [urlparse(f).path or f for f in files]
-        root = os.path.commonpath([os.path.dirname(p) for p in paths])
+        if root is None:
+            if not paths:
+                raise ValueError(f"{name}: no location and no data files to manifest")
+            root = os.path.commonpath([os.path.dirname(p) for p in paths])
+        if not files and strict:
+            raise ValueError(f"{name}: no data files to manifest")
         by_partition: dict[str, list[str]] = {}
         for uri, p in zip(files, paths):
             part = os.path.relpath(os.path.dirname(p), root)
             by_partition.setdefault("" if part == "." else part, []).append(uri)
+        if not by_partition:  # zero-file table, strict=False: empty manifest
+            by_partition[""] = []
         manifest_root = os.path.join(root, "_symlink_format_manifest")
         import shutil
 
@@ -860,7 +883,7 @@ class Engine:
             d = os.path.join(manifest_root, part) if part else manifest_root
             os.makedirs(d, exist_ok=True)
             with open(os.path.join(d, "manifest"), "w") as fh:
-                fh.write("\n".join(uris) + "\n")
+                fh.write("\n".join(uris) + ("\n" if uris else ""))
         return by_partition
 
     def docs(self) -> DataFrame:

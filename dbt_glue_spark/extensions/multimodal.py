@@ -3,13 +3,15 @@
 IMAGE DECODE IS REAL for PNG: a pure-stdlib (zlib + struct) decoder
 handles non-interlaced 8-bit grayscale/RGB/RGBA with all five scanline
 filters, and image features (dimensions, channel count, luminance
-mean/stddev/histogram) are computed from actual pixels. Audio/video
-decode remains STUBBED (no codecs in this container — see
-``DecodeUnavailable``); everything Spark-side is real for all kinds:
-schemas, Arrow-batched pandas UDF signatures, ``mapInPandas`` streaming
-iteration (bounded memory per batch), and partition sizing. Swapping in
-Pillow/torchaudio for the remaining formats changes one function body,
-not the plan.
+mean/stddev/histogram) are computed from actual pixels.
+AUDIO DECODE IS REAL for WAV: stdlib ``wave`` decodes 16-bit PCM and
+audio features (sample count/rate, RMS, peak, zero-crossings) come from
+actual samples. Video frame decode remains STUBBED (no video codecs in
+this container — see ``DecodeUnavailable``); everything Spark-side is
+real for all kinds: schemas, Arrow-batched pandas UDF signatures,
+``mapInPandas`` streaming iteration (bounded memory per batch), and
+partition sizing. Swapping in Pillow/torchaudio for the remaining
+formats changes one function body, not the plan.
 
 Scale notes: media bytes dominate row size, so `spark.sql.files.
 maxPartitionBytes` should be raised (512 MB+) and the decode stage must
@@ -234,18 +236,113 @@ def synth_png(i: int, width: int, height: int) -> bytes:
     return png_encode(width, height, bytes(px), channels=3)
 
 
+def synth_wav(i: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic 16-bit PCM mono WAV: a square wave whose every
+    feature is closed-form, so oracle SQL can recompute them from the
+    index alone — duration ``1 + i % 10`` s, amplitude
+    ``1000 * (1 + i % 5)`` (RMS = peak = amplitude for a square wave),
+    half-period ``2 + i % 6`` samples (sign flips exactly every
+    half-period → ``(n-1) // hp`` zero crossings). Exercises the REAL
+    stdlib ``wave`` encoder/decoder pair in tests, the audio twin of
+    ``synth_png``."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    dur_s = 1 + i % 10
+    n = sample_rate * dur_s
+    amp = 1000 * (1 + i % 5)
+    hp = 2 + i % 6
+    k = np.arange(n)
+    samples = np.where((k // hp) % 2 == 0, amp, -amp).astype("<i2")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes) -> tuple[int, int, "object"]:
+    """Decode a 16-bit PCM WAV with stdlib ``wave`` only.
+
+    Returns ``(sample_rate, n_channels, samples)`` where samples is a 1-D
+    int16 numpy array of channel 0 (first channel, not a downmix — keeps
+    every derived feature integer-exact and engine-invariant). Raises
+    ``DecodeUnavailable`` for non-WAV bytes or non-16-bit encodings —
+    callers fall back to opaque features."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    try:
+        with _wave.open(io.BytesIO(data)) as w:
+            nch, sw, sr = w.getnchannels(), w.getsampwidth(), w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (EOFError, _wave.Error) as e:
+        raise DecodeUnavailable(f"not a PCM WAV stream: {e}") from e
+    if sw != 2:
+        raise DecodeUnavailable(f"unsupported WAV sample width {sw}")
+    samples = np.frombuffer(raw, dtype="<i2")
+    if nch > 1:
+        samples = samples[::nch]  # channel 0
+    return sr, nch, samples
+
+
+def audio_features(data: bytes, dim: int = 8) -> list[float]:
+    """Real audio feature vector from decoded PCM samples:
+    [n_samples, sample_rate, channels, rms/32768, peak/32768,
+    zero_crossings, zcr, 0]. The crossing COUNT (an exact integer) is the
+    oracle-checked feature; ``zcr`` = crossings/(n-1) is the conventional
+    rate alongside it. Falls back to ``_fake_feature`` for undecodable
+    content so mixed media batches never fail the job."""
+    import math
+
+    import numpy as np
+
+    try:
+        _sr, nch, x = wav_decode(data)
+    except DecodeUnavailable:
+        return _fake_feature(data, dim)
+    n = int(x.size)
+    if n == 0:
+        return ([0.0] * 8 + [0.0] * dim)[:dim]
+    xd = x.astype(np.float64)
+    rms_norm = math.sqrt(float((xd * xd).mean())) / 32768.0
+    peak_norm = float(np.abs(xd).max()) / 32768.0
+    sign = np.where(xd >= 0, 1, -1)  # zeros count as positive (deterministic)
+    crossings = float((sign[1:] != sign[:-1]).sum()) if n > 1 else 0.0
+    zcr = crossings / (n - 1) if n > 1 else 0.0
+    feats = [
+        float(n),
+        float(_sr),
+        float(nch),
+        rms_norm,
+        peak_norm,
+        crossings,
+        zcr,
+        0.0,
+    ]
+    return (feats + [0.0] * dim)[:dim]
+
+
 def synth_media_table(spark, n: int = 64) -> DataFrame:
     """Deterministic media table: image rows carry REAL (decodable) PNG
-    bytes; audio/video rows carry opaque deterministic bytes."""
+    bytes, audio rows REAL (decodable) 16-bit PCM WAV bytes; video rows
+    carry opaque deterministic bytes (no video codec in this env)."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         w, h = 64 + i % 32, 64 + (i * 7) % 32
-        content = (
-            synth_png(i, w, h)
-            if kind == "image"
-            else hashlib.sha256(str(i).encode()).digest() * 4
-        )
+        if kind == "image":
+            content = synth_png(i, w, h)
+        elif kind == "audio":
+            content = synth_wav(i)
+        else:
+            content = hashlib.sha256(str(i).encode()).digest() * 4
         rows.append(
             (i, kind, content, ("image/png", "audio/wav", "video/mp4")[i % 3],
              w, h, 1000 * (1 + i % 10))
@@ -266,6 +363,8 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             return [0.0] * 8
         if kind == "image":
             return image_features(content)  # real decode for PNG
+        if kind == "audio":
+            return audio_features(content)  # real decode for 16-bit PCM WAV
         return _fake_feature(content)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -304,25 +403,27 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return frames
 
 
-def resize_image(data: bytes, max_side: int) -> bytes:
+def resize_image(data: bytes, max_side: int) -> tuple[bytes, int, int, bool]:
     """Nearest-neighbor downscale of a PNG so its longest side ≤
-    ``max_side``; returns the re-encoded PNG (pass-through when already
-    small enough). Real decode → numpy index-sample → real encode, stdlib
-    codec both ways. Raises ``DecodeUnavailable`` for non-PNG content —
-    callers decide whether to pass through or drop."""
+    ``max_side``. Returns ``(png_bytes, width, height, did_resize)`` —
+    an explicit flag, not inferred from encoded byte length (a downscale
+    can coincidentally re-encode to the original length). Pass-through
+    when already small enough. Real decode → numpy index-sample → real
+    encode, stdlib codec both ways. Raises ``DecodeUnavailable`` for
+    non-PNG content — callers decide whether to pass through or drop."""
     import numpy as np
 
     w, h, ch, px = png_decode(data)
     side = max(w, h)
     if side <= max_side:
-        return data
+        return data, w, h, False
     scale = max_side / side
     nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
     arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
     ys = (np.arange(nh) * (h / nh)).astype(int)
     xs = (np.arange(nw) * (w / nw)).astype(int)
     out = arr[ys][:, xs]
-    return png_encode(nw, nh, out.tobytes(), channels=ch)
+    return png_encode(nw, nh, out.tobytes(), channels=ch), nw, nh, True
 
 
 RESIZED_SCHEMA = StructType(
@@ -358,10 +459,9 @@ def resize_images(df: DataFrame, max_side: int = 32) -> DataFrame:
                 w, h = r.get("width"), r.get("height")
                 if r["kind"] == "image" and content is not None:
                     try:
-                        resized = resize_image(bytes(content), max_side)
-                        if resized is not content and len(resized) != len(content):
+                        resized, nw, nh, did = resize_image(bytes(content), max_side)
+                        if did:
                             content, status = resized, "resized"
-                            nw, nh, _ch, _px = png_decode(resized)
                             w, h = nw, nh
                         else:
                             status = "passthrough"

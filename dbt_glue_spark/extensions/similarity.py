@@ -342,9 +342,17 @@ def centroid_outliers(
         .cast("double")
         .alias("nc")
     )
-    sim = half_up_round(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), 4)
+    # try_divide: an all-zero/corrupt vector has nv=0 → 0/0, which under
+    # ANSI mode (Spark 4 default) would abort the whole job — one corrupt
+    # embedding must not kill the scan. try_divide yields NULL instead.
+    sim = half_up_round(
+        F.try_divide(F.col("dot"), F.sqrt(F.col("nv") * F.col("nc"))), 4
+    )
+    # Undefined cosine is exactly the case this gate screens for, so it
+    # counts as an outlier rather than silently passing as NULL.
+    undefined = sim.isNull() | F.isnan(sim)
     return per.crossJoin(F.broadcast(nc)).select(
         F.col("id").alias(id_col),
         sim.alias("centroid_sim"),
-        (sim < threshold).alias("outlier"),
+        F.when(undefined, F.lit(True)).otherwise(sim < threshold).alias("outlier"),
     )

@@ -420,8 +420,12 @@ def ext_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc AS (SELECT CAST(SUM(CAST(c * c AS DECIMAL(28,10))) AS DOUBLE) AS n
            FROM cent)
     SELECT vec_id,
-           FLOOR(dot / SQRT(nv * n) * 10000 + 0.5) / 10000 AS centroid_sim,
-           FLOOR(dot / SQRT(nv * n) * 10000 + 0.5) / 10000 < -0.15 AS outlier
+           CASE WHEN nv * n = 0 THEN NULL
+                ELSE FLOOR(dot / SQRT(nv * n) * 10000 + 0.5) / 10000 END
+             AS centroid_sim,
+           CASE WHEN nv * n = 0 THEN TRUE
+                ELSE FLOOR(dot / SQRT(nv * n) * 10000 + 0.5) / 10000 < -0.15 END
+             AS outlier
     FROM per, nc
     """,
     doc="Embedding sanity gate (similarity.centroid_outliers): cosine of "
@@ -911,29 +915,79 @@ def streaming_activity_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # no oracle: binary media + sha-based features are not SQL-portable
+    # The synthetic media table is a pure function of the row index, so
+    # every decoded feature is closed-form: image width = 64 + i%32
+    # (proves the real PNG pixel decode); audio rows are square-wave WAVs
+    # with duration 1+i%10 s @ 8 kHz, amplitude 1000*(1+i%5) (RMS = peak
+    # = amp for a square wave, amp/32768 exactly representable), and
+    # half-period 2+i%6 samples → (n-1)//hp zero crossings (an exact
+    # integer — the oracle-checked feature); WAV byte size = 44-byte
+    # header + 2n. Video stays opaque sha bytes (128 B each). Image PNG
+    # byte sizes are zlib-dependent → not closed-form → media_bytes is
+    # NULL for images by design.
+    """
+    WITH idx AS (SELECT unnest(generate_series(0, 95)) AS i),
+    aud AS (
+      SELECT i, (1 + i % 10) AS dur_s, 8000 * (1 + i % 10) AS n,
+             1000 * (1 + i % 5) AS amp, 2 + i % 6 AS hp
+      FROM idx WHERE i % 3 = 1
+    )
+    SELECT 'image' AS kind, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_hashed,
+           AVG(64 + i % 32) AS avg_decoded_width,
+           CAST(NULL AS DOUBLE) AS avg_duration_s,
+           CAST(NULL AS DOUBLE) AS avg_rms_norm,
+           CAST(NULL AS DOUBLE) AS avg_crossings,
+           CAST(NULL AS BIGINT) AS media_bytes
+    FROM idx WHERE i % 3 = 0
+    UNION ALL
+    SELECT 'audio', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           NULL, AVG(CAST(dur_s AS DOUBLE)), AVG(amp / 32768.0),
+           AVG(CAST((n - 1) // hp AS DOUBLE)),
+           CAST(SUM(44 + 2 * n) AS BIGINT)
+    FROM aud
+    UNION ALL
+    SELECT 'video', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           NULL, NULL, NULL, NULL, CAST(SUM(128) AS BIGINT)
+    FROM idx WHERE i % 3 = 2
+    """,
     doc="Multimodal end-to-end: synthetic binary media table → Arrow-"
     "batched mapInPandas feature extraction → per-kind aggregate. Image "
-    "rows are REAL PNGs decoded by the stdlib decoder (width/height in "
-    "the feature vector come from actual pixels; avg_decoded_width "
-    "proves it in the output); audio/video remain opaque sha features "
-    "(no codecs in env). Value-checked in tests/test_multimodal.py; "
-    "rows-only driver check.",
+    "rows are REAL PNGs decoded by the stdlib decoder (avg_decoded_width "
+    "comes from actual pixels); audio rows are REAL 16-bit PCM WAVs "
+    "decoded by stdlib wave (duration/RMS/zero-crossings from actual "
+    "samples); video remains opaque sha features (no video codec in "
+    "env). Oracle recomputes every feature closed-form from the "
+    "deterministic media spec — upgraded from rows-only in r4.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions.multimodal import extract_features, synth_media_table
 
     media = synth_media_table(spark, n=96)
     feats = extract_features(media)
+    k = F.col("kind")
     return feats.groupBy("kind").agg(
         F.count("*").alias("n_items"),
-        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
         F.count(F.col("content_sha")).cast("bigint").alias("n_hashed"),
-        # element_at(feature, 1) = decoded pixel width for images (from the
-        # real PNG decode), fake-feature byte value for audio/video
+        # feature[1] = decoded pixel width for images (real PNG decode)
+        F.avg(F.when(k == "image", F.element_at("feature", 1)))
+        .alias("avg_decoded_width"),
+        # audio features from the real WAV decode: n_samples/sample_rate,
+        # rms/32768, crossing count — all exactly representable floats
         F.avg(
-            F.when(F.col("kind") == "image", F.element_at("feature", 1))
-        ).alias("avg_decoded_width"),
+            F.when(
+                k == "audio",
+                F.element_at("feature", 1) / F.element_at("feature", 2),
+            )
+        ).alias("avg_duration_s"),
+        F.avg(F.when(k == "audio", F.element_at("feature", 4)))
+        .alias("avg_rms_norm"),
+        F.avg(F.when(k == "audio", F.element_at("feature", 6)))
+        .alias("avg_crossings"),
+        # WAV/sha byte sizes are closed-form; PNG (zlib) sizes are not
+        F.sum(F.when(k != "image", F.col("n_bytes")))
+        .cast("bigint")
+        .alias("media_bytes"),
     )
 
 

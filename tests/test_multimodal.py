@@ -171,3 +171,61 @@ def test_resize_images_downscales_and_passes_through(spark):
     again = {r.media_id: r for r in resize_images(media, max_side=32).collect()}
     for r in resized:
         assert bytes(again[r.media_id].content) == bytes(r.content)
+
+
+# ---- round-4: real WAV audio decode ----------------------------------------
+
+
+def test_wav_roundtrip_and_closed_form_features():
+    from dbt_glue_spark.extensions.multimodal import (
+        audio_features,
+        synth_wav,
+        wav_decode,
+    )
+
+    for i in (0, 1, 4, 7, 13):
+        dur_s, amp, hp = 1 + i % 10, 1000 * (1 + i % 5), 2 + i % 6
+        n = 8000 * dur_s
+        wav = synth_wav(i)
+        # stdlib wave writes the canonical 44-byte PCM header — the
+        # closed-form byte size the oracle SQL relies on
+        assert len(wav) == 44 + 2 * n
+        sr, nch, x = wav_decode(wav)
+        assert (sr, nch, x.size) == (8000, 1, n)
+        # independently recompute the square wave
+        k = np.arange(n)
+        expected = np.where((k // hp) % 2 == 0, amp, -amp)
+        assert (x == expected).all()
+        feats = audio_features(wav)
+        # square wave: RMS = peak = amplitude; sign flips every hp samples
+        assert feats[0] == float(n) and feats[1] == 8000.0 and feats[2] == 1.0
+        assert feats[3] == amp / 32768.0  # exact: amp * 2^-15
+        assert feats[4] == amp / 32768.0
+        assert feats[5] == float((n - 1) // hp)
+        assert feats[6] == pytest.approx(((n - 1) // hp) / (n - 1))
+
+
+def test_audio_features_fall_back_on_non_wav():
+    from dbt_glue_spark.extensions.multimodal import (
+        _fake_feature,
+        audio_features,
+        wav_decode,
+    )
+
+    junk = b"definitely not a wav"
+    assert audio_features(junk) == _fake_feature(junk)
+    with pytest.raises(DecodeUnavailable):
+        wav_decode(junk)
+
+
+def test_extract_features_decodes_audio_for_real(spark):
+    media = synth_media_table(spark, n=12)
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    for i, r in rows.items():
+        if r["kind"] == "audio":
+            n = 8000 * (1 + i % 10)
+            amp, hp = 1000 * (1 + i % 5), 2 + i % 6
+            assert r["feature"][0] == float(n)
+            assert r["feature"][3] == amp / 32768.0
+            assert r["feature"][5] == float((n - 1) // hp)
+            assert r["n_bytes"] == 44 + 2 * n
