@@ -6,12 +6,18 @@ Queries are forced with a noop-format write (full pipeline execution, no
 driver-side collect bottleneck). First query pays JVM/codegen warmup; a
 throwaway warmup query absorbs that so per-query numbers reflect steady
 state.
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
+per-query MEDIAN plus the (max-min) spread: this box shows ±15-30 % noise
+under load (SCALE.md), and a single-shot number cannot distinguish a real
+regression from a scheduling hiccup. ``value`` is the sum of medians.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -87,25 +93,36 @@ def main() -> None:
     timings: dict[str, float] = {}
     from dbt_glue_spark.extensions.dedup import release_caches
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    spread: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
-        t0 = time.time()
-        # Fault isolation: one broken query must not zero the whole round's
-        # perf record — record the error, keep timing the rest.
-        try:
-            force(specs[name].fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-        # free executor storage between queries so one query's cached
-        # intermediates don't skew the next one's memory budget
-        release_caches()
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.time()
+            # Fault isolation: one broken query must not zero the whole
+            # round's perf record — record the error, keep timing the rest.
+            try:
+                force(specs[name].fn(spark, sf_dir))
+                samples.append(time.time() - t0)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                samples = []
+                break
+            # free executor storage between runs so one query's cached
+            # intermediates don't skew the next one's memory budget
+            release_caches()
+        if samples:
+            timings[name] = round(statistics.median(samples), 3)
+            spread[name] = round(max(samples) - min(samples), 3)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

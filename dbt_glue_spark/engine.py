@@ -184,6 +184,11 @@ class Engine:
         self.catalog.create_schema(schema)
         self.models: dict[str, Model] = {}
         self._now = now or (lambda: time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime()))
+        # default driver-side row cap for fetch() — the reference's results
+        # channel is implicitly bounded by the Glue statement payload; an
+        # unbounded in-process collect() is the one way a metadata call can
+        # OOM the driver at scale. None = unbounded (opt-in).
+        self.fetch_max_rows: int | None = 100_000
 
     # -- registration / resolution ---------------------------------------
     def add(self, model: Model) -> None:
@@ -530,12 +535,28 @@ class Engine:
     def fetch(self, df: DataFrame, limit: int | None = None) -> dict:
         """Results channel (reference SqlWrapper2.execute, connection.py:
         429-446): rowcount + rows + column description — in-process, so the
-        JSON/Arrow transport collapses to a collect."""
-        rows = (df.limit(limit) if limit else df).collect()
+        JSON/Arrow transport collapses to a collect.
+
+        Without an explicit ``limit`` the collect is bounded by
+        ``Engine.fetch_max_rows`` (default 100k; the reference's channel
+        is bounded by the Glue statement payload). The cap collects one
+        extra row to detect truncation and reports it via ``truncated``
+        so callers never mistake a capped result for a complete one; set
+        ``engine.fetch_max_rows = None`` to opt into unbounded collects.
+        """
+        cap = limit if limit is not None else self.fetch_max_rows
+        probe = df.limit(cap + 1) if limit is None and cap is not None else (
+            df.limit(cap) if cap is not None else df
+        )
+        rows = probe.collect()
+        truncated = limit is None and cap is not None and len(rows) > cap
+        if truncated:
+            rows = rows[:cap]
         return {
             "rowcount": len(rows),
             "results": [r.asDict(recursive=True) for r in rows],
             "description": [(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+            "truncated": truncated,
         }
 
     def backfill(
@@ -885,6 +906,57 @@ class Engine:
             with open(os.path.join(d, "manifest"), "w") as fh:
                 fh.write("\n".join(uris) + ("\n" if uris else ""))
         return by_partition
+
+    def lakehouse_dry_run(self, name: str, fmt: str) -> dict:
+        """The exact session conf + SQL the engine would execute for this
+        model under a transactional format — executable evidence for the
+        jar-gated substitution point in ``_write_swap`` without needing
+        the jars (reference: Delta impl.py:795-879, Iceberg
+        adapters.sql:162-174, merge strategies.sql:42-93).
+
+        Returns ``{"format", "conf", "statements"}``. Merge-strategy
+        incrementals render a staging view + native ``MERGE INTO``;
+        everything else renders ``CREATE OR REPLACE TABLE ... USING fmt``.
+        """
+        from dbt_glue_spark.operators.lakehouse_sql import (
+            create_or_replace_sql,
+            merge_into_sql,
+        )
+        from dbt_glue_spark.session import _LAKEHOUSE_CONF
+
+        if fmt not in _LAKEHOUSE_CONF:
+            raise ValueError(f"unknown lakehouse format {fmt!r}")
+        model = self.models[name]
+        cfg = model.config
+        rel = self.relation_for(name)
+        select_sql = self._resolve_sql(model)
+        if cfg.materialized == "incremental" and cfg.incremental_strategy == "merge":
+            dest_cols = [f.name for f in self._model_df(model).schema.fields]
+            key = cfg.unique_key
+            stage = f"{rel.render()}__dbt_tmp"
+            stmts = [
+                f"CREATE OR REPLACE TEMPORARY VIEW {stage} AS\n{select_sql}",
+                merge_into_sql(
+                    rel.render(),
+                    stage,
+                    dest_cols,
+                    [key] if isinstance(key, str) else key,
+                    update_columns=cfg.merge_update_columns,
+                    exclude_columns=cfg.merge_exclude_columns,
+                    incremental_predicates=cfg.incremental_predicates,
+                ),
+            ]
+        else:
+            stmts = [
+                create_or_replace_sql(
+                    rel.render(),
+                    select_sql,
+                    fmt,
+                    partition_by=cfg.partition_by or None,
+                    location=cfg.custom_location,
+                )
+            ]
+        return {"format": fmt, "conf": dict(_LAKEHOUSE_CONF[fmt]), "statements": stmts}
 
     def docs(self) -> DataFrame:
         """Catalog/docs extraction for this project's schema (the

@@ -123,6 +123,29 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+    conf = build_conf(
+        extra_conf=extra_conf,
+        warehouse_dir=warehouse_dir,
+        lakehouse=lakehouse,
+        jars=jars,
+        py_files=py_files,
+    )
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def build_conf(
+    extra_conf: dict[str, str] | None = None,
+    warehouse_dir: str | None = None,
+    lakehouse: str | None = None,
+    jars: list[str] | None = None,
+    py_files: list[str] | None = None,
+) -> dict[str, str]:
+    """The exact conf dict :func:`get_spark` applies — exposed so the
+    jars/py_files/lakehouse plumbing is testable without building a
+    session (``getOrCreate`` returns the live session in a test process,
+    silently ignoring new conf)."""
     conf = dict(_DEFAULT_CONF)
     if lakehouse:
         if lakehouse_available(lakehouse):
@@ -143,6 +166,14 @@ def get_spark(
         conf["spark.submit.pyFiles"] = ",".join(py_files)
     if extra_conf:
         conf.update(extra_conf)
-    for k, v in conf.items():
-        builder = builder.config(k, v)
-    return builder.getOrCreate()
+    return conf
+
+
+def add_py_files(spark: SparkSession, paths: list[str]) -> None:
+    """Ship python dependencies to executors on a LIVE session — the
+    runtime counterpart of the ``py_files`` session param (the reference
+    applies extra_py_files at session create, credentials.py:24,49;
+    ``sc.addPyFile`` is the only way to add one after the JVM exists).
+    Files become importable inside UDFs/mapInPandas on every executor."""
+    for p in paths:
+        spark.sparkContext.addPyFile(p)

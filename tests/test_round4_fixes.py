@@ -117,3 +117,20 @@ def test_centroid_outliers_flags_zero_vector(spark):
     assert out[3]["centroid_sim"] is None
     assert out[3]["outlier"] is True
     assert out[1]["outlier"] is False and out[2]["outlier"] is False
+
+
+def test_fetch_default_cap_truncates_and_flags(spark, engine):
+    eng = engine
+    df = spark.range(50).selectExpr("id as v")
+    eng.fetch_max_rows = 10
+    out = eng.fetch(df)
+    assert out["rowcount"] == 10 and out["truncated"] is True
+    # explicit limit is the caller's own bound — not flagged as truncation
+    out2 = eng.fetch(df, limit=5)
+    assert out2["rowcount"] == 5 and out2["truncated"] is False
+    # under the cap: complete result, not flagged
+    out3 = eng.fetch(df.filter("v < 3"))
+    assert out3["rowcount"] == 3 and out3["truncated"] is False
+    # opt-out restores unbounded collects
+    eng.fetch_max_rows = None
+    assert eng.fetch(df)["rowcount"] == 50
