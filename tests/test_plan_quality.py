@@ -341,3 +341,82 @@ def test_dedup_winner_aggregates_have_map_side_partials(spark, sf_dir, name):
     # reducer partition.
     plan = plan_of(SPECS()[name].fn(spark, sf_dir), mode="formatted")
     assert "partial_min" in plan, plan
+
+
+# ---- round-4: skew-stress gates (SURVEY §7.3 risk 8) -----------------------
+
+
+def test_skew_stop_shingle_cutoff_bounds_candidate_cost(spark):
+    # Hot-key corpus: one boilerplate sentence appears in 50% of docs. LSH /
+    # n-gram candidate generation joins postings on shingle, so the hot
+    # shingle's bucket costs df² pairs — the one real skew source in the
+    # dedup family. df_freq_cutoff must drop it while true near-dups
+    # (sharing rare shingles) still surface.
+    from dbt_glue_spark.extensions.dedup import _shingle_postings, ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter for updates today"
+    rows = []
+    for i in range(200):
+        text = f"unique{i} words{i * 7} body{i * 13} tail{i * 31}"
+        if i % 2 == 0:
+            text = f"{text} {boiler}"
+        rows.append((i, text))
+    # planted near-dup pair sharing a rare 6-word sentence
+    dup = "rare shared sentence appearing exactly twice only"
+    rows.append((900, f"{dup} alpha900"))
+    rows.append((901, f"{dup} alpha901"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def candidate_cost(cutoff):
+        post = _shingle_postings(docs, "text", "doc_id", 3, cutoff)
+        df_counts = post.groupBy("shingle").count()
+        return df_counts.selectExpr("sum(count * count) AS c").collect()[0]["c"]
+
+    unbounded = candidate_cost(None)
+    bounded = candidate_cost(20)
+    # 4 hot shingles × df=101 → ≥40k pair cost without the cutoff; with it
+    # the join cost collapses to the rare-shingle postings
+    assert unbounded > 10 * bounded, (unbounded, bounded)
+    # and the true near-dup pair survives the cutoff
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.3, df_freq_cutoff=20
+    ).collect()
+    assert any({r["id_a"], r["id_b"]} == {900, 901} for r in pairs)
+
+
+def test_skew_salted_join_spreads_hot_merge_key(spark):
+    # Merge-key skew: one key owns 30% of rows. A plain hash shuffle puts
+    # all of them in one reducer group; the salted join's shuffle key is
+    # (key, salt), bounding the max group near hot/salt. AQE skew-join (on
+    # in the session) handles the runtime case at real partition sizes —
+    # asserted here as conf, since its 256MB trigger can't fire at test
+    # scale.
+    from dbt_glue_spark.operators.skew import salted_join
+
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    n, salt = 20000, 16
+    left = spark.range(n).selectExpr(
+        "CASE WHEN id % 10 < 3 THEN 0 ELSE id END AS k", "id AS v"
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, n, 7)] + [(0, "dim0")], ["k", "name"]
+    ).dropDuplicates(["k"])
+    # semantics unchanged vs the plain join
+    plain = left.join(right, "k", "inner")
+    salted = salted_join(left, right, ["k"], salt=salt)
+    assert salted.count() == plain.count()
+    # distribution: replicate the salting and measure shuffle-group sizes —
+    # the hot key's 6000 rows must spread to ~375-row (k, salt) groups
+    from pyspark.sql import functions as F
+
+    sizes = (
+        left.withColumn("__salt", (F.rand(7) * salt).cast("int"))
+        .groupBy("k", "__salt")
+        .count()
+    )
+    hot_max = sizes.filter("k = 0").agg(F.max("count")).collect()[0][0]
+    hot_total = left.filter("k = 0").count()
+    assert hot_total == 6000
+    # max salted group ≤ 2× the ideal even split (rand() is near-uniform)
+    assert hot_max <= 2 * hot_total / salt, hot_max

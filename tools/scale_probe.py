@@ -1,0 +1,146 @@
+"""Empirical scaling probe for the dedup/LSH family beyond sf0.1.
+
+The 100 TB claims for MinHash-LSH / span dedup / dup clusters are
+plan-shape-verified (bucketed joins, map-side partials, V(E)-only
+iteration); this probe adds the empirical leg: wall time at 2x/8x/32x
+the sf0.1 documents corpus (10k → 160k docs), with the per-step scaling
+exponent fit between the two largest points (where compute dominates the
+fixed session/scan overhead).
+
+Corpus construction: replicate sf0.1 documents f times. Replica r > 0
+rewrites every word with an ``r``-suffix, so (a) each replica keeps the
+ORIGINAL corpus's internal duplication structure — the dup *rate* stays
+constant as the corpus grows, like a real larger crawl; (b) cross-replica
+similarity is zero — replication adds no artificial near-dup mass; and
+(c) the shingle vocabulary grows with the corpus — posting-list sizes
+stay realistic. Each scaled corpus is materialized to parquet scratch so
+every timed run pays a real scan, not a cached lineage.
+
+Usage: python tools/scale_probe.py [--factors 2,8,32]
+Prints one JSON line: per-op seconds per factor + fitted exponents.
+A near-linear operator shows exponent ≈ 1 (ratio bound 1.5x of linear
+per SCALE.md policy); quadratic blowup would show ≈ 2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.extensions import dedup
+from dbt_glue_spark.session import get_spark
+from dbt_glue_spark.sources.registry import load_table
+
+
+def build_scaled(spark, sf_dir: str, factor: int, out_dir: str) -> str:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    reps = []
+    for r in range(factor):
+        if r == 0:
+            reps.append(docs)
+        else:
+            # word → word<r>: per-replica vocabulary, zero cross-replica
+            # shingle overlap, identical intra-replica dup structure
+            reps.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w: F.concat(w, F.lit(str(r))),
+                        ),
+                        " ",
+                    ).alias("text"),
+                )
+            )
+    scaled = reps[0]
+    for p in reps[1:]:
+        scaled = scaled.unionByName(p)
+    path = os.path.join(out_dir, f"docs_x{factor}")
+    scaled.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    factors = [2, 8, 32]
+    for a in sys.argv[1:]:
+        if a.startswith("--factors"):
+            factors = [int(x) for x in a.split("=", 1)[1].split(",")]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    scratch = tempfile.mkdtemp(prefix="dgs_scale_probe_")
+    results: dict[str, dict[str, float]] = {}
+    rows: dict[str, int] = {}
+    try:
+        # warmup: codegen + shuffle machinery for every probed operator so
+        # the first timed factor doesn't carry one-off JVM costs
+        warm = load_table(spark, sf_dir, "documents").limit(500)
+        dedup.minhash_lsh_pairs(warm).write.format("noop").mode("overwrite").save()
+        dedup.span_dedup(warm).write.format("noop").mode("overwrite").save()
+        dedup.dup_clusters(warm, dedup.minhash_lsh_pairs(warm)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dedup.release_caches()
+        for f_ in factors:
+            path = build_scaled(spark, sf_dir, f_, scratch)
+            docs = spark.read.parquet(path)
+            rows[str(f_)] = docs.count()
+
+            def run_lsh():
+                dedup.minhash_lsh_pairs(docs, threshold=0.5).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            def run_span():
+                dedup.span_dedup(docs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_clusters():
+                pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+                dedup.dup_clusters(docs, pairs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            for name, fn in [
+                ("minhash_lsh_pairs", run_lsh),
+                ("span_dedup", run_span),
+                ("dup_clusters", run_clusters),
+            ]:
+                results.setdefault(name, {})[str(f_)] = timed(fn)
+                dedup.release_caches()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    import math
+
+    exponents = {}
+    if len(factors) >= 2:
+        a, b = str(factors[-2]), str(factors[-1])
+        ratio_n = factors[-1] / factors[-2]
+        for name, t in results.items():
+            if t.get(a) and t.get(b):
+                exponents[name] = round(math.log(t[b] / t[a]) / math.log(ratio_n), 3)
+    print(
+        json.dumps(
+            {"rows": rows, "seconds": results, "exponent_largest_step": exponents}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
