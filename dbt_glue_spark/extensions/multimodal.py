@@ -426,6 +426,92 @@ def resize_image(data: bytes, max_side: int) -> tuple[bytes, int, int, bool]:
     return png_encode(nw, nh, out.tobytes(), channels=ch), nw, nh, True
 
 
+def resample_audio(
+    data: bytes, target_rate: int
+) -> tuple[bytes, int, int, bool]:
+    """Nearest-neighbor (sample-pick) resample of a 16-bit PCM WAV to
+    ``target_rate``. Returns ``(wav_bytes, rate, n_samples, did_resample)``
+    — explicit flag, same contract as ``resize_image``. Pass-through when
+    already at or below the target rate (this is a downsampling stage for
+    training-data normalization, not an upsampler). Real decode → numpy
+    index-pick → real stdlib encode. Raises ``DecodeUnavailable`` for
+    non-WAV content."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    sr, _nch, x = wav_decode(data)
+    if sr <= target_rate:
+        return data, sr, int(x.size), False
+    idx = (np.arange(int(x.size * target_rate / sr)) * (sr / target_rate)).astype(
+        int
+    )
+    out = np.asarray(x)[idx].astype("<i2")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(target_rate)
+        w.writeframes(out.tobytes())
+    return buf.getvalue(), target_rate, int(out.size), True
+
+
+RESAMPLED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("resampled", StringType(), True),
+    ]
+)
+
+
+def resample_audios(df: DataFrame, target_rate: int = 4000) -> DataFrame:
+    """mapInPandas audio-resample stage — the audio twin of
+    ``resize_images``: every decodable WAV above ``target_rate`` is
+    downsampled; other rows pass through with ``'passthrough'``/
+    ``'error'`` markers instead of failing the batch. Arrow-batched
+    iterator, one batch of binary rows in memory at a time; output rows
+    carry the (now smaller) binary plus rate/length — the normalization
+    pass ahead of an audio featurizer at training-data scale.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, r in pdf.iterrows():
+                content, status = r["content"], "passthrough"
+                rate, nsamp = None, None
+                if r["kind"] == "audio" and content is not None:
+                    try:
+                        res, rate, nsamp, did = resample_audio(
+                            bytes(content), target_rate
+                        )
+                        if did:
+                            content, status = res, "resampled"
+                    except DecodeUnavailable:
+                        status = "error"
+                out_rows.append(
+                    (r["media_id"], r["kind"], content, rate, nsamp, status)
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "content",
+                    "sample_rate",
+                    "n_samples",
+                    "resampled",
+                ],
+            )
+
+    return df.mapInPandas(run, RESAMPLED_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

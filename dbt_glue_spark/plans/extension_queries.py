@@ -1269,6 +1269,45 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resample",
+    # audio rows are 8 kHz square-wave WAVs of 1+i%10 s (synth_wav);
+    # nearest-neighbor downsample to 4 kHz halves the sample count, and
+    # the stdlib wave header is a fixed 44 bytes — so rate, length, and
+    # encoded byte size all replay closed-form from the index
+    """
+    SELECT i AS media_id,
+           CAST(4000 AS BIGINT) AS sample_rate,
+           CAST(4000 * (1 + i % 10) AS BIGINT) AS n_samples,
+           CAST(44 + 2 * 4000 * (1 + i % 10) AS BIGINT) AS n_bytes,
+           'resampled' AS resampled
+    FROM (SELECT unnest(generate_series(0, 95)) AS i)
+    WHERE i % 3 = 1
+    """,
+    doc="Audio-resample stage under the oracle (multimodal.resample_audios "
+    "— the audio twin of resize_images): Arrow-batched mapInPandas over "
+    "the real stdlib wave codec, 8 kHz synth WAVs downsampled to 4 kHz. "
+    "The oracle replays rate, sample count, and encoded byte size "
+    "closed-form from the deterministic media spec; sample values are "
+    "unit-tested (test_multimodal.py).",
+)
+def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.multimodal import (
+        resample_audios,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, n=96)
+    out = resample_audios(media, target_rate=4000)
+    return out.filter(F.col("kind") == "audio").select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.length("content").cast("bigint").alias("n_bytes"),
+        "resampled",
+    )
+
+
+@register(
     "ext_dedup_apply",
     "WITH "
     + _MINHASH_SIG

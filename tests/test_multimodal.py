@@ -229,3 +229,40 @@ def test_extract_features_decodes_audio_for_real(spark):
             assert r["feature"][3] == amp / 32768.0
             assert r["feature"][5] == float((n - 1) // hp)
             assert r["n_bytes"] == 44 + 2 * n
+
+
+def test_resample_audio_halves_samples_and_preserves_waveform():
+    from dbt_glue_spark.extensions.multimodal import (
+        resample_audio,
+        synth_wav,
+        wav_decode,
+    )
+
+    wav = synth_wav(4)  # 5 s, amp 5000, hp 6
+    out, rate, nsamp, did = resample_audio(wav, 4000)
+    assert did and rate == 4000 and nsamp == 4000 * 5
+    sr2, nch2, y = wav_decode(out)
+    assert (sr2, nch2, y.size) == (4000, 1, nsamp)
+    # nearest-neighbor pick: y[j] must equal x[floor(j * 8000/4000)]
+    _, _, x = wav_decode(wav)
+    idx = (np.arange(nsamp) * 2).astype(int)
+    assert (np.asarray(y) == np.asarray(x)[idx]).all()
+    # already at/below target → pass-through, original bytes
+    out2, rate2, n2, did2 = resample_audio(out, 4000)
+    assert not did2 and out2 == out and rate2 == 4000
+
+
+def test_resample_audios_passes_non_audio_through(spark):
+    from dbt_glue_spark.extensions.multimodal import resample_audios
+
+    media = synth_media_table(spark, n=12)
+    rows = {r["media_id"]: r for r in resample_audios(media, 4000).collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        if r["kind"] == "audio":
+            assert r["resampled"] == "resampled"
+            assert r["sample_rate"] == 4000
+            assert r["n_samples"] == 4000 * (1 + i % 10)
+        else:
+            assert r["resampled"] == "passthrough"
+            assert r["sample_rate"] is None
