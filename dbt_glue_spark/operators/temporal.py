@@ -9,7 +9,9 @@ Both are built to avoid the naive O(|L|·|R|) theta join:
 - ``asof_join``: union both sides, one window pass per key — the sort-merge
   formulation. Exactly one hash-partition shuffle on the key; state is one
   row per partition during the window scan. Survives 100 TB as long as a
-  single key's timeline fits a partition (salt keys hotter than that).
+  single key's timeline fits a partition; for keys hotter than that use
+  ``asof_join_bucketed`` (same semantics, (key, time-bucket) partitions
+  with a carried row per bucket — no whole-timeline partition ever).
 - ``range_join``: equi-join on coarse time buckets (left rows exploded to
   every bucket their band overlaps) + exact residual filter. Work scales
   with band/bucket ratio, not |L|·|R|; Catalyst sees a plain equi-join so
@@ -90,6 +92,134 @@ def asof_join(
         )
     )
     return out
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_matched",
+    bucket_seconds: float = 86400.0,
+) -> DataFrame:
+    """Scale-path as-of join: bounded window partitions via time buckets.
+
+    ``asof_join``'s one-window-per-key plan needs a key's whole timeline
+    to fit a single partition — fine for user-keyed event streams, wrong
+    for a hot key owning billions of rows (the documented watch item).
+    This formulation is the segmented scan: the heavy window partitions
+    by (key, time-bucket) so no partition exceeds ~one bucket of rows,
+    and cross-bucket state collapses to ONE carried row per (key,
+    bucket), computed on the bucket-summary frame — |non-empty buckets|
+    rows per key, metadata-sized next to the data — then injected into
+    each bucket's partition as a synthetic first row.
+
+    Exactly ``asof_join``'s semantics (pandas merge_asof backward /
+    forward, ties arbitrary under duplicate right timestamps); the
+    equivalence property test in tests/test_operators_unit.py pins it.
+    Pick ``bucket_seconds`` so one bucket of one key fits an executor
+    partition; at 100 TB that replaces "salt and pray" for hot keys.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != on and c not in by]
+    payload = [on, *right_cols]
+    for c in (on, *by):
+        lt, rt = left.schema[c].dataType, right.schema[c].dataType
+        if lt != rt:
+            raise TypeError(
+                f"asof_join_bucketed: column '{c}' type mismatch — left "
+                f"{lt.simpleString()} vs right {rt.simpleString()}"
+            )
+    backward = direction == "backward"
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction}")
+
+    # numeric timeline: works for TIMESTAMP (epoch seconds w/ fraction)
+    # and plain numeric ``on`` columns alike
+    def ts_num(col: Column) -> Column:
+        return col.cast("double")
+
+    bucket_of = F.floor(ts_num(F.col(on)) / F.lit(float(bucket_seconds)))
+    pay_t = "struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload
+    ) + ">"
+
+    rb = right.withColumn("__b", bucket_of)
+    pick = F.max_by if backward else F.min_by
+    # one row per (key, bucket): the bucket's boundary-row payload — the
+    # only right-side state later buckets (earlier, for forward) can need
+    summ = rb.groupBy(*by, "__b").agg(
+        pick(F.struct(*[F.col(c) for c in payload]), ts_num(F.col(on))).alias(
+            "__p"
+        )
+    )
+    lb = left.withColumn("__b", bucket_of)
+    # bucket spine: every (key, bucket) either side touches, so carried
+    # values propagate through buckets with no left (or no right) rows
+    spine = (
+        lb.select(*by, "__b").distinct()
+        .unionByName(summ.select(*by, "__b"))
+        .distinct()
+    )
+    order = F.asc("__b") if backward else F.desc("__b")
+    wc = (
+        Window.partitionBy(*by)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        spine.join(summ, [*by, "__b"], "left")
+        .withColumn("__p", F.last("__p", ignorenulls=True).over(wc))
+        .filter(F.col("__p").isNotNull())
+    )
+
+    null_left = [
+        F.lit(None).cast(left.schema[c].dataType).alias(c)
+        if c not in by and c != on
+        else F.col(c)
+        for c in left.columns
+    ]
+    l = lb.select(
+        *[F.col(c) for c in left.columns], "__b",
+        F.lit(1).alias("__side"), F.lit(1).alias("__real"),
+        F.lit(None).cast(pay_t).alias("__r"),
+    )
+    r = rb.select(
+        *null_left, "__b",
+        F.lit(0).alias("__side"), F.lit(1).alias("__real"),
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
+    )
+    # carried rows sort before every real row of their bucket (__real=0)
+    c_rows = carry.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c not in by
+            else F.col(c)
+            for c in left.columns
+        ],
+        "__b",
+        F.lit(0).alias("__side"), F.lit(0).alias("__real"),
+        F.col("__p").alias("__r"),
+    )
+    unioned = l.unionByName(r).unionByName(c_rows)
+    t_ord = F.asc(on) if backward else F.desc(on)
+    w = (
+        Window.partitionBy(*by, "__b")
+        .orderBy(F.asc("__real"), t_ord, F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            F.col(f"__m.{on}").alias(f"{on}{suffix}"),
+            *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )
 
 
 def range_join(

@@ -744,6 +744,48 @@ def asof_join_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "asof_join_bucketed_clicks",
+    """
+    WITH clicks AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+      FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(MAX(event_id) AS BIGINT) AS p_event
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.ts, c.user_id,
+           p.ts AS ts_matched, p.p_event AS p_event_matched
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="Scale-path as-of join (operators/temporal.asof_join_bucketed): "
+    "same click→latest-prior-purchase semantics as asof_join_clicks_"
+    "purchases and the same DuckDB ASOF oracle, but the heavy window "
+    "partitions by (key, 6h-bucket) with one carried row per bucket "
+    "computed on the metadata-sized bucket-summary frame — no key's "
+    "whole timeline ever has to fit one partition, closing the hot-key "
+    "watch item on the plain formulation.",
+)
+def asof_join_bucketed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.operators.temporal import asof_join_bucketed
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event"))
+    )
+    return asof_join_bucketed(
+        clicks, purch, on="ts", by="user_id", right_cols=["p_event"],
+        bucket_seconds=6 * 3600.0,
+    )
+
+
+@register(
     "range_join_signup_purchases",
     """
     SELECT s.event_id, CAST(COUNT(*) AS BIGINT) AS n_purchases_3d

@@ -492,3 +492,58 @@ def test_train_val_test_split_stable_under_corpus_growth(spark):
     c = Counter(s_big.values())
     assert set(c) == {"train", "val", "test"}
     assert 700 < c["train"] < 900
+
+
+def test_asof_join_bucketed_equivalent_to_window_asof(spark):
+    # property: the segmented-scan (bucketed) formulation must equal the
+    # single-window formulation on every direction / bucket width —
+    # including buckets so narrow that most carry rows matter, and a hot
+    # key holding half the rows
+    import random
+
+    from dbt_glue_spark.operators.temporal import asof_join, asof_join_bucketed
+
+    rng = random.Random(11)
+    # unique (key, ts) on the right so tie-resolution can't differ
+    right_rows = [
+        (k, float(t), k * 1000 + t)
+        for k in range(5)
+        for t in rng.sample(range(1000), 40)
+    ]
+    left_rows = []
+    for i in range(600):
+        k = 0 if i % 2 == 0 else rng.randrange(5)  # key 0 is hot (50%)
+        left_rows.append((i, k, float(rng.randrange(1000))))
+    left = spark.createDataFrame(left_rows, ["event_id", "k", "ts"])
+    right = spark.createDataFrame(right_rows, ["k", "ts", "payload"])
+
+    for direction in ("backward", "forward"):
+        base = asof_join(left, right, on="ts", by="k", direction=direction)
+        for width in (50.0, 173.0, 100000.0):  # incl. one-bucket degenerate
+            bucketed = asof_join_bucketed(
+                left, right, on="ts", by="k",
+                direction=direction, bucket_seconds=width,
+            )
+            assert bucketed.schema == base.schema
+            diff = base.exceptAll(bucketed).count() + bucketed.exceptAll(base).count()
+            assert diff == 0, (direction, width)
+
+
+def test_asof_join_bucketed_window_partitions_by_bucket(spark):
+    # the scale claim itself: the heavy window must partition by
+    # (key, bucket), never by key alone
+    from dbt_glue_spark.operators.temporal import asof_join_bucketed
+    import contextlib, io
+
+    left = spark.createDataFrame([(1, 0, 5.0)], ["event_id", "k", "ts"])
+    right = spark.createDataFrame([(0, 1.0, 7)], ["k", "ts", "payload"])
+    out = asof_join_bucketed(left, right, on="ts", by="k", bucket_seconds=10.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    win_lines = [
+        ln for ln in plan.splitlines() if "Window" in ln or "Arguments: [last" in ln
+    ]
+    main_win = [ln for ln in win_lines if "__r" in ln]
+    assert main_win and all("__b" in ln for ln in main_win), plan
