@@ -6,12 +6,16 @@ filters, and image features (dimensions, channel count, luminance
 mean/stddev/histogram) are computed from actual pixels.
 AUDIO DECODE IS REAL for WAV: stdlib ``wave`` decodes 16-bit PCM and
 audio features (sample count/rate, RMS, peak, zero-crossings) come from
-actual samples. Video frame decode remains STUBBED (no video codecs in
-this container — see ``DecodeUnavailable``); everything Spark-side is
-real for all kinds: schemas, Arrow-batched pandas UDF signatures,
-``mapInPandas`` streaming iteration (bounded memory per batch), and
-partition sizing. Swapping in Pillow/torchaudio for the remaining
-formats changes one function body, not the plan.
+actual samples. VIDEO DECODE IS REAL for the PNGV container (a
+length-prefixed sequence of PNG frames — the motion-JPEG idea with the
+one codec this environment can actually decode): frame count, fps,
+dimensions, per-channel frame means, and sampled-frame pixel stats come
+from actually decoded frames. Compressed video codecs (H.264 etc.)
+remain out of scope — no codec libraries in this container — and raise
+``DecodeUnavailable``; swapping in PyAV/ffmpeg for those changes one
+function body (``video_decode``), not the plan: schemas, Arrow-batched
+pandas UDF signatures, ``mapInPandas`` streaming iteration (bounded
+memory per batch), and partition sizing are identical.
 
 Scale notes: media bytes dominate row size, so `spark.sql.files.
 maxPartitionBytes` should be raised (512 MB+) and the decode stage must
@@ -33,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -329,10 +334,154 @@ def audio_features(data: bytes, dim: int = 8) -> list[float]:
     return (feats + [0.0] * dim)[:dim]
 
 
+_VIDEO_MAGIC = b"PNGV"
+
+
+def video_encode(frames: list[bytes], fps: int) -> bytes:
+    """Encode PNG frames as a PNGV container: magic + u8 version + u16 fps
+    + u32 frame count, then per frame a u32 length prefix + the PNG bytes.
+    The video twin of ``png_encode``/``synth_wav`` — tests and synthetic
+    corpora exercise the REAL decoder."""
+    head = _VIDEO_MAGIC + struct.pack(">BHI", 1, fps, len(frames))
+    return head + b"".join(struct.pack(">I", len(f)) + f for f in frames)
+
+
+def video_decode(data: bytes) -> tuple[int, list[bytes]]:
+    """Decode a PNGV container → (fps, [png_frame_bytes]).
+
+    Raises ``DecodeUnavailable`` for non-PNGV bytes (e.g. real H.264 —
+    no codec libraries in this environment) or a truncated stream —
+    callers fall back to opaque features or skip the row."""
+    if len(data) < 11 or data[:4] != _VIDEO_MAGIC:
+        raise DecodeUnavailable("not a PNGV stream")
+    ver, fps, n = struct.unpack(">BHI", data[4:11])
+    if ver != 1:
+        raise DecodeUnavailable(f"unsupported PNGV version {ver}")
+    frames, pos = [], 11
+    for _ in range(n):
+        if pos + 4 > len(data):
+            raise DecodeUnavailable("truncated PNGV frame table")
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        pos += 4
+        if pos + ln > len(data):
+            raise DecodeUnavailable("truncated PNGV frame payload")
+        frames.append(data[pos : pos + ln])
+        pos += ln
+    return fps, frames
+
+
+def synth_video(i: int, width: int = 16, height: int = 12, fps: int = 2) -> bytes:
+    """Deterministic PNGV video: ``fps * (1 + i % 10)`` solid-color RGB
+    frames (duration ``1 + i % 10`` s, matching the media-table spec).
+    Frame ``f`` is the constant color ``((i*7 + f*13) % 256, +11, +22)``,
+    so every decoded pixel statistic is closed-form from ``(i, f)`` alone
+    and integer-valued (exact in double arithmetic on any engine) — the
+    video twin of ``synth_png``/``synth_wav``."""
+    frames = []
+    for f in range(fps * (1 + i % 10)):
+        base = (i * 7 + f * 13) % 256
+        px = bytes([base, (base + 11) % 256, (base + 22) % 256]) * (width * height)
+        frames.append(png_encode(width, height, px, channels=3))
+    return video_encode(frames, fps)
+
+
+def video_features(data: bytes, dim: int = 8) -> list[float]:
+    """Real video feature vector from decoded frames:
+    [n_frames, fps, width, height, mean_r, mean_g, mean_b, 0] where the
+    channel means are over every pixel of every frame. Integer pixel sums
+    stay below 2^53, so each mean is a correctly-rounded rational —
+    bit-identical to an oracle recomputing it in SQL. Falls back to
+    ``_fake_feature`` for undecodable content so mixed media batches
+    never fail the job."""
+    import numpy as np
+
+    try:
+        fps, frame_bytes = video_decode(data)
+        if not frame_bytes:
+            return _fake_feature(data, dim)
+        decoded = [png_decode(fb) for fb in frame_bytes]
+    except DecodeUnavailable:
+        return _fake_feature(data, dim)
+    w, h, ch = decoded[0][0], decoded[0][1], decoded[0][2]
+    px = np.concatenate(
+        [np.frombuffer(p, dtype=np.uint8).reshape(-1, c) for _, _, c, p in decoded]
+    ).astype(np.float64)
+    means = [float(px[:, min(c, px.shape[1] - 1)].mean()) for c in range(3)]
+    feats = [float(len(decoded)), float(fps), float(w), float(h), *means, 0.0]
+    return (feats + [0.0] * dim)[:dim]
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("mean_r", DoubleType(), True),
+    ]
+)
+
+
+def decode_sampled_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling: decode each video's PNGV container, pick the
+    frame nearest each sampled timestamp (``floor(ts * fps / 1000)``,
+    clamped to the last frame), and emit per-frame pixel statistics from
+    the actually-decoded PNG. Upgrades ``sample_frames`` (the pure-plumbing
+    explode) to a decoding stage; undecodable rows are skipped, not fatal.
+
+    Scale shape: mapInPandas over the video rows only (filter pushed ahead
+    of the Python stage), one Arrow batch of binary rows in memory at a
+    time, and the output carries small fixed-width stats — raw media bytes
+    never enter a shuffle.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                try:
+                    fps, frame_bytes = video_decode(bytes(content))
+                except DecodeUnavailable:
+                    continue
+                if not frame_bytes or fps <= 0:
+                    continue
+                duration_ms = len(frame_bytes) * 1000 // fps
+                for ts in range(0, duration_ms, every_ms):
+                    idx = min(len(frame_bytes) - 1, ts * fps // 1000)
+                    try:
+                        w, h, ch, px = png_decode(frame_bytes[idx])
+                    except DecodeUnavailable:
+                        continue
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, ch)
+                    rows.append(
+                        (int(mid), ts, idx, w, h, float(arr[:, 0].mean()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_ts_ms",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "mean_r",
+                ],
+            )
+
+    return df.filter(F.col("kind") == "video").select(
+        "media_id", "content"
+    ).mapInPandas(run, FRAME_SCHEMA)
+
+
 def synth_media_table(spark, n: int = 64) -> DataFrame:
     """Deterministic media table: image rows carry REAL (decodable) PNG
-    bytes, audio rows REAL (decodable) 16-bit PCM WAV bytes; video rows
-    carry opaque deterministic bytes (no video codec in this env)."""
+    bytes, audio rows REAL (decodable) 16-bit PCM WAV bytes, video rows
+    REAL (decodable) PNGV containers of 16×12 solid-color frames — every
+    kind exercises its real decoder."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -342,9 +491,10 @@ def synth_media_table(spark, n: int = 64) -> DataFrame:
         elif kind == "audio":
             content = synth_wav(i)
         else:
-            content = hashlib.sha256(str(i).encode()).digest() * 4
+            content = synth_video(i)
+            w, h = 16, 12  # actual decoded frame dimensions
         rows.append(
-            (i, kind, content, ("image/png", "audio/wav", "video/mp4")[i % 3],
+            (i, kind, content, ("image/png", "audio/wav", "video/x-pngv")[i % 3],
              w, h, 1000 * (1 + i % 10))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -365,6 +515,8 @@ def extract_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             return image_features(content)  # real decode for PNG
         if kind == "audio":
             return audio_features(content)  # real decode for 16-bit PCM WAV
+        if kind == "video":
+            return video_features(content)  # real decode for PNGV containers
         return _fake_feature(content)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -922,9 +922,10 @@ def streaming_activity_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     # = amp for a square wave, amp/32768 exactly representable), and
     # half-period 2+i%6 samples → (n-1)//hp zero crossings (an exact
     # integer — the oracle-checked feature); WAV byte size = 44-byte
-    # header + 2n. Video stays opaque sha bytes (128 B each). Image PNG
-    # byte sizes are zlib-dependent → not closed-form → media_bytes is
-    # NULL for images by design.
+    # header + 2n. Video rows are REAL PNGV containers: decoded frame
+    # count = 2*(1+i%10) (2 fps × duration) — an exact integer feature.
+    # Image/video PNG byte sizes are zlib-dependent → not closed-form →
+    # media_bytes is NULL for both by design.
     """
     WITH idx AS (SELECT unnest(generate_series(0, 95)) AS i),
     aud AS (
@@ -938,17 +939,19 @@ def streaming_activity_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS avg_duration_s,
            CAST(NULL AS DOUBLE) AS avg_rms_norm,
            CAST(NULL AS DOUBLE) AS avg_crossings,
+           CAST(NULL AS DOUBLE) AS avg_video_frames,
            CAST(NULL AS BIGINT) AS media_bytes
     FROM idx WHERE i % 3 = 0
     UNION ALL
     SELECT 'audio', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
            NULL, AVG(CAST(dur_s AS DOUBLE)), AVG(amp / 32768.0),
-           AVG(CAST((n - 1) // hp AS DOUBLE)),
+           AVG(CAST((n - 1) // hp AS DOUBLE)), NULL,
            CAST(SUM(44 + 2 * n) AS BIGINT)
     FROM aud
     UNION ALL
     SELECT 'video', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT),
-           NULL, NULL, NULL, NULL, CAST(SUM(128) AS BIGINT)
+           NULL, NULL, NULL, NULL, AVG(CAST(2 * (1 + i % 10) AS DOUBLE)),
+           CAST(NULL AS BIGINT)
     FROM idx WHERE i % 3 = 2
     """,
     doc="Multimodal end-to-end: synthetic binary media table → Arrow-"
@@ -956,8 +959,9 @@ def streaming_activity_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rows are REAL PNGs decoded by the stdlib decoder (avg_decoded_width "
     "comes from actual pixels); audio rows are REAL 16-bit PCM WAVs "
     "decoded by stdlib wave (duration/RMS/zero-crossings from actual "
-    "samples); video remains opaque sha features (no video codec in "
-    "env). Oracle recomputes every feature closed-form from the "
+    "samples); video rows are REAL PNGV containers whose frames are "
+    "individually PNG-decoded (avg_video_frames counts actually decoded "
+    "frames). Oracle recomputes every feature closed-form from the "
     "deterministic media spec — upgraded from rows-only in r4.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,8 +988,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_rms_norm"),
         F.avg(F.when(k == "audio", F.element_at("feature", 6)))
         .alias("avg_crossings"),
-        # WAV/sha byte sizes are closed-form; PNG (zlib) sizes are not
-        F.sum(F.when(k != "image", F.col("n_bytes")))
+        # video feature[1] = decoded frame count (real PNGV decode)
+        F.avg(F.when(k == "video", F.element_at("feature", 1)))
+        .alias("avg_video_frames"),
+        # WAV byte sizes are closed-form; PNG/PNGV (zlib) sizes are not
+        F.sum(F.when(k == "audio", F.col("n_bytes")))
         .cast("bigint")
         .alias("media_bytes"),
     )
@@ -1013,6 +1020,49 @@ def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media_table(spark, n=96)
     frames = sample_frames(media, every_ms=1000)
     return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+@register(
+    "multimodal_video_frames",
+    # videos are PNGV containers of 2 fps solid-color 16×12 frames:
+    # video i has n_frames = 2*(1+i%10) and frame f is the constant color
+    # (i*7 + f*13) % 256 in the R channel. Sampling every 500 ms at 2 fps
+    # visits every frame exactly once (frame_idx = ts // 500), and the
+    # decoded frame's R-channel mean is that constant — integer-valued,
+    # so the double compares exactly cross-engine. The oracle replays all
+    # of it closed-form from the media spec; any decode drift (wrong
+    # frame boundaries, wrong pixels, wrong clamping) breaks the hash.
+    """
+    WITH idx AS (SELECT unnest(generate_series(0, 95)) AS i),
+    vids AS (SELECT i, 2 * (1 + i % 10) AS n_frames FROM idx WHERE i % 3 = 2),
+    fr AS (
+      SELECT i, unnest(generate_series(0, n_frames - 1)) AS f FROM vids
+    )
+    SELECT i AS media_id,
+           CAST(f * 500 AS BIGINT) AS frame_ts_ms,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(16 AS BIGINT) AS width,
+           CAST(12 AS BIGINT) AS height,
+           CAST((i * 7 + f * 13) % 256 AS DOUBLE) AS mean_r
+    FROM fr
+    """,
+    doc="REAL video frame decode (multimodal.decode_sampled_frames): each "
+    "video's PNGV container is parsed, the frame nearest each sampled "
+    "timestamp is PNG-decoded, and per-frame pixel statistics are emitted "
+    "from actual pixel bytes — the decode stage sample_frames only "
+    "plumbed. mapInPandas over video rows only; output carries small "
+    "fixed-width stats so raw media bytes never enter a shuffle. Oracle "
+    "recomputes frame index arithmetic and the decoded R-channel mean "
+    "closed-form from the deterministic media spec.",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.multimodal import (
+        decode_sampled_frames,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, n=96)
+    return decode_sampled_frames(media, every_ms=500)
 
 
 @register(
@@ -1244,10 +1294,12 @@ def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN kind = 'image'
                 THEN GREATEST(1, CAST(FLOOR(w * (32.0 / GREATEST(w, h)))
                                       AS BIGINT))
+                WHEN kind = 'video' THEN 16
                 ELSE w END AS width,
            CASE WHEN kind = 'image'
                 THEN GREATEST(1, CAST(FLOOR(h * (32.0 / GREATEST(w, h)))
                                       AS BIGINT))
+                WHEN kind = 'video' THEN 12
                 ELSE h END AS height,
            CASE WHEN kind = 'image' THEN 'resized'
                 ELSE 'passthrough' END AS resized

@@ -266,3 +266,91 @@ def test_resample_audios_passes_non_audio_through(spark):
         else:
             assert r["resampled"] == "passthrough"
             assert r["sample_rate"] is None
+
+
+# ---- video (PNGV container) — REAL frame decode ---------------------------
+
+
+def test_video_roundtrip_and_closed_form_features():
+    from dbt_glue_spark.extensions.multimodal import (
+        synth_video,
+        video_decode,
+        video_features,
+    )
+
+    for i in (2, 5, 11):
+        data = synth_video(i)
+        fps, frames = video_decode(data)
+        assert fps == 2
+        assert len(frames) == 2 * (1 + i % 10)
+        # every frame is an independently decodable PNG with the spec color
+        for f, fb in enumerate(frames):
+            w, h, ch, px = png_decode(fb)
+            assert (w, h, ch) == (16, 12, 3)
+            base = (i * 7 + f * 13) % 256
+            arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, 3)
+            assert int(arr[:, 0].max()) == int(arr[:, 0].min()) == base
+            assert int(arr[:, 1].min()) == (base + 11) % 256
+            assert int(arr[:, 2].min()) == (base + 22) % 256
+        feats = video_features(data)
+        n = 2 * (1 + i % 10)
+        assert feats[0] == float(n) and feats[1] == 2.0
+        assert feats[2] == 16.0 and feats[3] == 12.0
+        # channel means over all frames, float32-rounded like the schema
+        exp_r = np.float32(
+            sum((i * 7 + f * 13) % 256 for f in range(n)) / n
+        )
+        assert np.float32(feats[4]) == exp_r
+
+
+def test_video_decode_rejects_garbage_and_truncation():
+    from dbt_glue_spark.extensions.multimodal import (
+        synth_video,
+        video_decode,
+        video_features,
+    )
+
+    with pytest.raises(DecodeUnavailable):
+        video_decode(b"\x00" * 32)
+    whole = synth_video(3)
+    with pytest.raises(DecodeUnavailable):
+        video_decode(whole[: len(whole) // 2])  # truncated payload
+    # featurizer falls back to opaque features instead of failing the batch
+    assert len(video_features(b"not a video")) == 8
+
+
+def test_decode_sampled_frames_picks_and_clamps(spark):
+    from dbt_glue_spark.extensions.multimodal import (
+        decode_sampled_frames,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, n=12)
+    # every_ms=1500 at 2 fps: ts 0→frame 0, 1500→frame 3, 3000→frame 6 ...
+    out = decode_sampled_frames(media, every_ms=1500).collect()
+    assert out, "video rows must decode"
+    for r in out:
+        i, ts = r["media_id"], r["frame_ts_ms"]
+        assert i % 3 == 2  # only video rows survive the stage
+        n_frames = 2 * (1 + i % 10)
+        assert r["frame_idx"] == min(n_frames - 1, ts * 2 // 1000)
+        assert (r["width"], r["height"]) == (16, 12)
+        assert r["mean_r"] == float((i * 7 + r["frame_idx"] * 13) % 256)
+
+
+def test_decode_sampled_frames_skips_undecodable(spark):
+    from dbt_glue_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_sampled_frames,
+        synth_video,
+    )
+
+    rows = [
+        (0, "video", synth_video(0), "video/x-pngv", 16, 12, 1000),
+        (1, "video", b"garbage-bytes", "video/mp4", 16, 12, 1000),
+        (2, "video", None, "video/mp4", 16, 12, 1000),
+        (3, "image", b"not-used", "image/png", 8, 8, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = decode_sampled_frames(df, every_ms=500).collect()
+    assert {r["media_id"] for r in out} == {0}  # bad rows skipped, not fatal
