@@ -395,3 +395,151 @@ def quality_classifier(
             (F.col("__num") > 0).alias("keep"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Language-model quality scoring: each document's mean next-word
+    probability under an add-one-smoothed bigram model trained on the
+    corpus itself — the CCNet/KenLM perplexity-filter stage of a training
+    pipeline, in a deterministic closed form. Higher = more in-distribution
+    (fluent) text; boilerplate/gibberish scores low.
+
+    Model: p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) with c(·) corpus-wide
+    occurrence counts and V the corpus vocabulary size; score(d) = mean of
+    p over d's bigram instances. ln-free (the mean of probabilities ranks
+    like negative perplexity) and INTEGER-QUANTIZED: each model
+    probability is stored as p9 = (c12+1)·10⁹ div (c1+V) — exact int64
+    floor division, the standard fixed-point quantization of a shipped
+    model table — so per-doc accumulation is an integer sum (exact in any
+    order on any engine; a double→decimal cast here measurably flips last
+    digits between engines at corpus scale) and only the final mean
+    divides and half-up rounds. Bounds: exact while c12 < 9.2e9
+    occurrences of a single bigram and per-doc Σtf·p9 < 9.2e18 — far
+    beyond a 100 TB text corpus's hottest bigram per shard.
+
+    100 TB plan: one lexer pass (regexp_extract_all, whole-stage codegen)
+    feeds unigram counts, bigram counts and per-doc bigram tfs — three
+    partial-aggregated groupBys shuffling short word(-pair) keys, never
+    documents. The model joins back on the bigram key; V broadcasts as a
+    one-row scalar. Docs with <2 alpha tokens have no bigrams and are
+    absent from the output (same as the oracle's GROUP BY).
+    """
+    from dbt_glue_spark.extensions.dedup import _persist
+
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    staged = df.select(F.col(id_col), words.alias("ws")).filter(F.size("ws") >= 2)
+    big = _persist(
+        staged.select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.size("ws") - 1),
+                    F.slice("ws", 2, F.size("ws") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        ).select(F.col(id_col), F.col("bg.w1"), F.col("bg.w2"))
+    )
+    uni = df.select(F.explode(words).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    vocab = c1.agg(F.count("*").alias("v"))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    doc_big = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("tf"))
+    terms = (
+        doc_big.join(c12, ["w1", "w2"])
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.col("tf"),
+            F.expr("(c12 + 1) * 1000000000L div (c1 + v)").alias("p9"),
+        )
+    )
+    return terms.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("n_bigrams"),
+        half_up_round(
+            F.sum(F.col("tf") * F.col("p9")) / (F.sum("tf") * F.lit(1e9)), 6
+        ).alias("avg_next_word_p"),
+    )
+
+
+# Fixed subword vocabulary for the WordPiece-style tokenizer: every ASCII
+# letter (so any [a-z]+ word segments without an UNK) plus common English
+# subword units up to 4 chars. A trained BPE/WordPiece vocab drops in as
+# data without changing the algorithm; the oracle SQL embeds the same
+# literals (the LSH hyperplane pattern).
+WORDPIECE_VOCAB: tuple[str, ...] = (
+    "tion", "ment", "able", "ight", "ound",
+    "ing", "ion", "ent", "ter", "est", "ers", "the", "and", "her", "ver",
+    "er", "in", "on", "at", "en", "ed", "es", "re", "ti", "st",
+    "ar", "an", "or", "al", "le", "th", "he", "nd", "it", "is",
+) + tuple("abcdefghijklmnopqrstuvwxyz")
+
+
+def _wordpiece_step_sql(vocab: tuple[str, ...]) -> str:
+    """The greedy longest-match step as portable SQL (Spark ∩ DuckDB):
+    advance by the longest vocab piece matching at ``pos`` (4→3→2→1;
+    single letters always match for [a-z]+ words)."""
+    by_len = {
+        ln: sorted({p for p in vocab if len(p) == ln}) for ln in (4, 3, 2)
+    }
+
+    def inlist(pieces: list[str]) -> str:
+        return ", ".join(f"'{p}'" for p in pieces)
+
+    return (
+        f"CASE WHEN substr(word, pos, 4) IN ({inlist(by_len[4])}) THEN 4 "
+        f"WHEN substr(word, pos, 3) IN ({inlist(by_len[3])}) THEN 3 "
+        f"WHEN substr(word, pos, 2) IN ({inlist(by_len[2])}) THEN 2 "
+        "ELSE 1 END"
+    )
+
+
+def wordpiece_tokenize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: tuple[str, ...] = WORDPIECE_VOCAB,
+) -> DataFrame:
+    """Greedy longest-match subword tokenization (WordPiece/BERT-style):
+    each word is segmented left-to-right by always taking the longest
+    vocabulary piece that matches at the cursor; continuation pieces are
+    rendered with the conventional ``##`` prefix. Returns one row per
+    word INSTANCE: (id, word, n_pieces, pieces).
+
+    100 TB plan — tokenize the VOCABULARY, not the corpus: segmentation
+    runs as a recursive CTE (Spark 4 WITH RECURSIVE) over the DISTINCT
+    words only (Zipf: corpus vocabulary ≪ token instances; recursion
+    depth = longest word, each level one codegen'd projection), and token
+    instances then equi-join the tiny word→segmentation map — typically a
+    broadcast. A per-instance UDF would re-segment "the" a billion times.
+    The identical CTE text runs on DuckDB, so segmentation is
+    value-checked cross-engine, not just counted.
+    """
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    inst = df.select(F.col(id_col), F.explode(words).alias("word"))
+    view = f"__wp_words_{_uuid.uuid4().hex[:8]}"
+    inst.select("word").distinct().createOrReplaceTempView(view)
+    step = _wordpiece_step_sql(vocab)
+    seg = spark.sql(
+        f"""
+        WITH RECURSIVE steps AS (
+          SELECT word, 1 AS pos, 0 AS n_pieces, '' AS pieces
+          FROM {view}
+          UNION ALL
+          SELECT word, pos + {step}, n_pieces + 1,
+                 pieces || CASE WHEN pos = 1 THEN '' ELSE ' ##' END
+                        || substr(word, pos, {step})
+          FROM steps WHERE pos <= length(word)
+        )
+        SELECT word, n_pieces, pieces FROM steps WHERE pos > length(word)
+        """
+    )
+    return inst.join(seg, "word").select(
+        F.col(id_col), "word", F.col("n_pieces").cast("bigint").alias("n_pieces"), "pieces"
+    )

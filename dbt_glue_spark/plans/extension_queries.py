@@ -2865,3 +2865,137 @@ def ext_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "ext_lm_score",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ),
+    uni AS (SELECT unnest(ws) AS w FROM tok),
+    c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+    vocab AS (SELECT COUNT(*) AS v FROM c1),
+    big AS (
+      SELECT doc_id,
+             unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                     for i in generate_series(1, len(ws) - 1)],
+                    recursive := true)
+      FROM tok WHERE len(ws) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    docbig AS (
+      SELECT doc_id, w1, w2, COUNT(*) AS tf FROM big GROUP BY doc_id, w1, w2
+    ),
+    terms AS (
+      SELECT doc_id, tf, (c12 + 1) * 1000000000 // (c1 + v) AS p9
+      FROM docbig
+      JOIN c12 USING (w1, w2)
+      JOIN c1 ON c1.w = docbig.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           FLOOR(CAST(SUM(tf * p9) AS DOUBLE) / (SUM(tf) * 1e9) * 1e6 + 0.5)
+             / 1e6 AS avg_next_word_p
+    FROM terms GROUP BY doc_id
+    """,
+    doc="Bigram language-model quality scoring "
+    "(text_analysis.bigram_lm_score): mean next-word probability under an "
+    "add-one-smoothed bigram model trained on the corpus itself — the "
+    "CCNet/KenLM perplexity-filter stage in deterministic closed form "
+    "(ln-free: ranks like negative perplexity; model probabilities are "
+    "integer-quantized to 1e-9 by exact int64 floor division, so per-doc "
+    "accumulation is an integer sum — exact in any order on any engine). "
+    "One lexer pass feeds unigram counts, bigram "
+    "counts and per-doc tfs; shuffles carry short word-pair keys with "
+    "map-side partial aggregation, never documents; V broadcasts as a "
+    "one-row scalar.",
+)
+def ext_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.bigram_lm_score(docs)
+
+
+def _wordpiece_oracle_head() -> str:
+    from dbt_glue_spark.extensions.text_analysis import _wordpiece_step_sql
+
+    step = _wordpiece_step_sql(text_analysis.WORDPIECE_VOCAB)
+    return f"""
+    WITH RECURSIVE inst AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ),
+    dw AS (SELECT DISTINCT word FROM inst),
+    steps AS (
+      SELECT word, 1 AS pos, 0 AS n_pieces, '' AS pieces FROM dw
+      UNION ALL
+      SELECT word, pos + {step}, n_pieces + 1,
+             pieces || CASE WHEN pos = 1 THEN '' ELSE ' ##' END
+                    || substr(word, pos, {step})
+      FROM steps WHERE pos <= length(word)
+    ),
+    seg AS (
+      SELECT word, n_pieces, pieces FROM steps WHERE pos > length(word)
+    )
+    """
+
+
+@register(
+    "ext_wordpiece_doc_stats",
+    _wordpiece_oracle_head()
+    + """
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           FLOOR(CAST(SUM(n_pieces) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+             AS pieces_per_word
+    FROM inst JOIN seg USING (word) GROUP BY doc_id
+    """,
+    doc="Subword tokenization per document "
+    "(text_analysis.wordpiece_tokenize): WordPiece/BERT-style greedy "
+    "longest-match segmentation against a fixed vocabulary, run as a "
+    "recursive CTE over DISTINCT words only (tokenize the vocabulary, "
+    "not the corpus — Zipf makes the word→segmentation map tiny) with "
+    "token instances equi-joining the map back. pieces_per_word is the "
+    "fertility statistic a training pipeline budgets context windows "
+    "with. The oracle replays the identical greedy recursion in SQL.",
+)
+def ext_wordpiece_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = text_analysis.wordpiece_tokenize(docs)
+    return seg.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        half_up_round(F.sum("n_pieces") / F.count("*"), 6).alias(
+            "pieces_per_word"
+        ),
+    )
+
+
+@register(
+    "ext_wordpiece_top_words",
+    _wordpiece_oracle_head()
+    + """
+    , wc AS (SELECT word, COUNT(*) AS n_occ FROM inst GROUP BY word)
+    SELECT word, CAST(n_occ AS BIGINT) AS n_occ,
+           CAST(n_pieces AS BIGINT) AS n_pieces, pieces
+    FROM wc JOIN seg USING (word)
+    ORDER BY n_occ DESC, word LIMIT 200
+    """,
+    doc="The 200 most frequent corpus words with their full WordPiece "
+    "segmentations — value-checks the actual piece strings (including "
+    "the ## continuation rendering) cross-engine, not just counts. "
+    "Top-k via TakeOrderedAndProject on (count, word), no global sort.",
+)
+def ext_wordpiece_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seg = text_analysis.wordpiece_tokenize(docs)
+    return (
+        seg.groupBy("word", "n_pieces", "pieces")
+        .agg(F.count("*").cast("bigint").alias("n_occ"))
+        .select("word", "n_occ", "n_pieces", "pieces")
+        .orderBy(F.desc("n_occ"), F.asc("word"))
+        .limit(200)
+    )

@@ -547,3 +547,69 @@ def test_asof_join_bucketed_window_partitions_by_bucket(spark):
     ]
     main_win = [ln for ln in win_lines if "__r" in ln]
     assert main_win and all("__b" in ln for ln in main_win), plan
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    from dbt_glue_spark.extensions.text_analysis import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat"),
+            (2, "the cat ran"),
+            (3, "zq xv"),
+            (4, "word"),  # <2 tokens -> no bigrams -> absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    # unigrams: the:2 cat:2 sat:1 ran:1 zq:1 xv:1 word:1 -> V=7
+    # p(the->cat)=(2+1)/(2+7)=1/3; p(cat->sat)=p(cat->ran)=(1+1)/(2+7)=2/9
+    # doc1/doc2 mean = (1/3 + 2/9)/2 = 5/18; p9 quantization:
+    # 333333333 + 222222222 = 555555555 -> /2e9 = 0.2777777775 -> 0.277778
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["avg_next_word_p"] == 0.277778
+    assert rows[2]["avg_next_word_p"] == 0.277778
+    # doc3: p(zq->xv)=(1+1)/(1+7)=0.25 exactly
+    assert rows[3]["n_bigrams"] == 1
+    assert rows[3]["avg_next_word_p"] == 0.25
+    # in-distribution text outranks the rare-word doc
+    assert rows[1]["avg_next_word_p"] > rows[3]["avg_next_word_p"]
+
+
+def test_wordpiece_greedy_matches_python_reference(spark):
+    from dbt_glue_spark.extensions.text_analysis import (
+        WORDPIECE_VOCAB,
+        wordpiece_tokenize,
+    )
+
+    def py_wordpiece(word: str) -> list[str]:
+        vocab = set(WORDPIECE_VOCAB)
+        out, pos = [], 0
+        while pos < len(word):
+            for ln in (4, 3, 2, 1):
+                if word[pos : pos + ln] in vocab and len(word[pos : pos + ln]) == ln:
+                    out.append(word[pos : pos + ln])
+                    pos += ln
+                    break
+        return out
+
+    text = (
+        "The nation mentioned a verification agreement tonight and "
+        "questioned whether able zebras organize estimations"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {r["word"]: r for r in wordpiece_tokenize(df).collect()}
+    import re
+
+    for word in set(re.findall(r"[a-z]+", text.lower())):
+        ref = py_wordpiece(word)
+        got = rows[word]
+        assert got["n_pieces"] == len(ref), (word, ref, got["pieces"])
+        rendered = " ".join(
+            p if i == 0 else "##" + p for i, p in enumerate(ref)
+        )
+        assert got["pieces"] == rendered, (word, ref, got["pieces"])
+        # pieces always reassemble to the original word (no UNK possible
+        # for [a-z]+ words: every letter is in the vocab)
+        assert "".join(ref) == word
