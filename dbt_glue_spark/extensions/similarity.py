@@ -356,3 +356,115 @@ def centroid_outliers(
         sim.alias("centroid_sim"),
         F.when(undefined, F.lit(True)).otherwise(sim < threshold).alias("outlier"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_candidates: int = 20,
+    k: int = 8,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from each query's top-``n``
+    cosine candidates, greedily select ``k`` results maximizing
+    ``lam·sim(d,q) − mu·max_{s∈selected} sim(d,s)`` — the standard
+    diversity-aware retrieval step (RAG context assembly, diverse
+    exemplar picking). ``mu`` is passed explicitly rather than computed
+    as ``1−lam`` so both engines evaluate the same double literal.
+
+    Determinism: candidate and pairwise sims are half-up rounded doubles,
+    the MMR expression is the same literal arithmetic on both engines,
+    and every argmax tie-breaks on neighbor_id.
+
+    100 TB shape: the greedy loop is sequential only in ``k`` (small);
+    every round is a set of joins KEYED BY query_id, so a batch of B
+    queries re-ranks in one pass of k rounds, not B·k — the per-query
+    candidate matrix is n² rounded sims (n=20 → 400 rows/query), built
+    from one keyed self-join, never a corpus cross join. Candidate
+    generation reuses knn_bruteforce (broadcast queries, zero corpus
+    shuffle); swap in knn_lsh/knn_ivf for large query sets.
+    """
+    from dbt_glue_spark.extensions.dedup import _persist
+
+    cand = _persist(
+        knn_bruteforce(
+            corpus, queries, vec_col, id_col, k=n_candidates,
+            round_digits=round_digits,
+        ).select("query_id", "neighbor_id", "sim")
+    )
+    emb = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    a = (
+        cand.select("query_id", F.col("neighbor_id").alias("a_id"))
+        .join(emb, F.col("a_id") == F.col("__id"))
+        .select("query_id", "a_id", F.col("__v").alias("__av"))
+    )
+    b = (
+        cand.select("query_id", F.col("neighbor_id").alias("b_id"))
+        .join(emb, F.col("b_id") == F.col("__id"))
+        .select("query_id", "b_id", F.col("__v").alias("__bv"))
+    )
+    pairs = _persist(
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            half_up_round(
+                cosine_sim(F.col("__av"), F.col("__bv")), round_digits
+            ).alias("sim_ab"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    selall = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "sim", F.lit(1).alias("sel_rank"))
+    )
+    for t in range(2, k + 1):
+        pen = (
+            pairs.join(
+                selall.select(
+                    "query_id", F.col("neighbor_id").alias("b_id")
+                ),
+                ["query_id", "b_id"],
+            )
+            .groupBy("query_id", "a_id")
+            .agg(F.max("sim_ab").alias("pen"))
+        )
+        remaining = cand.join(
+            selall.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        scored = remaining.join(
+            pen,
+            (remaining["query_id"] == pen["query_id"])
+            & (remaining["neighbor_id"] == pen["a_id"]),
+        ).select(
+            remaining["query_id"],
+            "neighbor_id",
+            "sim",
+            (F.lit(lam) * F.col("sim") - F.lit(mu) * F.col("pen")).alias("mmr"),
+        )
+        wm = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr"), F.asc("neighbor_id")
+        )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "neighbor_id", "sim", F.lit(t).alias("sel_rank"))
+        )
+        # localCheckpoint truncates lineage: each round references selall
+        # three times (penalty, anti-join, union), so an un-checkpointed
+        # loop grows the logical plan 3^k — the dup_clusters iteration
+        # discipline applies here too
+        selall = selall.unionByName(pick).localCheckpoint()
+    return selall.select(
+        "query_id", F.col("sel_rank").cast("int").alias("sel_rank"),
+        "neighbor_id", "sim",
+    )

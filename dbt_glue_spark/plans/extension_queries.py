@@ -2999,3 +2999,97 @@ def ext_wordpiece_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), F.asc("word"))
         .limit(200)
     )
+
+
+def _mmr_oracle(n_queries: int = 4, n_cand: int = 20, k: int = 8) -> str:
+    """Unrolled greedy-MMR replay: k chained CTEs, one per selection
+    round (the fixed-k analogue of the recursive-CTE k-means/PageRank
+    replays — unrolling keeps each round a plain argmax-with-penalty
+    SELECT). Literals 0.7/0.3 match the Spark operator's lam/mu exactly
+    (mu is never computed as 1-lam: that double differs from 0.3)."""
+    parts = [
+        f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {n_queries}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             FLOOR(list_cosine_similarity(qv, cv) * 10000 + 0.5) / 10000 AS sim
+      FROM q, c WHERE neighbor_id <> query_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id, sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        FROM scored) t
+      WHERE rk <= {n_cand}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+             FLOOR(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[])
+                   * 10000 + 0.5) / 10000 AS sim_ab
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id
+                 AND a.neighbor_id <> b.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ),
+    sel1 AS (
+      SELECT query_id, neighbor_id, sim, 1 AS sel_rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+        FROM cand) t
+      WHERE rn = 1
+    ),
+    all1 AS (SELECT * FROM sel1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f""",
+    sel{t} AS (
+      SELECT query_id, neighbor_id, sim, {t} AS sel_rank FROM (
+        SELECT r.query_id, r.neighbor_id, r.sim,
+               ROW_NUMBER() OVER (PARTITION BY r.query_id
+                 ORDER BY (0.7 * r.sim - 0.3 * p.pen) DESC,
+                          r.neighbor_id) AS rn
+        FROM cand r
+        JOIN (SELECT pr.query_id, pr.a_id, MAX(pr.sim_ab) AS pen
+              FROM pairs pr JOIN all{t - 1} s
+                ON s.query_id = pr.query_id AND s.neighbor_id = pr.b_id
+              GROUP BY pr.query_id, pr.a_id) p
+          ON p.query_id = r.query_id AND p.a_id = r.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM all{t - 1} s2
+                          WHERE s2.query_id = r.query_id
+                            AND s2.neighbor_id = r.neighbor_id)
+      ) t WHERE rn = 1
+    ),
+    all{t} AS MATERIALIZED (SELECT * FROM all{t - 1} UNION ALL SELECT * FROM sel{t})"""
+        )
+    parts.append(
+        f"""
+    SELECT query_id, CAST(sel_rank AS INT) AS sel_rank, neighbor_id, sim
+    FROM all{k}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "ext_mmr_rerank",
+    _mmr_oracle(),
+    doc="Maximal-marginal-relevance diversity re-ranking "
+    "(similarity.mmr_rerank): greedy k=8 selection from each query's "
+    "top-20 cosine candidates maximizing 0.7·relevance − 0.3·max-sim-to-"
+    "already-selected — the diversity-aware retrieval step of RAG "
+    "context assembly / exemplar picking. Sequential only in k: every "
+    "round is joins keyed by query_id, so all queries re-rank together; "
+    "the oracle replays all 8 greedy rounds as unrolled SQL with "
+    "identical literal arithmetic and id tie-breaks.",
+)
+def ext_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 4), n_candidates=20, k=8
+    )

@@ -134,3 +134,37 @@ def test_pagerank_star_center_dominates_and_sums_to_one(spark):
     ranks = {r.node: r.rank for r in pagerank(edges, iterations=20).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks["hub"] > max(v for k, v in ranks.items() if k != "hub") * 3
+
+
+def test_mmr_rerank_diversifies_against_near_duplicates(spark):
+    from dbt_glue_spark.extensions.similarity import knn_bruteforce, mmr_rerank
+
+    # corpus: a query direction q, two near-identical vectors hugging q,
+    # and one moderately-relevant but distinct direction. Pure top-k
+    # returns both near-dups first; MMR must demote the second dup below
+    # the distinct vector.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # the query
+        (1, [0.99, 0.14, 0.0, 0.0]),        # near-dup A (most relevant)
+        (2, [0.99, 0.141, 0.0, 0.0]),       # near-dup B (~= A)
+        (3, [0.7, 0.0, 0.71, 0.0]),         # relevant but distinct
+        (4, [0.0, 0.0, 0.0, 1.0]),          # irrelevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0")
+    topk = {
+        r["rk"]: r["neighbor_id"]
+        for r in knn_bruteforce(emb, q, k=3).collect()
+    }
+    assert (topk[1], topk[2]) == (1, 2)  # plain cosine ranks the dup 2nd
+    sel = {
+        r["sel_rank"]: r["neighbor_id"]
+        for r in mmr_rerank(
+            emb, q, n_candidates=4, k=3, lam=0.5, mu=0.5
+        ).collect()
+    }
+    assert sel[1] == 1          # first pick = pure argmax relevance
+    assert sel[2] == 3          # diversity demotes the near-dup
+    # at lam=mu=0.5 even the irrelevant-but-orthogonal vector outranks
+    # the near-dup: mmr(dup) = 0.5*0.99 - 0.5*1.0 < 0 = mmr(orthogonal)
+    assert sel[3] == 4
