@@ -62,6 +62,9 @@ EXTENSION_HEADLINE = [
     "ext_quality_classifier",
     "ext_minhash_incremental",
     "ext_span_dedup",
+    "ext_lm_score",
+    "ext_wordpiece_doc_stats",
+    "ext_mmr_rerank",
     "mat_merge_upsert",
     "mat_scd2_snapshot_check",
     "asof_join_clicks_purchases",

@@ -429,9 +429,13 @@ def bigram_lm_score(
     from dbt_glue_spark.extensions.dedup import _persist
 
     words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
-    staged = df.select(F.col(id_col), words.alias("ws")).filter(F.size("ws") >= 2)
-    big = _persist(
-        staged.select(
+    # one lexer pass feeds unigrams AND bigrams (the regex is the
+    # expensive per-row work — the tfidf/bm25 persisted-lexer lesson)
+    ws_stage = _persist(df.select(F.col(id_col), words.alias("ws")))
+    uni = ws_stage.select(F.explode("ws").alias("w"))
+    big = (
+        ws_stage.filter(F.size("ws") >= 2)
+        .select(
             F.col(id_col),
             F.explode(
                 F.zip_with(
@@ -440,13 +444,17 @@ def bigram_lm_score(
                     lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
                 )
             ).alias("bg"),
-        ).select(F.col(id_col), F.col("bg.w1"), F.col("bg.w2"))
+        )
+        .select(F.col(id_col), F.col("bg.w1"), F.col("bg.w2"))
     )
-    uni = df.select(F.explode(words).alias("w"))
     c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
     vocab = c1.agg(F.count("*").alias("v"))
-    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    doc_big = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("tf"))
+    doc_big = _persist(
+        big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("tf"))
+    )
+    # corpus bigram counts fold the already-aggregated per-doc tfs —
+    # smaller shuffle input than re-aggregating the raw bigram explode
+    c12 = doc_big.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     terms = (
         doc_big.join(c12, ["w1", "w2"])
         .join(c1.withColumnRenamed("w", "w1"), "w1")

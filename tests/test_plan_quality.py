@@ -420,3 +420,51 @@ def test_skew_salted_join_spreads_hot_merge_key(spark):
     assert hot_total == 6000
     # max salted group ≤ 2× the ideal even split (rand() is near-uniform)
     assert hot_max <= 2 * hot_total / salt, hot_max
+
+
+def test_lm_score_shuffles_words_not_documents(spark, sf_dir):
+    # The model aggregates shuffle short word(-pair) keys; the document
+    # text must be pruned before every exchange (the dedup discipline).
+    from dbt_glue_spark.extensions.text_analysis import bigram_lm_score
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(bigram_lm_score(docs), mode="formatted")
+    ex = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line or "exchange" in line.lower()
+    ]
+    assert ex, "expected hash exchanges for the count aggregates"
+    assert all("text" not in line for line in ex), ex
+
+
+def test_wordpiece_join_is_keyed_and_text_free(spark, sf_dir):
+    # Instances equi-join the word->segmentation map on the word key:
+    # no cartesian/nested-loop plan, and no document text in any exchange
+    # (only words cross the wire).
+    from dbt_glue_spark.extensions.text_analysis import wordpiece_tokenize
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(wordpiece_tokenize(docs), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    ex = [line for line in plan.splitlines() if "Exchange" in line]
+    assert all("text" not in line for line in ex), ex
+
+
+def test_mmr_candidate_matrix_is_keyed_not_cartesian(spark, sf_dir):
+    # The per-query candidate sim matrix comes from a join keyed by
+    # query_id — never a cartesian across queries' candidate sets — and
+    # candidate generation broadcasts the probe set (zero corpus shuffle,
+    # the knn_bruteforce contract).
+    from dbt_glue_spark.extensions.similarity import mmr_rerank
+    from dbt_glue_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(
+        mmr_rerank(emb, emb.filter(F.col("vec_id") < 2), n_candidates=5, k=2),
+        mode="simple",
+    )
+    assert "CartesianProduct" not in plan, plan
