@@ -468,3 +468,83 @@ def mmr_rerank(
         "query_id", F.col("sel_rank").cast("int").alias("sel_rank"),
         "neighbor_id", "sim",
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale ``amax/127`` with codes ``floor(x·127/amax + 0.5)`` — the
+    standard memory/bandwidth shrink (4×+ vs float32) applied to ANN
+    indexes before sharding them across a cluster. The explicit floor
+    formula is the half-up rounding both engines compute identically;
+    all-zero vectors quantize to zero codes with scale 0.
+
+    Narrow projection, no shuffle — pipelines with the scan at any scale.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(
+        amax > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x * F.lit(127.0) / amax + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    return df.select(
+        F.col(id_col),
+        q.alias("q"),
+        (amax / F.lit(127.0)).alias("scale"),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def knn_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k cosine neighbors scored on int8 codes: integer dot products
+    and integer squared norms (exact in any order — products are ≤127²·dim,
+    far below 2^53), one double division at the end. Same broadcast-probe /
+    zero-corpus-shuffle plan as ``knn_bruteforce``; the corpus-side payload
+    is ~4× smaller, which is the point at 100 TB — the quantized index fits
+    4× more vectors per executor and per broadcast.
+    """
+    qz = quantize_embeddings(corpus, vec_col, id_col)
+    qn = qz.select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("__cq")
+    )
+    qq = quantize_embeddings(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("__qq")
+    )
+    dotq = _int_dot(F.col("__qq"), F.col("__cq")).cast("double")
+    norms = F.sqrt(_int_dot(F.col("__qq"), F.col("__qq")).cast("double")) * F.sqrt(
+        _int_dot(F.col("__cq"), F.col("__cq")).cast("double")
+    )
+    scored = (
+        qn.join(F.broadcast(qq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "qsim",
+            half_up_round(F.when(norms > 0, dotq / norms), round_digits),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "qsim", F.col("rk").cast("int").alias("rk"))
+    )

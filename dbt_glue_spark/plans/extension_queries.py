@@ -3093,3 +3093,113 @@ def ext_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_rerank(
         emb, emb.filter(F.col("vec_id") < 4), n_candidates=20, k=8
     )
+
+
+@register(
+    "ext_knn_quantized",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               AS amax
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id,
+             CASE WHEN amax > 0
+                  THEN list_transform(
+                         v, x -> CAST(FLOOR(x * 127 / amax + 0.5) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      FROM base
+    ),
+    prq AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             list_sum([qq[i] * c.q[i]
+                       for i in generate_series(1, len(qq))]) AS dotq,
+             sqrt(CAST(list_sum([qq[i] * qq[i]
+                    for i in generate_series(1, len(qq))]) AS DOUBLE))
+             * sqrt(CAST(list_sum([c.q[i] * c.q[i]
+                    for i in generate_series(1, len(c.q))]) AS DOUBLE)) AS nn
+      FROM prq, qz c WHERE c.vec_id <> query_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             FLOOR(CASE WHEN nn > 0 THEN CAST(dotq AS DOUBLE) / nn END
+                   * 10000 + 0.5) / 10000 AS qsim
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, qsim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY qsim DESC, neighbor_id) AS rk
+      FROM sims) t
+    WHERE rk <= 5
+    """,
+    doc="Top-5 ANN on symmetric int8-quantized embeddings "
+    "(similarity.quantize_embeddings + knn_quantized): per-vector scale "
+    "amax/127, codes by the explicit half-up floor formula, integer dot "
+    "products and norms (exact in any order, ≤127²·dim ≪ 2^53), one "
+    "double division at the end. Same broadcast-probe zero-corpus-"
+    "shuffle plan as the float baseline with a ~4× smaller corpus "
+    "payload — the quantized index packs 4× more vectors per executor. "
+    "The oracle replays quantization and integer scoring exactly.",
+)
+def ext_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_quantized(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "ext_corpus_diff",
+    """
+    WITH b AS (
+      SELECT doc_id, text || CASE WHEN doc_id % 13 = 0 THEN ' [edited]'
+                                  ELSE '' END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'new document ' || doc_id AS text
+      FROM documents WHERE doc_id % 23 = 0
+    ),
+    ha AS (SELECT doc_id, MD5(text) AS h FROM documents),
+    hb AS (SELECT doc_id, MD5(text) AS h FROM b)
+    SELECT CASE WHEN ha.h IS NULL THEN 'added'
+                WHEN hb.h IS NULL THEN 'removed'
+                WHEN ha.h = hb.h THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(COALESCE(ha.doc_id, hb.doc_id)) AS BIGINT) AS min_doc_id
+    FROM ha FULL OUTER JOIN hb USING (doc_id)
+    GROUP BY 1
+    """,
+    doc="Snapshot diff between two corpus versions (audit.corpus_diff): "
+    "row-level added/removed/changed/unchanged by content md5, counted "
+    "per status. Snapshot B is a deterministic mutation of the documents "
+    "table (drop %17, edit %13, add %23 under new ids) so the oracle "
+    "replays it exactly. Each side reduces to (id, 16-byte hash) BEFORE "
+    "the full outer join — the shuffle carries hashes, never documents "
+    "(the exact-dedup discipline applied to snapshot comparison).",
+)
+def ext_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    edited = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.lit("new document "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    snapshot_b = edited.unionByName(added)
+    diff = corpus_diff(docs, snapshot_b)
+    return diff.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )

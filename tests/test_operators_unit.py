@@ -613,3 +613,18 @@ def test_wordpiece_greedy_matches_python_reference(spark):
         # pieces always reassemble to the original word (no UNK possible
         # for [a-z]+ words: every letter is in the vocab)
         assert "".join(ref) == word
+
+
+def test_corpus_diff_statuses(spark):
+    from dbt_glue_spark.extensions.audit import corpus_diff
+
+    a = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["status"] for r in corpus_diff(a, b).collect()}
+    assert rows == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -468,3 +468,16 @@ def test_mmr_candidate_matrix_is_keyed_not_cartesian(spark, sf_dir):
         mode="simple",
     )
     assert "CartesianProduct" not in plan, plan
+
+
+def test_corpus_diff_shuffles_hashes_not_documents(spark, sf_dir):
+    # Both snapshot sides must reduce to (id, md5) before the full outer
+    # join — no exchange may carry the text column.
+    from dbt_glue_spark.extensions.audit import corpus_diff
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(corpus_diff(docs, docs), mode="formatted")
+    ex = [line for line in plan.splitlines() if "Exchange" in line]
+    assert ex, "expected a shuffle for the full outer join"
+    assert all("text" not in line for line in ex), ex

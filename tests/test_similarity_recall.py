@@ -168,3 +168,49 @@ def test_mmr_rerank_diversifies_against_near_duplicates(spark):
     # at lam=mu=0.5 even the irrelevant-but-orthogonal vector outranks
     # the near-dup: mmr(dup) = 0.5*0.99 - 0.5*1.0 < 0 = mmr(orthogonal)
     assert sel[3] == 4
+
+
+def test_quantization_error_bound_and_recall(spark):
+    import math
+
+    from dbt_glue_spark.extensions.similarity import (
+        knn_bruteforce,
+        knn_quantized,
+        quantize_embeddings,
+    )
+
+    # deterministic synthetic vectors, mixed signs and magnitudes
+    rows = [
+        (i, [math.sin(0.1 * i * (d + 1)) * (1 + d % 3) for d in range(16)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qz = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    for i, vec in rows:
+        q, s = qz[i]["q"], qz[i]["scale"]
+        assert all(-127 <= c <= 127 for c in q)
+        # reconstruction error bound: |x - q*s| <= s/2 per component
+        for x, c in zip(vec, q):
+            assert abs(x - c * s) <= s / 2 + 1e-12
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(emb, emb.filter("vec_id < 5"), k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_quantized(emb, emb.filter("vec_id < 5"), k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, (recall, exact ^ quant)
+
+
+def test_quantize_all_zero_vector_is_zero_codes(spark):
+    from dbt_glue_spark.extensions.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] + [0.0] * 7)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    assert rows[0]["q"] == [0] * 8 and rows[0]["scale"] == 0.0
+    assert rows[1]["q"][0] == 127
