@@ -435,6 +435,13 @@ def mmr_rerank(
             )
             .groupBy("query_id", "a_id")
             .agg(F.max("sim_ab").alias("pen"))
+            # unambiguous join keys: pairs/selall/cand share lineage, so
+            # name-based equality would warn and risk mis-resolution
+            .select(
+                F.col("query_id").alias("p_qid"),
+                F.col("a_id"),
+                F.col("pen"),
+            )
         )
         remaining = cand.join(
             selall.select("query_id", "neighbor_id"),
@@ -443,7 +450,7 @@ def mmr_rerank(
         )
         scored = remaining.join(
             pen,
-            (remaining["query_id"] == pen["query_id"])
+            (remaining["query_id"] == pen["p_qid"])
             & (remaining["neighbor_id"] == pen["a_id"]),
         ).select(
             remaining["query_id"],
