@@ -753,3 +753,76 @@ def paragraph_dedup(
         F.sum(keep.cast("long")).cast("bigint").alias("n_paras_kept"),
         F.count("*").cast("bigint").alias("n_paras_total"),
     ).withColumnRenamed("__id", id_col)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking over token hashes — the rsync/LBFS
+    storage-dedup primitive applied to text: a token STARTS a new chunk
+    when its md5 begins with nibble ``0`` (1/16 boundary rate → ~16-token
+    expected chunks). Because boundaries depend only on local content,
+    chunking is SHIFT-RESISTANT: inserting one word near the front of a
+    document re-synchronizes at the next boundary, so all later chunks —
+    and their hashes — are unchanged, where fixed-stride windows
+    (``span_dedup``/``chunk_tokens``) shift every downstream window. This
+    is the right chunking for delta storage of corpus snapshots and for
+    finding shared passages between edited document revisions.
+
+    Returns one row per (doc, chunk): (id, chunk_idx, n_chunk_tokens,
+    chunk_hash, n_docs_with_chunk).
+
+    Plan: one tokenize pass → posexplode (rows ∝ corpus tokens) → per-doc
+    running boundary count (window PARTITIONED BY doc — keyed, never
+    global) → groupBy (doc, chunk) reassembly via sorted struct collect →
+    chunk-hash groupBy for the sharing counts → hash join back. All wide
+    exchanges carry (id, ints) or 16-byte hashes plus single tokens; the
+    document text never shuffles whole.
+    """
+    from pyspark.sql import Window
+
+    staged = tokenize_once(df, text_col, [F.col(id_col).alias("__id")])
+    toks = staged.select(
+        "__id", F.posexplode("toks").alias("pos", "tok")
+    )
+    is_boundary = (F.substring(F.md5("tok"), 1, 1) == "0").cast("long")
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = toks.select(
+        "__id", "pos", "tok", F.sum(is_boundary).over(w).alias("chunk_idx")
+    )
+    chunks = (
+        marked.groupBy("__id", "chunk_idx")
+        .agg(
+            F.count("*").alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("__chunk_text"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+            F.md5("__chunk_text").alias("chunk_hash"),
+        )
+    )
+    chunks = _persist(chunks)
+    sharing = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct(id_col).alias("n_docs_with_chunk")
+    )
+    return chunks.join(sharing, "chunk_hash").select(
+        id_col,
+        "chunk_idx",
+        "n_chunk_tokens",
+        "chunk_hash",
+        F.col("n_docs_with_chunk").cast("bigint").alias("n_docs_with_chunk"),
+    )

@@ -3203,3 +3203,61 @@ def ext_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+@register(
+    "ext_cdc_chunks",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    pt AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM tok,
+           LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t
+    ),
+    mk AS (
+      SELECT doc_id, pos, tok,
+             SUM(CASE WHEN substring(MD5(tok), 1, 1) = '0'
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS chunk_idx
+      FROM pt
+    ),
+    ch AS (
+      SELECT doc_id, chunk_idx, COUNT(*) AS n_chunk_tokens,
+             MD5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+      FROM mk GROUP BY doc_id, chunk_idx
+    ),
+    sh AS (
+      SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd
+      FROM ch GROUP BY chunk_hash
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks
+    FROM ch JOIN sh USING (chunk_hash) GROUP BY doc_id
+    """,
+    doc="Content-defined chunking (dedup.cdc_chunks): chunk boundaries "
+    "where a token's md5 starts with nibble 0 (~16-token chunks) — the "
+    "rsync/LBFS storage-dedup primitive for text. Shift-resistant: an "
+    "inserted word re-synchronizes at the next boundary so downstream "
+    "chunk hashes survive, where fixed-stride windows all shift "
+    "(unit-tested). Per-doc: chunk count, token count, chunks shared "
+    "with other documents. Window is per-doc (keyed), reassembly and "
+    "sharing counts shuffle hashes + single tokens, never whole "
+    "documents.",
+)
+def ext_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ch = dedup.cdc_chunks(docs)
+    return ch.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("bigint").alias("n_tokens"),
+        F.sum((F.col("n_docs_with_chunk") > 1).cast("long"))
+        .cast("bigint")
+        .alias("n_shared_chunks"),
+    )

@@ -628,3 +628,47 @@ def test_corpus_diff_statuses(spark):
     )
     rows = {r["doc_id"]: r["status"] for r in corpus_diff(a, b).collect()}
     assert rows == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_cdc_chunks_are_shift_resistant_unlike_stride_windows(spark):
+    from dbt_glue_spark.extensions.dedup import cdc_chunks
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    shifted = "inserted " + base  # one word prepended
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    ch = cdc_chunks(docs).collect()
+    h1 = {r["chunk_hash"] for r in ch if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in ch if r["doc_id"] == 2}
+    # content-defined boundaries re-synchronize after the insertion: the
+    # overwhelming majority of chunks survive byte-identical
+    shared = len(h1 & h2) / len(h1)
+    assert shared >= 0.8, (shared, len(h1), len(h2))
+    # fixed-stride windows shift instead: stride-32 spans of the same two
+    # docs share (almost) nothing
+    from dbt_glue_spark.extensions.text_analysis import chunk_tokens
+
+    fixed = chunk_tokens(docs, size=32, stride=32).collect()
+    f1 = {r["chunk_text"] for r in fixed if r["doc_id"] == 1}
+    f2 = {r["chunk_text"] for r in fixed if r["doc_id"] == 2}
+    assert len(f1 & f2) / len(f1) <= 0.2
+
+
+def test_cdc_chunks_cover_every_token_and_count_sharing(spark):
+    from dbt_glue_spark.extensions.dedup import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # chunks partition the token stream exactly
+    assert sum(r["n_chunk_tokens"] for r in by_doc[1]) == 8
+    assert sum(r["n_chunk_tokens"] for r in by_doc[3]) == 3
+    # identical docs share every chunk; the unrelated doc shares none
+    assert all(r["n_docs_with_chunk"] == 2 for r in by_doc[1])
+    assert all(r["n_docs_with_chunk"] == 1 for r in by_doc[3])

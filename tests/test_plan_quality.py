@@ -481,3 +481,17 @@ def test_corpus_diff_shuffles_hashes_not_documents(spark, sf_dir):
     ex = [line for line in plan.splitlines() if "Exchange" in line]
     assert ex, "expected a shuffle for the full outer join"
     assert all("text" not in line for line in ex), ex
+
+
+def test_cdc_chunks_window_is_per_doc_not_global(spark, sf_dir):
+    # The running boundary count must be a per-document window; a global
+    # (empty-partition-spec) window funnels every token through one task.
+    from dbt_glue_spark.extensions.dedup import cdc_chunks
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(cdc_chunks(docs), mode="formatted")
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower() or "Window [" in line:
+            assert "__id" in line, f"global (unpartitioned) window: {line}"
