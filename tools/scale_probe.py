@@ -35,7 +35,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
-from dbt_glue_spark.extensions import dedup
+from dbt_glue_spark.extensions import dedup, text_analysis
 from dbt_glue_spark.session import get_spark
 from dbt_glue_spark.sources.registry import load_table
 
@@ -95,6 +95,10 @@ def main() -> None:
         dedup.dup_clusters(warm, dedup.minhash_lsh_pairs(warm)).write.format(
             "noop"
         ).mode("overwrite").save()
+        text_analysis.bigram_lm_score(warm).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dedup.cdc_chunks(warm).write.format("noop").mode("overwrite").save()
         dedup.release_caches()
         for f_ in factors:
             path = build_scaled(spark, sf_dir, f_, scratch)
@@ -117,10 +121,22 @@ def main() -> None:
                     "overwrite"
                 ).save()
 
+            def run_lm():
+                text_analysis.bigram_lm_score(docs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_cdc():
+                dedup.cdc_chunks(docs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
             for name, fn in [
                 ("minhash_lsh_pairs", run_lsh),
                 ("span_dedup", run_span),
                 ("dup_clusters", run_clusters),
+                ("bigram_lm_score", run_lm),
+                ("cdc_chunks", run_cdc),
             ]:
                 results.setdefault(name, {})[str(f_)] = timed(fn)
                 dedup.release_caches()
