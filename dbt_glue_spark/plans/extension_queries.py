@@ -3261,3 +3261,86 @@ def ext_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_shared_chunks"),
     )
+
+
+def _stream_cm_oracle() -> str:
+    from dbt_glue_spark.extensions.sketches import _CM_DEPTH, _duck_cm_bucket
+
+    uid = "CAST(user_id AS VARCHAR)"
+    build_arms = "\n      UNION ALL ".join(
+        f"SELECT {j} AS row_idx, {_duck_cm_bucket(uid, j)} AS bucket"
+        " FROM events"
+        for j in range(_CM_DEPTH)
+    )
+    probe_arms = "\n      UNION ALL ".join(
+        f"SELECT user_id, true_n, {j} AS row_idx,"
+        f" {_duck_cm_bucket(uid, j)} AS bucket FROM top"
+        for j in range(_CM_DEPTH)
+    )
+    return f"""
+    WITH cells AS (
+      SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({build_arms})
+      GROUP BY row_idx, bucket
+    ),
+    top AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM events GROUP BY user_id ORDER BY true_n DESC, user_id LIMIT 20
+    ),
+    probes AS ({probe_arms})
+    SELECT user_id, true_n, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cm_count
+    FROM probes LEFT JOIN cells USING (row_idx, bucket)
+    GROUP BY user_id, true_n
+    """
+
+
+@register(
+    "streaming_countmin",
+    _stream_cm_oracle(),
+    doc="Streaming count-min maintenance end-to-end "
+    "(streaming/pipelines.countmin_stream_sink): events staged as a "
+    "4-file stream, each micro-batch's sketch merged cell-wise (+) into "
+    "a persistent parquet sketch via foreachBatch. Count-min is LINEAR, "
+    "so the streamed sketch must equal the batch-built sketch EXACTLY "
+    "regardless of batching/order — the oracle rebuilds it over all "
+    "events in one shot and probes the true top-20 users. Constant ~4 KB "
+    "state summarizing an unbounded stream; the same cell-wise fold "
+    "merges per-shard sketches cross-pipeline.",
+)
+def streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dbt_glue_spark.extensions.sketches import countmin_estimate
+    from dbt_glue_spark.streaming.pipelines import countmin_stream_sink
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id")
+    )
+    stage = tempfile.mkdtemp(prefix="dgs_q_cmsrc_")
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    target = tempfile.mkdtemp(prefix="dgs_q_cmtgt_")
+    q = countmin_stream_sink(
+        stream, spark, target, os.path.join(target, "ckpt"), "user_id"
+    )
+    q.awaitTermination(300)
+    sketch = spark.read.parquet(os.path.join(target, "data"))
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+        # numeric tie-break: the hash column is a string, but the oracle's
+        # ORDER BY user_id is numeric — "10" < "9" lexicographically
+        .orderBy(F.desc("true_n"), F.asc(F.col("user_id").cast("bigint")))
+        .limit(20)
+    )
+    est = countmin_estimate(sketch, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("true_n").cast("bigint").alias("true_n"),
+        F.col("cm_count").cast("bigint").alias("cm_count"),
+    )

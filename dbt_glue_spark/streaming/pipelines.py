@@ -358,3 +358,53 @@ def clean_documents_stream(docs) -> "DataFrame":
 
     kept = quality_filter(docs, passthrough=("text",)).filter("keep")
     return pii_redact(kept)
+
+
+def countmin_stream_sink(
+    source_stream: DataFrame,
+    spark,
+    target_path: str,
+    checkpoint: str,
+    col: str,
+):
+    """Streaming count-min maintenance: each micro-batch builds a sketch
+    of its own rows and merges it CELL-WISE (+) into the persistent
+    sketch. Count-min is linear — ``build(A ∪ B) = build(A) + build(B)``
+    cell by cell — so the streamed sketch is EXACTLY the batch-built
+    sketch no matter how the stream was batched or ordered: the
+    mergeable-sketch contract doing its real job, maintaining a ~4 KB
+    frequency summary of an unbounded stream with constant state. At
+    cluster scale the same shape runs cross-pipeline: shards build
+    sketches independently and a coordinator folds them cell-wise.
+    """
+    import os
+
+    from dbt_glue_spark.extensions.sketches import countmin_build
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        data_dir = os.path.join(target_path, "data")
+        batch_sketch = countmin_build(batch_df, col)
+        try:
+            cur = spark.read.parquet(data_dir)
+            exists = True
+        except Exception:  # first batch — no sketch yet
+            exists = False
+        if exists:
+            merged = (
+                cur.unionByName(batch_sketch)
+                .groupBy("row_idx", "bucket")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = batch_sketch
+        staged = merged.localCheckpoint(eager=True)  # read+overwrite safety
+        staged.write.mode("overwrite").parquet(data_dir)
+
+    return (
+        source_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -279,3 +279,37 @@ def test_clean_documents_stream_matches_batch(spark, sf_dir):
         assert got == want and len(want) > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_countmin_stream_sink_equals_batch_sketch_exactly(spark, tmp_path):
+    import os
+
+    from dbt_glue_spark.extensions.sketches import countmin_build
+    from dbt_glue_spark.streaming.pipelines import countmin_stream_sink
+
+    vals = [(f"u{i % 37}",) for i in range(2000)]
+    df = spark.createDataFrame(vals, "item string")
+    stage = str(tmp_path / "src")
+    # 4 files -> 4 micro-batches in arbitrary row order
+    df.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    target = str(tmp_path / "tgt")
+    q = countmin_stream_sink(
+        stream, spark, target, str(tmp_path / "ckpt"), "item"
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(os.path.join(target, "data")).collect()
+    }
+    batch = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in countmin_build(df, "item").collect()
+    }
+    # linearity: the streamed sketch is cell-for-cell identical to the
+    # one-shot batch build, independent of batching
+    assert streamed == batch
