@@ -176,3 +176,45 @@ def mixture_weights(
             "mix_weight"
         ),
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents always
+    land on the SAME side of the split.
+
+    A per-document hash split sends a fraction of near-dup PAIRS across
+    the train/eval boundary — textbook contamination: the model trains on
+    a near-copy of an eval document and the benchmark leaks. Assignment
+    here is per dup COMPONENT: the split is the hash of the cluster
+    representative (min member id), inherited by every member, so a whole
+    transitive near-dup group moves as one unit. Singletons have
+    ``cluster_id = own id``, so they get EXACTLY the same assignment as
+    the plain ``train_val_test_split`` — the two splits agree everywhere
+    except where agreement would leak.
+
+    Returns (id, cluster_id, split).
+
+    100 TB shape: components run over V(E) only (``dup_clusters``), and
+    the non-dup majority labels itself in one narrow join — the split
+    adds a projection on top. Stable under corpus growth as long as
+    cluster representatives are stable (the min-id rule keeps a cluster's
+    rep unchanged unless an even older member joins it).
+    """
+    from dbt_glue_spark.extensions.dedup import dup_clusters
+
+    assert val_fraction + test_fraction < 1.0
+    comp = dup_clusters(df, pairs, id_col)
+    frac = _hash_frac(F.col("cluster_id"))
+    train_hi = 1.0 - val_fraction - test_fraction
+    split = (
+        F.when(frac < F.lit(train_hi), F.lit("train"))
+        .when(frac < F.lit(train_hi + val_fraction), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return comp.select(F.col(id_col), "cluster_id", split.alias("split"))

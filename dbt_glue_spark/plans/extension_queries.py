@@ -3344,3 +3344,49 @@ def streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_n").cast("bigint").alias("true_n"),
         F.col("cm_count").cast("bigint").alias("cm_count"),
     )
+
+
+def _cluster_split_oracle() -> str:
+    from dbt_glue_spark.extensions.sketches import _duck_hash_fraction
+
+    frac = _duck_hash_fraction("cluster_id")
+    return (
+        "WITH RECURSIVE "
+        + _CLUSTERS_SQL
+        + f""",
+    ass AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN {frac} < 0.8 THEN 'train'
+                  WHEN {frac} < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clusters
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM ass GROUP BY split
+    """
+    )
+
+
+@register(
+    "ext_cluster_safe_split",
+    _cluster_split_oracle(),
+    doc="Leakage-safe train/val/test split "
+    "(sampling.cluster_safe_split): near-dup components (3-gram "
+    "Jaccard≥0.5 transitive closure) are assigned as UNITS by hashing "
+    "the cluster representative, so no near-dup pair ever crosses the "
+    "train/eval boundary — the contamination a plain per-doc hash split "
+    "allows. Singletons fall back to exactly the plain hash split. "
+    "Components run over V(E) only; the oracle replays closure + "
+    "assignment in SQL.",
+)
+def ext_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.sampling import cluster_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    ass = cluster_safe_split(docs, pairs)
+    return ass.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )

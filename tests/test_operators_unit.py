@@ -672,3 +672,46 @@ def test_cdc_chunks_cover_every_token_and_count_sharing(spark):
     # identical docs share every chunk; the unrelated doc shares none
     assert all(r["n_docs_with_chunk"] == 2 for r in by_doc[1])
     assert all(r["n_docs_with_chunk"] == 1 for r in by_doc[3])
+
+
+def test_cluster_safe_split_keeps_dup_groups_together(spark):
+    from dbt_glue_spark.extensions.sampling import (
+        cluster_safe_split,
+        train_val_test_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string"
+    )
+    # synthetic near-dup graph: chains {3k, 3k+1, 3k+2} for k < 20
+    pairs = spark.createDataFrame(
+        [(3 * k, 3 * k + 1) for k in range(20)]
+        + [(3 * k + 1, 3 * k + 2) for k in range(20)],
+        "id_a long, id_b long",
+    )
+    ass = {
+        r["doc_id"]: r
+        for r in cluster_safe_split(docs, pairs, "doc_id").collect()
+    }
+    assert len(ass) == 300
+    # every transitive group lands on one side
+    for k in range(20):
+        s = {ass[3 * k + j]["split"] for j in range(3)}
+        assert len(s) == 1, (k, s)
+        assert ass[3 * k]["cluster_id"] == 3 * k
+    # singletons agree exactly with the plain per-doc hash split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(docs, "doc_id").collect()
+    }
+    clustered = {3 * k + j for k in range(20) for j in range(3)}
+    for i in range(300):
+        if i not in clustered:
+            assert ass[i]["split"] == plain[i], i
+    # zero leakage: no pair crosses a split boundary
+    crossings = [
+        (a, b)
+        for a, b in [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+        if ass[a]["split"] != ass[b]["split"]
+    ]
+    assert crossings == []
