@@ -466,10 +466,13 @@ def mmr_rerank(
             .filter(F.col("rn") == 1)
             .select("query_id", "neighbor_id", "sim", F.lit(t).alias("sel_rank"))
         )
-        # localCheckpoint truncates lineage: each round references selall
-        # three times (penalty, anti-join, union), so an un-checkpointed
-        # loop grows the logical plan 3^k — the dup_clusters iteration
-        # discipline applies here too
+        # localCheckpoint truncates lineage AND materializes: each round
+        # references selall three times (penalty, anti-join, union), so an
+        # un-checkpointed loop both grows the logical plan 3^k and
+        # re-executes the previous round's joins at every reference
+        # (measured: checkpointing every other round is ~40% SLOWER —
+        # recomputation beats the saved job overhead). Per-round eager
+        # checkpoint is the right trade, same as dup_clusters.
         selall = selall.unionByName(pick).localCheckpoint()
     return selall.select(
         "query_id", F.col("sel_rank").cast("int").alias("sel_rank"),
