@@ -551,3 +551,55 @@ def wordpiece_tokenize(
     return inst.join(seg, "word").select(
         F.col(id_col), "word", F.col("n_pieces").cast("bigint").alias("n_pieces"), "pieces"
     )
+
+
+def quality_top_fraction(
+    df: DataFrame,
+    fraction: float = 0.3,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quality percentile filter: keep the top ``fraction`` of
+    documents BY QUALITY WITHIN EACH ``by`` GROUP — the FineWeb-style
+    per-dump/per-domain threshold. A single global cutoff lets one clean
+    domain crowd out every other source; per-group ranking preserves the
+    corpus mix while still dropping each source's worst tail.
+
+    Keeps ``row_number ≤ ceil(n_group · fraction)`` ranked by
+    (quality_score desc, id) — deterministic under the half-up-rounded
+    score with the id tie-break. Returns kept rows:
+    (id, group, quality_score, src_rank, n_source).
+
+    100 TB shape: the quality score is a shuffle-free projection; the
+    rank is one window PARTITIONED BY the group column (keyed — a global
+    quality sort would funnel the corpus through one task). Skewed group
+    sizes are real (one crawl dump ≫ others) — the window sorts within
+    each group only, and AQE splits oversized partitions.
+    """
+    scored = quality_score(df, text_col, id_col).select(
+        id_col, "quality_score"
+    )
+    src = df.select(F.col(id_col), F.col(by))
+    joined = src.join(scored, id_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(
+        F.desc("quality_score"), F.asc(id_col)
+    )
+    ranked = joined.select(
+        F.col(id_col),
+        F.col(by),
+        "quality_score",
+        F.row_number().over(w).alias("src_rank"),
+        F.count("*").over(Window.partitionBy(by)).alias("n_source"),
+    )
+    return ranked.filter(
+        F.col("src_rank") <= F.ceil(F.col("n_source") * F.lit(fraction))
+    ).select(
+        id_col,
+        by,
+        "quality_score",
+        F.col("src_rank").cast("bigint").alias("src_rank"),
+        F.col("n_source").cast("bigint").alias("n_source"),
+    )

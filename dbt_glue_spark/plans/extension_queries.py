@@ -3390,3 +3390,49 @@ def ext_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
     )
+
+
+@register(
+    "ext_quality_top_per_source",
+    "WITH "
+    + _TOK
+    + r"""
+    , stats AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr_raw,
+             CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / greatest(length(d.text), 1) AS alpha_raw,
+             CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END
+               AS len_ok
+      FROM documents d JOIN tok USING (doc_id)
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             FLOOR((len_ok + ttr_raw + alpha_raw) / 3.0 * 1000000 + 0.5)
+               / 1000000 AS quality_score
+      FROM stats
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality_score,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY quality_score DESC, doc_id) AS src_rank,
+             COUNT(*) OVER (PARTITION BY source) AS n_source
+      FROM scored
+    )
+    SELECT doc_id, source, quality_score,
+           CAST(src_rank AS BIGINT) AS src_rank,
+           CAST(n_source AS BIGINT) AS n_source
+    FROM ranked
+    WHERE src_rank <= CEIL(n_source * 0.3)
+    """,
+    doc="Per-source quality percentile filter "
+    "(text_analysis.quality_top_fraction): keep each source's top 30% by "
+    "the C4/Gopher quality heuristic — the FineWeb-style per-dump "
+    "threshold that preserves corpus mix instead of letting one clean "
+    "domain crowd out the rest. Shuffle-free scoring + one window keyed "
+    "by source (never a global sort); deterministic under the id "
+    "tie-break.",
+)
+def ext_quality_top_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.quality_top_fraction(docs, fraction=0.3, by="source")

@@ -495,3 +495,17 @@ def test_cdc_chunks_window_is_per_doc_not_global(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower() or "Window [" in line:
             assert "__id" in line, f"global (unpartitioned) window: {line}"
+
+
+def test_quality_top_fraction_window_is_per_source_not_global(spark, sf_dir):
+    # The percentile rank must partition by the group column — a global
+    # quality sort funnels the corpus through one task.
+    from dbt_glue_spark.extensions.text_analysis import quality_top_fraction
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(quality_top_fraction(docs), mode="formatted")
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower() or "Window [" in line:
+            assert "source" in line, f"global (unpartitioned) window: {line}"
