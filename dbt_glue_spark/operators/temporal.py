@@ -278,3 +278,43 @@ def range_join(
         for c in right.columns
     ]
     return joined.select(*keep_l, *keep_r)
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from: str = "dbt_valid_from",
+    valid_to: str = "dbt_valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join of a fact stream against an SCD2 dimension: each
+    fact row joins the dimension VERSION that was valid at the fact's own
+    timestamp (``valid_from ≤ ts < valid_to``, open versions have NULL
+    ``valid_to``). This is feature-store temporal correctness: joining
+    "current" dimension values into historical facts leaks the future
+    into training features; the PIT join reconstructs what was knowable
+    at event time.
+
+    The SCD2 invariant (versions of one key never overlap) guarantees at
+    most one match per fact row, so ``inner``/``left`` joins never fan
+    out.
+
+    100 TB shape: this is an EQUI-join on the business key with the
+    validity window as a residual filter — Catalyst plans a hash join
+    keyed on ``keys`` (broadcast when the dim fits), NOT a range join:
+    the per-key version count is small (dim history), so the residual
+    scan per probe is a handful of rows. Contrast ``range_join``, which
+    exists for the no-equi-key case.
+    """
+    cond = None
+    for k in keys:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (facts[ts_col] >= dim[valid_from])
+        & (dim[valid_to].isNull() | (facts[ts_col] < dim[valid_to]))
+    )
+    return facts.join(dim, cond, how)

@@ -523,3 +523,108 @@ def mat_scd2_snapshot_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap2.select(
         "c_custkey", "bal", "updated_at", "dbt_valid_from", "dbt_valid_to", "dbt_scd_id"
     )
+
+
+_SCD2_SNAP_CTES = f"""
+    v1 AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment
+      FROM customer WHERE c_custkey <= 100
+    ), v2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN CAST(c_acctbal AS DOUBLE) + 100.0
+                  ELSE CAST(c_acctbal AS DOUBLE) END AS bal,
+             c_mktsegment
+      FROM customer WHERE c_custkey <= 110 AND c_custkey % 17 <> 0
+    ), changed AS (
+      SELECT v1.c_custkey FROM v1 JOIN v2 USING (c_custkey)
+      WHERE v1.bal IS DISTINCT FROM v2.bal
+         OR v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment
+    ), snap AS (
+      SELECT v1.c_custkey, v1.bal, v1.c_mktsegment,
+             TIMESTAMP '{TS1}' AS dbt_valid_from,
+             CASE WHEN c.c_custkey IS NOT NULL THEN TIMESTAMP '{TS2}' END
+               AS dbt_valid_to
+      FROM v1 LEFT JOIN changed c USING (c_custkey)
+      UNION ALL
+      SELECT v2.c_custkey, v2.bal, v2.c_mktsegment, TIMESTAMP '{TS2}', NULL
+      FROM v2
+      WHERE v2.c_custkey IN (SELECT c_custkey FROM changed)
+         OR v2.c_custkey NOT IN (SELECT c_custkey FROM v1)
+    )
+"""
+
+
+@register(
+    "mat_scd2_pit_join",
+    f"""
+    WITH {_SCD2_SNAP_CTES},
+    facts AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN TIMESTAMP '2024-01-15 12:00:00'
+                  ELSE TIMESTAMP '2024-02-15 12:00:00' END AS event_ts,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_custkey <= 110
+    )
+    SELECT f.o_orderkey, f.o_custkey, f.event_ts, f.price,
+           s.bal, s.c_mktsegment, s.dbt_valid_from
+    FROM facts f JOIN snap s
+      ON s.c_custkey = f.o_custkey
+     AND f.event_ts >= s.dbt_valid_from
+     AND (s.dbt_valid_to IS NULL OR f.event_ts < s.dbt_valid_to)
+    """,
+    doc="Point-in-time join (operators/temporal.pit_join): each order "
+    "joins the SCD2 customer VERSION valid at its own event time — "
+    "feature-store temporal correctness (joining current dim values into "
+    "historical facts leaks the future into training features). "
+    "Mid-January facts must see v1 balances, mid-February facts the "
+    "reopened v2 versions (and still-open v1 rows for hard-deleted "
+    "keys). Hash join on the business key with the validity window as a "
+    "residual filter — never a range join, since the equi-key exists. "
+    "The snapshot itself is built by scd2_apply, the oracle rebuilds it "
+    "declaratively.",
+)
+def mat_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.operators.temporal import pit_join
+
+    v1 = _cust_v1(spark, sf_dir)
+    v2 = _cust_v2(spark, sf_dir)
+    snap1 = scd2_apply(None, v1, ["c_custkey"], TS1, strategy="check")
+    snap2 = scd2_apply(snap1, v2, ["c_custkey"], TS2, strategy="check")
+    dim = snap2.select(
+        F.col("c_custkey").alias("cust_k"),
+        "bal",
+        "c_mktsegment",
+        "dbt_valid_from",
+        "dbt_valid_to",
+    )
+    facts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 110)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % 2 == 0,
+                F.lit("2024-01-15 12:00:00").cast("timestamp"),
+            )
+            .otherwise(F.lit("2024-02-15 12:00:00").cast("timestamp"))
+            .alias("event_ts"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+    joined = pit_join(
+        facts,
+        dim.withColumnRenamed("cust_k", "o_custkey"),
+        ["o_custkey"],
+        "event_ts",
+    )
+    return joined.select(
+        facts["o_orderkey"],
+        facts["o_custkey"],
+        "event_ts",
+        "price",
+        "bal",
+        "c_mktsegment",
+        "dbt_valid_from",
+    )

@@ -715,3 +715,57 @@ def test_cluster_safe_split_keeps_dup_groups_together(spark):
         if ass[a]["split"] != ass[b]["split"]
     ]
     assert crossings == []
+
+
+def test_pit_join_selects_version_valid_at_event_time(spark):
+    from datetime import datetime
+
+    from dbt_glue_spark.operators.temporal import pit_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", datetime(2024, 1, 1), datetime(2024, 2, 1)),
+            (1, "v2", datetime(2024, 2, 1), None),
+            (2, "only", datetime(2024, 1, 1), None),
+        ],
+        "k long, ver string, dbt_valid_from timestamp, dbt_valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, datetime(2024, 1, 15)),   # inside v1
+            (11, 1, datetime(2024, 2, 1)),    # boundary: valid_to exclusive -> v2
+            (12, 1, datetime(2024, 3, 1)),    # open v2
+            (13, 2, datetime(2023, 12, 1)),   # before any version -> no match
+            (14, 3, datetime(2024, 1, 15)),   # unknown key -> no match
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    out = {r["fid"]: r["ver"] for r in pit_join(facts, dim, ["k"], "ts").collect()}
+    assert out == {10: "v1", 11: "v2", 12: "v2"}
+    # SCD2 non-overlap invariant => never a fan-out
+    assert pit_join(facts, dim, ["k"], "ts").count() == 3
+    # left join keeps unmatched facts with NULL dim columns
+    left = pit_join(facts, dim, ["k"], "ts", how="left")
+    assert left.count() == 5
+
+
+def test_pit_join_plan_is_hash_join_not_nested_loop(spark):
+    from datetime import datetime
+
+    from dbt_glue_spark.operators.temporal import pit_join
+
+    dim = spark.createDataFrame(
+        [(1, "v1", datetime(2024, 1, 1), None)],
+        "k long, ver string, dbt_valid_from timestamp, dbt_valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, datetime(2024, 1, 15))], "fid long, k long, ts timestamp"
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pit_join(facts, dim, ["k"], "ts").explain(mode="simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
