@@ -218,3 +218,36 @@ def cluster_safe_split(
         .otherwise(F.lit("test"))
     )
     return comp.select(F.col(id_col), "cluster_id", split.alias("split"))
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_col: str,
+) -> DataFrame:
+    """Exact-quota stratified sampling: EXACTLY ``min(k, |stratum|)`` rows
+    per stratum, selected by content-hash order — the balanced eval-set /
+    annotation-batch builder (fraction-based ``stratified_sample`` cannot
+    hit an exact per-group count). Selection order is md5 of the key, so
+    the chosen set is a pure function of the data: stable across runs,
+    engines, and layout, and adding NEW rows to a stratum only displaces
+    picks that hash later — the sample churns minimally under growth.
+
+    100 TB shape: one window keyed by the strata columns (never a global
+    sort) ranking by (hash, key); the quota filter prunes before anything
+    downstream. For very hot strata the window sorts only within that
+    stratum, and rank ≤ k means TakeOrdered-style early pruning per
+    partition is available to the planner.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _hash_frac(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .withColumn("sample_rank", F.col("__rk").cast("bigint"))
+        .drop("__rk")
+    )

@@ -3436,3 +3436,36 @@ def ext_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_quality_top_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.quality_top_fraction(docs, fraction=0.3, by="source")
+
+
+def _quota_oracle() -> str:
+    from dbt_glue_spark.extensions.sketches import _duck_hash_fraction
+
+    frac = _duck_hash_fraction("doc_id")
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY {frac} ASC, doc_id ASC) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
+    FROM ranked WHERE rk <= 25
+    """
+
+
+@register(
+    "ext_quota_sample",
+    _quota_oracle(),
+    doc="Exact-quota stratified sampling (sampling.quota_sample): exactly "
+    "25 docs per language by content-hash order — the balanced eval-set "
+    "builder a fraction-based sampler can't express. Deterministic and "
+    "minimally churning under corpus growth (new rows only displace "
+    "later-hashing picks). One window keyed by the stratum, never a "
+    "global sort.",
+)
+def ext_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.sampling import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return quota_sample(docs, ["lang"], 25, "doc_id")

@@ -769,3 +769,30 @@ def test_pit_join_plan_is_hash_join_not_nested_loop(spark):
         pit_join(facts, dim, ["k"], "ts").explain(mode="simple")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quota_sample_exact_counts_and_minimal_churn(spark):
+    from dbt_glue_spark.extensions.sampling import quota_sample
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = quota_sample(df, ["lang"], 10, "doc_id").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by_lang["en"]) == 10 and len(by_lang["fr"]) == 10
+    # small stratum: takes everything it has
+    tiny = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, lang string"
+    )
+    t = quota_sample(tiny, ["lang"], 10, "doc_id")
+    assert t.count() == 3
+    # growth churns minimally: doubling the corpus keeps most picks
+    grown = spark.createDataFrame(
+        rows + [(i + 1000, "en" if i % 3 else "fr") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out2 = quota_sample(grown, ["lang"], 10, "doc_id").collect()
+    picks1 = {r["doc_id"] for r in out}
+    picks2 = {r["doc_id"] for r in out2}
+    assert len(picks1 & picks2) >= 10  # ≥half the original 20 survive
