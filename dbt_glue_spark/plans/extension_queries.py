@@ -3469,3 +3469,69 @@ def ext_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return quota_sample(docs, ["lang"], 25, "doc_id")
+
+
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Unrolled BPE training replay: n rounds of pair-count → argmax →
+    sentinel-replace, each words_t MATERIALIZED (referenced twice per
+    round — inlining would re-derive the whole prefix 2^n times)."""
+    s = "chr(30)"
+    parts = [
+        f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT regexp_replace(word, '(.)', {s} || '\\1', 'g') AS enc, cnt
+      FROM (
+        SELECT word, COUNT(*) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          FROM documents) t
+        GROUP BY word) wf
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f""",
+    p{r} AS MATERIALIZED (
+      SELECT syms[i] AS a, syms[i + 1] AS b, SUM(cnt) AS pc
+      FROM (
+        SELECT list_filter(string_split(enc, {s}), x -> x <> '') AS syms,
+               cnt
+        FROM {prev}) t,
+        LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) ix
+      GROUP BY 1, 2
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a, b LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT replace(enc, {s} || b{r}.a || {s} || b{r}.b,
+                     {s} || b{r}.a || b{r}.b) AS enc, cnt
+      FROM {prev} CROSS JOIN b{r}
+    )"""
+        )
+    arms = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b,"
+        f" CAST(pc AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f"\n    {arms}\n    ")
+    return "".join(parts)
+
+
+@register(
+    "ext_bpe_merges",
+    _bpe_oracle(8),
+    doc="BPE vocabulary induction (bpe.bpe_train): 8 merge rules learned "
+    "from the corpus — the TRAINING side of subword tokenization "
+    "(wordpiece_tokenize is the inference side). Runs over DISTINCT "
+    "words + frequencies (the Zipf lever); merge application is a "
+    "sentinel-prefixed string replace, so each round is one explode + "
+    "partial-aggregated pair count with only the 1-row argmax reaching "
+    "the driver. The oracle replays all 8 rounds unrolled with "
+    "MATERIALIZED intermediates and identical lexicographic tie-breaks.",
+)
+def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=8)

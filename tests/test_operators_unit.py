@@ -796,3 +796,46 @@ def test_quota_sample_exact_counts_and_minimal_churn(spark):
     picks1 = {r["doc_id"] for r in out}
     picks2 = {r["doc_id"] for r in out2}
     assert len(picks1 & picks2) >= 10  # ≥half the original 20 survive
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from collections import Counter
+
+    from dbt_glue_spark.extensions.bpe import bpe_train
+
+    text = "the thing then these the then low lower lowest low low"
+    import re
+
+    def py_bpe(corpus: str, n: int):
+        freqs = Counter(re.findall(r"[a-z]+", corpus.lower()))
+        words = {w: list(w) for w in freqs}
+        out = []
+        for r in range(1, n + 1):
+            pc = Counter()
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += freqs[w]
+            if not pc:
+                break
+            (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((r, a, b, c))
+            for w, syms in words.items():
+                i, ns = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                words[w] = ns
+        return out
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r["round"], r["sym_a"], r["sym_b"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=6)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == py_bpe(text, 6), got
