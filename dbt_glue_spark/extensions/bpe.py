@@ -40,15 +40,8 @@ def _word_freqs(df: DataFrame, text_col: str):
     )
 
 
-def bpe_train(
-    df: DataFrame,
-    n_merges: int = 8,
-    text_col: str = "text",
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merge rules from the corpus. Returns the
-    merge table (round, sym_a, sym_b, pair_count) — argmax ties broken
-    lexicographically on (sym_a, sym_b) so training is deterministic on
-    any engine/partitioning."""
+def _train(df: DataFrame, n_merges: int, text_col: str):
+    """Shared training loop → (merge list, final encoded-words frame)."""
     spark = df.sparkSession
     words = _word_freqs(df, text_col).select(
         F.regexp_replace("word", "(.)", SENT + "$1").alias("enc"), "cnt"
@@ -83,6 +76,38 @@ def bpe_train(
             ).alias("enc"),
             "cnt",
         ).localCheckpoint()
-    return spark.createDataFrame(
+    return merges, words
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules from the corpus. Returns the
+    merge table (round, sym_a, sym_b, pair_count) — argmax ties broken
+    lexicographically on (sym_a, sym_b) so training is deterministic on
+    any engine/partitioning."""
+    merges, _ = _train(df, n_merges, text_col)
+    return df.sparkSession.createDataFrame(
         merges, "round int, sym_a string, sym_b string, pair_count long"
+    )
+
+
+def bpe_segment_words(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``n_merges`` merges AND apply them: per distinct word, the
+    post-merge piece count — the fertility statistic that tells a
+    pipeline how the learned vocabulary compresses its own corpus
+    (piece counts fall as merges absorb frequent pairs). Returns
+    (word, n_occurrences, n_pieces)."""
+    _, words = _train(df, n_merges, text_col)
+    syms = F.filter(F.split("enc", SENT), lambda s: s != "")
+    return words.select(
+        F.replace(F.col("enc"), F.lit(SENT), F.lit("")).alias("word"),
+        F.col("cnt").cast("bigint").alias("n_occurrences"),
+        F.size(syms).cast("bigint").alias("n_pieces"),
     )

@@ -3535,3 +3535,27 @@ def ext_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs, n_merges=8)
+
+
+@register(
+    "ext_bpe_segmented_words",
+    _bpe_oracle(8).split("\n    SELECT 1 AS round")[0]
+    + """
+    SELECT replace(enc, chr(30), '') AS word,
+           CAST(cnt AS BIGINT) AS n_occurrences,
+           CAST(len(list_filter(string_split(enc, chr(30)), x -> x <> ''))
+                AS BIGINT) AS n_pieces
+    FROM w8
+    """,
+    doc="BPE end-to-end: the 8 learned merges APPLIED back to the corpus "
+    "vocabulary (bpe.bpe_segment_words) — per distinct word, the "
+    "post-merge piece count (fertility), i.e. how the learned vocabulary "
+    "compresses its own training corpus. The oracle reuses the unrolled "
+    "training replay's final words state, so any drift in either "
+    "training or application breaks the hash.",
+)
+def ext_bpe_segmented_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.bpe import bpe_segment_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_segment_words(docs, n_merges=8)
