@@ -41,3 +41,83 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(F.col(id_col), status.alias("status"))
+
+
+def data_card(
+    df: DataFrame,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus datasheet row (Datasheets for Datasets / data-card
+    reporting): for each ``by`` group — document count, language count and
+    majority language, token totals and mean doc length, and the
+    exact-duplicate rate (docs sharing a normalized-text md5 WITHIN the
+    group). This is the summary table a training-data release publishes
+    and the regression surface an ingest pipeline monitors per crawl.
+
+    100 TB shape: one tokenize pass (projection barrier, codegen); the
+    dup-rate aggregate shuffles (group, 16-byte md5) pairs; every other
+    aggregate is a narrow partial-agg groupBy on the group key. The
+    majority language is one window over the ≤ groups×langs count table —
+    trivially small at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    from dbt_glue_spark.functions.scalars import half_up_round
+    from dbt_glue_spark.functions.text import normalize_text, tokenize_once
+
+    staged = tokenize_once(
+        df,
+        text_col,
+        [
+            F.col(id_col),
+            F.col(by),
+            F.col(lang_col),
+            F.md5(normalize_text(F.col(text_col))).alias("__h"),
+        ],
+    )
+    per_doc = staged.select(
+        F.col(by), F.col(lang_col), "__h", F.size("toks").alias("n_toks")
+    )
+    base = per_doc.groupBy(by).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(lang_col).cast("bigint").alias("n_langs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        half_up_round(F.sum("n_toks") / F.count("*"), 2).alias("avg_doc_tokens"),
+    )
+    dup = (
+        per_doc.groupBy(by, "__h")
+        .agg(F.count("*").alias("c"))
+        .groupBy(by)
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs")
+        )
+    )
+    w = Window.partitionBy(by).orderBy(F.desc("lc"), F.asc(lang_col))
+    top_lang = (
+        per_doc.groupBy(by, lang_col)
+        .agg(F.count("*").alias("lc"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col(by), F.col(lang_col).alias("top_lang"))
+    )
+    return (
+        base.join(dup, by)
+        .join(top_lang, by)
+        .select(
+            by,
+            "n_docs",
+            "n_langs",
+            "top_lang",
+            "total_tokens",
+            "avg_doc_tokens",
+            "n_dup_docs",
+            half_up_round(F.col("n_dup_docs") / F.col("n_docs"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )

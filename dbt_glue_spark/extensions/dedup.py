@@ -826,3 +826,51 @@ def cdc_chunks(
         "chunk_hash",
         F.col("n_docs_with_chunk").cast("bigint").alias("n_docs_with_chunk"),
     )
+
+
+def ngram_dup_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document duplicated n-gram fraction — the corpus-overlap audit
+    ("What's In My Big Data?" / Dolma-style): for each doc, the fraction
+    of its DISTINCT word n-grams that also occur in at least one OTHER
+    document. High fractions flag boilerplate-heavy or near-duplicate
+    docs that exact/MinHash dedup missed, and the corpus-level mean is
+    the standard memorization-risk headline number.
+
+    Plan: one shingle pass (inverted-index postings), shingles md5-hashed
+    BEFORE the document-frequency aggregate and the join back — every
+    shuffle carries (16-byte hash) or (id, hash) pairs, never shingle
+    text (the exact-dedup discipline; text-keyed exchanges at 100 TB are
+    the difference between shuffling ~50 bytes/shingle and 16). df
+    counts docs, not occurrences: postings are per-doc DISTINCT by
+    construction (word_shingles array_distinct). Docs with < n tokens
+    have no shingles and are absent, same as the oracle's GROUP BY.
+    """
+    post = _persist(
+        _shingle_postings(df, text_col, id_col, n, None).select(
+            "id", F.md5("shingle").alias("h")
+        )
+    )
+    dfreq = post.groupBy("h").agg(F.count("*").alias("dfr"))
+    per = (
+        post.join(dfreq, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("dfr") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_shingles"),
+        )
+    )
+    return per.select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        "n_dup_shingles",
+        half_up_round(F.col("n_dup_shingles") / F.col("n_shingles"), 6).alias(
+            "dup_fraction"
+        ),
+    )

@@ -558,3 +558,60 @@ def knn_quantized(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "qsim", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def projection_signs(dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for sparse random projection
+    (Achlioptas 2003): row j = signs of hyperplane (dim, 1000+j) — the
+    plane-index offset keeps the projection decorrelated from the LSH
+    bucket planes (indices 0..planes). Pure function of (dim, out_dim):
+    identical on every executor and embeddable as literals in oracle SQL
+    (the LSH hyperplane pattern)."""
+    return [
+        [1.0 if v >= 0 else -1.0 for v in _hyperplane(dim, 1000 + j)]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 8,
+    dim: int = 64,
+    round_digits: int = 6,
+    as_array: bool = False,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: reduce ``dim``-d embeddings
+    to ``out_dim`` components p_j = Σ_i sign_ji · v_i — the standard
+    pre-shrink before ANN / clustering when the embedding column dominates
+    shuffle and index size (a ±1 matrix needs no float weights and
+    preserves pairwise distances to ~1/sqrt(out_dim) distortion).
+
+    Determinism: components cast to double (exact from float32), each
+    product is an exact sign flip, accumulation is the sequential
+    left-to-right ``aggregate`` fold — bit-identical to the oracle's
+    left-associated ``+`` chain — and each output is half-up rounded.
+
+    100 TB shape: a pure per-row projection — no shuffle, no UDF, stays
+    in whole-stage codegen; downstream joins/windows then carry
+    out_dim/dim of the payload. ``as_array=True`` packs the components
+    into one array column ready to feed knn_* / kmeans_* operators.
+    """
+    signs = projection_signs(dim, out_dim)
+    comps = []
+    for j, row in enumerate(signs):
+        sgn = F.array(*[F.lit(s) for s in row])
+        p = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), sgn, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        comps.append(half_up_round(p, round_digits).alias(f"p{j}"))
+    out = df.select(F.col(id_col), *comps)
+    if as_array:
+        out = out.select(
+            F.col(id_col),
+            F.array(*[F.col(f"p{j}") for j in range(out_dim)]).alias("proj"),
+        )
+    return out

@@ -444,3 +444,19 @@ def histogram_quantiles(
         )
         qdf = est if qdf is None else qdf.unionAll(est)
     return qdf
+
+
+def kmv_estimate_from_hashes(ledger: DataFrame, k: int = 256) -> DataFrame:
+    """KMV estimate from an externally-maintained hash ledger (the ≤k-row
+    ``h`` table kept by streaming kmv_stream_sink): same estimator and
+    rounding as :func:`kmv_distinct`, so a streamed ledger and a one-shot
+    batch build yield the identical ``approx_distinct``."""
+    sk = (
+        ledger.groupBy()
+        .agg(F.count("*").alias("__nk"), F.max("h").alias("__maxh"))
+        .select("__nk", F.when(F.col("__nk") == k, F.col("__maxh")).alias("__kth"))
+    )
+    est = F.when(F.col("__nk") < k, F.col("__nk").cast("double")).otherwise(
+        (F.lit(k) - 1) / F.col("__kth")
+    )
+    return sk.select(half_up_round(est, 4).alias("approx_distinct"))

@@ -603,3 +603,163 @@ def quality_top_fraction(
         F.col("src_rank").cast("bigint").alias("src_rank"),
         F.col("n_source").cast("bigint").alias("n_source"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_predicate: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Data Selection via
+    Importance Resampling, Xie et al. 2023): score every RAW document by
+    how target-like its hashed-bigram distribution is, so the raw corpus
+    can be resampled toward a high-quality target domain (the standard
+    pretraining-data selection step: target = Wikipedia/books, raw = web
+    crawl). ``target_predicate`` is a SQL boolean over the input columns
+    selecting the in-domain exemplar docs (e.g. ``lang = 'en'``).
+
+    Model: word bigrams hash into ``n_buckets`` buckets (md5 fraction ·
+    buckets — engine-portable, power-of-two ⇒ exact double math); the
+    add-one-smoothed bucket probability ratio factorizes as
+    p_t(b)/p_r(b) = ((ct+1)/(cr+1)) · C with C = (Tr+B)/(Tt+B) CONSTANT
+    across buckets. Per-bucket ratios are integer-quantized once —
+    q6 = (ct+1)·10⁶ div (cr+1), exact int64 floor division (the shipped
+    fixed-point model table, same discipline as bigram_lm_score) — so the
+    per-doc accumulation Σ tf·q6 is an integer sum, exact in any order on
+    any engine, and the single C·x/10⁶ float step happens once at the
+    end under half-up rounding. ln-free: DSIR's log-importance ranks
+    documents; the mean per-instance likelihood ratio ranks the same way
+    bigram_lm_score's mean probability ranks like negative perplexity,
+    without a transcendental on the oracle boundary. Overflow bounds:
+    q6 < 9.2e18 needs ct < 9.2e12 occurrences in ONE bucket of the
+    target corpus; per-doc Σ tf·q6 < 9.2e18 holds for any document under
+    ~10⁶ bigrams even at the q6 ceiling.
+
+    100 TB shape: one lexer pass; every shuffle after it carries
+    (int bucket, count) or (id, int bucket, count) pairs with map-side
+    partial aggregation — never text. The model is ≤ n_buckets rows and
+    broadcasts; totals are a 1-row broadcast (codebook contract). Cost ∝
+    corpus tokens, skew-free by md5-uniform bucketing.
+
+    Returns raw-side docs only: (id, n_bigrams, dsir_weight). Raw docs
+    with <2 alpha tokens have no features and are absent (same as the
+    oracle's GROUP BY); target docs are the model, not the population
+    being resampled.
+    """
+    from dbt_glue_spark.extensions.dedup import _persist
+    from dbt_glue_spark.extensions.sketches import hash_fraction
+
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    ws_stage = df.select(
+        F.col(id_col), F.expr(target_predicate).alias("is_target"), words.alias("ws")
+    )
+    inst = _persist(
+        ws_stage.filter(F.size("ws") >= 2)
+        .select(
+            F.col(id_col),
+            F.col("is_target"),
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.size("ws") - 1),
+                    F.slice("ws", 2, F.size("ws") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("is_target"),
+            F.floor(hash_fraction(F.col("bg")) * F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    ct = inst.filter("is_target").groupBy("bucket").agg(F.count("*").alias("ct"))
+    cr = inst.filter("NOT is_target").groupBy("bucket").agg(F.count("*").alias("cr"))
+    model = (
+        ct.join(cr, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .withColumn("q6", F.expr("(ct + 1) * 1000000L div (cr + 1)"))
+    )
+    model = _persist(model)
+    totals = model.agg(
+        F.sum("ct").cast("bigint").alias("tt"), F.sum("cr").cast("bigint").alias("tr")
+    )
+    doc_tf = (
+        inst.filter("NOT is_target")
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        doc_tf.join(F.broadcast(model.select("bucket", "q6")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.col("q6")).cast("bigint").alias("s"),
+            F.sum("tf").cast("bigint").alias("n"),
+        )
+    )
+    b = F.lit(n_buckets)
+    c_const = (F.col("tr") + b).cast("double") / (F.col("tt") + b).cast("double")
+    return scored.join(F.broadcast(totals)).select(
+        F.col(id_col),
+        F.col("n").alias("n_bigrams"),
+        half_up_round(
+            F.col("s") * c_const / (F.col("n") * F.lit(1000000.0)), 6
+        ).alias("dsir_weight"),
+    )
+
+
+def lm_quality_buckets(
+    df: DataFrame,
+    by: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing: rank every document by
+    its LM quality score WITHIN its ``by`` group (CCNet buckets per
+    language — a global cut would call every non-English doc "tail") and
+    label the top third ``head``, middle third ``middle``, rest ``tail``.
+    Downstream pipelines keep head+middle, or mix buckets with explicit
+    weights (curriculum/quality mixing).
+
+    Deterministic thresholds: rank ≤ ceil(n/3) → head, ≤ ceil(2n/3) →
+    middle — explicit rank arithmetic rather than NTILE so both engines
+    agree on every boundary; ordering (score desc, id) is total.
+
+    100 TB shape: the score is bigram_lm_score (shuffles carry word keys
+    with partial aggregation); bucketing is ONE window keyed by the group
+    column, same discipline as quality_top_fraction. Docs with no bigrams
+    (absent from the score) are absent here too.
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_lm_score(df, id_col=id_col, text_col=text_col).select(
+        id_col, "avg_next_word_p"
+    )
+    joined = df.select(F.col(id_col), F.col(by)).join(scored, id_col)
+    w = Window.partitionBy(by).orderBy(F.desc("avg_next_word_p"), F.asc(id_col))
+    ranked = joined.select(
+        F.col(id_col),
+        F.col(by),
+        "avg_next_word_p",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy(by)).alias("n_grp"),
+    )
+    bucket = (
+        F.when(F.col("rk") <= F.ceil(F.col("n_grp") / 3.0), F.lit("head"))
+        .when(F.col("rk") <= F.ceil(F.col("n_grp") * 2.0 / 3.0), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(by),
+        "avg_next_word_p",
+        bucket.alias("ppl_bucket"),
+    )

@@ -2867,9 +2867,10 @@ def ext_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ext_lm_score",
-    r"""
+# Shared bigram-LM oracle core: WITH-clauses through the quantized model
+# terms plus the per-doc score select — reused verbatim by ext_lm_score and
+# the CCNet bucket query so the two can never drift apart.
+_LM_CORE = r"""
     WITH tok AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
       FROM documents
@@ -2894,11 +2895,21 @@ def ext_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN c12 USING (w1, w2)
       JOIN c1 ON c1.w = docbig.w1
       CROSS JOIN vocab
+    ),
+    lm AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+             FLOOR(CAST(SUM(tf * p9) AS DOUBLE) / (SUM(tf) * 1e9) * 1e6 + 0.5)
+               / 1e6 AS avg_next_word_p
+      FROM terms GROUP BY doc_id
     )
-    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-           FLOOR(CAST(SUM(tf * p9) AS DOUBLE) / (SUM(tf) * 1e9) * 1e6 + 0.5)
-             / 1e6 AS avg_next_word_p
-    FROM terms GROUP BY doc_id
+"""
+
+
+@register(
+    "ext_lm_score",
+    _LM_CORE
+    + """
+    SELECT doc_id, n_bigrams, avg_next_word_p FROM lm
     """,
     doc="Bigram language-model quality scoring "
     "(text_analysis.bigram_lm_score): mean next-word probability under an "
@@ -3559,3 +3570,301 @@ def ext_bpe_segmented_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_segment_words(docs, n_merges=8)
+
+
+# ---- round-4 continuation: data-selection / curriculum operators ---------
+
+
+def _dsir_oracle(n_buckets: int = 1024) -> str:
+    from dbt_glue_spark.extensions.sketches import _duck_hash_fraction
+
+    bucket = f"CAST(FLOOR({_duck_hash_fraction('bg')} * {n_buckets}) AS INT)"
+    return f"""
+    WITH ws AS (
+      SELECT doc_id, (lang = 'en') AS is_target,
+             regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ),
+    bgr AS (
+      SELECT doc_id, is_target,
+             unnest([ws[i] || ' ' || ws[i+1]
+                     for i in generate_series(1, len(ws) - 1)]) AS bg
+      FROM ws WHERE len(ws) >= 2
+    ),
+    bk AS (
+      SELECT doc_id, is_target, {bucket} AS bucket FROM bgr
+    ),
+    tcnt AS (SELECT bucket, COUNT(*) AS ct FROM bk WHERE is_target GROUP BY bucket),
+    rcnt AS (SELECT bucket, COUNT(*) AS cr FROM bk WHERE NOT is_target GROUP BY bucket),
+    model AS (
+      SELECT COALESCE(tcnt.bucket, rcnt.bucket) AS bucket,
+             COALESCE(tcnt.ct, 0) AS ct, COALESCE(rcnt.cr, 0) AS cr,
+             (COALESCE(tcnt.ct, 0) + 1) * 1000000
+               // (COALESCE(rcnt.cr, 0) + 1) AS q6
+      FROM tcnt FULL OUTER JOIN rcnt ON tcnt.bucket = rcnt.bucket
+    ),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+                   CAST(SUM(cr) AS BIGINT) AS tr FROM model),
+    doctf AS (
+      SELECT doc_id, bucket, COUNT(*) AS tf
+      FROM bk WHERE NOT is_target GROUP BY doc_id, bucket
+    ),
+    sc AS (
+      SELECT doc_id, CAST(SUM(tf * q6) AS BIGINT) AS s,
+             CAST(SUM(tf) AS BIGINT) AS n
+      FROM doctf JOIN model USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_bigrams,
+           FLOOR(s * (CAST(tr + {n_buckets} AS DOUBLE)
+                      / CAST(tt + {n_buckets} AS DOUBLE))
+                 / (n * 1000000.0) * 1000000 + 0.5) / 1000000.0 AS dsir_weight
+    FROM sc, tot
+    """
+
+
+@register(
+    "ext_dsir_weights",
+    _dsir_oracle(),
+    doc="DSIR importance weights (text_analysis.dsir_weights; Xie et al. "
+    "2023 data-selection shape): hashed-bigram likelihood-ratio score of "
+    "every raw (non-English) document against the English target "
+    "exemplars — the resampling weight that tilts a crawl toward a "
+    "target domain. Per-bucket ratios are integer-quantized once "
+    "(q6 = (ct+1)·10⁶ div (cr+1)); per-doc accumulation is an integer "
+    "sum; the bucket-constant smoothing factor C applies once at the "
+    "end. Shuffles carry (int bucket, count) pairs, never text; the "
+    "≤1024-row model broadcasts.",
+)
+def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.dsir_weights(docs, "lang = 'en'")
+
+
+@register(
+    "ext_lm_quality_buckets",
+    _LM_CORE
+    + """
+    , j AS (
+      SELECT d.doc_id, d.lang, lm.avg_next_word_p
+      FROM documents d JOIN lm ON d.doc_id = lm.doc_id
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY avg_next_word_p DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n_grp
+      FROM j
+    )
+    SELECT doc_id, lang, avg_next_word_p,
+           CASE WHEN rk <= CEIL(n_grp / 3.0) THEN 'head'
+                WHEN rk <= CEIL(n_grp * 2.0 / 3.0) THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM r
+    """,
+    doc="CCNet head/middle/tail perplexity buckets "
+    "(text_analysis.lm_quality_buckets): every doc ranked by its bigram-"
+    "LM score WITHIN its language and labeled head/middle/tail by "
+    "explicit rank thresholds (ceil(n/3) boundaries — NTILE-free so "
+    "both engines agree on every boundary). The oracle shares _LM_CORE "
+    "with ext_lm_score verbatim: a drift in either the model or the "
+    "bucketing breaks the hash. One window keyed by lang on top of the "
+    "shuffle-bounded LM score.",
+)
+def ext_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.lm_quality_buckets(docs, by="lang")
+
+
+@register(
+    "ext_ngram_dup_fraction",
+    "WITH "
+    + _SH
+    + r""",
+    dfreq AS (SELECT shingle, COUNT(*) AS dfr FROM sh GROUP BY shingle),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_sh,
+             SUM(CASE WHEN dfr >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM sh JOIN dfreq USING (shingle) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+           CAST(n_dup AS BIGINT) AS n_dup_shingles,
+           FLOOR(CAST(n_dup AS DOUBLE) / n_sh * 1000000 + 0.5) / 1000000.0
+             AS dup_fraction
+    FROM per
+    """,
+    doc="Per-document duplicated n-gram fraction "
+    "(dedup.ngram_dup_fraction): fraction of each doc's distinct 3-gram "
+    "shingles occurring in ≥2 docs — the What's-In-My-Big-Data / Dolma "
+    "corpus-overlap audit that flags boilerplate and missed near-dups; "
+    "its corpus mean is the standard memorization-risk number. Shingles "
+    "are md5-hashed before the df aggregate and join-back, so every "
+    "shuffle carries 16-byte hashes, never shingle text (plan-gated).",
+)
+def ext_ngram_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_dup_fraction(docs, n=3)
+
+
+def _proj_component_sql(j: int, dim: int = 64, out_dim: int = 8) -> str:
+    from dbt_glue_spark.extensions.similarity import projection_signs
+
+    signs = projection_signs(dim, out_dim)[j]
+    chain = " + ".join(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) * {s!r})" for i, s in enumerate(signs)
+    )
+    return f"FLOOR(({chain}) * 1000000 + 0.5) / 1000000.0"
+
+
+@register(
+    "ext_random_projection",
+    "SELECT vec_id, "
+    + ", ".join(f"{_proj_component_sql(j)} AS p{j}" for j in range(8))
+    + " FROM embeddings",
+    doc="Johnson-Lindenstrauss ±1 random projection "
+    "(similarity.random_project): 64-d float embeddings shrunk to 8 "
+    "sign-sum components — the standard pre-shrink before ANN/clustering "
+    "when the embedding column dominates shuffle/index size. "
+    "Deterministic sign matrix from the LSH hyperplane generator "
+    "(literals embedded in the oracle); sequential left-to-right fold "
+    "matches the oracle's left-associated + chain bit-for-bit; pure "
+    "per-row projection — no shuffle, no UDF, whole-stage codegen.",
+)
+def ext_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_project(emb)
+
+
+@register(
+    "ext_knn_projected",
+    "WITH proj AS (SELECT vec_id, ["
+    + ", ".join(_proj_component_sql(j) for j in range(8))
+    + """] AS pv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, pv AS qv FROM proj WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, pv AS cv FROM proj),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             FLOOR(list_cosine_similarity(qv, cv) * 10000 + 0.5) / 10000 AS sim
+      FROM q, c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored) t
+    WHERE rk <= 5
+    """,
+    doc="ANN over JL-projected vectors: top-5 cosine in the 8-d projected "
+    "space (random_project ∘ knn_bruteforce) — the reduced-dimension "
+    "scale path where probe payload and broadcast size drop 8×; recall "
+    "vs full-d exact kNN is unit-tested. Same zero-corpus-shuffle "
+    "broadcast-probe plan as ext_knn_bruteforce.",
+)
+def ext_knn_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.random_project(emb, as_array=True)
+    return similarity.knn_bruteforce(
+        proj, proj.filter(F.col("vec_id") < 10), vec_col="proj", k=5
+    )
+
+
+@register(
+    "ext_data_card",
+    r"""
+    WITH tokd AS (
+      SELECT doc_id, source, lang,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS h,
+             len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+               AS n_toks
+      FROM documents
+    ),
+    base AS (
+      SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+             SUM(n_toks) AS total_tokens,
+             FLOOR(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) * 100 + 0.5) / 100.0
+               AS avg_doc_tokens
+      FROM tokd GROUP BY source
+    ),
+    dup AS (
+      SELECT source, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS n_dup_docs
+      FROM (SELECT source, h, COUNT(*) AS c FROM tokd GROUP BY source, h) g
+      GROUP BY source
+    ),
+    tl AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY lc DESC, lang) AS rk
+        FROM (SELECT source, lang, COUNT(*) AS lc
+              FROM tokd GROUP BY source, lang) lcs) r
+      WHERE rk = 1
+    )
+    SELECT b.source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_langs AS BIGINT) AS n_langs, top_lang,
+           CAST(total_tokens AS BIGINT) AS total_tokens, avg_doc_tokens,
+           CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+           FLOOR(CAST(n_dup_docs AS DOUBLE) / n_docs * 1000000 + 0.5)
+             / 1000000.0 AS dup_fraction
+    FROM base b JOIN dup USING (source) JOIN tl USING (source)
+    """,
+    doc="Per-source corpus data card (audit.data_card): document/language "
+    "counts, majority language, token totals, mean doc length, and the "
+    "within-source exact-duplicate rate — the Datasheets-for-Datasets "
+    "summary a training-data release publishes and an ingest pipeline "
+    "monitors per crawl. One tokenize pass; the dup-rate aggregate "
+    "shuffles (source, 16-byte md5) pairs; the majority-language window "
+    "runs over the tiny groups×langs count table.",
+)
+def ext_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import data_card
+
+    docs = load_table(spark, sf_dir, "documents")
+    return data_card(docs)
+
+
+def _stream_kmv_oracle() -> str:
+    from dbt_glue_spark.extensions.sketches import kmv_oracle_sql
+
+    return f"""
+    WITH kmv AS ({kmv_oracle_sql("events", "user_id")}),
+    ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+           FROM events)
+    SELECT approx_distinct, true_distinct FROM kmv, ex
+    """
+
+
+@register(
+    "streaming_kmv_users",
+    _stream_kmv_oracle(),
+    doc="Streaming KMV distinct-count maintenance "
+    "(streaming/pipelines.kmv_stream_sink): events staged as a 4-file "
+    "stream; each micro-batch's distinct md5-fraction hashes set-union "
+    "into a persistent ≤256-row ledger keeping the k smallest. KMV merge "
+    "is a SET operation — order-insensitive AND idempotent under "
+    "at-least-once redelivery (unlike additive sketches) — so the "
+    "streamed ledger equals the one-shot batch build exactly; the oracle "
+    "recomputes the same estimator over all events. Constant O(k) state "
+    "for an unbounded stream.",
+)
+def streaming_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dbt_glue_spark.extensions.sketches import kmv_estimate_from_hashes
+    from dbt_glue_spark.streaming.pipelines import kmv_stream_sink
+
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    stage = tempfile.mkdtemp(prefix="dgs_q_kmvsrc_")
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    target = tempfile.mkdtemp(prefix="dgs_q_kmvtgt_")
+    q = kmv_stream_sink(stream, spark, target, os.path.join(target, "ckpt"), "user_id")
+    q.awaitTermination(300)
+    ledger = spark.read.parquet(os.path.join(target, "data"))
+    est = kmv_estimate_from_hashes(ledger)
+    exact = events.agg(
+        F.countDistinct("user_id").cast("bigint").alias("true_distinct")
+    )
+    return est.join(F.broadcast(exact))

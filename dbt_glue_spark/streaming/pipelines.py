@@ -408,3 +408,47 @@ def countmin_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kmv_stream_sink(
+    source_stream: DataFrame,
+    spark,
+    target_path: str,
+    checkpoint: str,
+    col: str,
+    k: int = 256,
+):
+    """Streaming KMV distinct-count maintenance: each micro-batch's
+    distinct md5-fraction hashes are set-unioned into a persistent ≤k-row
+    hash ledger, keeping the k smallest. KMV merge is a SET operation —
+    order-insensitive AND idempotent (a re-delivered value hashes to the
+    same point, so at-least-once delivery cannot inflate the estimate,
+    unlike additive sketches) — so the streamed ledger is EXACTLY the
+    batch-built one no matter how the stream was batched, ordered, or
+    retried. Constant O(k) state for an unbounded stream; the same union
+    folds per-shard ledgers cross-pipeline (mergeable-sketch contract).
+    """
+    import os
+
+    from dbt_glue_spark.extensions.sketches import hash_fraction
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        data_dir = os.path.join(target_path, "data")
+        bh = batch_df.select(hash_fraction(F.col(col)).alias("h")).distinct()
+        try:
+            cur = spark.read.parquet(data_dir)
+            merged = cur.unionByName(bh).distinct()
+        except Exception:  # first batch — no ledger yet
+            merged = bh
+        topk = merged.orderBy(F.col("h").asc()).limit(k)
+        staged = topk.localCheckpoint(eager=True)  # read+overwrite safety
+        staged.write.mode("overwrite").parquet(data_dir)
+
+    return (
+        source_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

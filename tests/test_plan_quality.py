@@ -509,3 +509,55 @@ def test_quality_top_fraction_window_is_per_source_not_global(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower() or "Window [" in line:
             assert "source" in line, f"global (unpartitioned) window: {line}"
+
+
+# ---- round-4 continuation gates -----------------------------------------
+
+
+def test_dsir_shuffles_ints_not_text(spark, sf_dir):
+    # After the lexer stage every exchange must carry (id/bucket int,
+    # count) pairs — raw text and bigram strings are hashed into int
+    # buckets BEFORE any shuffle; the ≤1024-row model broadcasts.
+    from dbt_glue_spark.extensions.text_analysis import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(dsir_weights(docs, "lang = 'en'"), mode="formatted")
+    ex = [line for line in plan.splitlines() if "Exchange" in line]
+    assert ex, "expected exchanges for the bucket aggregates"
+    assert all("text" not in line and "bg#" not in line for line in ex), ex
+    assert "BroadcastExchange" in plan  # model + totals broadcast
+
+
+def test_ngram_dup_fraction_shuffles_hashes_not_shingles(spark, sf_dir):
+    # The df aggregate and join-back must travel 16-byte md5 keys, never
+    # shingle text (the exact-dedup discipline).
+    from dbt_glue_spark.extensions.dedup import ngram_dup_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(ngram_dup_fraction(docs), mode="formatted")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "shingle#" not in line and "text#" not in line, line
+
+
+def test_random_projection_is_shuffle_free(spark, sf_dir):
+    # A pure per-row projection: no Exchange anywhere in the plan.
+    from dbt_glue_spark.extensions.similarity import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(random_project(emb), mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_lm_buckets_window_is_keyed_by_group(spark, sf_dir):
+    # The head/middle/tail rank must window PARTITION BY the group column,
+    # never a global sort of the corpus.
+    from dbt_glue_spark.extensions.text_analysis import lm_quality_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(lm_quality_buckets(docs, by="lang"), mode="formatted")
+    # every window spec must carry the lang partition key — an unkeyed
+    # windowspecdefinition( would be a global sort of the corpus
+    total = plan.count("windowspecdefinition(")
+    keyed = plan.count("windowspecdefinition(lang#")
+    assert total > 0 and total == keyed, plan

@@ -1,0 +1,189 @@
+"""Unit tests for the round-4 continuation operators: DSIR importance
+weights, CCNet LM buckets, n-gram duplication audit, JL random projection,
+per-source data cards, and streaming KMV maintenance."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+TARGETISH = "the cat sat on the mat and the dog sat on the log "
+JUNK = "zzq qqz xjw wjx vkp pkv zzq qqz "
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from dbt_glue_spark.extensions.text_analysis import dsir_weights
+
+    rows = (
+        # target exemplars (is_target via lang='en')
+        [(i, TARGETISH * 3, "en", "s") for i in range(5)]
+        # raw docs: 10..14 target-like, 20..24 junk
+        + [(10 + i, TARGETISH * 2, "xx", "s") for i in range(5)]
+        + [(20 + i, JUNK * 2, "xx", "s") for i in range(5)]
+    )
+    out = dsir_weights(_docs(spark, rows), "lang = 'en'").collect()
+    w = {r["doc_id"]: r["dsir_weight"] for r in out}
+    # only raw docs are scored
+    assert set(w) == {10, 11, 12, 13, 14, 20, 21, 22, 23, 24}
+    assert min(w[i] for i in range(10, 15)) > max(w[i] for i in range(20, 25))
+
+
+def test_dsir_weight_value_hand_check(spark):
+    # one target doc and one raw doc sharing every bigram: each raw bucket
+    # ratio is (ct+1)/(cr+1) scaled by C=(Tr+B)/(Tt+B) — with identical
+    # texts ct==cr per bucket so every q6 is 10^6 and the weight is
+    # exactly C (up to the 1e-6 quantization floor).
+    from dbt_glue_spark.extensions.text_analysis import dsir_weights
+
+    rows = [(1, "alpha beta gamma", "en", "s"), (2, "alpha beta gamma", "xx", "s")]
+    out = dsir_weights(_docs(spark, rows), "lang = 'en'").collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 2
+    b = 1024
+    c = (2 + b) / (2 + b)  # Tr = Tt = 2 bigram instances
+    assert abs(out[0]["dsir_weight"] - c) < 1e-5
+
+
+def test_lm_quality_buckets_thresholds(spark, sf_dir):
+    from dbt_glue_spark.extensions.text_analysis import lm_quality_buckets
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = lm_quality_buckets(docs, by="lang")
+    agg = (
+        out.groupBy("lang", "ppl_bucket")
+        .agg(F.count("*").alias("n"), F.min("avg_next_word_p").alias("lo"),
+             F.max("avg_next_word_p").alias("hi"))
+        .collect()
+    )
+    by_lang: dict[str, dict[str, tuple]] = {}
+    for r in agg:
+        by_lang.setdefault(r["lang"], {})[r["ppl_bucket"]] = (r["n"], r["lo"], r["hi"])
+    for lang, buckets in by_lang.items():
+        n = sum(v[0] for v in buckets.values())
+        import math
+
+        head = buckets.get("head", (0, None, None))
+        assert head[0] == math.ceil(n / 3), (lang, buckets)
+        # score ordering: every head score >= every tail score
+        if "tail" in buckets and "head" in buckets:
+            assert buckets["head"][1] >= buckets["tail"][2]
+
+
+def test_ngram_dup_fraction_extremes(spark):
+    from dbt_glue_spark.extensions.dedup import ngram_dup_fraction
+
+    dup_text = "one two three four five six"
+    rows = [
+        (1, dup_text, "en", "s"),
+        (2, dup_text, "en", "s"),  # exact copy: all shingles shared
+        (3, "seven eight nine ten eleven twelve", "en", "s"),  # unique
+    ]
+    out = {r["doc_id"]: r for r in ngram_dup_fraction(_docs(spark, rows)).collect()}
+    assert out[1]["dup_fraction"] == 1.0
+    assert out[2]["dup_fraction"] == 1.0
+    assert out[3]["dup_fraction"] == 0.0
+    assert out[3]["n_shingles"] == 4  # 6 tokens -> 4 distinct 3-grams
+
+
+def test_random_projection_linearity_and_determinism(spark):
+    from dbt_glue_spark.extensions.similarity import random_project
+
+    base = [float(i % 7) - 3.0 for i in range(64)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, [2.0 * v for v in base]), (3, [-v for v in base])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: [r[f"p{j}"] for j in range(8)] for r in random_project(emb).collect()}
+    for j in range(8):
+        assert abs(rows[2][j] - 2.0 * rows[1][j]) < 1e-5  # proj(2v) = 2 proj(v)
+        assert abs(rows[3][j] + rows[1][j]) < 1e-5  # proj(-v) = -proj(v)
+    # layout-invariant: repartitioning changes nothing
+    again = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(8)]
+        for r in random_project(emb.repartition(3)).collect()
+    }
+    assert rows == again
+
+
+def test_knn_projected_preserves_cluster_structure(spark):
+    # JL guarantees distance preservation to ~1/sqrt(out_dim) distortion —
+    # enough to keep SEPARATED clusters separated (the property real
+    # pipelines rely on), not to resolve statistical near-ties between
+    # isotropic random vectors (where top-k identity is meaningless; the
+    # sf embeddings table is such data, so this test builds clustered
+    # vectors where the projection MUST work).
+    from dbt_glue_spark.extensions.similarity import knn_bruteforce, random_project
+
+    centers = []
+    for c in range(3):
+        centers.append([5.0 if i % 3 == c else 0.0 for i in range(64)])
+    rows = []
+    vid = 0
+    for c, ctr in enumerate(centers):
+        for m in range(20):
+            pert = [ctr[i] + 0.3 * (((vid * 31 + i * 7) % 11) - 5) / 5.0 for i in range(64)]
+            rows.append((vid, c, pert))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, cluster long, embedding array<float>")
+    proj = random_project(emb, as_array=True)
+    approx = knn_bruteforce(proj, proj.filter(F.col("vec_id") < 9), vec_col="proj", k=5)
+    cluster_of = {r["vec_id"]: r["cluster"] for r in emb.select("vec_id", "cluster").collect()}
+    hits = [
+        cluster_of[r["neighbor_id"]] == cluster_of[r["query_id"]]
+        for r in approx.collect()
+    ]
+    assert sum(hits) / len(hits) >= 0.9, sum(hits) / len(hits)
+
+
+def test_data_card_hand_check(spark):
+    from dbt_glue_spark.extensions.audit import data_card
+
+    rows = [
+        (1, "Hello world!", "en", "a"),
+        (2, "hello   world", "en", "a"),  # normalized dup of 1
+        (3, "something else entirely", "fr", "a"),
+        (4, "unique doc", "de", "b"),
+    ]
+    out = {r["source"]: r for r in data_card(_docs(spark, rows)).collect()}
+    a = out["a"]
+    assert a["n_docs"] == 3 and a["n_langs"] == 2 and a["n_dup_docs"] == 2
+    assert a["top_lang"] == "en"
+    assert abs(a["dup_fraction"] - 2 / 3) < 1e-5
+    assert a["total_tokens"] == 2 + 2 + 3
+    b = out["b"]
+    assert b["n_dup_docs"] == 0 and b["dup_fraction"] == 0.0
+
+
+def test_streaming_kmv_equals_batch(spark):
+    # Set-merge semantics: the streamed ledger must yield the IDENTICAL
+    # estimate as a one-shot batch build, including under re-delivered
+    # (duplicated) rows across micro-batches.
+    from dbt_glue_spark.extensions.sketches import (
+        kmv_distinct,
+        kmv_estimate_from_hashes,
+    )
+    from dbt_glue_spark.streaming.pipelines import kmv_stream_sink
+
+    vals = [(i % 400,) for i in range(1200)]  # 400 distinct, heavy redelivery
+    df = spark.createDataFrame(vals, "user_id long")
+    stage = tempfile.mkdtemp(prefix="dgs_t_kmvsrc_")
+    df.repartition(5).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    target = tempfile.mkdtemp(prefix="dgs_t_kmvtgt_")
+    q = kmv_stream_sink(stream, spark, target, os.path.join(target, "ckpt"), "user_id")
+    q.awaitTermination(300)
+    ledger = spark.read.parquet(os.path.join(target, "data"))
+    streamed = kmv_estimate_from_hashes(ledger).collect()[0]["approx_distinct"]
+    batch = kmv_distinct(df, "user_id").collect()[0]["approx_distinct"]
+    assert streamed == batch
+    # 400 > k=256: the ledger must be capped at k rows, estimator engaged
+    assert ledger.count() == 256
