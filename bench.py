@@ -65,6 +65,8 @@ EXTENSION_HEADLINE = [
     "ext_lm_score",
     "ext_wordpiece_doc_stats",
     "ext_mmr_rerank",
+    "ext_dsir_weights",
+    "ext_ngram_dup_fraction",
     "mat_merge_upsert",
     "mat_scd2_snapshot_check",
     "asof_join_clicks_purchases",
