@@ -121,3 +121,73 @@ def data_card(
             ),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix (What's-In-My-Big-Data corpus
+    comparison): for every pair of ``by`` groups, the number of distinct
+    word n-grams they share and the Jaccard overlap of their shingle
+    sets. High overlap between two "independent" sources means the same
+    underlying content was crawled twice — double-counted in mixture
+    weights and a decontamination hazard if one source feeds evals.
+
+    100 TB shape: shingles reduce to DISTINCT (group, 16-byte md5) pairs
+    BEFORE the self-join, so each shingle contributes at most |groups|
+    rows regardless of corpus size and the join fan-out is bounded by
+    |groups|² per hash — never docs². Shuffles carry hashes, never
+    shingle text (plan-gated). Output is ≤ |groups|² rows.
+    """
+    from dbt_glue_spark.functions.text import tokenize_once, word_shingles
+
+    staged = tokenize_once(df, text_col, [F.col(by)])
+    src_sh = (
+        staged.select(
+            F.col(by), F.explode(word_shingles(F.col("toks"), n)).alias("shingle")
+        )
+        .select(F.col(by), F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    from dbt_glue_spark.extensions.dedup import _persist
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    src_sh = _persist(src_sh)
+    sizes = src_sh.groupBy(by).agg(F.count("*").alias("n_sh"))
+    a = src_sh.alias("a")
+    b = src_sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col(f"a.{by}") < F.col(f"b.{by}")))
+        .groupBy(
+            F.col(f"a.{by}").alias("source_a"), F.col(f"b.{by}").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes).withColumnRenamed(by, "source_a").withColumnRenamed(
+                "n_sh", "sh_a"
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes).withColumnRenamed(by, "source_b").withColumnRenamed(
+                "n_sh", "sh_b"
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            half_up_round(
+                F.col("n_shared")
+                / (F.col("sh_a") + F.col("sh_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

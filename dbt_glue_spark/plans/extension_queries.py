@@ -3868,3 +3868,83 @@ def streaming_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("true_distinct")
     )
     return est.join(F.broadcast(exact))
+
+
+@register(
+    "ext_source_overlap",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    shx AS (
+      SELECT source,
+             unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in generate_series(1, len(toks) - 2)]) AS shingle
+      FROM toks
+    ),
+    sh AS (SELECT DISTINCT source, shingle FROM shx),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+           FLOOR(CAST(n_shared AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_shared) * 1000000 + 0.5) / 1000000.0
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+    doc="Cross-source n-gram overlap matrix (audit.source_overlap_matrix; "
+    "WIMBD corpus comparison): distinct-shingle Jaccard between every "
+    "source pair — flags the same content crawled into two 'independent' "
+    "sources (double-counted mixtures, decontamination hazard). Shingles "
+    "reduce to DISTINCT (source, md5) pairs before the self-join, so "
+    "fan-out is bounded by |sources|² per hash, never docs²; shuffles "
+    "carry hashes, not shingle text (plan-gated).",
+)
+def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs)
+
+
+@register(
+    "ext_key_skew_orders",
+    """
+    WITH counts AS (
+      SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                     CAST(SUM(cnt) AS BIGINT) AS n_rows FROM counts),
+    top AS (
+      SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rk
+      FROM counts ORDER BY cnt DESC, k LIMIT 5
+    )
+    SELECT CAST(rk AS INT) AS rk, CAST(k AS BIGINT) AS key_value,
+           CAST(cnt AS BIGINT) AS n_key_rows,
+           FLOOR(CAST(cnt AS DOUBLE) / n_rows * 1000000 + 0.5) / 1000000.0
+             AS row_share,
+           FLOOR(cnt / (CAST(n_rows AS DOUBLE) / n_keys) * 100 + 0.5) / 100.0
+             AS skew_vs_avg,
+           n_keys, n_rows
+    FROM top, stats
+    """,
+    doc="Key-skew audit (quality/profile.key_skew) on orders.o_custkey: "
+    "hottest 5 keys with row share and skew-vs-average ratio plus global "
+    "key stats — the pre-shuffle diagnostic that picks between plain "
+    "join, salting, AQE skew-join, and broadcast at 100 TB. One "
+    "partial-aggregated groupBy; global top-k compiles to "
+    "TakeOrderedAndProject (plan-gated), never a global window; stats "
+    "broadcast as one row.",
+)
+def ext_key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.quality.profile import key_skew
+
+    orders = load_table(spark, sf_dir, "orders")
+    return key_skew(orders, "o_custkey", top_k=5)

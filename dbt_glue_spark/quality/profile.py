@@ -67,3 +67,47 @@ def profile_oracle_sql(source: str, cols: list[str]) -> str:
         for c in cols
     )
     return arms
+
+
+def key_skew(df: "DataFrame", key_col: str, top_k: int = 5) -> "DataFrame":
+    """Join/aggregation-key skew audit: the distribution diagnostics you
+    run BEFORE shuffling 100 TB on a key — hottest ``top_k`` keys with
+    their row share and skew-vs-average ratio, plus global key stats.
+    A skew_vs_avg of 1000 on the planned join key means one reducer gets
+    1000× the average partition and the stage runs at the speed of that
+    straggler; the fix (salting, AQE skew-join, broadcast) is chosen from
+    exactly this table.
+
+    100 TB shape: one partial-aggregated groupBy on the key (the same
+    shuffle the planned join would pay, but emitting counts, not
+    payload); the global top-k compiles to TakeOrderedAndProject
+    (per-partition top-k, k-row driver merge — the ungrouped-KMV
+    lesson, never a global window); stats are a 1-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc(key_col)).limit(top_k)
+    # rank assignment happens on the ≤ top_k surviving rows only
+    w = Window.orderBy(F.desc("cnt"), F.asc(key_col))
+    return (
+        top.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(stats))
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            F.col(key_col).cast("bigint").alias("key_value"),
+            F.col("cnt").cast("bigint").alias("n_key_rows"),
+            half_up_round(F.col("cnt") / F.col("n_rows"), 6).alias("row_share"),
+            half_up_round(
+                F.col("cnt") / (F.col("n_rows").cast("double") / F.col("n_keys")), 2
+            ).alias("skew_vs_avg"),
+            "n_keys",
+            "n_rows",
+        )
+    )

@@ -561,3 +561,24 @@ def test_lm_buckets_window_is_keyed_by_group(spark, sf_dir):
     total = plan.count("windowspecdefinition(")
     keyed = plan.count("windowspecdefinition(lang#")
     assert total > 0 and total == keyed, plan
+
+
+def test_source_overlap_shuffles_hashes_not_shingles(spark, sf_dir):
+    from dbt_glue_spark.extensions.audit import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(source_overlap_matrix(docs), mode="formatted")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "shingle#" not in line and "text#" not in line, line
+
+
+def test_key_skew_topk_is_take_ordered(spark, sf_dir):
+    # The global hottest-k must compile to TakeOrderedAndProject — a
+    # global row_number window over ALL key counts would funnel the whole
+    # key dictionary through one partition (the ungrouped-KMV rule).
+    from dbt_glue_spark.quality.profile import key_skew
+
+    orders = load_table(spark, sf_dir, "orders")
+    plan = plan_of(key_skew(orders, "o_custkey"), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan

@@ -187,3 +187,34 @@ def test_streaming_kmv_equals_batch(spark):
     assert streamed == batch
     # 400 > k=256: the ledger must be capped at k rows, estimator engaged
     assert ledger.count() == 256
+
+
+def test_source_overlap_hand_check(spark):
+    from dbt_glue_spark.extensions.audit import source_overlap_matrix
+
+    rows = [
+        (1, "alpha beta gamma delta", "s1", "en"),
+        (2, "alpha beta gamma epsilon", "s2", "en"),  # shares 'alpha beta gamma'
+        (3, "zeta eta theta iota", "s3", "en"),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    out = {(r["source_a"], r["source_b"]): r for r in source_overlap_matrix(df).collect()}
+    # s1: {abg, bgd}; s2: {abg, bge}; shared = 1; jaccard = 1/3
+    r = out[("s1", "s2")]
+    assert r["n_shared"] == 1 and abs(r["jaccard"] - 1 / 3) < 1e-5
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_key_skew_hand_check(spark):
+    from dbt_glue_spark.quality.profile import key_skew
+
+    rows = [(7,)] * 60 + [(1,), (2,), (3,), (4,)] + [(5,)] * 6
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew(df, "k", top_k=2).collect()
+    assert len(out) == 2
+    top = out[0]
+    assert top["rk"] == 1 and top["key_value"] == 7 and top["n_key_rows"] == 60
+    assert abs(top["row_share"] - 60 / 70) < 1e-5
+    # avg group size = 70/6; skew = 60/(70/6) = 5.142857 -> 5.14
+    assert top["skew_vs_avg"] == 5.14
+    assert out[1]["key_value"] == 5 and out[1]["n_key_rows"] == 6
