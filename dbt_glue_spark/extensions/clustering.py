@@ -198,3 +198,103 @@ def cluster_representatives(assigned: DataFrame, id_col: str = "vec_id") -> Data
             F.col("best.sq_dist").alias("sq_dist"),
         )
     )
+
+
+def power_iteration_pc1(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top principal component by distributed power iteration: center the
+    embedding matrix, iterate v ← normalize(Aᵀ(Av)) ``rounds`` times from
+    a fixed all-0.125 start, and return each vector's projection onto the
+    converged direction — (id, pc1_score). PC1 projections drive
+    embedding whitening, dominant-direction removal (the all-but-the-top
+    trick for sentence embeddings), drift monitoring, and 1-d curriculum
+    ordering — the linear-algebra step of a curation pipeline.
+
+    Determinism (the kmeans/pagerank discipline): every matrix-vector sum
+    accumulates CAST(product AS DECIMAL(28,10)) — order-free, identical
+    on any engine/partitioning; the per-round normalization is one double
+    sqrt+divide from exact inputs, then half-up rounding re-quantizes v
+    so error cannot accumulate across rounds. Fixed init ⇒ fixed sign.
+    The oracle replays every round unrolled with the same literals.
+
+    100 TB plan: one posexplode staging pass (the (id, pos, xc) frame is
+    the working set, persisted + hash-partitioned by id); per round Av is
+    a broadcast of the 64-row v into a keyed aggregate, and Aᵀs is one
+    id-keyed join + (pos)-keyed aggregate of 64 rows — per-round cost is
+    O(n·d) map work with d-row and n-row shuffles, the RowMatrix dataflow
+    (MLlib gramian, minus RNG). localCheckpoint per round keeps the plan
+    constant-size.
+    """
+    from dbt_glue_spark.extensions.dedup import _persist
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    dims = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    mu = (
+        dims.groupBy("pos")
+        .agg(
+            (F.sum(F.col("x").cast("decimal(28,10)")) / F.count("*"))
+            .cast("double")
+            .alias("m")
+        )
+    )
+    cd = _persist(
+        dims.join(F.broadcast(mu), "pos").select(
+            "id", "pos", (F.col("x") - F.col("m")).alias("xc")
+        )
+    )
+    v = mu.select("pos", F.lit(0.125).alias("vv")).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        s = (
+            cd.join(F.broadcast(v), "pos")
+            .groupBy("id")
+            .agg(
+                F.sum((F.col("xc") * F.col("vv")).cast("decimal(28,10)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        w = (
+            cd.join(s, "id")
+            .groupBy("pos")
+            .agg(
+                F.sum((F.col("s") * F.col("xc")).cast("decimal(28,10)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        n2 = w.agg(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("n2")
+        )
+        v = (
+            w.join(F.broadcast(n2))
+            .select(
+                "pos",
+                half_up_round(F.col("w") / F.sqrt(F.col("n2")), round_digits).alias(
+                    "vv"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cd.join(F.broadcast(v), "pos")
+        .groupBy("id")
+        .agg(
+            half_up_round(
+                F.sum((F.col("xc") * F.col("vv")).cast("decimal(28,10)")).cast(
+                    "double"
+                ),
+                round_digits,
+            ).alias("pc1_score")
+        )
+        .select(F.col("id").alias(id_col), "pc1_score")
+    )

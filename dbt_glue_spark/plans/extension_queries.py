@@ -3948,3 +3948,64 @@ def ext_key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return key_skew(orders, "o_custkey", top_k=5)
+
+
+def _pc1_oracle(rounds: int = 5) -> str:
+    head = """
+    WITH dims AS (
+      SELECT vec_id AS id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+    ),
+    mu AS (
+      SELECT pos, CAST(SUM(CAST(x AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE) AS m
+      FROM dims GROUP BY pos
+    ),
+    cd AS (SELECT id, pos, x - m AS xc FROM dims JOIN mu USING (pos)),
+    v0 AS (SELECT DISTINCT pos, 0.125 AS vv FROM dims)
+    """
+    body = ""
+    for r in range(1, rounds + 1):
+        body += f""",
+    s{r} AS (
+      SELECT id, CAST(SUM(CAST(xc * vv AS DECIMAL(28,10))) AS DOUBLE) AS s
+      FROM cd JOIN v{r - 1} USING (pos) GROUP BY id
+    ),
+    w{r} AS (
+      SELECT pos, CAST(SUM(CAST(s * xc AS DECIMAL(28,10))) AS DOUBLE) AS w
+      FROM cd JOIN s{r} USING (id) GROUP BY pos
+    ),
+    n{r} AS (SELECT CAST(SUM(CAST(w * w AS DECIMAL(28,10))) AS DOUBLE) AS n2
+             FROM w{r}),
+    v{r} AS (
+      SELECT pos, FLOOR(w / SQRT(n2) * 1000000 + 0.5) / 1000000.0 AS vv
+      FROM w{r}, n{r}
+    )"""
+    tail = f"""
+    SELECT id AS vec_id,
+           FLOOR(CAST(SUM(CAST(xc * vv AS DECIMAL(28,10))) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS pc1_score
+    FROM cd JOIN v{rounds} USING (pos) GROUP BY id
+    """
+    return head + body + tail
+
+
+@register(
+    "ext_power_iteration_pc1",
+    _pc1_oracle(5),
+    doc="Top principal component by distributed power iteration "
+    "(clustering.power_iteration_pc1): centered embeddings, 5 rounds of "
+    "v <- normalize(At(Av)) from a fixed 0.125 start, per-vector PC1 "
+    "projection out — the linear-algebra stage behind embedding "
+    "whitening, dominant-direction removal, and drift monitoring. Every "
+    "matrix-vector sum is DECIMAL(28,10)-accumulated (order-free) and v "
+    "is half-up re-quantized each round so error cannot accumulate — "
+    "which is what lets the oracle replay all 5 rounds unrolled to exact "
+    "equality. Per round: 64-row v broadcast, id-keyed join, d-row "
+    "aggregate (the MLlib RowMatrix dataflow, minus RNG).",
+)
+def ext_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.clustering import power_iteration_pc1
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_pc1(emb)

@@ -218,3 +218,27 @@ def test_key_skew_hand_check(spark):
     # avg group size = 70/6; skew = 60/(70/6) = 5.142857 -> 5.14
     assert top["skew_vs_avg"] == 5.14
     assert out[1]["key_value"] == 5 and out[1]["n_key_rows"] == 6
+
+
+def test_power_iteration_recovers_dominant_direction(spark):
+    from dbt_glue_spark.extensions.clustering import power_iteration_pc1
+
+    # points spread along one axis (dim 3) with small fixed noise in the
+    # others: PC1 projections must be strictly monotone in the spread
+    # coordinate (up to a global sign), and layout-invariant.
+    rows = []
+    for i in range(21):
+        t = (i - 10) / 2.0
+        vec = [0.01 * ((i * 7 + j) % 5 - 2) for j in range(64)]
+        vec[3] = t
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["pc1_score"] for r in power_iteration_pc1(emb).collect()}
+    scores = [out[i] for i in range(21)]
+    diffs = [b - a for a, b in zip(scores, scores[1:])]
+    assert all(d > 0 for d in diffs) or all(d < 0 for d in diffs), scores
+    again = {
+        r["vec_id"]: r["pc1_score"]
+        for r in power_iteration_pc1(emb.repartition(5)).collect()
+    }
+    assert out == again

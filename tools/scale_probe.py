@@ -99,6 +99,9 @@ def main() -> None:
             "overwrite"
         ).save()
         dedup.cdc_chunks(warm).write.format("noop").mode("overwrite").save()
+        warm2 = warm.withColumn("lang", (F.col("doc_id") % 2 == 0).cast("string"))
+        text_analysis.dsir_weights(warm2, "lang = 'true'").write.format("noop").mode("overwrite").save()
+        dedup.ngram_dup_fraction(warm).write.format("noop").mode("overwrite").save()
         dedup.release_caches()
         for f_ in factors:
             path = build_scaled(spark, sf_dir, f_, scratch)
@@ -131,12 +134,30 @@ def main() -> None:
                     "overwrite"
                 ).save()
 
+            # dsir needs a target predicate: even doc_ids play the
+            # in-domain exemplar set (stable fraction at every factor)
+            docs_t = docs.withColumn(
+                "lang", (F.col("doc_id") % 2 == 0).cast("string")
+            )
+
+            def run_dsir():
+                text_analysis.dsir_weights(docs_t, "lang = 'true'").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            def run_dupfrac():
+                dedup.ngram_dup_fraction(docs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
             for name, fn in [
                 ("minhash_lsh_pairs", run_lsh),
                 ("span_dedup", run_span),
                 ("dup_clusters", run_clusters),
                 ("bigram_lm_score", run_lm),
                 ("cdc_chunks", run_cdc),
+                ("dsir_weights", run_dsir),
+                ("ngram_dup_fraction", run_dupfrac),
             ]:
                 results.setdefault(name, {})[str(f_)] = timed(fn)
                 dedup.release_caches()
