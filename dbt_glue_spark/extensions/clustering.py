@@ -200,36 +200,16 @@ def cluster_representatives(assigned: DataFrame, id_col: str = "vec_id") -> Data
     )
 
 
-def power_iteration_pc1(
+def _pc1_state(
     df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    rounds: int = 5,
-    round_digits: int = 6,
-) -> DataFrame:
-    """Top principal component by distributed power iteration: center the
-    embedding matrix, iterate v ← normalize(Aᵀ(Av)) ``rounds`` times from
-    a fixed all-0.125 start, and return each vector's projection onto the
-    converged direction — (id, pc1_score). PC1 projections drive
-    embedding whitening, dominant-direction removal (the all-but-the-top
-    trick for sentence embeddings), drift monitoring, and 1-d curriculum
-    ordering — the linear-algebra step of a curation pipeline.
-
-    Determinism (the kmeans/pagerank discipline): every matrix-vector sum
-    accumulates CAST(product AS DECIMAL(28,10)) — order-free, identical
-    on any engine/partitioning; the per-round normalization is one double
-    sqrt+divide from exact inputs, then half-up rounding re-quantizes v
-    so error cannot accumulate across rounds. Fixed init ⇒ fixed sign.
-    The oracle replays every round unrolled with the same literals.
-
-    100 TB plan: one posexplode staging pass (the (id, pos, xc) frame is
-    the working set, persisted + hash-partitioned by id); per round Av is
-    a broadcast of the 64-row v into a keyed aggregate, and Aᵀs is one
-    id-keyed join + (pos)-keyed aggregate of 64 rows — per-round cost is
-    O(n·d) map work with d-row and n-row shuffles, the RowMatrix dataflow
-    (MLlib gramian, minus RNG). localCheckpoint per round keeps the plan
-    constant-size.
-    """
+    id_col: str,
+    vec_col: str,
+    rounds: int,
+    round_digits: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared power-iteration core: returns (centered (id,pos,xc) frame —
+    persisted, the working set — and the converged 64-row direction
+    (pos, vv))."""
     from dbt_glue_spark.extensions.dedup import _persist
     from dbt_glue_spark.functions.scalars import half_up_round
 
@@ -237,13 +217,10 @@ def power_iteration_pc1(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
     )
-    mu = (
-        dims.groupBy("pos")
-        .agg(
-            (F.sum(F.col("x").cast("decimal(28,10)")) / F.count("*"))
-            .cast("double")
-            .alias("m")
-        )
+    mu = dims.groupBy("pos").agg(
+        (F.sum(F.col("x").cast("decimal(28,10)")) / F.count("*"))
+        .cast("double")
+        .alias("m")
     )
     cd = _persist(
         dims.join(F.broadcast(mu), "pos").select(
@@ -285,6 +262,42 @@ def power_iteration_pc1(
             )
             .localCheckpoint(eager=True)
         )
+    return cd, v
+
+
+def power_iteration_pc1(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top principal component by distributed power iteration: center the
+    embedding matrix, iterate v ← normalize(Aᵀ(Av)) ``rounds`` times from
+    a fixed all-0.125 start, and return each vector's projection onto the
+    converged direction — (id, pc1_score). PC1 projections drive
+    embedding whitening, dominant-direction removal (the all-but-the-top
+    trick for sentence embeddings), drift monitoring, and 1-d curriculum
+    ordering — the linear-algebra step of a curation pipeline.
+
+    Determinism (the kmeans/pagerank discipline): every matrix-vector sum
+    accumulates CAST(product AS DECIMAL(28,10)) — order-free, identical
+    on any engine/partitioning; the per-round normalization is one double
+    sqrt+divide from exact inputs, then half-up rounding re-quantizes v
+    so error cannot accumulate across rounds. Fixed init ⇒ fixed sign.
+    The oracle replays every round unrolled with the same literals.
+
+    100 TB plan: one posexplode staging pass (the (id, pos, xc) frame is
+    the working set, persisted + hash-partitioned by id); per round Av is
+    a broadcast of the 64-row v into a keyed aggregate, and Aᵀs is one
+    id-keyed join + (pos)-keyed aggregate of 64 rows — per-round cost is
+    O(n·d) map work with d-row and n-row shuffles, the RowMatrix dataflow
+    (MLlib gramian, minus RNG). localCheckpoint per round keeps the plan
+    constant-size.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    cd, v = _pc1_state(df, id_col, vec_col, rounds, round_digits)
     return (
         cd.join(F.broadcast(v), "pos")
         .groupBy("id")
@@ -297,4 +310,77 @@ def power_iteration_pc1(
             ).alias("pc1_score")
         )
         .select(F.col("id").alias(id_col), "pc1_score")
+    )
+
+
+def remove_dominant_direction(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All-but-the-top post-processing (Mu & Viswanath 2018): project the
+    centered embeddings off their dominant direction and report, per
+    vector, the original norm, residual norm, and PC1 projection. Sentence
+    /document embeddings concentrate a large share of their energy in one
+    or two dominant directions that encode frequency, not meaning —
+    removing them measurably improves similarity search, and the
+    orig/resid norm pair is the monitoring signal for how anisotropic the
+    embedding column has become.
+
+    Same determinism and plan as :func:`power_iteration_pc1` (shared
+    iteration), plus one final id-keyed join computing the residual —
+    decimal-accumulated norms, half-up rounded. The residual uses the
+    ROUNDED pc1_score (the quantized model value, not an internal
+    double), so the oracle replays it exactly.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    # re-run the shared iteration; cd/v persistence makes the second pass
+    # over the staged frames cheap
+    cd, v = _pc1_state(df, id_col, vec_col, rounds, round_digits)
+    scores = (
+        cd.join(F.broadcast(v), "pos")
+        .groupBy("id")
+        .agg(
+            half_up_round(
+                F.sum((F.col("xc") * F.col("vv")).cast("decimal(28,10)")).cast(
+                    "double"
+                ),
+                round_digits,
+            ).alias("pc1_score")
+        )
+    )
+    resid = (
+        cd.join(F.broadcast(v), "pos")
+        .join(scores, "id")
+        .select(
+            "id",
+            "xc",
+            (F.col("xc") - F.col("pc1_score") * F.col("vv")).alias("r"),
+            "pc1_score",
+        )
+    )
+    return (
+        resid.groupBy("id", "pc1_score")
+        .agg(
+            half_up_round(
+                F.sqrt(
+                    F.sum((F.col("xc") * F.col("xc")).cast("decimal(28,10)")).cast(
+                        "double"
+                    )
+                ),
+                round_digits,
+            ).alias("orig_norm"),
+            half_up_round(
+                F.sqrt(
+                    F.sum((F.col("r") * F.col("r")).cast("decimal(28,10)")).cast(
+                        "double"
+                    )
+                ),
+                round_digits,
+            ).alias("resid_norm"),
+        )
+        .select(F.col("id").alias(id_col), "pc1_score", "orig_norm", "resid_norm")
     )

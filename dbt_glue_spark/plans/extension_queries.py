@@ -4009,3 +4009,42 @@ def ext_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return power_iteration_pc1(emb)
+
+
+@register(
+    "ext_remove_dominant_direction",
+    _pc1_oracle(5).rsplit("SELECT id AS vec_id", 1)[0]
+    + """
+    , sc AS (
+      SELECT id,
+             FLOOR(CAST(SUM(CAST(xc * vv AS DECIMAL(28,10))) AS DOUBLE)
+                   * 1000000 + 0.5) / 1000000.0 AS pc1_score
+      FROM cd JOIN v5 USING (pos) GROUP BY id
+    ),
+    resid AS (
+      SELECT cd.id, sc.pc1_score, cd.xc,
+             cd.xc - sc.pc1_score * v5.vv AS r
+      FROM cd JOIN v5 USING (pos) JOIN sc ON sc.id = cd.id
+    )
+    SELECT id AS vec_id, pc1_score,
+           FLOOR(SQRT(CAST(SUM(CAST(xc * xc AS DECIMAL(28,10))) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 AS orig_norm,
+           FLOOR(SQRT(CAST(SUM(CAST(r * r AS DECIMAL(28,10))) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 AS resid_norm
+    FROM resid GROUP BY id, pc1_score
+    """,
+    doc="All-but-the-top dominant-direction removal (Mu & Viswanath 2018; "
+    "clustering.remove_dominant_direction): centered embeddings projected "
+    "off the power-iteration PC1, reporting per-vector original norm, "
+    "residual norm, and the PC1 projection — the post-processing that "
+    "de-anisotropizes document embeddings before similarity search, and "
+    "the monitoring signal for how much energy one direction holds. "
+    "Residuals use the ROUNDED pc1_score (the quantized model value), "
+    "which is what lets the oracle replay the full 5-round iteration "
+    "plus the removal to exact equality.",
+)
+def ext_remove_dominant_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.clustering import remove_dominant_direction
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return remove_dominant_direction(emb)

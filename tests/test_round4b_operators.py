@@ -242,3 +242,29 @@ def test_power_iteration_recovers_dominant_direction(spark):
         for r in power_iteration_pc1(emb.repartition(5)).collect()
     }
     assert out == again
+
+
+def test_remove_dominant_direction_shrinks_norms(spark):
+    from dbt_glue_spark.extensions.clustering import remove_dominant_direction
+
+    # strongly anisotropic data: most energy along dim 3 → removal must
+    # shrink every norm, and by a large factor for the on-axis points
+    rows = []
+    for i in range(21):
+        t = (i - 10) / 2.0
+        vec = [0.01 * ((i * 7 + j) % 5 - 2) for j in range(64)]
+        vec[3] = t
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = remove_dominant_direction(emb).collect()
+    assert len(out) == 21
+    for r in out:
+        assert r["resid_norm"] <= r["orig_norm"] + 1e-9
+    # pythagoras: orig² ≈ resid² + score² (rounding slack)
+    for r in out:
+        lhs = r["orig_norm"] ** 2
+        rhs = r["resid_norm"] ** 2 + r["pc1_score"] ** 2
+        assert abs(lhs - rhs) < 1e-3, r
+    total_o = sum(r["orig_norm"] ** 2 for r in out)
+    total_r = sum(r["resid_norm"] ** 2 for r in out)
+    assert total_r < 0.05 * total_o  # dominant direction held >95% energy
