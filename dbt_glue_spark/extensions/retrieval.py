@@ -160,3 +160,96 @@ def bm25_search(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def hard_negatives(
+    docs: DataFrame,
+    query_terms: list[str],
+    topk: int = 20,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: take the
+    BM25 top-``topk`` for the query, call rank 1 the positive, and keep
+    the remaining candidates that are NOT near-duplicates of the positive
+    (n-gram Jaccard < ``jaccard_threshold``) — lexically close but
+    non-duplicate documents, exactly the negatives that make an embedding
+    model learn more than term overlap. Near-dups of the positive are
+    FALSE negatives (they'd teach the model to push away paraphrases of
+    the answer), which is why the dedup filter is part of the miner, not
+    an afterthought.
+
+    Returns (neg_rank, id, bm25, jaccard_to_pos) re-ranked 1..m.
+
+    100 TB plan: the corpus-sized work is bm25_search (one explode pass,
+    top-k via TakeOrderedAndProject); everything after operates on the
+    ≤topk candidate rows — the shingle comparison joins candidate
+    shingles against ONE positive's shingle set (broadcast), so the
+    dedup check costs O(topk · doc length) regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    from dbt_glue_spark.extensions.dedup import _persist
+    from dbt_glue_spark.functions.text import tokenize_once, word_shingles
+
+    ranked = bm25_search(
+        docs, query_terms, topk=topk, id_col=id_col, text_col=text_col
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    # the window runs over the ≤topk surviving rows only
+    ranked = _persist(ranked.withColumn("rk", F.row_number().over(w)))
+    cand_docs = docs.join(
+        F.broadcast(ranked.select(id_col, "rk", "bm25")), id_col, "inner"
+    )
+    sh = _persist(
+        tokenize_once(cand_docs, text_col, [F.col(id_col), F.col("rk"), F.col("bm25")])
+        .select(
+            id_col,
+            "rk",
+            "bm25",
+            F.explode(word_shingles(F.col("toks"), shingle_n)).alias("shingle"),
+        )
+        .select(id_col, "rk", "bm25", F.md5("shingle").alias("h"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    pos_sh = sh.filter(F.col("rk") == 1).select(F.col("h").alias("h"))
+    pos_size = sizes.join(
+        sh.filter(F.col("rk") == 1).select(id_col).distinct(), id_col
+    ).select(F.col("n_sh").alias("pos_sh"))
+    inter = (
+        sh.filter(F.col("rk") > 1)
+        .join(F.broadcast(pos_sh), "h", "inner")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_common"))
+    )
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    cands = (
+        ranked.filter(F.col("rk") > 1)
+        .join(sizes, id_col, "left")
+        .join(inter, id_col, "left")
+        .join(F.broadcast(pos_size))
+        .select(
+            id_col,
+            "bm25",
+            half_up_round(
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (
+                    F.col("n_sh")
+                    + F.col("pos_sh")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                ),
+                6,
+            ).alias("jaccard_to_pos"),
+        )
+        .filter(F.col("jaccard_to_pos") < jaccard_threshold)
+    )
+    w2 = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return cands.select(
+        F.row_number().over(w2).cast("int").alias("neg_rank"),
+        id_col,
+        "bm25",
+        "jaccard_to_pos",
+    )

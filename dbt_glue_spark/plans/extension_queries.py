@@ -4048,3 +4048,91 @@ def ext_remove_dominant_direction(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load_table(spark, sf_dir, "embeddings")
     return remove_dominant_direction(emb)
+
+
+@register(
+    "ext_hard_negatives",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    qt AS (SELECT doc_id, tok FROM tk
+           WHERE tok IN ('spark', 'window', 'vector')),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY doc_id, tok),
+    dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY tok),
+    per AS (
+      SELECT doc_id,
+             CAST(((n_docs - df + 0.5) / (df + 0.5))
+                  * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               AS DECIMAL(18,9)) AS term_score
+      FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+    ),
+    sc AS (
+      SELECT doc_id,
+             FLOOR(CAST(SUM(term_score) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS bm25
+      FROM per GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT * FROM (
+        SELECT doc_id, bm25,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+        FROM sc) t
+      WHERE rk <= 20
+    ),
+    rtok AS (
+      SELECT r.doc_id, r.rk, r.bm25,
+             list_filter(string_split_regex(d.text, '\s+'), t -> t <> '') AS toks
+      FROM ranked r JOIN documents d USING (doc_id)
+    ),
+    rsh AS (
+      SELECT doc_id, rk, bm25,
+             unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    for i in generate_series(1, len(toks) - 2)])) AS shingle
+      FROM rtok
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+    possh AS (SELECT shingle FROM rsh WHERE rk = 1),
+    possz AS (SELECT n_sh AS pos_sh FROM sizes
+              JOIN (SELECT DISTINCT doc_id FROM rsh WHERE rk = 1) p USING (doc_id)),
+    inter AS (
+      SELECT a.doc_id, COUNT(*) AS n_common
+      FROM rsh a JOIN possh b ON a.shingle = b.shingle
+      WHERE a.rk > 1 GROUP BY a.doc_id
+    ),
+    cands AS (
+      SELECT r.doc_id, r.bm25,
+             FLOOR(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                   / (s.n_sh + p.pos_sh - COALESCE(i.n_common, 0))
+                   * 1000000 + 0.5) / 1000000.0 AS jaccard_to_pos
+      FROM ranked r
+      JOIN sizes s USING (doc_id)
+      LEFT JOIN inter i USING (doc_id)
+      CROSS JOIN possz p
+      WHERE r.rk > 1
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+             AS neg_rank,
+           doc_id, bm25, jaccard_to_pos
+    FROM cands WHERE jaccard_to_pos < 0.5
+    """,
+    doc="Hard-negative mining for contrastive retrieval training "
+    "(retrieval.hard_negatives): BM25 top-20 for the query, rank 1 is "
+    "the positive, remaining candidates kept only if NOT near-duplicates "
+    "of the positive (3-gram Jaccard < 0.5) — near-dups are FALSE "
+    "negatives that would teach the model to push paraphrases of the "
+    "answer away. Corpus-sized work is the BM25 pass "
+    "(TakeOrderedAndProject top-k); the dedup check joins candidate "
+    "shingles against ONE broadcast positive set — O(topk·doclen) "
+    "regardless of corpus size.",
+)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.hard_negatives(docs, ["spark", "window", "vector"], topk=20)

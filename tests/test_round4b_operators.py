@@ -268,3 +268,29 @@ def test_remove_dominant_direction_shrinks_norms(spark):
     total_o = sum(r["orig_norm"] ** 2 for r in out)
     total_r = sum(r["resid_norm"] ** 2 for r in out)
     assert total_r < 0.05 * total_o  # dominant direction held >95% energy
+
+
+def test_hard_negatives_excludes_near_dup_of_positive(spark):
+    from dbt_glue_spark.extensions.retrieval import hard_negatives
+
+    pos = "spark window vector engine fast query plan optimizer columnar storage"
+    near = pos + " extra"  # near-dup of the positive: high shingle overlap
+    rows = [
+        (1, pos + " " + pos + " " + pos, "en", "s"),          # strongest match → positive
+        (2, near + " " + near, "en", "s"),                    # near-dup, must be excluded
+        (3, "spark query engine " + "totally different words here " * 3, "en", "s"),
+        (4, "window functions are great " + "unrelated filler text " * 3, "en", "s"),
+        (5, "no relevant terms at all " * 4, "en", "s"),
+    ]
+    out = hard_negatives(_docs_src(spark, rows), ["spark", "window", "vector"], topk=5).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 not in ids          # the positive itself
+    assert 2 not in ids          # near-dup excluded as false negative
+    assert 3 in ids and 4 in ids # genuine hard negatives survive
+    assert 5 not in ids          # no query terms -> not in BM25 top-k
+    ranks = [r["neg_rank"] for r in sorted(out, key=lambda r: -r["bm25"])]
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def _docs_src(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
