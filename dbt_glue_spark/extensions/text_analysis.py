@@ -763,3 +763,77 @@ def lm_quality_buckets(
         "avg_next_word_p",
         bucket.alias("ppl_bucket"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style training-sequence packing WITH document splitting: within
+    each ``by`` group, documents (ordered by id) are conceptually
+    concatenated into one token stream and cut into fixed ``seq_len``
+    sequences; a document may span two or more sequences. Returns the
+    segment manifest — one row per (sequence, document) intersection:
+    (group, seq_id, id, pos_in_seq, n_seg_tokens) — exactly what a
+    training loader needs to assemble batches (and place attention-mask /
+    loss-mask boundaries) without re-tokenizing.
+
+    This is the exact-boundary complement to the whole-doc shard packer
+    (ext_shard_packing): shard packing never splits a document and
+    tolerates ragged shards; sequence packing guarantees every sequence
+    but the group's last holds exactly ``seq_len`` tokens — zero padding
+    waste, the packing used for pretraining batches.
+
+    All integer arithmetic (cumsum offsets, floor-div sequence ids,
+    greatest/least segment clamps) — exact on any engine. 100 TB shape:
+    one window keyed by the group column (packing parallelizes across
+    groups; a global stream would serialize the corpus), then a narrow
+    per-row sequence explode whose fan-out is 1 + crossings — no extra
+    shuffle after the window.
+    """
+    from pyspark.sql import Window
+
+    from dbt_glue_spark.functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col),
+        F.col(by),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = tok.select(
+        F.col(by),
+        F.col(id_col),
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+    )
+    segs = off.select(
+        F.col(by),
+        F.col(id_col),
+        "n_tokens",
+        "start_off",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_off div {seq_len}"),
+                F.expr(f"(start_off + n_tokens - 1) div {seq_len}"),
+            )
+        ).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("start_off"), F.col("seq_id") * seq_len)
+    seg_end = F.least(
+        F.col("start_off") + F.col("n_tokens"), (F.col("seq_id") + 1) * seq_len
+    )
+    return segs.select(
+        F.col(by),
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col(id_col),
+        (seg_start - F.col("seq_id") * seq_len).cast("bigint").alias("pos_in_seq"),
+        (seg_end - seg_start).cast("bigint").alias("n_seg_tokens"),
+    )

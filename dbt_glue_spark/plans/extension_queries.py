@@ -4136,3 +4136,130 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.hard_negatives(docs, ["spark", "window", "vector"], topk=20)
+
+
+@register(
+    "ext_training_sequences",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    off AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_off
+      FROM tok WHERE n_tokens > 0
+    ),
+    segs AS (
+      SELECT source, doc_id, n_tokens, start_off,
+             unnest(generate_series(CAST(start_off // 512 AS BIGINT),
+                                    CAST((start_off + n_tokens - 1) // 512
+                                         AS BIGINT))) AS seq_id
+      FROM off
+    )
+    SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(start_off, seq_id * 512) - seq_id * 512 AS BIGINT)
+             AS pos_in_seq,
+           CAST(LEAST(start_off + n_tokens, (seq_id + 1) * 512)
+                - GREATEST(start_off, seq_id * 512) AS BIGINT) AS n_seg_tokens
+    FROM segs
+    """,
+    doc="GPT-style training-sequence packing with document splitting "
+    "(text_analysis.pack_sequences): per source, docs concatenate into a "
+    "token stream cut into exact 512-token sequences; output is the "
+    "(sequence, document)-segment manifest a training loader needs for "
+    "batch assembly and loss-mask boundaries. Every sequence but the "
+    "group's last holds exactly 512 tokens — zero padding waste (the "
+    "whole-doc shard packer is the no-split complement). All-integer "
+    "arithmetic; one window keyed by source + a narrow sequence explode.",
+)
+def ext_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.pack_sequences(docs, seq_len=512)
+
+
+@register(
+    "ext_ann_recall_audit",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                      {_bucket_sql('embedding::DOUBLE[]')} AS b
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                      {_bucket_sql('embedding::DOUBLE[]')} AS b
+               FROM embeddings),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 FLOOR(list_cosine_similarity(qv, cv) * 10000 + 0.5) / 10000
+                   DESC, neighbor_id) AS rk
+        FROM q, c WHERE neighbor_id <> query_id) t
+      WHERE rk <= 5
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                 FLOOR(list_cosine_similarity(qv, cv) * 10000 + 0.5) / 10000
+                   DESC, neighbor_id) AS rk
+        FROM q JOIN c USING (b) WHERE neighbor_id <> query_id) t
+      WHERE rk <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           FLOOR(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000.0
+             AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id
+                       AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    doc="ANN index-quality audit: per-query recall@5 of the LSH index "
+    "against exact brute force — the monitoring query a production "
+    "vector index runs on a sampled probe set after every rebuild "
+    "(composition of knn_lsh and knn_bruteforce; oracle replays both "
+    "with identical plane literals). Probe cost only: the corpus is "
+    "scanned twice for the sampled queries, never joined corpus²; at "
+    "100 TB the probe set stays small and broadcast.",
+)
+def ext_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.knn_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.knn_lsh(emb, queries, k=5, planes=4, dim=64).select(
+        F.col("query_id"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["a_neighbor"]),
+        "left",
+    ).select(exact["query_id"].alias("qid"), "neighbor_id", "a_neighbor")
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum(F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            "n_hits",
+            half_up_round(F.col("n_hits") / F.col("n_exact"), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )

@@ -294,3 +294,49 @@ def test_hard_negatives_excludes_near_dup_of_positive(spark):
 
 def _docs_src(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_pack_sequences_exact_boundaries(spark):
+    from dbt_glue_spark.extensions.text_analysis import pack_sequences
+
+    # doc lengths 3,4,5 in one source with seq_len=4:
+    # stream offsets: d1 [0,3), d2 [3,7), d3 [7,12)
+    # seq 0 = d1(3) + d2(1); seq 1 = d2(3) + d3(1); seq 2 = d3(4)
+    rows = [
+        (1, "a b c", "en", "s"),
+        (2, "d e f g", "en", "s"),
+        (3, "h i j k l", "en", "s"),
+    ]
+    out = pack_sequences(_docs_src(spark, rows), seq_len=4).collect()
+    segs = {(r["seq_id"], r["doc_id"]): (r["pos_in_seq"], r["n_seg_tokens"]) for r in out}
+    assert segs[(0, 1)] == (0, 3)
+    assert segs[(0, 2)] == (3, 1)
+    assert segs[(1, 2)] == (0, 3)
+    assert segs[(1, 3)] == (3, 1)
+    assert segs[(2, 3)] == (0, 4)
+    # every sequence but the last holds exactly seq_len tokens
+    per_seq: dict[int, int] = {}
+    for (sid, _), (_, n) in segs.items():
+        per_seq[sid] = per_seq.get(sid, 0) + n
+    assert per_seq == {0: 4, 1: 4, 2: 4}
+
+
+def test_pack_sequences_full_coverage_at_sf(spark, sf_dir):
+    from dbt_glue_spark.extensions.text_analysis import pack_sequences
+    from dbt_glue_spark.functions.text import tokens
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(docs, seq_len=512)
+    # token conservation: segment tokens sum to total corpus tokens
+    total_seg = out.agg(F.sum("n_seg_tokens")).collect()[0][0]
+    total_tok = docs.select(F.size(tokens(F.col("text"))).alias("n")).agg(
+        F.sum("n")
+    ).collect()[0][0]
+    assert total_seg == total_tok
+    # every non-final sequence per source is exactly full
+    per_seq = out.groupBy("source", "seq_id").agg(F.sum("n_seg_tokens").alias("n"))
+    last = per_seq.groupBy("source").agg(F.max("seq_id").alias("last_id"))
+    nonfinal = per_seq.join(last, "source").filter(F.col("seq_id") < F.col("last_id"))
+    bad = nonfinal.filter(F.col("n") != 512).count()
+    assert bad == 0
