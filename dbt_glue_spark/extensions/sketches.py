@@ -460,3 +460,45 @@ def kmv_estimate_from_hashes(ledger: DataFrame, k: int = 256) -> DataFrame:
         (F.lit(k) - 1) / F.col("__kth")
     )
     return sk.select(half_up_round(est, 4).alias("approx_distinct"))
+
+
+def join_size_estimate(
+    a: DataFrame,
+    a_col: str,
+    b: DataFrame,
+    b_col: str,
+    depth: int = _CM_DEPTH,
+    width: int = _CM_WIDTH,
+) -> DataFrame:
+    """Equi-join cardinality estimate from count-min sketches (the
+    AMS/count-min inner-product estimator): |A ⋈ B| = Σ_k f_A(k)·f_B(k)
+    is estimated by min over sketch rows of Σ_bucket cmA·cmB — an upper
+    bound that is exact when no bucket collides. This is the
+    cost-based-optimizer primitive for join planning over pre-computed
+    per-table sketches: two ~4 KB summaries answer "how big is this
+    join" without touching either table — at 100 TB the difference
+    between planning from stats and running the join to learn it was
+    huge.
+
+    Returns one row: (est_join_size, true_join_size) — the true value is
+    computed from the per-key count join (not a materialized join) so
+    the estimator's quality is part of the result (audit contract, like
+    ext_ann_recall_audit).
+    """
+    ska = countmin_build(a.select(F.col(a_col).alias("k")), "k", depth, width)
+    skb = countmin_build(b.select(F.col(b_col).alias("k")), "k", depth, width)
+    per_row = (
+        ska.withColumnRenamed("cnt", "ca")
+        .join(skb.withColumnRenamed("cnt", "cb"), ["row_idx", "bucket"])
+        .groupBy("row_idx")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    est = per_row.agg(F.min("dot").cast("bigint").alias("est_join_size"))
+    ca = a.groupBy(F.col(a_col).alias("k")).agg(F.count("*").alias("na"))
+    cb = b.groupBy(F.col(b_col).alias("k")).agg(F.count("*").alias("nb"))
+    true_sz = (
+        ca.join(cb, "k")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("true_join_size"))
+        .select(F.coalesce("true_join_size", F.lit(0)).alias("true_join_size"))
+    )
+    return est.join(F.broadcast(true_sz))

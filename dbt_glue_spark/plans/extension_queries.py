@@ -4263,3 +4263,59 @@ def ext_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _join_size_oracle() -> str:
+    from dbt_glue_spark.extensions.sketches import _CM_DEPTH, _duck_cm_bucket
+
+    arms_a = "\n      UNION ALL ".join(
+        f"SELECT {j} AS row_idx, {_duck_cm_bucket('user_id', j)} AS bucket"
+        " FROM events"
+        for j in range(_CM_DEPTH)
+    )
+    arms_b = "\n      UNION ALL ".join(
+        f"SELECT {j} AS row_idx, {_duck_cm_bucket('o_custkey', j)} AS bucket"
+        " FROM orders"
+        for j in range(_CM_DEPTH)
+    )
+    return f"""
+    WITH cells_a AS (
+      SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM ({arms_a}) GROUP BY row_idx, bucket
+    ),
+    cells_b AS (
+      SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM ({arms_b}) GROUP BY row_idx, bucket
+    ),
+    dots AS (
+      SELECT a.row_idx, SUM(a.ca * b.cb) AS dot
+      FROM cells_a a JOIN cells_b b USING (row_idx, bucket)
+      GROUP BY a.row_idx
+    ),
+    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM dots),
+    ka AS (SELECT user_id AS k, COUNT(*) AS na FROM events GROUP BY user_id),
+    kb AS (SELECT o_custkey AS k, COUNT(*) AS nb FROM orders GROUP BY o_custkey),
+    tru AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS true_join_size
+            FROM ka JOIN kb USING (k))
+    SELECT est_join_size, true_join_size FROM est, tru
+    """
+
+
+@register(
+    "ext_join_size_estimate",
+    _join_size_oracle(),
+    doc="Equi-join cardinality estimation from count-min sketches "
+    "(sketches.join_size_estimate; AMS inner-product estimator): "
+    "|events ⋈ orders on user key| estimated as min over sketch rows of "
+    "Σ cmA·cmB — two ~4 KB pre-computed summaries answer 'how big is "
+    "this join' without touching either table, the CBO primitive for "
+    "join planning at 100 TB. Output pairs the estimate with the true "
+    "per-key-count join size so estimator quality is part of the "
+    "audited result.",
+)
+def ext_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.sketches import join_size_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return join_size_estimate(events, "user_id", orders, "o_custkey")

@@ -340,3 +340,22 @@ def test_pack_sequences_full_coverage_at_sf(spark, sf_dir):
     nonfinal = per_seq.join(last, "source").filter(F.col("seq_id") < F.col("last_id"))
     bad = nonfinal.filter(F.col("n") != 512).count()
     assert bad == 0
+
+
+def test_join_size_estimate_bounds(spark):
+    from dbt_glue_spark.extensions.sketches import join_size_estimate
+
+    # known multiplicities: key k appears k times in A and once in B for
+    # k in 1..20 → true join size = sum(1..20) = 210
+    a = spark.createDataFrame([(k,) for k in range(1, 21) for _ in range(k)], "k long")
+    b = spark.createDataFrame([(k,) for k in range(1, 21)], "k long")
+    r = join_size_estimate(a, "k", b, "k").collect()[0]
+    assert r["true_join_size"] == 210
+    # count-min inner product never underestimates, and with 20 keys in
+    # 256 buckets collisions are rare → tight
+    assert r["est_join_size"] >= 210
+    assert r["est_join_size"] <= 210 * 2
+    # disjoint key ranges → true 0, estimate stays an upper bound ≥ 0
+    c = spark.createDataFrame([(k,) for k in range(100, 120)], "k long")
+    r2 = join_size_estimate(a, "k", c, "k").collect()[0]
+    assert r2["true_join_size"] == 0
