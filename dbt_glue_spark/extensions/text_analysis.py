@@ -837,3 +837,126 @@ def pack_sequences(
         (seg_start - F.col("seq_id") * seq_len).cast("bigint").alias("pos_in_seq"),
         (seg_end - seg_start).cast("bigint").alias("n_seg_tokens"),
     )
+
+
+def span_corruption_manifest(
+    df: DataFrame,
+    span_len: int = 3,
+    corruption_rate: float = 0.15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span-corruption example manifest: deterministically mask
+    ~``corruption_rate`` of each document's tokens in spans of
+    ``span_len``, and report the example geometry a seq2seq loader needs
+    — (id, n_tokens, n_masked, n_spans, input_len, target_len), where
+    input_len = n_tokens − n_masked + n_spans (each maximal masked run
+    collapses to one sentinel) and target_len = n_masked + n_spans
+    (sentinel + original tokens per span).
+
+    Deterministic noise (reproducible example construction — re-running
+    the pipeline regenerates byte-identical training examples): position
+    i STARTS a span iff md5-fraction(id:i) < rate/span_len; a position is
+    masked iff any of the previous span_len positions started a span
+    (maximal runs merge overlapping spans, exactly T5's behavior).
+
+    100 TB shape: one tokenize + posexplode pass; the mask and run-start
+    flags are two windows KEYED BY document (bounded frames: span_len−1
+    preceding, and lag 1); the output aggregate is one per-doc groupBy.
+    No RNG state, no UDF — the mask is a pure function of (id, pos).
+    """
+    from pyspark.sql import Window
+
+    from dbt_glue_spark.extensions.sketches import hash_fraction
+    from dbt_glue_spark.functions.text import tokenize_once
+
+    p = corruption_rate / span_len
+    staged = tokenize_once(df, text_col, [F.col(id_col)])
+    pos = staged.select(
+        F.col(id_col), F.posexplode("toks").alias("pos", "tok")
+    ).select(
+        F.col(id_col),
+        "pos",
+        (
+            hash_fraction(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("pos").cast("string")))
+            < F.lit(p)
+        ).cast("int").alias("starts"),
+    )
+    w_mask = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(span_len - 1), Window.currentRow)
+    )
+    w_lag = Window.partitionBy(id_col).orderBy("pos")
+    flagged = pos.select(
+        F.col(id_col),
+        "pos",
+        F.max("starts").over(w_mask).alias("masked"),
+    ).select(
+        F.col(id_col),
+        "masked",
+        (
+            (F.col("masked") == 1)
+            & (F.coalesce(F.lag("masked").over(w_lag), F.lit(0)) == 0)
+        ).cast("int").alias("span_start"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("masked").cast("bigint").alias("n_masked"),
+        F.sum("span_start").cast("bigint").alias("n_spans"),
+        (F.count("*") - F.sum("masked") + F.sum("span_start"))
+        .cast("bigint")
+        .alias("input_len"),
+        (F.sum("masked") + F.sum("span_start")).cast("bigint").alias("target_len"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    ks: tuple[int, ...] = (100, 1000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf vocabulary-coverage audit: for each candidate vocabulary size
+    k, the fraction of corpus TOKEN INSTANCES covered by the k most
+    frequent words — the curve that sizes a tokenizer vocabulary (where
+    does coverage flatten?) and quantifies how head-heavy a crawl is.
+    Returns (k, n_vocab, coverage) with coverage = 1 when k ≥ |vocab|.
+
+    100 TB shape: one word-count aggregate (vocabulary-bounded,
+    partial-aggregated); the top-max(k) selection compiles to
+    TakeOrderedAndProject (never a global window over the vocabulary);
+    the running-sum window then runs over ≤ max(k) surviving rows.
+    """
+    from pyspark.sql import Window
+
+    kmax = max(ks)
+    counts = (
+        df.select(F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_vocab"),
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("w")).limit(kmax)
+    w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = top.select(
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("c").over(w_cum).alias("cum"),
+    )
+    ks_df = ranked.sparkSession.createDataFrame([(k,) for k in ks], "k int")
+    # per k: cumulative count at rank min(k, n_vocab)
+    at_k = (
+        ks_df.join(F.broadcast(totals))
+        .join(
+            F.broadcast(ranked),
+            F.col("rk") == F.least(F.col("k"), F.col("n_vocab")),
+        )
+    )
+    return at_k.select(
+        F.col("k").cast("int"),
+        "n_vocab",
+        half_up_round(F.col("cum") / F.col("total"), 6).alias("coverage"),
+    )

@@ -4319,3 +4319,100 @@ def ext_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     return join_size_estimate(events, "user_id", orders, "o_custkey")
+
+
+def _span_corruption_oracle() -> str:
+    from dbt_glue_spark.extensions.sketches import _duck_hash_fraction
+
+    frac = _duck_hash_fraction(
+        "(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR))"
+    )
+    return (
+        "WITH "
+        + _TOK
+        + f""",
+    tokpos AS (
+      SELECT doc_id, i - 1 AS pos
+      FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) t
+    ),
+    st AS (
+      SELECT doc_id, pos,
+             CASE WHEN {frac} < 0.05 THEN 1 ELSE 0 END AS starts
+      FROM tokpos
+    ),
+    mk AS (
+      SELECT doc_id, pos,
+             MAX(starts) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS masked
+      FROM st
+    ),
+    sp AS (
+      SELECT doc_id, masked,
+             CASE WHEN masked = 1 AND COALESCE(LAG(masked) OVER
+                    (PARTITION BY doc_id ORDER BY pos), 0) = 0
+                  THEN 1 ELSE 0 END AS span_start
+      FROM mk
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(masked) AS BIGINT) AS n_masked,
+           CAST(SUM(span_start) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) - SUM(masked) + SUM(span_start) AS BIGINT)
+             AS input_len,
+           CAST(SUM(masked) + SUM(span_start) AS BIGINT) AS target_len
+    FROM sp GROUP BY doc_id
+    """
+    )
+
+
+@register(
+    "ext_span_corruption",
+    _span_corruption_oracle(),
+    doc="T5-style span-corruption example manifest "
+    "(text_analysis.span_corruption_manifest): deterministic md5-driven "
+    "masking (~15% of tokens in spans of 3, overlapping spans merged) "
+    "and the seq2seq example geometry per doc — input_len collapses each "
+    "maximal run to one sentinel, target_len = masked + sentinels. "
+    "Reproducible example construction: the mask is a pure function of "
+    "(id, pos), so re-running the pipeline regenerates byte-identical "
+    "training examples. Two doc-keyed bounded windows, no RNG, no UDF.",
+)
+def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.span_corruption_manifest(docs)
+
+
+@register(
+    "ext_vocab_coverage",
+    r"""
+    WITH cnt AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents) u
+      GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_vocab FROM cnt),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk,
+             SUM(c) OVER (ORDER BY c DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cnt
+    ),
+    ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+    SELECT CAST(k AS INT) AS k, n_vocab,
+           FLOOR(CAST(cum AS DOUBLE) / total * 1000000 + 0.5) / 1000000.0
+             AS coverage
+    FROM ks, tot
+    JOIN ranked ON rk = LEAST(k, n_vocab)
+    """,
+    doc="Zipf vocabulary-coverage audit (text_analysis.vocab_coverage): "
+    "fraction of corpus token instances covered by the k most frequent "
+    "words for k in {100, 1k, 10k} — the curve that sizes a tokenizer "
+    "vocabulary and quantifies head-heaviness. One vocabulary-bounded "
+    "count aggregate; top-max(k) via TakeOrderedAndProject (never a "
+    "global window over the vocabulary); running sum over ≤ max(k) rows.",
+)
+def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.vocab_coverage(docs)

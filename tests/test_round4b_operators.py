@@ -359,3 +359,40 @@ def test_join_size_estimate_bounds(spark):
     c = spark.createDataFrame([(k,) for k in range(100, 120)], "k long")
     r2 = join_size_estimate(a, "k", c, "k").collect()[0]
     assert r2["true_join_size"] == 0
+
+
+def test_span_corruption_geometry_invariants(spark, sf_dir):
+    from dbt_glue_spark.extensions.text_analysis import span_corruption_manifest
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_corruption_manifest(docs).collect()
+    assert out
+    total_tok = total_masked = 0
+    for r in out:
+        # identities the loader depends on
+        assert r["input_len"] == r["n_tokens"] - r["n_masked"] + r["n_spans"]
+        assert r["target_len"] == r["n_masked"] + r["n_spans"]
+        assert 0 <= r["n_masked"] <= r["n_tokens"]
+        # maximal runs: spans ≤ masked, and each span masks ≤ span_len+run
+        assert r["n_spans"] <= r["n_masked"]
+        total_tok += r["n_tokens"]
+        total_masked += r["n_masked"]
+    # corruption rate lands near 15% corpus-wide (md5-uniform starts)
+    rate = total_masked / total_tok
+    assert 0.10 < rate < 0.20, rate
+    # determinism: identical re-run
+    again = span_corruption_manifest(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_vocab_coverage_monotone_and_exact_on_small_vocab(spark):
+    from dbt_glue_spark.extensions.text_analysis import vocab_coverage
+
+    # 3-word vocabulary with skewed counts: a×6, b×3, c×1
+    rows = [(1, "a a a b b c", "en", "s"), (2, "a a a b", "en", "s")]
+    out = {r["k"]: r for r in vocab_coverage(_docs_src(spark, rows), ks=(1, 2, 10)).collect()}
+    assert out[1]["n_vocab"] == 3
+    assert abs(out[1]["coverage"] - 6 / 10) < 1e-6
+    assert abs(out[2]["coverage"] - 9 / 10) < 1e-6
+    assert out[10]["coverage"] == 1.0  # k beyond vocab -> full coverage
