@@ -582,3 +582,35 @@ def test_key_skew_topk_is_take_ordered(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     plan = plan_of(key_skew(orders, "o_custkey"), mode="simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pack_sequences_window_is_keyed_by_group(spark, sf_dir):
+    # packing must parallelize across sources: every window spec carries
+    # the source key (a global running sum would serialize the corpus)
+    from dbt_glue_spark.extensions.text_analysis import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(pack_sequences(docs), mode="formatted")
+    total = plan.count("windowspecdefinition(")
+    keyed = plan.count("windowspecdefinition(source#")
+    assert total > 0 and total == keyed, plan
+
+
+def test_span_corruption_windows_are_doc_keyed(spark, sf_dir):
+    from dbt_glue_spark.extensions.text_analysis import span_corruption_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(span_corruption_manifest(docs), mode="formatted")
+    total = plan.count("windowspecdefinition(")
+    keyed = plan.count("windowspecdefinition(doc_id#")
+    assert total > 0 and total == keyed, plan
+
+
+def test_vocab_coverage_topk_is_take_ordered(spark, sf_dir):
+    # top-max(k) over the vocabulary must be TakeOrderedAndProject; the
+    # only windows allowed run over the ≤ max(k) surviving rows
+    from dbt_glue_spark.extensions.text_analysis import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(vocab_coverage(docs), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan

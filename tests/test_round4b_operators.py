@@ -396,3 +396,24 @@ def test_vocab_coverage_monotone_and_exact_on_small_vocab(spark):
     assert abs(out[1]["coverage"] - 6 / 10) < 1e-6
     assert abs(out[2]["coverage"] - 9 / 10) < 1e-6
     assert out[10]["coverage"] == 1.0  # k beyond vocab -> full coverage
+
+
+def test_pack_sequences_stable_under_append(spark):
+    # append-only growth (new docs get higher ids) must never repack
+    # existing sequences — the property that makes the manifest usable
+    # incrementally across crawl snapshots.
+    from dbt_glue_spark.extensions.text_analysis import pack_sequences
+
+    base = [(i, "w " * (3 + i % 5), "en", "s") for i in range(1, 30)]
+    grown = base + [(i, "x " * 4, "en", "s") for i in range(30, 40)]
+    seg_a = {
+        (r["seq_id"], r["doc_id"]): (r["pos_in_seq"], r["n_seg_tokens"])
+        for r in pack_sequences(_docs_src(spark, base), seq_len=16).collect()
+    }
+    seg_b = {
+        (r["seq_id"], r["doc_id"]): (r["pos_in_seq"], r["n_seg_tokens"])
+        for r in pack_sequences(_docs_src(spark, grown), seq_len=16).collect()
+    }
+    for key, v in seg_a.items():
+        if key[1] < 29:  # all but the stream's final doc are frozen
+            assert seg_b[key] == v
