@@ -67,6 +67,7 @@ EXTENSION_HEADLINE = [
     "ext_mmr_rerank",
     "ext_dsir_weights",
     "ext_ngram_dup_fraction",
+    "ext_kmv_source_overlap",
     "mat_merge_upsert",
     "mat_scd2_snapshot_check",
     "asof_join_clicks_purchases",

@@ -191,3 +191,69 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bucket_width: int = 64,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Histogram drift between two corpus snapshots over a numeric column:
+    per fixed-width bucket — counts on each side, proportions, the
+    total-variation term |p_a − p_b| and the chi-square term
+    (c_a − c_b)²/(c_a + c_b). The retrain-trigger monitor of an ingest
+    pipeline: thresholding Σ terms is the PSI/KS decision without either
+    statistic's engine-divergent logarithms.
+
+    Determinism: buckets are exact integer floors capped at the last
+    bucket; proportions and terms are single IEEE divisions of exact
+    bigint counts — no distributed float accumulation anywhere, so the
+    DuckDB oracle replays every row bit-for-bit.
+
+    100 TB shape: each side collapses to ≤ n_buckets rows via map-side
+    partial aggregation before the join; the two 1-row totals broadcast.
+    Nothing scales with corpus size after the first scan.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        bucket = F.least(
+            F.floor(F.col(value_col) / F.lit(bucket_width)),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count("*").alias(out)
+        )
+
+    joined = (
+        hist(a, "ca")
+        .join(hist(b, "cb"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("count_a"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("count_b"),
+        )
+    )
+    totals_a = a.agg(F.count("*").cast("bigint").alias("n_a"))
+    totals_b = b.agg(F.count("*").cast("bigint").alias("n_b"))
+    pa = F.col("count_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("count_b").cast("double") / F.col("n_b").cast("double")
+    chi = (
+        (F.col("count_a") - F.col("count_b"))
+        * (F.col("count_a") - F.col("count_b"))
+    ).cast("double") / (F.col("count_a") + F.col("count_b")).cast("double")
+    return (
+        joined.join(F.broadcast(totals_a))
+        .join(F.broadcast(totals_b))
+        .select(
+            "bucket",
+            "count_a",
+            "count_b",
+            half_up_round(pa, 8).alias("prop_a"),
+            half_up_round(pb, 8).alias("prop_b"),
+            half_up_round(F.abs(pa - pb), 8).alias("abs_prop_diff"),
+            half_up_round(chi, 6).alias("chi2_term"),
+        )
+    )

@@ -384,3 +384,86 @@ def remove_dominant_direction(
         )
         .select(F.col("id").alias(id_col), "pc1_score", "orig_norm", "resid_norm")
     )
+
+
+def label_separation(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fisher-style class-separation audit over a labeled embedding column:
+    per label — member count, within-class scatter Σ‖x−μ_l‖², squared
+    distance of the class centroid to the global centroid ‖μ_l−μ‖², the
+    between-class term n_l·‖μ_l−μ‖², and their ratio. The label-quality /
+    embedding-quality gate of a classifier-training pipeline: labels whose
+    between/within ratio is low are either noisy or not linearly separated
+    in this embedding space.
+
+    Determinism discipline (same as kmeans_assign): centroids are decimal
+    per-dimension means; every scatter sum quantizes its per-dim term to
+    DECIMAL(28,12) before aggregation, so the distributed sums are
+    order-free and bit-identical in the DuckDB oracle.
+
+    100 TB shape: one posexplode pass over the vectors; the scatter
+    aggregate shuffles (label, pos, x) narrow rows with map-side partial
+    aggregation; everything after the first groupBy is ≤ labels×dims rows.
+    No vector ever reaches the driver.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    dims = df.select(
+        F.col(label_col).alias("lbl"), F.col(vec_col).cast("array<double>").alias("v")
+    ).select("lbl", F.posexplode("v").alias("pos", "x"))
+    lm = dims.groupBy("lbl", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(28,12)")) / F.count("*"))
+        .cast("double")
+        .alias("m")
+    )
+    gm = dims.groupBy("pos").agg(
+        (F.sum(F.col("x").cast("decimal(28,12)")) / F.count("*"))
+        .cast("double")
+        .alias("gmean")
+    )
+    within = (
+        dims.join(lm, ["lbl", "pos"])
+        .groupBy("lbl")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).cast(
+                    "decimal(28,12)"
+                )
+            )
+            .cast("double")
+            .alias("w_ss")
+        )
+    )
+    between = (
+        lm.join(gm, "pos")
+        .groupBy("lbl")
+        .agg(
+            F.sum(
+                ((F.col("m") - F.col("gmean")) * (F.col("m") - F.col("gmean"))).cast(
+                    "decimal(28,12)"
+                )
+            )
+            .cast("double")
+            .alias("c_d2")
+        )
+    )
+    counts = df.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count("*").cast("bigint").alias("n_vecs")
+    )
+    return (
+        counts.join(within, "lbl")
+        .join(between, "lbl")
+        .select(
+            F.col("lbl").alias(label_col),
+            "n_vecs",
+            half_up_round(F.col("w_ss"), 6).alias("within_ss"),
+            half_up_round(F.col("c_d2"), 6).alias("centroid_dist2"),
+            half_up_round(F.col("n_vecs") * F.col("c_d2"), 6).alias("between_ss"),
+            half_up_round(
+                (F.col("n_vecs") * F.col("c_d2")) / F.col("w_ss"), 6
+            ).alias("separation_ratio"),
+        )
+    )

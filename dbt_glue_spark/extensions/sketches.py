@@ -123,6 +123,140 @@ def kmv_oracle_sql(
     """
 
 
+def kmv_set_ops(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Pairwise set algebra between per-group KMV sketches: for every
+    group pair (a < b), estimate |A∪B|, Jaccard(A,B) and |A∩B| of the
+    distinct values of ``col`` — the WIMBD-style "how much vocabulary do
+    two crawl sources share" audit, answered from O(k)-size sketches.
+
+    Estimators (Beyer et al. 2007 / Cohen & Kaplan 2007):
+
+    - union: KMV over the k smallest of sketch(A) ∪ sketch(B) — valid
+      because the k smallest of the union of two k-smallest sets ARE the
+      k smallest of A∪B;
+    - Jaccard: fraction of those union-sketch members present in BOTH
+      sketches (each union-sketch row is a uniform sample of A∪B);
+    - intersection: Jaccard × union estimate. Exact when |A∪B| < k.
+
+    100 TB shape: ONE corpus-sized shuffle (the distinct (group, 8-byte
+    hash) projection — the same cost a per-group COUNT(DISTINCT) pays),
+    then every pairwise term runs over k-row sketches: with S sources the
+    algebra costs O(S²·k) rows total, independent of corpus size. The
+    sketches are mergeable, so per-shard sketches can be folded first.
+
+    Engine-portable like :func:`kmv_distinct`: md5-fraction hashes are
+    bit-identical everywhere, "k smallest" is order-free, and a value in
+    both groups hashes identically — so membership flags, counts, and the
+    final doubles replay exactly in the DuckDB oracle.
+    """
+    hashed = df.select(
+        F.col(group_col).alias("g"), hash_fraction(F.col(col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    sk = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("g", "h")
+    )
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("ga"))
+        .join(groups.select(F.col("g").alias("gb")), F.col("ga") < F.col("gb"))
+    )
+    ska = sk.select(F.col("g").alias("ga"), "h")
+    skb = sk.select(F.col("g").alias("gb"), "h")
+    union_rows = (
+        pairs.join(ska, "ga")
+        .select("ga", "gb", "h")
+        .union(pairs.join(skb, "gb").select("ga", "gb", "h"))
+        .distinct()
+    )
+    wu = Window.partitionBy("ga", "gb").orderBy(F.col("h").asc())
+    uk = union_rows.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= k
+    )
+    flagged = (
+        uk.join(ska.withColumn("in_a", F.lit(1)), ["ga", "h"], "left")
+        .join(skb.withColumn("in_b", F.lit(1)), ["gb", "h"], "left")
+    )
+    agg = flagged.groupBy("ga", "gb").agg(
+        F.count("*").alias("nk"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+    )
+    union_est = F.when(F.col("nk") < k, F.col("nk").cast("double")).otherwise(
+        (F.lit(k) - 1) / F.col("kth")
+    )
+    jacc = F.col("n_both").cast("double") / F.col("nk").cast("double")
+    return agg.select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        half_up_round(union_est, 4).alias("union_distinct_est"),
+        half_up_round(jacc, 6).alias("jaccard_est"),
+        half_up_round(union_est * jacc, 4).alias("intersection_est"),
+    )
+
+
+def kmv_set_ops_oracle_sql(source: str, col: str, group_col: str, k: int = 128) -> str:
+    """DuckDB SQL replaying :func:`kmv_set_ops` exactly (same hash, same
+    k-smallest ranks, same membership flags, same float expressions)."""
+    return f"""
+    WITH hashed AS (
+      SELECT DISTINCT {group_col} AS g, {_duck_hash_fraction(col)} AS h FROM {source}
+    ),
+    sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hashed
+      ) WHERE rn <= {k}
+    ),
+    pairs AS (
+      SELECT a.g AS ga, b.g AS gb
+      FROM (SELECT DISTINCT g FROM sk) a JOIN (SELECT DISTINCT g FROM sk) b
+        ON a.g < b.g
+    ),
+    u AS (
+      SELECT DISTINCT p.ga, p.gb, s.h
+      FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+    ),
+    uk AS (
+      SELECT ga, gb, h,
+             row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+      FROM u
+    ),
+    fl AS (
+      SELECT uk.ga, uk.gb, uk.h, uk.rn,
+             EXISTS(SELECT 1 FROM sk WHERE sk.g = uk.ga AND sk.h = uk.h) AS in_a,
+             EXISTS(SELECT 1 FROM sk WHERE sk.g = uk.gb AND sk.h = uk.h) AS in_b
+      FROM uk WHERE rn <= {k}
+    ),
+    agg AS (
+      SELECT ga, gb, COUNT(*) AS nk,
+             MAX(CASE WHEN rn = {k} THEN h END) AS kth,
+             SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_both
+      FROM fl GROUP BY ga, gb
+    ),
+    est AS (
+      SELECT ga, gb,
+             CASE WHEN nk < {k} THEN CAST(nk AS DOUBLE)
+                  ELSE {k - 1} / kth END AS union_est,
+             CAST(n_both AS DOUBLE) / CAST(nk AS DOUBLE) AS jacc
+      FROM agg
+    )
+    SELECT ga AS source_a, gb AS source_b,
+           FLOOR(union_est * 1e4 + 0.5) / 1e4 AS union_distinct_est,
+           FLOOR(jacc * 1e6 + 0.5) / 1e6 AS jaccard_est,
+           FLOOR(union_est * jacc * 1e4 + 0.5) / 1e4 AS intersection_est
+    FROM est
+    """
+
+
 # ---- count-min sketch ------------------------------------------------------
 
 #: power-of-two width ⇒ floor(fraction · width) is an exact double op

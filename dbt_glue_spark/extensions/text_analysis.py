@@ -960,3 +960,56 @@ def vocab_coverage(
         "n_vocab",
         half_up_round(F.col("cum") / F.col("total"), 6).alias("coverage"),
     )
+
+
+#: encoding-anomaly patterns, Java-regex ∩ RE2 dialect (same discipline as
+#: PII_PATTERNS): hex escapes and literal chars only — no lookarounds, no
+#: \p classes (DuckDB RE2 and Java agree on these exactly).
+ENCODING_PATTERNS = {
+    "nonascii": "[^\\x00-\\x7f]",
+    "control": "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]",
+    "replacement": "�",
+}
+
+
+def encoding_audit(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source encoding-health report: counts of non-ASCII bytes,
+    C0 control characters, U+FFFD replacement characters (the mojibake
+    tell), and whitespace anomalies (runs of 2+ spaces, tabs) — the
+    ftfy-style triage pass that decides which crawl sources need
+    re-decoding before training. One row per ``by`` group with document
+    and character totals plus the count of affected documents.
+
+    100 TB shape: a narrow per-row projection (regexp_extract_all + size,
+    whole-stage codegen, no UDF) collapsing into a groupBy on the source
+    key with map-side partial aggregation — bounded by scan throughput,
+    like pii_scan.
+    """
+    counts = {
+        name: F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("bigint")
+        for name, pat in ENCODING_PATTERNS.items()
+    }
+    counts["multispace"] = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("  +"), F.lit(0))
+    ).cast("bigint")
+    counts["tab"] = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("\\t"), F.lit(0))
+    ).cast("bigint")
+    staged = df.select(
+        F.col(by), *[c.alias(f"n_{n}") for n, c in counts.items()]
+    )
+    aggs = [F.count("*").cast("bigint").alias("n_docs")]
+    for n in counts:
+        aggs.append(F.sum(f"n_{n}").cast("bigint").alias(f"total_{n}"))
+        aggs.append(
+            F.sum(F.when(F.col(f"n_{n}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"docs_with_{n}")
+        )
+    return staged.groupBy(by).agg(*aggs)

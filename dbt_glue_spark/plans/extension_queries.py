@@ -4416,3 +4416,208 @@ def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.vocab_coverage(docs)
+
+
+@register(
+    "ext_kmv_source_overlap",
+    sketches.kmv_set_ops_oracle_sql(
+        r"(SELECT source, unnest(string_split_regex(text, '\s+')) AS tok"
+        " FROM documents)",
+        "tok",
+        "source",
+        k=128,
+    ),
+    doc="Pairwise vocabulary overlap between crawl sources from KMV sketch "
+    "algebra (sketches.kmv_set_ops): per source pair — estimated "
+    "|A∪B|, Jaccard, and |A∩B| of the distinct-token sets, computed "
+    "entirely from k=128-row sketches (Beyer et al. 2007). The "
+    "WIMBD-style source-redundancy audit at one corpus-sized shuffle of "
+    "(source, 8-byte hash) pairs; the pairwise algebra is O(sources²·k) "
+    "rows, independent of corpus size. md5-fraction hashes make the "
+    "estimates bit-reproducible in the DuckDB oracle.",
+)
+def ext_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    )
+    return sketches.kmv_set_ops(toks, "tok", "source", k=128)
+
+
+@register(
+    "ext_label_separation",
+    """
+    WITH dims AS (
+      SELECT label AS lbl, gs.pos AS pos, CAST(embedding[gs.pos] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) gs
+    ),
+    lm AS (
+      SELECT lbl, pos,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS m
+      FROM dims GROUP BY lbl, pos
+    ),
+    gm AS (
+      SELECT pos,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS gmean
+      FROM dims GROUP BY pos
+    ),
+    w AS (
+      SELECT d.lbl,
+             CAST(SUM(CAST((d.x - lm.m) * (d.x - lm.m) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS w_ss
+      FROM dims d JOIN lm ON lm.lbl = d.lbl AND lm.pos = d.pos
+      GROUP BY d.lbl
+    ),
+    btw AS (
+      SELECT lm.lbl,
+             CAST(SUM(CAST((lm.m - gm.gmean) * (lm.m - gm.gmean)
+                           AS DECIMAL(28,12))) AS DOUBLE) AS c_d2
+      FROM lm JOIN gm ON gm.pos = lm.pos
+      GROUP BY lm.lbl
+    ),
+    cnt AS (
+      SELECT label AS lbl, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY label
+    )
+    SELECT cnt.lbl AS label, cnt.n_vecs,
+           FLOOR(w.w_ss * 1000000.0 + 0.5) / 1000000.0 AS within_ss,
+           FLOOR(btw.c_d2 * 1000000.0 + 0.5) / 1000000.0 AS centroid_dist2,
+           FLOOR(cnt.n_vecs * btw.c_d2 * 1000000.0 + 0.5) / 1000000.0
+             AS between_ss,
+           FLOOR((cnt.n_vecs * btw.c_d2) / w.w_ss * 1000000.0 + 0.5) / 1000000.0
+             AS separation_ratio
+    FROM cnt
+    JOIN w ON w.lbl = cnt.lbl
+    JOIN btw ON btw.lbl = cnt.lbl
+    """,
+    doc="Fisher-style class-separation audit over the labeled embeddings "
+    "(clustering.label_separation): per label — within-class scatter, "
+    "centroid distance to the global mean, between-class term and their "
+    "ratio. The label-noise / embedding-quality gate of a classifier-"
+    "training pipeline. Decimal per-dim means and decimal-quantized "
+    "scatter terms make every distributed sum order-free; one posexplode "
+    "pass, narrow (label, pos, x) shuffles with map-side partial agg, "
+    "≤ labels×dims rows after the first groupBy.",
+)
+def ext_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.clustering import label_separation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_separation(emb)
+
+
+@register(
+    "ext_distribution_drift",
+    """
+    WITH b AS (
+      SELECT text || CASE WHEN doc_id % 13 = 0 THEN ' [edited]'
+                          ELSE '' END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT 'new document ' || doc_id AS text
+      FROM documents WHERE doc_id % 23 = 0
+    ),
+    ha AS (
+      SELECT CAST(LEAST(FLOOR(LENGTH(text) / 32), 31) AS INT) AS bucket,
+             COUNT(*) AS ca
+      FROM documents GROUP BY 1
+    ),
+    hb AS (
+      SELECT CAST(LEAST(FLOOR(LENGTH(text) / 32), 31) AS INT) AS bucket,
+             COUNT(*) AS cb
+      FROM b GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+             CAST(COALESCE(ca, 0) AS BIGINT) AS count_a,
+             CAST(COALESCE(cb, 0) AS BIGINT) AS count_b
+      FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
+    ),
+    t AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_a,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b
+    )
+    SELECT bucket, count_a, count_b,
+           FLOOR(CAST(count_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 * 100000000.0 + 0.5) / 100000000.0 AS prop_a,
+           FLOOR(CAST(count_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 * 100000000.0 + 0.5) / 100000000.0 AS prop_b,
+           FLOOR(ABS(CAST(count_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(count_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 * 100000000.0 + 0.5) / 100000000.0 AS abs_prop_diff,
+           FLOOR(CAST((count_a - count_b) * (count_a - count_b) AS DOUBLE)
+                 / CAST(count_a + count_b AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
+    FROM j, t
+    """,
+    doc="Histogram drift between two corpus snapshots over document length "
+    "(audit.distribution_drift): per fixed-width bucket — counts, "
+    "proportions, the total-variation term |p_a−p_b| and the chi-square "
+    "term (c_a−c_b)²/(c_a+c_b). The retrain-trigger monitor of an ingest "
+    "pipeline without PSI's engine-divergent logarithms. Snapshot B is "
+    "the same deterministic mutation ext_corpus_diff replays. Each side "
+    "collapses to ≤32 rows via map-side partial agg before the join; the "
+    "1-row totals broadcast — nothing after the scan scales with corpus "
+    "size.",
+)
+def ext_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import distribution_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    edited = docs.filter(F.col("doc_id") % 17 != 0).select(
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    added = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.concat(F.lit("new document "), F.col("doc_id").cast("string")).alias(
+            "text"
+        )
+    )
+    snapshot_b = edited.unionByName(added)
+    a = docs.select(F.length("text").alias("doc_len"))
+    b = snapshot_b.select(F.length("text").alias("doc_len"))
+    return distribution_drift(a, b, "doc_len", bucket_width=32, n_buckets=32)
+
+
+@register(
+    "ext_encoding_audit",
+    r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[^\x00-\x7f]'))) AS BIGINT)
+             AS total_nonascii,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text, '[^\x00-\x7f]')) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_nonascii,
+           CAST(SUM(len(regexp_extract_all(text,
+                '[\x00-\x08\x0b\x0c\x0e-\x1f]'))) AS BIGINT) AS total_control,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text,
+                '[\x00-\x08\x0b\x0c\x0e-\x1f]')) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_with_control,
+           CAST(SUM(len(regexp_extract_all(text, '�'))) AS BIGINT)
+             AS total_replacement,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text, '�')) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_replacement,
+           CAST(SUM(len(regexp_extract_all(text, '  +'))) AS BIGINT)
+             AS total_multispace,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text, '  +')) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_multispace,
+           CAST(SUM(len(regexp_extract_all(text, '\t'))) AS BIGINT)
+             AS total_tab,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text, '\t')) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_tab
+    FROM documents GROUP BY source
+    """,
+    doc="Per-source encoding-health audit (text_analysis.encoding_audit): "
+    "non-ASCII, C0-control and U+FFFD replacement-character counts plus "
+    "whitespace anomalies — the ftfy-style triage pass that decides "
+    "which crawl sources need re-decoding before training. Patterns are "
+    "Java-regex ∩ RE2 (hex escapes + literals only, the pii_scan "
+    "discipline). Narrow codegen projection collapsing into a keyed "
+    "groupBy with map-side partial agg — scan-bound at 100 TB.",
+)
+def ext_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.encoding_audit(docs)

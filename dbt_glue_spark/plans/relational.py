@@ -1920,3 +1920,44 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("seg", F.lit("<null>")).alias("seg"))
         .agg(F.count("*").alias("n_matched"))
     )
+
+
+@register(
+    "unpivot_order_measures",
+    """
+    WITH agg AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS max_price
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, measure, value
+    FROM agg UNPIVOT (value FOR measure IN (n_orders, total_price, max_price))
+    """,
+    doc="UNPIVOT (wide→long melt): per-priority order measures unpivoted "
+    "to (priority, measure, value) rows — the inverse of "
+    "pivot_status_by_priority, completing the reshape surface. Spark's "
+    "DataFrame.unpivot compiles to an Expand over the 5-row aggregate "
+    "(constant-size after the partial agg); the money measure goes "
+    "through exact decimal summation before the melt.",
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_price"),
+        F.max(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("max_price"),
+    )
+    return agg.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_price", "max_price"],
+        "measure",
+        "value",
+    )

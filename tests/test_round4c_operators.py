@@ -1,0 +1,199 @@
+"""Unit tests for the round-4 third-session operators: KMV set algebra
+(pairwise source vocabulary overlap), Fisher-style label separation, and
+histogram distribution drift."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ---- kmv_set_ops -----------------------------------------------------------
+
+
+def _toks(spark, rows):
+    return spark.createDataFrame(rows, "g string, tok string")
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    from dbt_glue_spark.extensions.sketches import kmv_set_ops
+
+    rows = (
+        [("A", t) for t in ["a", "b", "c", "d"]]
+        + [("B", t) for t in ["c", "d", "e"]]
+        + [("C", t) for t in ["x"]]
+        # duplicates must not change the distinct-set answers
+        + [("A", "a"), ("B", "c")]
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in kmv_set_ops(_toks(spark, rows), "tok", "g", k=128).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert ab["union_distinct_est"] == 5.0
+    assert ab["jaccard_est"] == 0.4
+    assert ab["intersection_est"] == 2.0
+    ac = out[("A", "C")]
+    assert ac["union_distinct_est"] == 5.0
+    assert ac["jaccard_est"] == 0.0
+    assert ac["intersection_est"] == 0.0
+    bc = out[("B", "C")]
+    assert bc["union_distinct_est"] == 4.0
+    assert bc["jaccard_est"] == 0.0
+
+
+def test_kmv_set_ops_estimates_above_k(spark):
+    from dbt_glue_spark.extensions.sketches import kmv_set_ops
+
+    # |X|=500, |Y|=500, overlap 250 → union 750, jaccard 1/3
+    rows = [("X", f"t{i}") for i in range(500)] + [
+        ("Y", f"t{i}") for i in range(250, 750)
+    ]
+    out = kmv_set_ops(_toks(spark, rows), "tok", "g", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert abs(r["union_distinct_est"] - 750) / 750 < 0.35
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.15
+    assert r["intersection_est"] > 0
+
+
+def test_kmv_set_ops_layout_invariant(spark):
+    from dbt_glue_spark.extensions.sketches import kmv_set_ops
+
+    rows = [("X", f"t{i}") for i in range(300)] + [
+        ("Y", f"t{i}") for i in range(100, 400)
+    ]
+    df = _toks(spark, rows)
+    a = sorted(map(tuple, kmv_set_ops(df, "tok", "g", k=32).collect()))
+    b = sorted(map(tuple, kmv_set_ops(df.repartition(13), "tok", "g", k=32).collect()))
+    assert a == b
+
+
+# ---- label_separation ------------------------------------------------------
+
+
+def test_label_separation_hand_check(spark):
+    from dbt_glue_spark.extensions.clustering import label_separation
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (0, [2.0, 0.0]),
+        (1, [10.0, 0.0]),
+        (1, [12.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {r["label"]: r for r in label_separation(df).collect()}
+    # centroids (1,0) and (11,0); global mean (6,0); within 2 each;
+    # centroid_dist2 25 each; between 2*25=50; ratio 25
+    for lbl in (0, 1):
+        r = out[lbl]
+        assert r["n_vecs"] == 2
+        assert r["within_ss"] == 2.0
+        assert r["centroid_dist2"] == 25.0
+        assert r["between_ss"] == 50.0
+        assert r["separation_ratio"] == 25.0
+
+
+def test_label_separation_mixed_labels_low_ratio(spark):
+    from dbt_glue_spark.extensions.clustering import label_separation
+
+    # identical distributions per label → centroids coincide with the
+    # global mean → between ≈ 0 while within stays positive
+    rows = [(lbl, [float(i), float(-i)]) for lbl in (0, 1) for i in range(6)]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = label_separation(df).collect()
+    for r in out:
+        assert r["between_ss"] < 1e-6
+        assert r["within_ss"] > 1.0
+        assert r["separation_ratio"] < 1e-6
+
+
+# ---- distribution_drift ----------------------------------------------------
+
+
+def test_distribution_drift_hand_check(spark):
+    from dbt_glue_spark.extensions.audit import distribution_drift
+
+    a = spark.createDataFrame(
+        [(10,)] * 4 + [(40,)] * 4, "doc_len int"
+    )
+    b = spark.createDataFrame(
+        [(10,)] * 2 + [(100,)] * 6, "doc_len int"
+    )
+    out = {
+        r["bucket"]: r
+        for r in distribution_drift(a, b, "doc_len", bucket_width=32).collect()
+    }
+    assert set(out) == {0, 1, 3}
+    b0 = out[0]
+    assert (b0["count_a"], b0["count_b"]) == (4, 2)
+    assert b0["prop_a"] == 0.5 and b0["prop_b"] == 0.25
+    assert b0["abs_prop_diff"] == 0.25
+    assert b0["chi2_term"] == 0.666667  # (4-2)^2/6 half-up at 6dp
+    b1 = out[1]
+    assert (b1["count_a"], b1["count_b"]) == (4, 0)
+    assert b1["abs_prop_diff"] == 0.5
+    assert b1["chi2_term"] == 4.0
+    b3 = out[3]
+    assert (b3["count_a"], b3["count_b"]) == (0, 6)
+    assert b3["abs_prop_diff"] == 0.75
+    assert b3["chi2_term"] == 6.0
+
+
+def test_distribution_drift_identical_snapshots_flat(spark):
+    from dbt_glue_spark.extensions.audit import distribution_drift
+
+    a = spark.createDataFrame([(i * 7 % 300,) for i in range(100)], "doc_len int")
+    out = distribution_drift(a, a, "doc_len", bucket_width=32).collect()
+    assert len(out) > 1
+    for r in out:
+        assert r["count_a"] == r["count_b"]
+        assert r["abs_prop_diff"] == 0.0
+        assert r["chi2_term"] == 0.0
+
+
+def test_distribution_drift_caps_overflow_bucket(spark):
+    from dbt_glue_spark.extensions.audit import distribution_drift
+
+    a = spark.createDataFrame([(10_000,), (99_999,)], "doc_len int")
+    out = distribution_drift(a, a, "doc_len", bucket_width=32, n_buckets=32).collect()
+    assert [r["bucket"] for r in out] == [31]
+    assert out[0]["count_a"] == 2
+
+
+# ---- encoding_audit --------------------------------------------------------
+
+
+def test_encoding_audit_planted_anomalies(spark):
+    from dbt_glue_spark.extensions.text_analysis import encoding_audit
+
+    rows = [
+        (1, "clean ascii text", "s1"),
+        (2, "café naïve", "s1"),            # 2 non-ascii chars (é, ï)
+        (3, "bad �� decode", "s2"),          # 2 replacement chars
+        (4, "ctl\x01\x02 and\ttab  run", "s2"),        # 2 control, 1 tab, 1 run
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in encoding_audit(df).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert s1["n_docs"] == 2
+    assert s1["total_nonascii"] == 2 and s1["docs_with_nonascii"] == 1
+    assert s1["total_control"] == 0 and s1["total_replacement"] == 0
+    assert s2["total_replacement"] == 2 and s2["docs_with_replacement"] == 1
+    assert s2["total_control"] == 2 and s2["docs_with_control"] == 1
+    assert s2["total_tab"] == 1 and s2["total_multispace"] == 1
+    # replacement chars are also non-ascii
+    assert s2["total_nonascii"] == 2
+
+
+def test_encoding_audit_newline_not_control_flagged(spark):
+    from dbt_glue_spark.extensions.text_analysis import encoding_audit
+
+    df = spark.createDataFrame(
+        [(1, "line one\nline two\r\nthree", "s")],
+        "doc_id long, text string, source string",
+    )
+    r = encoding_audit(df).collect()[0]
+    # \n (0x0a) and \r (0x0d) are legitimate layout, excluded from the
+    # control-char class; \t has its own counter
+    assert r["total_control"] == 0
