@@ -158,10 +158,15 @@ def kmv_set_ops(
         F.col(group_col).alias("g"), hash_fraction(F.col(col)).alias("h")
     ).distinct()
     w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    # localCheckpoint: the sketch frame is referenced five times below
+    # (pair enumeration, both union branches, both membership probes) —
+    # without materializing these ≤ groups×k rows, Spark re-runs the
+    # corpus-sized distinct+top-k once per reference.
     sk = (
         hashed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("g", "h")
+        .localCheckpoint(eager=True)
     )
     groups = sk.select("g").distinct()
     pairs = (
