@@ -218,26 +218,47 @@ def distribution_drift(
     """
     from dbt_glue_spark.functions.scalars import half_up_round
 
-    def hist(df: DataFrame, out: str) -> DataFrame:
-        bucket = F.least(
-            F.floor(F.col(value_col) / F.lit(bucket_width)),
-            F.lit(n_buckets - 1),
-        ).cast("int")
-        return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
-            F.count("*").alias(out)
-        )
+    return drift_from_histograms(
+        value_histogram(a, value_col, bucket_width, n_buckets),
+        value_histogram(b, value_col, bucket_width, n_buckets),
+    )
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, bucket_width: int, n_buckets: int = 32
+) -> DataFrame:
+    """Fixed-width bucket counts of a numeric column: (bucket, cnt), the
+    mergeable (cell-wise +) summary drift comparisons run on. Collapses
+    to ≤ n_buckets rows via map-side partial aggregation."""
+    bucket = F.least(
+        F.floor(F.col(value_col) / F.lit(bucket_width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def drift_from_histograms(ha: DataFrame, hb: DataFrame) -> DataFrame:
+    """Drift rows from two (bucket, cnt) histograms (see
+    :func:`distribution_drift` for the semantics and scale notes).
+    Separated so a streamed histogram ledger can be compared against a
+    batch reference with the identical arithmetic."""
+    from dbt_glue_spark.functions.scalars import half_up_round
 
     joined = (
-        hist(a, "ca")
-        .join(hist(b, "cb"), "bucket", "full_outer")
+        ha.select("bucket", F.col("cnt").alias("ca"))
+        .join(hb.select("bucket", F.col("cnt").alias("cb")), "bucket", "full_outer")
         .select(
             "bucket",
             F.coalesce("ca", F.lit(0)).cast("bigint").alias("count_a"),
             F.coalesce("cb", F.lit(0)).cast("bigint").alias("count_b"),
         )
     )
-    totals_a = a.agg(F.count("*").cast("bigint").alias("n_a"))
-    totals_b = b.agg(F.count("*").cast("bigint").alias("n_b"))
+    totals_a = ha.agg(F.sum("cnt").cast("bigint").alias("n_a"))
+    totals_b = hb.agg(F.sum("cnt").cast("bigint").alias("n_b"))
     pa = F.col("count_a").cast("double") / F.col("n_a").cast("double")
     pb = F.col("count_b").cast("double") / F.col("n_b").cast("double")
     chi = (

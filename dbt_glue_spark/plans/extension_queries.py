@@ -4621,3 +4621,80 @@ def ext_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.encoding_audit(docs)
+
+
+@register(
+    "streaming_drift_monitor",
+    """
+    WITH ref AS (
+      SELECT CAST(LEAST(FLOOR(value / 16), 31) AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1
+    ),
+    live AS (
+      SELECT CAST(LEAST(FLOOR(value / 16), 31) AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    j AS (
+      SELECT COALESCE(ref.bucket, live.bucket) AS bucket,
+             CAST(COALESCE(ref.cnt, 0) AS BIGINT) AS count_a,
+             CAST(COALESCE(live.cnt, 0) AS BIGINT) AS count_b
+      FROM ref FULL OUTER JOIN live ON ref.bucket = live.bucket
+    ),
+    t AS (
+      SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM ref) AS n_a,
+             (SELECT CAST(SUM(cnt) AS BIGINT) FROM live) AS n_b
+    )
+    SELECT bucket, count_a, count_b,
+           FLOOR(CAST(count_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 * 100000000.0 + 0.5) / 100000000.0 AS prop_a,
+           FLOOR(CAST(count_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 * 100000000.0 + 0.5) / 100000000.0 AS prop_b,
+           FLOOR(ABS(CAST(count_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(count_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 * 100000000.0 + 0.5) / 100000000.0 AS abs_prop_diff,
+           FLOOR(CAST((count_a - count_b) * (count_a - count_b) AS DOUBLE)
+                 / CAST(count_a + count_b AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
+    FROM j, t
+    """,
+    doc="Streaming distribution-drift monitor end-to-end "
+    "(streaming/pipelines.histogram_stream_sink + "
+    "audit.drift_from_histograms): the event value stream maintains a "
+    "≤32-row histogram ledger cell-wise via foreachBatch (histogram "
+    "counting is linear ⇒ streamed ≡ batch exactly, any batching), then "
+    "the live ledger is drift-compared against a batch reference slice "
+    "(event_id %% 2 = 0) with the ext_distribution_drift arithmetic. "
+    "The production data-quality monitor: constant state per stream, "
+    "log-free drift terms, and the oracle recomputes both histograms "
+    "from scratch — proving the ledger lost nothing.",
+)
+def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dbt_glue_spark.extensions.audit import (
+        drift_from_histograms,
+        value_histogram,
+    )
+    from dbt_glue_spark.streaming.pipelines import histogram_stream_sink
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    stage = tempfile.mkdtemp(prefix="dgs_q_histsrc_")
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    target = tempfile.mkdtemp(prefix="dgs_q_histtgt_")
+    q = histogram_stream_sink(
+        stream, spark, target, os.path.join(target, "ckpt"), "value", 16
+    )
+    q.awaitTermination(300)
+    live = spark.read.parquet(os.path.join(target, "data"))
+    ref = value_histogram(
+        events.filter(F.col("event_id") % 2 == 0), "value", 16
+    )
+    return drift_from_histograms(ref, live)

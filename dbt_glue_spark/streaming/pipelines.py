@@ -452,3 +452,54 @@ def kmv_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def histogram_stream_sink(
+    source_stream: DataFrame,
+    spark,
+    target_path: str,
+    checkpoint: str,
+    col: str,
+    bucket_width: int,
+    n_buckets: int = 32,
+):
+    """Streaming histogram maintenance: each micro-batch's fixed-width
+    bucket counts are merged cell-wise (+) into a persistent ≤ n_buckets-
+    row parquet ledger. Histogram counting is linear — the streamed
+    ledger equals the batch-built histogram EXACTLY no matter how the
+    stream was batched or ordered — so the live distribution a drift
+    monitor compares against its reference is always the true one.
+    Constant state (≤ n_buckets rows) for an unbounded stream; the same
+    fold merges per-shard histograms cross-pipeline.
+    """
+    import os
+
+    from dbt_glue_spark.extensions.audit import value_histogram
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        data_dir = os.path.join(target_path, "data")
+        batch_hist = value_histogram(batch_df, col, bucket_width, n_buckets)
+        try:
+            cur = spark.read.parquet(data_dir)
+            exists = True
+        except Exception:  # first batch — no ledger yet
+            exists = False
+        if exists:
+            merged = (
+                cur.unionByName(batch_hist)
+                .groupBy("bucket")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        else:
+            merged = batch_hist
+        staged = merged.localCheckpoint(eager=True)  # read+overwrite safety
+        staged.write.mode("overwrite").parquet(data_dir)
+
+    return (
+        source_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

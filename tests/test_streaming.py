@@ -313,3 +313,37 @@ def test_countmin_stream_sink_equals_batch_sketch_exactly(spark, tmp_path):
     # linearity: the streamed sketch is cell-for-cell identical to the
     # one-shot batch build, independent of batching
     assert streamed == batch
+
+
+def test_histogram_stream_sink_equals_batch_histogram_exactly(spark, tmp_path):
+    import os
+
+    from dbt_glue_spark.extensions.audit import value_histogram
+    from dbt_glue_spark.streaming.pipelines import histogram_stream_sink
+
+    vals = [(float((i * 37) % 500),) for i in range(3000)]
+    df = spark.createDataFrame(vals, "value double")
+    stage = str(tmp_path / "src")
+    # 4 files -> 4 micro-batches in arbitrary row order
+    df.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    target = str(tmp_path / "tgt")
+    q = histogram_stream_sink(
+        stream, spark, target, str(tmp_path / "ckpt"), "value", 16
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["bucket"]: r["cnt"]
+        for r in spark.read.parquet(os.path.join(target, "data")).collect()
+    }
+    batch = {
+        r["bucket"]: r["cnt"] for r in value_histogram(df, "value", 16).collect()
+    }
+    # linearity: the streamed ledger is cell-for-cell identical to the
+    # one-shot batch histogram, independent of batching
+    assert streamed == batch
+    assert sum(streamed.values()) == 3000
