@@ -4698,3 +4698,88 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_id") % 2 == 0), "value", 16
     )
     return drift_from_histograms(ref, live)
+
+
+@register(
+    "ext_winsorize_prices",
+    """
+    WITH th AS (
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    j AS (
+      SELECT l.l_returnflag, CAST(l.l_extendedprice AS DOUBLE) AS x,
+             th.lo, th.hi,
+             GREATEST(LEAST(CAST(l.l_extendedprice AS DOUBLE), th.hi), th.lo)
+               AS xc
+      FROM lineitem l JOIN th ON th.l_returnflag = l.l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(MIN(lo) * 10000.0 + 0.5) / 10000.0 AS p_low,
+           FLOOR(MIN(hi) * 10000.0 + 0.5) / 10000.0 AS p_high,
+           CAST(SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           FLOOR(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS mean_before,
+           FLOOR(CAST(SUM(CAST(xc AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS mean_after
+    FROM j GROUP BY l_returnflag
+    """,
+    doc="Per-group winsorization audit over lineitem prices "
+    "(profile.winsorize_report): clip at the group's exact 5th/95th "
+    "percentiles (Spark percentile ≡ DuckDB quantile_cont) and report "
+    "tail counts + decimal-exact means before/after — the outlier-"
+    "robustness pass of numeric feature cleaning, reported so the "
+    "pipeline owner sees what the clip would do. Two passes: the exact "
+    "quantile aggregate, then one clamp+aggregate with the ≤ groups-row "
+    "threshold frame broadcast.",
+)
+def ext_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile.winsorize_report(
+        li, "l_extendedprice", "l_returnflag", lower=0.05, upper=0.95
+    )
+
+
+@register(
+    "ext_dup_cluster_sizes",
+    "WITH RECURSIVE "
+    + _CLUSTERS_SQL
+    + """,
+    csizes AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM csizes GROUP BY sz
+    """,
+    doc="Near-dup cluster-size histogram: the distribution of transitive "
+    "dup-group sizes (1 = unique doc) — the dedup-telemetry chart every "
+    "cleaning run publishes (how much of the corpus sits in how-large "
+    "dup families). Composed from the same pair generator + component "
+    "labeling ext_dup_clusters proves; two further ≤|clusters|-row "
+    "aggregates. A heavy tail here is the signal to raise the Jaccard "
+    "threshold or investigate boilerplate.",
+)
+def ext_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(docs, pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("sz")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+        .select(F.col("sz").cast("bigint").alias("cluster_size"), "n_clusters", "n_docs")
+    )

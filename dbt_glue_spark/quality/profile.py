@@ -111,3 +111,68 @@ def key_skew(df: "DataFrame", key_col: str, top_k: int = 5) -> "DataFrame":
             "n_rows",
         )
     )
+
+
+def winsorize_report(
+    df: DataFrame,
+    col: str,
+    group_by: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization audit: clip ``col`` at the group's exact
+    [lower, upper] quantiles and report — member count, the two
+    thresholds, how many rows each tail clipped, and the decimal-exact
+    mean before/after. The outlier-robustness pass of numeric feature
+    cleaning (price/score/length columns), reported rather than silently
+    applied so the pipeline owner sees what the clip would do.
+
+    Determinism: thresholds are Spark ``percentile()`` ≡ DuckDB
+    ``quantile_cont`` (exact interpolation, identical doubles); means go
+    through decimal summation (order-free); clamp is least/greatest of
+    exact doubles.
+
+    100 TB shape: two passes — the quantile aggregate (exact per-group
+    sort; swap in histogram_quantiles for the approximate one-pass
+    variant) and one clamp+aggregate pass with the ≤ groups-row threshold
+    frame broadcast. Nothing reaches the driver.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    x = F.col(col).cast("double")
+    th = df.groupBy(group_by).agg(
+        F.expr(f"percentile(cast({col} as double), {lower})").alias("lo"),
+        F.expr(f"percentile(cast({col} as double), {upper})").alias("hi"),
+    )
+    j = df.join(F.broadcast(th), group_by)
+    clipped = F.greatest(F.least(x, F.col("hi")), F.col("lo"))
+    return (
+        j.groupBy(group_by)
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.first("lo").alias("__lo"),
+            F.first("hi").alias("__hi"),
+            F.sum(F.when(x < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(x > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.sum(x.cast("decimal(28,6)")).alias("__sum_before"),
+            F.sum(clipped.cast("decimal(28,6)")).alias("__sum_after"),
+        )
+        .select(
+            group_by,
+            "n",
+            half_up_round(F.col("__lo"), 4).alias("p_low"),
+            half_up_round(F.col("__hi"), 4).alias("p_high"),
+            "n_clipped_low",
+            "n_clipped_high",
+            half_up_round(
+                F.col("__sum_before").cast("double") / F.col("n").cast("double"), 4
+            ).alias("mean_before"),
+            half_up_round(
+                F.col("__sum_after").cast("double") / F.col("n").cast("double"), 4
+            ).alias("mean_after"),
+        )
+    )

@@ -197,3 +197,33 @@ def test_encoding_audit_newline_not_control_flagged(spark):
     # \n (0x0a) and \r (0x0d) are legitimate layout, excluded from the
     # control-char class; \t has its own counter
     assert r["total_control"] == 0
+
+
+# ---- winsorize_report ------------------------------------------------------
+
+
+def test_winsorize_report_hand_check(spark):
+    from dbt_glue_spark.quality.profile import winsorize_report
+
+    rows = [("g", float(v)) for v in range(1, 20)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    r = winsorize_report(df, "x", "grp", lower=0.05, upper=0.95).collect()[0]
+    # sorted values 1..19,1000 (n=20): p05 at idx 0.95 → 1.95;
+    # p95 at idx 18.05 → 19 + 0.05*(1000-19) = 68.05
+    assert r["n"] == 20
+    assert r["p_low"] == 1.95
+    assert r["p_high"] == 68.05
+    assert r["n_clipped_low"] == 1 and r["n_clipped_high"] == 1
+    assert r["mean_before"] == 59.5       # (190 + 1000)/20
+    assert r["mean_after"] == 12.95       # (189 + 1.95 + 68.05)/20
+
+
+def test_winsorize_report_no_clip_when_bounds_cover(spark):
+    from dbt_glue_spark.quality.profile import winsorize_report
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("a", 5.0)], "grp string, x double"
+    )
+    r = winsorize_report(df, "x", "grp").collect()[0]
+    assert r["n_clipped_low"] == 0 and r["n_clipped_high"] == 0
+    assert r["mean_before"] == r["mean_after"] == 5.0

@@ -102,6 +102,15 @@ def main() -> None:
         warm2 = warm.withColumn("lang", (F.col("doc_id") % 2 == 0).cast("string"))
         text_analysis.dsir_weights(warm2, "lang = 'true'").write.format("noop").mode("overwrite").save()
         dedup.ngram_dup_fraction(warm).write.format("noop").mode("overwrite").save()
+        from dbt_glue_spark.extensions.sketches import kmv_set_ops
+
+        warm3 = warm.select(
+            (F.col("doc_id") % 20).cast("string").alias("source"),
+            F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+        )
+        kmv_set_ops(warm3, "tok", "source").write.format("noop").mode(
+            "overwrite"
+        ).save()
         dedup.release_caches()
         for f_ in factors:
             path = build_scaled(spark, sf_dir, f_, scratch)
@@ -150,6 +159,19 @@ def main() -> None:
                     "overwrite"
                 ).save()
 
+            def run_kmv_overlap():
+                from dbt_glue_spark.extensions.sketches import kmv_set_ops
+
+                toks = docs.select(
+                    # sources cut across replicas: group count stays fixed
+                    # while docs/source grows with the corpus, like a crawl
+                    (F.col("doc_id") % 20).cast("string").alias("source"),
+                    F.explode(F.split(F.col("text"), r"\s+")).alias("tok"),
+                )
+                kmv_set_ops(toks, "tok", "source").write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
             for name, fn in [
                 ("minhash_lsh_pairs", run_lsh),
                 ("span_dedup", run_span),
@@ -158,6 +180,7 @@ def main() -> None:
                 ("cdc_chunks", run_cdc),
                 ("dsir_weights", run_dsir),
                 ("ngram_dup_fraction", run_dupfrac),
+                ("kmv_source_overlap", run_kmv_overlap),
             ]:
                 results.setdefault(name, {})[str(f_)] = timed(fn)
                 dedup.release_caches()
