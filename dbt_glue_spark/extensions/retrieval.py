@@ -253,3 +253,68 @@ def hard_negatives(
         "bm25",
         "jaccard_to_pos",
     )
+
+
+def rank_agreement_rbo(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010), truncated at depth ``k``:
+    RBO = Σ_{d=1..k} (1−p)·p^(d−1)·|A_{1..d} ∩ B_{1..d}|/d between two
+    rankings — the ranker-agreement audit an IR pipeline runs when it
+    swaps scoring functions or rebuilds an index (how much did the
+    ranking actually change, weighted toward the top).
+
+    Inputs are top-k frames with 1-based ``rank_col``. A common doc at
+    ranks (ra, rb) enters every depth ≥ max(ra, rb), so the overlap
+    curve is a ≤k-row cumulative join — all post-ranking work is O(k²)
+    rows regardless of corpus size.
+
+    Determinism: p-powers are embedded as Python float literals (libm
+    ``pow`` differs across engines; literals don't), multiplication is
+    left-associated identically in the oracle, and the ≤k term sum is
+    decimal-quantized (order-free).
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    omp = 1.0 - p
+    powers = F.array(*[F.lit(p**i) for i in range(k)])
+    a2 = a.select(F.col(id_col).alias("id"), F.col(rank_col).alias("ra"))
+    b2 = b.select(F.col(id_col).alias("id"), F.col(rank_col).alias("rb"))
+    per_m = (
+        a2.join(b2, "id")
+        .select(F.greatest("ra", "rb").alias("m"))
+        .groupBy("m")
+        .agg(F.count("*").alias("c"))
+    )
+    depths = a.sparkSession.range(1, k + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    xd = (
+        depths.join(per_m, per_m.m <= depths.d, "left")
+        .groupBy("d")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("x"))
+    )
+    term = (
+        (F.lit(omp) * F.element_at(powers, F.col("d")))
+        * F.col("x").cast("double")
+    ) / F.col("d").cast("double")
+    return (
+        xd.select(
+            term.cast("decimal(28,12)").alias("t"),
+            F.when(F.col("d") == k, F.col("x")).alias("xk"),
+        )
+        .agg(
+            F.max("xk").cast("bigint").alias("overlap_at_k"),
+            F.sum("t").cast("double").alias("__rbo"),
+        )
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "overlap_at_k",
+            half_up_round(F.col("__rbo"), 6).alias("rbo"),
+        )
+    )

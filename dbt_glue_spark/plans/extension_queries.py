@@ -4783,3 +4783,114 @@ def ext_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("sz").cast("bigint").alias("cluster_size"), "n_clusters", "n_docs")
     )
+
+
+def _rbo_oracle(k: int = 10, p: float = 0.9) -> str:
+    """RBO oracle with p-powers embedded as repr'd literals — libm pow
+    differs across engines, parsed shortest-round-trip literals don't."""
+    omp = repr(1.0 - p)
+    vals = ", ".join(f"({d}, {p ** (d - 1)!r}::DOUBLE)" for d in range(1, k + 1))
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+    corpus AS (SELECT COUNT(*) AS n_docs,
+                      CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    qt AS (SELECT doc_id, tok FROM tk
+           WHERE tok IN ('spark', 'window', 'vector')),
+    tfq AS (SELECT doc_id, tok, COUNT(*) AS tf FROM qt GROUP BY doc_id, tok),
+    dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY tok),
+    per AS (
+      SELECT doc_id,
+             CAST(((n_docs - df + 0.5) / (df + 0.5))
+                  * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               AS DECIMAL(18,9)) AS term_score
+      FROM tfq JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus
+    ),
+    bmr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+      FROM (
+        SELECT doc_id,
+               FLOOR(CAST(SUM(term_score) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS bm25
+        FROM per GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT {k}
+      )
+    ),
+    tfr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rb
+      FROM (
+        SELECT doc_id, COUNT(*) AS tf FROM qt GROUP BY doc_id
+        ORDER BY tf DESC, doc_id LIMIT {k}
+      )
+    ),
+    perm AS (
+      SELECT GREATEST(ra, rb) AS m, COUNT(*) AS c
+      FROM bmr JOIN tfr USING (doc_id) GROUP BY 1
+    ),
+    pw AS (SELECT * FROM (VALUES {vals}) AS v(d, w)),
+    xd AS (
+      SELECT d, w, COALESCE(SUM(c), 0) AS x
+      FROM pw LEFT JOIN perm ON m <= d GROUP BY d, w
+    ),
+    terms AS (
+      SELECT d,
+             CAST((({omp} * w) * CAST(x AS DOUBLE)) / CAST(d AS DOUBLE)
+                  AS DECIMAL(28,12)) AS t,
+             CASE WHEN d = {k} THEN x END AS xk
+      FROM xd
+    )
+    SELECT CAST({k} AS INT) AS k,
+           CAST(MAX(xk) AS BIGINT) AS overlap_at_k,
+           FLOOR(CAST(SUM(t) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rbo
+    FROM terms
+    """
+
+
+@register(
+    "ext_rank_agreement_rbo",
+    _rbo_oracle(k=10, p=0.9),
+    doc="Rank-biased overlap (Webber et al. 2010, p=0.9, depth 10) "
+    "between the BM25 ranking and a plain term-frequency ranking of the "
+    "same 3-term query (retrieval.rank_agreement_rbo): the ranker-"
+    "agreement audit run when a scoring function or index is swapped — "
+    "top-weighted, so head disagreements dominate. Everything after the "
+    "two top-k rankings is O(k²) rows; p-powers are embedded float "
+    "literals (libm pow is not cross-engine portable, literals are), "
+    "and the ≤k-term sum is decimal-quantized.",
+)
+def ext_rank_agreement_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dbt_glue_spark.extensions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "window", "vector"]
+    bm = retrieval.bm25_search(docs, terms, topk=10)
+    # 10-row frames: global windows here number a LIMITed ranking, never
+    # the corpus (the k-row codebook precedent)
+    a = bm.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(10)
+    )
+    b = tf.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("doc_id"))),
+    )
+    return retrieval.rank_agreement_rbo(a, b, k=10, p=0.9)

@@ -227,3 +227,47 @@ def test_winsorize_report_no_clip_when_bounds_cover(spark):
     r = winsorize_report(df, "x", "grp").collect()[0]
     assert r["n_clipped_low"] == 0 and r["n_clipped_high"] == 0
     assert r["mean_before"] == r["mean_after"] == 5.0
+
+
+# ---- rank_agreement_rbo ----------------------------------------------------
+
+
+def _ranked(spark, ids):
+    return spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ids)], "doc_id long, rank int"
+    )
+
+
+def test_rbo_identical_rankings_is_one(spark):
+    from dbt_glue_spark.extensions.retrieval import rank_agreement_rbo
+
+    a = _ranked(spark, [5, 3, 9, 1])
+    r = rank_agreement_rbo(a, a, k=4, p=0.9).collect()[0]
+    # identical prefixes: X_d = d at every depth → truncated RBO =
+    # (1-p) * sum(p^(d-1)) = 1 - p^k
+    assert r["overlap_at_k"] == 4
+    assert abs(r["rbo"] - (1 - 0.9**4)) < 1e-6
+
+
+def test_rbo_disjoint_rankings_is_zero(spark):
+    from dbt_glue_spark.extensions.retrieval import rank_agreement_rbo
+
+    a = _ranked(spark, [1, 2, 3])
+    b = _ranked(spark, [7, 8, 9])
+    r = rank_agreement_rbo(a, b, k=3, p=0.9).collect()[0]
+    assert r["overlap_at_k"] == 0
+    assert r["rbo"] == 0.0
+
+
+def test_rbo_top_weighted(spark):
+    from dbt_glue_spark.extensions.retrieval import rank_agreement_rbo
+
+    base = [1, 2, 3, 4]
+    head_swap = _ranked(spark, [9, 2, 3, 4])   # disagree at rank 1
+    tail_swap = _ranked(spark, [1, 2, 3, 9])   # disagree at rank 4
+    a = _ranked(spark, base)
+    r_head = rank_agreement_rbo(a, head_swap, k=4, p=0.9).collect()[0]["rbo"]
+    r_tail = rank_agreement_rbo(a, tail_swap, k=4, p=0.9).collect()[0]["rbo"]
+    # a head disagreement must cost more than the same disagreement at
+    # the tail — the p-weighting doing its job
+    assert r_head < r_tail
