@@ -467,3 +467,40 @@ def label_separation(
             ).alias("separation_ratio"),
         )
     )
+
+
+def embedding_dim_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    var_threshold: float = 1e-4,
+) -> DataFrame:
+    """Per-dimension embedding statistics: mean, variance, and a
+    collapsed flag (variance below ``var_threshold``) — the dimensional-
+    collapse detector for embedding pipelines (dead dimensions waste
+    index space and signal a degenerate encoder; Jing et al. 2022).
+
+    Decimal-quantized sums of x and x² keep the distributed moments
+    order-free; variance is the exact-expression m2 − m² of those two
+    reproducible doubles. One posexplode pass, (pos, x) narrow shuffle
+    with map-side partial agg, ≤ dims output rows.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    dims = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
+    )
+    agg = dims.groupBy("dim").agg(
+        (F.sum(F.col("x").cast("decimal(28,12)")) / F.count("*"))
+        .cast("double")
+        .alias("m"),
+        (F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)")) / F.count("*"))
+        .cast("double")
+        .alias("msq"),
+    )
+    var = F.col("msq") - F.col("m") * F.col("m")
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        half_up_round(F.col("m"), 6).alias("mean"),
+        half_up_round(var, 6).alias("variance"),
+        (var < F.lit(var_threshold)).alias("collapsed"),
+    )

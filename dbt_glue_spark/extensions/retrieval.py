@@ -318,3 +318,53 @@ def rank_agreement_rbo(
             half_up_round(F.col("__rbo"), 6).alias("rbo"),
         )
     )
+
+
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    c: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): fuse N rankings by
+    score(d) = Σ_r 1/(c + rank_r(d)) — the standard hybrid-search
+    combiner (BM25 ⊕ dense ⊕ heuristic lists) that needs no score
+    calibration because it only consumes ranks. ``c=60`` is the
+    published default.
+
+    Output: fused top-k with the fused score, the number of source lists
+    the doc appeared in, and the fused rank (ties broken by id).
+
+    Determinism: each addend 1/(c+rank) is one IEEE division of exact
+    ints; the per-doc sum is decimal-quantized (order-free across any
+    number of input lists). All work after the input rankings is
+    O(N·topk) rows.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    stacked = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col).alias("id"),
+            (
+                F.lit(1.0)
+                / (F.lit(c) + F.col(rank_col)).cast("double")
+            ).cast("decimal(28,12)").alias("contrib"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    fused = stacked.groupBy("id").agg(
+        F.sum("contrib").cast("double").alias("__score"),
+        F.count("*").cast("bigint").alias("n_lists"),
+    )
+    top = fused.orderBy(F.desc("__score"), F.asc("id")).limit(topk)
+    from pyspark.sql import Window
+
+    # topk-row frame: global window numbers a LIMITed ranking, never the corpus
+    w = Window.orderBy(F.desc("__score"), F.asc("id"))
+    return top.withColumn("fused_rank", F.row_number().over(w)).select(
+        F.col("id").alias(id_col),
+        half_up_round(F.col("__score"), 8).alias("rrf_score"),
+        "n_lists",
+        "fused_rank",
+    )

@@ -4894,3 +4894,116 @@ def ext_rank_agreement_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("doc_id"))),
     )
     return retrieval.rank_agreement_rbo(a, b, k=10, p=0.9)
+
+
+def _rrf_oracle(k: int = 10, c: int = 60) -> str:
+    """RRF oracle sharing the BM25/TF ranking CTEs with _rbo_oracle —
+    the prefix of that oracle up to the `perm` CTE, plus the fusion."""
+    base = _rbo_oracle(k=k)
+    prefix = base[: base.index("perm AS (")]
+    return (
+        prefix
+        + f"""
+    stacked AS (
+      SELECT doc_id,
+             CAST(CAST(1.0 AS DOUBLE) / CAST({c} + ra AS DOUBLE)
+                  AS DECIMAL(28,12)) AS contrib
+      FROM bmr
+      UNION ALL
+      SELECT doc_id,
+             CAST(CAST(1.0 AS DOUBLE) / CAST({c} + rb AS DOUBLE)
+                  AS DECIMAL(28,12)) AS contrib
+      FROM tfr
+    ),
+    fused AS (
+      SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+      FROM stacked GROUP BY doc_id
+    ),
+    top AS (SELECT * FROM fused ORDER BY score DESC, doc_id LIMIT {k})
+    SELECT doc_id,
+           FLOOR(score * 1e8 + 0.5) / 1e8 AS rrf_score,
+           n_lists,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+             AS fused_rank
+    FROM top
+    """
+    )
+
+
+@register(
+    "ext_rrf_fusion",
+    _rrf_oracle(k=10, c=60),
+    doc="Reciprocal-rank fusion (Cormack et al. 2009, c=60) of the BM25 "
+    "and plain term-frequency rankings for the same query "
+    "(retrieval.reciprocal_rank_fusion): the calibration-free hybrid-"
+    "search combiner — fusion consumes only ranks, so BM25 ⊕ dense ⊕ "
+    "heuristic lists fuse without score normalization. Each addend is "
+    "one IEEE division of exact ints, the per-doc sum is decimal-"
+    "quantized, and all fusion work is O(N·topk) rows after the input "
+    "rankings.",
+)
+def ext_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dbt_glue_spark.extensions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "window", "vector"]
+    bm = retrieval.bm25_search(docs, terms, topk=10)
+    a = bm.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(10)
+    )
+    b = tf.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("doc_id"))),
+    )
+    return retrieval.reciprocal_rank_fusion([a, b], c=60, topk=10)
+
+
+@register(
+    "ext_embedding_dim_audit",
+    """
+    WITH dims AS (
+      SELECT gs.pos AS pos, CAST(embedding[gs.pos] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) gs
+    ),
+    agg AS (
+      SELECT pos,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS m,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE)
+               AS msq
+      FROM dims GROUP BY pos
+    )
+    SELECT CAST(pos - 1 AS INT) AS dim,
+           FLOOR(m * 1000000.0 + 0.5) / 1000000.0 AS mean,
+           FLOOR((msq - m * m) * 1000000.0 + 0.5) / 1000000.0 AS variance,
+           (msq - m * m) < 0.0001 AS collapsed
+    FROM agg
+    """,
+    doc="Per-dimension embedding collapse audit "
+    "(clustering.embedding_dim_audit): mean/variance per dimension with "
+    "a dead-dimension flag — the index-health check that catches "
+    "degenerate encoders (Jing et al. 2022) before they waste ANN index "
+    "space. Decimal-quantized moment sums (order-free), one posexplode "
+    "pass, ≤ dims output rows.",
+)
+def ext_embedding_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.clustering import embedding_dim_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dim_audit(emb)

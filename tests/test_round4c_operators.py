@@ -271,3 +271,51 @@ def test_rbo_top_weighted(spark):
     # a head disagreement must cost more than the same disagreement at
     # the tail — the p-weighting doing its job
     assert r_head < r_tail
+
+
+# ---- reciprocal_rank_fusion ------------------------------------------------
+
+
+def test_rrf_hand_check(spark):
+    from dbt_glue_spark.extensions.retrieval import reciprocal_rank_fusion
+
+    a = _ranked(spark, [1, 2, 3])
+    b = _ranked(spark, [2, 1, 9])
+    out = {
+        r["doc_id"]: r
+        for r in reciprocal_rank_fusion([a, b], c=60, topk=4).collect()
+    }
+    # doc 1: 1/61 + 1/62; doc 2: 1/62 + 1/61 (tie, id-break); doc 3: 1/63
+    assert out[1]["fused_rank"] == 1 and out[2]["fused_rank"] == 2
+    assert out[1]["rrf_score"] == out[2]["rrf_score"]
+    assert out[1]["n_lists"] == 2 and out[3]["n_lists"] == 1
+    assert out[3]["fused_rank"] < out[9]["fused_rank"]  # rank3 beats rank3? no:
+    # doc 3 at rank 3 in a → 1/63; doc 9 at rank 3 in b → 1/63 — id tie-break
+    assert out[3]["rrf_score"] == out[9]["rrf_score"]
+
+
+def test_rrf_consensus_beats_single_list_head(spark):
+    from dbt_glue_spark.extensions.retrieval import reciprocal_rank_fusion
+
+    # doc 5 is rank 2 in BOTH lists; docs 1 and 9 lead one list each
+    a = _ranked(spark, [1, 5, 3])
+    b = _ranked(spark, [9, 5, 4])
+    out = reciprocal_rank_fusion([a, b], c=60, topk=5).collect()
+    assert out[0]["doc_id"] == 5  # 2/62 > 1/61 + small tail
+
+
+# ---- embedding_dim_audit ---------------------------------------------------
+
+
+def test_embedding_dim_audit_flags_dead_dim(spark):
+    from dbt_glue_spark.extensions.clustering import embedding_dim_audit
+
+    rows = [([float(i), 7.0],) for i in range(10)]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    out = {r["dim"]: r for r in embedding_dim_audit(df).collect()}
+    assert out[0]["collapsed"] is False
+    assert out[1]["collapsed"] is True        # constant dim → var 0
+    assert out[1]["variance"] == 0.0
+    assert out[1]["mean"] == 7.0
+    assert out[0]["mean"] == 4.5              # mean of 0..9
+    assert out[0]["variance"] == 8.25         # var of 0..9
