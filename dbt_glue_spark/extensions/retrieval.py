@@ -368,3 +368,65 @@ def reciprocal_rank_fusion(
         "n_lists",
         "fused_rank",
     )
+
+
+def query_expansion(
+    docs: DataFrame,
+    query_terms: list[str],
+    topk_docs: int = 10,
+    topk_terms: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM1-lite): take the
+    BM25 top-``topk_docs`` for the query, count their terms (query terms
+    excluded), weight by the rational smoothed idf (N+1)/(df+1), and
+    return the ``topk_terms`` strongest expansion candidates — the
+    recall-boosting second pass of a retrieval pipeline.
+
+    100 TB plan: the corpus pays one lexer pass for document frequencies
+    (the tfidf df branch — |vocab|-row output); the feedback branch is a
+    semi-join of the token table against ``topk_docs`` ids (broadcast),
+    so expansion-side work is O(topk_docs · doclen). Top terms via
+    TakeOrderedAndProject on the unrounded weight, term tie-break.
+    """
+    from dbt_glue_spark.extensions.dedup import _persist
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    terms = [t.lower() for t in query_terms]
+    toks = _persist(
+        docs.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
+    )
+    top = bm25_search(docs, terms, topk=topk_docs, id_col=id_col, text_col=text_col)
+    fb = (
+        toks.join(F.broadcast(top.select(id_col)), id_col, "left_semi")
+        .filter(~F.col("tok").isin(terms))
+    )
+    cnt = fb.groupBy("tok").agg(F.count("*").cast("bigint").alias("cnt"))
+    df_all = (
+        toks.select(id_col, "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.count("*").alias("n_docs"))
+    idf = (F.col("n_docs") + F.lit(1)).cast("double") / (
+        F.col("df") + F.lit(1)
+    ).cast("double")
+    weighted = (
+        cnt.join(df_all, "tok")
+        .join(F.broadcast(corpus))
+        .select(
+            "tok", "cnt", (F.col("cnt").cast("double") * idf).alias("__wt")
+        )
+    )
+    return (
+        weighted.orderBy(F.desc("__wt"), F.asc("tok"))
+        .limit(topk_terms)
+        .select(
+            F.col("tok").alias("term"),
+            F.col("cnt").alias("n_feedback_occurrences"),
+            half_up_round(F.col("__wt"), 6).alias("weight"),
+        )
+    )

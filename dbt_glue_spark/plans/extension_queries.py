@@ -5007,3 +5007,107 @@ def ext_embedding_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_dim_audit(emb)
+
+
+def _query_expansion_oracle(topk_terms: int = 10) -> str:
+    """Expansion oracle sharing the BM25 top-10 CTEs with _rbo_oracle
+    (prefix through the `bmr` ranking), plus feedback-term weighting."""
+    base = _rbo_oracle(k=10)
+    prefix = base[: base.index("tfr AS (")]
+    return (
+        prefix
+        + f"""
+    ft AS (
+      SELECT tk.doc_id, tk.tok
+      FROM tk JOIN bmr ON bmr.doc_id = tk.doc_id
+      WHERE tk.tok NOT IN ('spark', 'window', 'vector')
+    ),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM ft GROUP BY tok),
+    dfall AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY tok),
+    wt AS (
+      SELECT c.tok, c.cnt,
+             CAST(c.cnt AS DOUBLE)
+               * (CAST(corpus.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE))
+               AS w
+      FROM cnt c JOIN dfall d USING (tok) CROSS JOIN corpus
+    )
+    SELECT tok AS term, cnt AS n_feedback_occurrences,
+           FLOOR(w * 1000000.0 + 0.5) / 1000000.0 AS weight
+    FROM wt ORDER BY w DESC, tok LIMIT {topk_terms}
+    """
+    )
+
+
+@register(
+    "ext_query_expansion",
+    _query_expansion_oracle(topk_terms=10),
+    doc="Pseudo-relevance-feedback query expansion, RM1-lite "
+    "(retrieval.query_expansion): terms of the BM25 top-10 feedback "
+    "docs (query terms excluded) weighted by occurrence × rational "
+    "smoothed idf — the recall-boosting second retrieval pass. Corpus "
+    "pays one lexer pass for document frequencies; the feedback branch "
+    "is a broadcast semi-join against 10 ids, so expansion work is "
+    "O(topk·doclen). Top terms via TakeOrderedAndProject on the "
+    "unrounded weight.",
+)
+def ext_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.query_expansion(
+        docs, ["spark", "window", "vector"], topk_docs=10, topk_terms=10
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    from dbt_glue_spark.plans.catalog import _REGISTRY
+
+    lang = _REGISTRY["ext_language_id"].oracle
+    return f"""
+    WITH l AS ({lang}),
+    j AS (
+      SELECT d.lang, l.lang_pred
+      FROM documents d JOIN l ON l.doc_id = d.doc_id
+    ),
+    c AS (
+      SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM j GROUP BY lang, lang_pred
+    ),
+    t AS (SELECT lang, SUM(n_docs) AS tot FROM c GROUP BY lang)
+    SELECT c.lang, c.lang_pred, c.n_docs,
+           FLOOR(CAST(c.n_docs AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_of_lang
+    FROM c JOIN t USING (lang)
+    """
+
+
+@register(
+    "ext_langid_confusion",
+    _langid_confusion_oracle(),
+    doc="Language-ID confusion matrix: predicted language "
+    "(text_analysis.language_id) × ground-truth lang label, with each "
+    "cell's share of its true-language row — the classifier-quality "
+    "audit run before trusting a language filter to route 100 TB of "
+    "documents. Composes the registered langid oracle verbatim, so "
+    "drift in the classifier OR the matrix breaks the hash. Narrow "
+    "projection + two ≤ langs²-row aggregates; totals join is "
+    "broadcast-sized.",
+)
+def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_analysis.language_id(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    c = joined.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    t = c.groupBy("lang").agg(F.sum("n_docs").alias("tot"))
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    return c.join(F.broadcast(t), "lang").select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        half_up_round(
+            F.col("n_docs").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("share_of_lang"),
+    )
