@@ -430,3 +430,76 @@ def query_expansion(
             half_up_round(F.col("__wt"), 6).alias("weight"),
         )
     )
+
+
+def ndcg_at_k(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k (Järvelin & Kekäläinen 2002): DCG of the ranking under
+    graded relevance, normalized by the ideal DCG of the k most relevant
+    documents corpus-wide — the standard offline ranking-quality metric.
+
+    ``ranking`` is a top-k frame with 1-based ranks; ``relevance`` maps
+    ids to integer gains (missing ids gain 0). Discounts 1/log2(d+1) are
+    embedded as Python float literals — log2 comes from libm and is not
+    cross-engine portable, literals are. DCG/IDCG term sums are
+    decimal-quantized; the single final division is one IEEE op.
+
+    100 TB shape: the DCG branch joins the ≤k-row ranking (broadcast)
+    against relevance; the IDCG branch is a corpus-wide top-k by gain via
+    TakeOrderedAndProject. Nothing else scales with corpus size.
+    """
+    import math
+
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    discs = F.array(*[F.lit(1.0 / math.log2(d + 1)) for d in range(1, k + 1)])
+    r2 = ranking.select(F.col(id_col).alias("id"), F.col(rank_col).alias("d"))
+    rel2 = relevance.select(F.col(id_col).alias("id"), F.col(rel_col).alias("rel"))
+    # inner join ≡ left join here: a ranked doc with no relevance row
+    # contributes 0 to DCG — and inner lets the k-row ranking broadcast
+    # (Spark cannot broadcast the preserved side of an outer join)
+    dcg = (
+        rel2.join(F.broadcast(r2), "id")
+        .select(
+            (
+                F.col("rel").cast("double") * F.element_at(discs, F.col("d"))
+            ).cast("decimal(28,12)").alias("t")
+        )
+        .agg(
+            F.coalesce(F.sum("t").cast("double"), F.lit(0.0)).alias("dcg")
+        )
+    )
+    from pyspark.sql import Window
+
+    ideal_topk = rel2.orderBy(F.desc("rel"), F.asc("id")).limit(k)
+    # k-row frame: the global window numbers a LIMITed selection
+    w = Window.orderBy(F.desc("rel"), F.asc("id"))
+    idcg = (
+        ideal_topk.withColumn("d", F.row_number().over(w))
+        .select(
+            (
+                F.col("rel").cast("double") * F.element_at(discs, F.col("d"))
+            ).cast("decimal(28,12)").alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("idcg"))
+    )
+    return (
+        dcg.join(F.broadcast(idcg))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            half_up_round(F.col("dcg"), 6).alias("dcg"),
+            half_up_round(F.col("idcg"), 6).alias("idcg"),
+            half_up_round(
+                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("ndcg"),
+        )
+    )

@@ -5111,3 +5111,82 @@ def ext_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.col("tot").cast("double"), 6
         ).alias("share_of_lang"),
     )
+
+
+def _ndcg_oracle(k: int = 10) -> str:
+    """nDCG oracle sharing the BM25 ranking CTEs; discounts embedded as
+    repr'd literals (libm log2 is not cross-engine portable)."""
+    import math
+
+    base = _rbo_oracle(k=k)
+    prefix = base[: base.index("tfr AS (")]
+    discs = ", ".join(
+        f"({d}, {1.0 / math.log2(d + 1)!r}::DOUBLE)" for d in range(1, k + 1)
+    )
+    return (
+        prefix
+        + f"""
+    rel AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rel FROM qt GROUP BY doc_id
+    ),
+    disc AS (SELECT * FROM (VALUES {discs}) AS v(d, w)),
+    dcg AS (
+      SELECT CAST(SUM(CAST(CAST(COALESCE(rel.rel, 0) AS DOUBLE) * disc.w
+                           AS DECIMAL(28,12))) AS DOUBLE) AS dcg
+      FROM bmr
+      LEFT JOIN rel ON rel.doc_id = bmr.doc_id
+      JOIN disc ON disc.d = bmr.ra
+    ),
+    ideal AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS d
+      FROM (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id LIMIT {k})
+    ),
+    idcg AS (
+      SELECT CAST(SUM(CAST(CAST(ideal.rel AS DOUBLE) * disc.w
+                           AS DECIMAL(28,12))) AS DOUBLE) AS idcg
+      FROM ideal JOIN disc ON disc.d = ideal.d
+    )
+    SELECT CAST({k} AS INT) AS k,
+           FLOOR(dcg * 1000000.0 + 0.5) / 1000000.0 AS dcg,
+           FLOOR(idcg * 1000000.0 + 0.5) / 1000000.0 AS idcg,
+           FLOOR(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END
+                 * 1000000.0 + 0.5) / 1000000.0 AS ndcg
+    FROM dcg CROSS JOIN idcg
+    """
+    )
+
+
+@register(
+    "ext_ndcg_bm25",
+    _ndcg_oracle(k=10),
+    doc="nDCG@10 of the BM25 ranking under graded term-frequency "
+    "relevance (retrieval.ndcg_at_k): the standard offline ranking-"
+    "quality metric, closing the IR-evaluation trio with RBO (agreement) "
+    "and RRF (fusion). Discounts 1/log2(d+1) are embedded float "
+    "literals; DCG/IDCG sums are decimal-quantized; the ideal ranking "
+    "is a corpus-wide TakeOrderedAndProject top-k by gain.",
+)
+def ext_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dbt_glue_spark.extensions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "window", "vector"]
+    bm = retrieval.bm25_search(docs, terms, topk=10)
+    ranking = bm.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    )
+    rel = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("rel"))
+    )
+    return retrieval.ndcg_at_k(ranking, rel, k=10)

@@ -353,3 +353,42 @@ def test_langid_confusion_diagonal_dominant(spark, sf_dir):
     # synthetic corpus; the matrix itself is value-checked by the oracle
     assert total > 0
     assert diag / total > 0.3
+
+
+# ---- ndcg_at_k -------------------------------------------------------------
+
+
+def _rel(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rel long")
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from dbt_glue_spark.extensions.retrieval import ndcg_at_k
+
+    rel = _rel(spark, [(1, 3), (2, 2), (3, 1), (4, 0)])
+    ranking = _ranked(spark, [1, 2, 3])  # descending relevance order
+    r = ndcg_at_k(ranking, rel, k=3).collect()[0]
+    assert r["ndcg"] == 1.0
+    assert r["dcg"] == r["idcg"]
+
+
+def test_ndcg_reversed_ranking_below_one(spark):
+    from dbt_glue_spark.extensions.retrieval import ndcg_at_k
+
+    import math
+
+    rel = _rel(spark, [(1, 3), (2, 2), (3, 1)])
+    r = ndcg_at_k(_ranked(spark, [3, 2, 1]), rel, k=3).collect()[0]
+    # hand: dcg = 1/log2(2)·1 + 2/log2(3) + 3/log2(4); idcg with 3,2,1
+    dcg = 1.0 + 2 / math.log2(3) + 3 / 2.0
+    idcg = 3.0 + 2 / math.log2(3) + 1 / 2.0
+    assert abs(r["ndcg"] - dcg / idcg) < 1e-6
+    assert r["ndcg"] < 1.0
+
+
+def test_ndcg_no_relevant_in_ranking_is_zero(spark):
+    from dbt_glue_spark.extensions.retrieval import ndcg_at_k
+
+    rel = _rel(spark, [(50, 5)])
+    r = ndcg_at_k(_ranked(spark, [1, 2, 3]), rel, k=3).collect()[0]
+    assert r["dcg"] == 0.0 and r["ndcg"] == 0.0
