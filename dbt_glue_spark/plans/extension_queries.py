@@ -5190,3 +5190,51 @@ def ext_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("rel"))
     )
     return retrieval.ndcg_at_k(ranking, rel, k=10)
+
+
+@register(
+    "ext_top_tokens_per_lang",
+    r"""
+    WITH tk AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    cnt AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tk GROUP BY lang, tok
+    )
+    SELECT lang, tok, n, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT lang, tok, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+      FROM cnt
+    ) WHERE rk <= 5
+    """,
+    doc="Per-language heavy hitters: top-5 word tokens per lang — the "
+    "grouped variant of ext_top_tokens (per-source/per-language "
+    "vocabulary telemetry). The keyed window compiles with "
+    "WindowGroupLimit partial pushdown: each map task forwards ≤5 rows "
+    "per language before the shuffle, so the exchange carries "
+    "O(partitions·langs·5) rows — the scale-safe grouped top-k (a "
+    "global TakeOrderedAndProject can't express per-group cuts).",
+)
+def ext_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "tok", "n", F.col("rk").cast("int").alias("rk"))
+    )

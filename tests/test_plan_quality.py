@@ -614,3 +614,37 @@ def test_vocab_coverage_topk_is_take_ordered(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = plan_of(vocab_coverage(docs), mode="simple")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_grouped_top_tokens_uses_window_group_limit(spark, sf_dir):
+    # per-lang top-5 must push the rank cut into WindowGroupLimit (each
+    # map task forwards ≤5 rows per group pre-shuffle) and the window
+    # must be keyed by lang — never a global window over the vocabulary
+    spec = SPECS()["ext_top_tokens_per_lang"]
+    plan = plan_of(spec.fn(spark, sf_dir), mode="formatted")
+    assert "WindowGroupLimit" in plan, plan
+    total = plan.count("windowspecdefinition(")
+    keyed = plan.count("windowspecdefinition(lang#")
+    assert total > 0 and total == keyed, plan
+
+
+def test_kmv_source_overlap_sketch_windows_are_group_keyed(spark, sf_dir):
+    # the sketch build (pre-localCheckpoint) must rank per source with
+    # WindowGroupLimit — checked on the un-checkpointed fragment since
+    # the catalog query's final plan starts from the materialized sketch
+    from dbt_glue_spark.extensions.sketches import hash_fraction
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    )
+    hashed = toks.select(
+        F.col("source").alias("g"), hash_fraction(F.col("tok")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    sk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= 128
+    )
+    plan = plan_of(sk, mode="formatted")
+    assert "WindowGroupLimit" in plan, plan
