@@ -68,6 +68,9 @@ EXTENSION_HEADLINE = [
     "ext_dsir_weights",
     "ext_ngram_dup_fraction",
     "ext_kmv_source_overlap",
+    "ext_encoding_audit",
+    "ext_rrf_fusion",
+    "ext_label_separation",
     "mat_merge_upsert",
     "mat_scd2_snapshot_check",
     "asof_join_clicks_purchases",

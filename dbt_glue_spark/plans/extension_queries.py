@@ -5238,3 +5238,101 @@ def ext_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("lang", "tok", "n", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def _classifier_eval_oracle() -> str:
+    from dbt_glue_spark.plans.catalog import _REGISTRY
+
+    pred = _REGISTRY["ext_quality_classifier"].oracle
+    truth = _REGISTRY["ext_quality_filter"].oracle
+    return f"""
+    WITH p AS ({pred}), t AS ({truth}),
+    j AS (
+      SELECT p.keep AS pk, t.keep AS tk
+      FROM p JOIN t ON t.doc_id = p.doc_id
+    ),
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN pk AND tk THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN pk AND NOT tk THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN NOT pk AND tk THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN NOT pk AND NOT tk THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM j
+    ),
+    pr AS (
+      SELECT tp, fp, fn, tn,
+             CASE WHEN tp + fp > 0
+                  THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                  ELSE 0.0 END AS p,
+             CASE WHEN tp + fn > 0
+                  THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                  ELSE 0.0 END AS r
+      FROM c
+    )
+    SELECT tp, fp, fn, tn,
+           FLOOR(p * 1000000.0 + 0.5) / 1000000.0 AS precision,
+           FLOOR(r * 1000000.0 + 0.5) / 1000000.0 AS recall,
+           FLOOR(CASE WHEN p + r > 0 THEN ((2.0 * p) * r) / (p + r)
+                      ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS f1
+    FROM pr
+    """
+
+
+@register(
+    "ext_classifier_eval",
+    _classifier_eval_oracle(),
+    doc="Classifier-evaluation audit: confusion counts + precision / "
+    "recall / F1 of the hashing-trick quality classifier against the "
+    "Gopher-gate keep labels — the before-you-trust-it measurement of a "
+    "model-based quality filter (FineWeb-style: heuristic gate labels, "
+    "classifier learns to generalize them). Composes BOTH registered "
+    "oracles verbatim, so drift in either stage breaks the hash; the "
+    "eval itself is one hash-keyed join + a 1-row aggregate — free at "
+    "any corpus size next to the scoring passes.",
+)
+def ext_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_analysis.quality_classifier(docs).select(
+        "doc_id", F.col("keep").alias("pk")
+    )
+    truth = text_analysis.quality_filter(docs).select(
+        "doc_id", F.col("keep").alias("tk")
+    )
+    c = pred.join(truth, "doc_id").agg(
+        F.sum(F.when(F.col("pk") & F.col("tk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("pk") & ~F.col("tk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pk") & F.col("tk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pk") & ~F.col("tk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    p = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    pr = c.select("tp", "fp", "fn", "tn", p.alias("p"), r.alias("r"))
+    f1 = F.when(
+        F.col("p") + F.col("r") > 0,
+        ((F.lit(2.0) * F.col("p")) * F.col("r")) / (F.col("p") + F.col("r")),
+    ).otherwise(F.lit(0.0))
+    return pr.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        half_up_round(F.col("p"), 6).alias("precision"),
+        half_up_round(F.col("r"), 6).alias("recall"),
+        half_up_round(f1, 6).alias("f1"),
+    )

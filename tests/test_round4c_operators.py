@@ -392,3 +392,22 @@ def test_ndcg_no_relevant_in_ranking_is_zero(spark):
     rel = _rel(spark, [(50, 5)])
     r = ndcg_at_k(_ranked(spark, [1, 2, 3]), rel, k=3).collect()[0]
     assert r["dcg"] == 0.0 and r["ndcg"] == 0.0
+
+
+# ---- classifier eval -------------------------------------------------------
+
+
+def test_classifier_eval_counts_and_f1(spark, sf_dir):
+    from dbt_glue_spark.plans.catalog import SPECS
+
+    r = SPECS()["ext_classifier_eval"].fn(spark, sf_dir).collect()[0]
+    n = r["tp"] + r["fp"] + r["fn"] + r["tn"]
+    assert n > 0
+    # identities: precision/recall/f1 consistent with the counts
+    if r["tp"] + r["fp"] > 0:
+        assert abs(r["precision"] - r["tp"] / (r["tp"] + r["fp"])) < 1e-5
+    if r["tp"] + r["fn"] > 0:
+        assert abs(r["recall"] - r["tp"] / (r["tp"] + r["fn"])) < 1e-5
+    if r["precision"] + r["recall"] > 0:
+        expect = 2 * r["precision"] * r["recall"] / (r["precision"] + r["recall"])
+        assert abs(r["f1"] - expect) < 1e-4
