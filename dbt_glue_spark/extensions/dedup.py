@@ -874,3 +874,38 @@ def ngram_dup_fraction(
             "dup_fraction"
         ),
     )
+
+
+def edit_distance_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact edit-distance verification of near-dup CANDIDATE pairs:
+    Levenshtein distance + length-normalized similarity
+    1 − dist/max(len) per (id_a, id_b) — the final exact-verify stage
+    after a bucketed candidate generator (LSH / n-gram), catching the
+    false positives shingle overlap lets through.
+
+    100 TB discipline: Levenshtein is O(len_a·len_b) per pair, so this
+    operator must ONLY ever run on candidate pairs (thousands), never be
+    the pair generator itself — the same contract as simhash_pairs'
+    exact-verify leg. Both engines implement classic unit-cost edit
+    distance, and the distance is an exact integer, so the oracle
+    replays it directly.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"))
+    glen = F.greatest(F.length("__ta"), F.length("__tb"))
+    sim = F.lit(1.0) - dist.cast("double") / glen.cast("double")
+    return j.select(
+        "id_a",
+        "id_b",
+        dist.cast("bigint").alias("edit_distance"),
+        half_up_round(sim, 6).alias("norm_sim"),
+    )

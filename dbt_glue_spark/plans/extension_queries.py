@@ -5336,3 +5336,109 @@ def ext_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         half_up_round(F.col("r"), 6).alias("recall"),
         half_up_round(f1, 6).alias("f1"),
     )
+
+
+@register(
+    "ext_edit_distance_verify",
+    "WITH "
+    + _SH
+    + ","
+    + _JACCARD_TAIL
+    + """,
+    prs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5)
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+           FLOOR((CAST(1.0 AS DOUBLE)
+                  - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(da.text), LENGTH(db.text)) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS norm_sim
+    FROM prs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    """,
+    doc="Exact edit-distance verification of the 3-gram-Jaccard≥0.5 "
+    "candidate pairs (dedup.edit_distance_verify): Levenshtein distance "
+    "+ length-normalized similarity per pair — the final exact-verify "
+    "stage of a near-dup pipeline, catching false positives shingle "
+    "overlap admits. O(len²) per pair, so it runs ONLY on the bucketed "
+    "generator's candidates (the simhash exact-verify contract); the "
+    "integer distance replays exactly in both engines.",
+)
+def ext_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.edit_distance_verify(docs, pairs)
+
+
+def _calibration_oracle() -> str:
+    from dbt_glue_spark.plans.catalog import _REGISTRY
+
+    pred = _REGISTRY["ext_quality_classifier"].oracle
+    truth = _REGISTRY["ext_quality_filter"].oracle
+    return f"""
+    WITH p AS ({pred}), t AS ({truth}),
+    j AS (
+      SELECT CAST(LEAST(FLOOR((p.quality_margin + 0.5) * 10), 9) AS INT)
+               AS margin_bin,
+             p.quality_margin AS m,
+             t.keep AS tk
+      FROM p JOIN t ON t.doc_id = p.doc_id
+    )
+    SELECT margin_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN tk THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           FLOOR(CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_margin,
+           FLOOR(CAST(SUM(CASE WHEN tk THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS pos_rate
+    FROM j GROUP BY margin_bin
+    """
+
+
+@register(
+    "ext_classifier_calibration",
+    _calibration_oracle(),
+    doc="Classifier calibration curve (reliability diagram data): the "
+    "quality-classifier margin binned into deciles of its [-0.5, 0.5] "
+    "range × the empirical Gopher-gate positive rate per bin — "
+    "monotonically rising pos_rate means the margin is informative "
+    "beyond its sign (usable as a sampling weight, FineWeb-style), flat "
+    "means it is not. Composes both registered oracles; decimal-exact "
+    "bin means; ≤10 output rows from one hash-keyed join.",
+)
+def ext_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_analysis.quality_classifier(docs).select(
+        "doc_id", "quality_margin"
+    )
+    truth = text_analysis.quality_filter(docs).select(
+        "doc_id", F.col("keep").alias("tk")
+    )
+    j = pred.join(truth, "doc_id").select(
+        F.least(
+            F.floor((F.col("quality_margin") + F.lit(0.5)) * F.lit(10)),
+            F.lit(9),
+        )
+        .cast("int")
+        .alias("margin_bin"),
+        F.col("quality_margin").alias("m"),
+        "tk",
+    )
+    return j.groupBy("margin_bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("tk"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        half_up_round(
+            F.sum(F.col("m").cast("decimal(18,6)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_margin"),
+        half_up_round(
+            F.sum(F.when(F.col("tk"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("pos_rate"),
+    )

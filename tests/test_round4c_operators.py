@@ -411,3 +411,38 @@ def test_classifier_eval_counts_and_f1(spark, sf_dir):
     if r["precision"] + r["recall"] > 0:
         expect = 2 * r["precision"] * r["recall"] / (r["precision"] + r["recall"])
         assert abs(r["f1"] - expect) < 1e-4
+
+
+# ---- edit_distance_verify --------------------------------------------------
+
+
+def test_edit_distance_verify_hand_check(spark):
+    from dbt_glue_spark.extensions.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in edit_distance_verify(docs, pairs).collect()}
+    assert out[(1, 2)]["edit_distance"] == 3          # classic kitten→sitting
+    assert abs(out[(1, 2)]["norm_sim"] - (1 - 3 / 7)) < 1e-6
+    assert out[(1, 3)]["edit_distance"] == 0          # exact copy
+    assert out[(1, 3)]["norm_sim"] == 1.0
+
+
+def test_classifier_calibration_bins_partition_corpus(spark, sf_dir):
+    from dbt_glue_spark.plans.catalog import SPECS
+
+    import duckdb
+
+    rows = SPECS()["ext_classifier_calibration"].fn(spark, sf_dir).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs   # every doc in one bin
+    for r in rows:
+        assert 0 <= r["margin_bin"] <= 9
+        assert 0.0 <= r["pos_rate"] <= 1.0
