@@ -503,3 +503,59 @@ def ndcg_at_k(
             ).alias("ndcg"),
         )
     )
+
+
+def average_precision_at_k(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """AP@k (average precision, binary relevance): mean of precision@d at
+    each relevant rank d, normalized by min(R, k) where R = total
+    relevant docs corpus-wide — the rank-sensitive companion of
+    recall@k, and the per-query term of MAP.
+
+    ``relevance`` rows mark relevant ids (presence = relevant). Entirely
+    rational arithmetic: precision@d = cum_rel/d over a ≤k-row window,
+    the term sum is decimal-quantized, one final IEEE division by
+    min(R, k). The only corpus-sized work is R (a 1-row count) and the
+    relevance semi-join against the k-row ranking (broadcast).
+    """
+    from pyspark.sql import Window
+
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    r2 = ranking.select(F.col(id_col).alias("id"), F.col(rank_col).alias("d"))
+    rel_ids = relevance.select(F.col(id_col).alias("id")).distinct()
+    flagged = r2.join(
+        rel_ids.withColumn("__rel", F.lit(1)), "id", "left"
+    ).select("d", F.coalesce("__rel", F.lit(0)).alias("isrel"))
+    # ≤k-row frame: the running sum numbers a LIMITed ranking
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    terms = flagged.withColumn("cum", F.sum("isrel").over(w)).select(
+        (
+            (F.col("cum").cast("double") / F.col("d").cast("double"))
+            * F.col("isrel").cast("double")
+        ).cast("decimal(28,12)").alias("t")
+    )
+    total_rel = rel_ids.agg(F.count("*").cast("bigint").alias("n_rel"))
+    return (
+        terms.agg(
+            F.coalesce(F.sum("t").cast("double"), F.lit(0.0)).alias("__num")
+        )
+        .join(F.broadcast(total_rel))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.col("n_rel"),
+            half_up_round(
+                F.when(
+                    F.least(F.col("n_rel"), F.lit(k)) > 0,
+                    F.col("__num")
+                    / F.least(F.col("n_rel"), F.lit(k)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ap"),
+        )
+    )

@@ -5442,3 +5442,76 @@ def ext_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pos_rate"),
     )
+
+
+def _ap_oracle(k: int = 10) -> str:
+    """AP@k oracle sharing the BM25 ranking CTEs (binary relevance =
+    any query-term occurrence)."""
+    base = _rbo_oracle(k=k)
+    prefix = base[: base.index("tfr AS (")]
+    return (
+        prefix
+        + f"""
+    relids AS (SELECT DISTINCT doc_id FROM qt),
+    fl AS (
+      SELECT bmr.ra AS d,
+             CASE WHEN relids.doc_id IS NULL THEN 0 ELSE 1 END AS isrel
+      FROM bmr LEFT JOIN relids ON relids.doc_id = bmr.doc_id
+    ),
+    cum AS (
+      SELECT d, isrel,
+             SUM(isrel) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM fl
+    ),
+    terms AS (
+      SELECT CAST((CAST(c AS DOUBLE) / CAST(d AS DOUBLE))
+                  * CAST(isrel AS DOUBLE) AS DECIMAL(28,12)) AS t
+      FROM cum
+    ),
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM relids)
+    SELECT CAST({k} AS INT) AS k, n_rel,
+           FLOOR(CASE WHEN LEAST(n_rel, {k}) > 0
+                      THEN COALESCE(CAST(SUM(t) AS DOUBLE), 0.0)
+                           / CAST(LEAST(n_rel, {k}) AS DOUBLE)
+                      ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS ap
+    FROM terms CROSS JOIN nr GROUP BY n_rel
+    """
+    )
+
+
+@register(
+    "ext_average_precision",
+    _ap_oracle(k=10),
+    doc="AP@10 of the BM25 ranking under binary query-term relevance "
+    "(retrieval.average_precision_at_k): the per-query term of MAP, "
+    "completing the retrieval-metric suite (RBO agreement, RRF fusion, "
+    "nDCG graded quality, AP binary quality). Entirely rational "
+    "arithmetic — precision@d over a ≤k-row running window, decimal "
+    "term sum, one final division by min(R, k); the corpus contributes "
+    "only the 1-row relevant count and a broadcast semi-join.",
+)
+def ext_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dbt_glue_spark.extensions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "window", "vector"]
+    bm = retrieval.bm25_search(docs, terms, topk=10)
+    ranking = bm.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    )
+    rel = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok").isin(terms))
+        .select("doc_id")
+        .distinct()
+    )
+    return retrieval.average_precision_at_k(ranking, rel, k=10)

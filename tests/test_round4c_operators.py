@@ -446,3 +446,35 @@ def test_classifier_calibration_bins_partition_corpus(spark, sf_dir):
     for r in rows:
         assert 0 <= r["margin_bin"] <= 9
         assert 0.0 <= r["pos_rate"] <= 1.0
+
+
+# ---- average_precision_at_k ------------------------------------------------
+
+
+def test_ap_hand_check(spark):
+    from dbt_glue_spark.extensions.retrieval import average_precision_at_k
+
+    # relevant = {1, 3, 40}; ranking hits at ranks 1 and 3
+    rel = spark.createDataFrame([(1,), (3,), (40,)], "doc_id long")
+    ranking = _ranked(spark, [1, 2, 3])
+    r = average_precision_at_k(ranking, rel, k=3).collect()[0]
+    # AP = (1/1 + 2/3) / min(3, 3)
+    assert abs(r["ap"] - (1.0 + 2 / 3) / 3) < 1e-6
+    assert r["n_rel"] == 3
+
+
+def test_ap_perfect_prefix_is_one(spark):
+    from dbt_glue_spark.extensions.retrieval import average_precision_at_k
+
+    rel = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    r = average_precision_at_k(_ranked(spark, [1, 2, 9]), rel, k=3).collect()[0]
+    # both relevant docs at the top, R=2 < k → AP = (1 + 1)/2 = 1
+    assert r["ap"] == 1.0
+
+
+def test_ap_no_hits_is_zero(spark):
+    from dbt_glue_spark.extensions.retrieval import average_precision_at_k
+
+    rel = spark.createDataFrame([(99,)], "doc_id long")
+    r = average_precision_at_k(_ranked(spark, [1, 2, 3]), rel, k=3).collect()[0]
+    assert r["ap"] == 0.0
