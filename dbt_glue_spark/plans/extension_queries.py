@@ -5515,3 +5515,172 @@ def ext_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return retrieval.average_precision_at_k(ranking, rel, k=10)
+
+
+@register(
+    "ext_correlation_matrix",
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS s_q,
+             CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS ss_q,
+             CAST(SUM(CAST(CAST(l_discount AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS s_d,
+             CAST(SUM(CAST(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS ss_d,
+             CAST(SUM(CAST(CAST(l_tax AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS s_t,
+             CAST(SUM(CAST(CAST(l_tax AS DOUBLE) * CAST(l_tax AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS ss_t,
+             CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sp_qd,
+             CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_tax AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sp_qt,
+             CAST(SUM(CAST(CAST(l_discount AS DOUBLE) * CAST(l_tax AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sp_dt
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+             (CAST(n AS DOUBLE) * sp_qd - s_q * s_d)
+               / (SQRT(CAST(n AS DOUBLE) * ss_q - s_q * s_q)
+                  * SQRT(CAST(n AS DOUBLE) * ss_d - s_d * s_d)) AS r
+      FROM m
+      UNION ALL
+      SELECT 'l_quantity', 'l_tax',
+             (CAST(n AS DOUBLE) * sp_qt - s_q * s_t)
+               / (SQRT(CAST(n AS DOUBLE) * ss_q - s_q * s_q)
+                  * SQRT(CAST(n AS DOUBLE) * ss_t - s_t * s_t))
+      FROM m
+      UNION ALL
+      SELECT 'l_discount', 'l_tax',
+             (CAST(n AS DOUBLE) * sp_dt - s_d * s_t)
+               / (SQRT(CAST(n AS DOUBLE) * ss_d - s_d * s_d)
+                  * SQRT(CAST(n AS DOUBLE) * ss_t - s_t * s_t))
+      FROM m
+    )
+    SELECT col_a, col_b,
+           FLOOR(r * 1000000.0 + 0.5) / 1000000.0 AS pearson_r
+    FROM pairs
+    """,
+    doc="Pairwise Pearson correlation of the bounded lineitem measures "
+    "(profile.correlation_matrix): exact decimal moments in ONE "
+    "aggregate pass, then pure double algebra — IEEE mandates correctly-"
+    "rounded √, so the result is engine-exact without transcendental "
+    "workarounds. The feature-redundancy leg of numeric profiling; "
+    "output is C(3,2) rows regardless of input size. Measures are "
+    "chosen bounded (quantity/discount/tax) so Σx² stays inside the "
+    "2^53 exact-integer range of a double.",
+)
+def ext_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile.correlation_matrix(li, ["l_quantity", "l_discount", "l_tax"])
+
+
+@register(
+    "ext_chi2_independence",
+    """
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, SUM(o) AS row_tot FROM obs GROUP BY lang),
+    ct AS (SELECT source, SUM(o) AS col_tot FROM obs GROUP BY source),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT obs.lang, obs.source, obs.o,
+             (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE))
+               / CAST(n.n AS DOUBLE) AS e
+      FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    )
+    SELECT lang, source, o AS observed,
+           FLOOR(e * 1000000.0 + 0.5) / 1000000.0 AS expected,
+           FLOOR((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                 * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
+    FROM cells
+    """,
+    doc="Chi-square independence cells for lang × source: observed vs "
+    "expected-under-independence counts with per-cell χ² contributions "
+    "— the log-free categorical-association audit (is language mix "
+    "uniform across crawl sources, or does a source skew?). Entirely "
+    "rational arithmetic over exact integer marginals; observed cells "
+    "collapse map-side, marginals and the 1-row total broadcast.",
+)
+def ext_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("row_tot").cast("double") * F.col("col_tot").cast("double")
+    ) / F.col("n").cast("double")
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .join(F.broadcast(n))
+        .select("lang", "source", "o", e.alias("e"))
+    )
+    od = F.col("o").cast("double")
+    return cells.select(
+        "lang",
+        "source",
+        F.col("o").alias("observed"),
+        half_up_round(F.col("e"), 6).alias("expected"),
+        half_up_round((od - F.col("e")) * (od - F.col("e")) / F.col("e"), 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+def _stream_gate_oracle() -> str:
+    from dbt_glue_spark.plans.catalog import _REGISTRY
+
+    gate = _REGISTRY["ext_quality_filter"].oracle
+    return f"""
+    WITH f AS ({gate})
+    SELECT keep, reasons,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM f GROUP BY keep, reasons
+    """
+
+
+@register(
+    "streaming_quality_gate",
+    _stream_gate_oracle(),
+    doc="Streaming corpus quality gate end-to-end (12th streaming row): "
+    "documents staged as a 4-file stream run through the FULL Gopher "
+    "gate (text_analysis.quality_filter) as a stateless narrow stage — "
+    "no state store, no watermark, no shuffle — into a parquet sink, "
+    "then verdict counts are compared against the registered batch "
+    "oracle. Proves the docstring claim that the gate drops into a "
+    "Structured Streaming stage unchanged: per-row projections are "
+    "batching-invariant by construction, and the landing-zone stream "
+    "gets cleaned at ingest instead of in a nightly batch.",
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="dgs_q_gatesrc_")
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    gated = text_analysis.quality_filter(stream)
+    target = tempfile.mkdtemp(prefix="dgs_q_gatetgt_")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", os.path.join(target, "data"))
+        .option("checkpointLocation", os.path.join(target, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(os.path.join(target, "data"))
+    return out.groupBy("keep", "reasons").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

@@ -176,3 +176,58 @@ def winsorize_report(
             ).alias("mean_after"),
         )
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns from exact
+    moments: one aggregate computes n, Σx, Σxy for every pair with
+    decimal quantization, then r = (n·Σxy − Σx·Σy) /
+    (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)) in pure double arithmetic —
+    IEEE requires √ correctly rounded, so the result is engine-exact.
+    The feature-redundancy pass of numeric profiling.
+
+    One row per unordered pair (col_a < col_b). Single-pass aggregate
+    (map-side partials), output ≤ C(len(cols), 2) rows — nothing scales
+    with input size after the scan. Keep column magnitudes such that
+    Σx² stays well under 2^53 (exact in double); see ext_correlation's
+    choice of bounded measures.
+    """
+    from itertools import combinations
+
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs.append(F.sum(x.cast("decimal(28,10)")).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((x * x).cast("decimal(28,10)")).cast("double").alias(f"ss_{c}")
+        )
+    for a, b in combinations(cols, 2):
+        xa = F.col(a).cast("double")
+        xb = F.col(b).cast("double")
+        aggs.append(
+            F.sum((xa * xb).cast("decimal(28,10)"))
+            .cast("double")
+            .alias(f"sp_{a}_{b}")
+        )
+    m = df.agg(*aggs)
+    rows = []
+    for a, b in combinations(cols, 2):
+        n = F.col("n").cast("double")
+        num = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = F.sqrt(n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+        db = F.sqrt(n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                half_up_round(num / (da * db), 6).alias("pearson_r"),
+            )
+        )
+    return m.select(F.explode(F.array(*rows)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.pearson_r"
+    )

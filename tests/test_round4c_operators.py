@@ -478,3 +478,30 @@ def test_ap_no_hits_is_zero(spark):
     rel = spark.createDataFrame([(99,)], "doc_id long")
     r = average_precision_at_k(_ranked(spark, [1, 2, 3]), rel, k=3).collect()[0]
     assert r["ap"] == 0.0
+
+
+# ---- correlation_matrix ----------------------------------------------------
+
+
+def test_correlation_matrix_hand_check(spark):
+    from dbt_glue_spark.quality.profile import correlation_matrix
+
+    rows = [(float(i), 2.0 * i + 1.0, float(-i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {
+        (r["col_a"], r["col_b"]): r["pearson_r"]
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert out[("x", "y")] == 1.0     # exact linear
+    assert out[("x", "z")] == -1.0    # exact anti-linear
+    assert out[("y", "z")] == -1.0
+
+
+def test_correlation_matrix_independent_near_zero(spark):
+    from dbt_glue_spark.quality.profile import correlation_matrix
+
+    # x cycles 0..4, y cycles with coprime period → designed orthogonality
+    rows = [(float(i % 5), float((i * 7) % 11)) for i in range(55)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = correlation_matrix(df, ["x", "y"]).collect()[0]["pearson_r"]
+    assert abs(r) < 0.2
