@@ -1961,3 +1961,94 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+           FLOOR(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS prob
+    FROM c JOIN t USING (from_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current) — the behavioral-analytics "
+    "summary behind next-action prediction and anomaly scoring. The "
+    "lead() window is keyed by user (event_id tie-break makes same-"
+    "timestamp ordering deterministic); transition counts collapse to "
+    "≤ types² rows map-side; row totals broadcast.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        half_up_round(
+            F.col("n").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("prob"),
+    )
+
+
+@register(
+    "event_activity_heatmap",
+    """
+    WITH c AS (
+      SELECT CAST(extract(dow FROM ts) AS INT) AS dow,
+             CAST(extract(hour FROM ts) AS INT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT dow, hour, n,
+           FLOOR(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS share
+    FROM c CROSS JOIN t
+    """,
+    doc="Day-of-week × hour activity heatmap over events (0=Sunday, "
+    "aligning Spark dayofweek−1 with DuckDB extract(dow)): the temporal "
+    "load profile that sizes streaming capacity and spots crawl "
+    "seasonality. ≤168 cells from one map-side aggregate; the 1-row "
+    "total broadcasts.",
+)
+def event_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy(
+        (F.dayofweek("ts") - F.lit(1)).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t)).select(
+        "dow",
+        "hour",
+        "n",
+        half_up_round(
+            F.col("n").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("share"),
+    )
