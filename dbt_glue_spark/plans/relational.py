@@ -2052,3 +2052,145 @@ def event_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("tot").cast("double"), 6
         ).alias("share"),
     )
+
+
+@register(
+    "last_touch_attribution",
+    """
+    WITH purch AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             (MAX({'e': event_id, 't': event_type})).t AS touch_type
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY user_id, ts
+    ),
+    j AS (
+      SELECT p.event_id, t.touch_type
+      FROM purch p ASOF LEFT JOIN touch t
+        ON p.user_id = t.user_id AND p.ts >= t.ts
+    ),
+    c AS (
+      SELECT COALESCE(touch_type, 'unattributed') AS touch_type,
+             CAST(COUNT(*) AS BIGINT) AS n_conversions
+      FROM j GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_conversions) AS tot FROM c)
+    SELECT touch_type, n_conversions,
+           FLOOR(CAST(n_conversions AS DOUBLE) / CAST(tot AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS share
+    FROM c CROSS JOIN t
+    """,
+    doc="Last-touch conversion attribution: each purchase credited to "
+    "the user's most recent view/click at-or-before it (the as-of join "
+    "reused as a marketing-analytics operator), with unmatched "
+    "purchases reported as unattributed. Touch ties at one timestamp "
+    "resolve by the struct-max (event_id, type) rule in both engines. "
+    "Same one-key-shuffle asof plan as asof_join_clicks_purchases; the "
+    "attribution rollup is ≤ types rows.",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.scalars import half_up_round
+    from dbt_glue_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    touch = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(F.struct(F.col("event_id").alias("e"), F.col("event_type").alias("t")))["t"].alias("touch_type")
+        )
+    )
+    j = asof_join(purch, touch, on="ts", by="user_id", right_cols=["touch_type"])
+    c = j.groupBy(
+        F.coalesce("touch_type_matched", F.lit("unattributed")).alias("touch_type")
+    ).agg(F.count("*").cast("bigint").alias("n_conversions"))
+    t = c.agg(F.sum("n_conversions").alias("tot"))
+    return c.join(F.broadcast(t)).select(
+        "touch_type",
+        "n_conversions",
+        half_up_round(
+            F.col("n_conversions").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+@register(
+    "rfm_segments",
+    """
+    WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS corpus_max FROM events),
+    u AS (
+      SELECT user_id,
+             datediff('day', CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE),
+                      CAST(mx.corpus_max AS DATE)) AS r_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(value AS DECIMAL(18,6))) AS monetary
+      FROM events CROSS JOIN mx
+      GROUP BY user_id, mx.corpus_max
+    ),
+    seg AS (
+      SELECT CASE WHEN r_days < 1 THEN 'recent'
+                  WHEN r_days < 2 THEN 'warm' ELSE 'cold' END AS recency_seg,
+             CASE WHEN freq >= 70 THEN 'high'
+                  WHEN freq >= 55 THEN 'mid' ELSE 'low' END AS freq_seg,
+             monetary
+      FROM u
+    )
+    SELECT recency_seg, freq_seg,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR(CAST(SUM(monetary) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             AS total_value,
+           FLOOR(CAST(SUM(monetary) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS avg_value
+    FROM seg GROUP BY recency_seg, freq_seg
+    """,
+    doc="RFM user segmentation over events: recency (days since last "
+    "activity vs corpus max), frequency, monetary (decimal-exact value "
+    "sums) bucketed by fixed thresholds into a segment grid — the "
+    "classic lifecycle-marketing rollup. One user-keyed aggregate; the "
+    "corpus-max timestamp broadcasts; output ≤ 9 segment rows.",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("corpus_max"))
+    u = (
+        events.join(F.broadcast(mx))
+        .groupBy("user_id", "corpus_max")
+        .agg(
+            F.max("ts").alias("user_max"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("monetary"),
+        )
+        .select(
+            F.datediff(F.to_date("corpus_max"), F.to_date("user_max")).alias(
+                "r_days"
+            ),
+            "freq",
+            "monetary",
+        )
+    )
+    seg = u.select(
+        F.when(F.col("r_days") < 1, "recent")
+        .when(F.col("r_days") < 2, "warm")
+        .otherwise("cold")
+        .alias("recency_seg"),
+        F.when(F.col("freq") >= 70, "high")
+        .when(F.col("freq") >= 55, "mid")
+        .otherwise("low")
+        .alias("freq_seg"),
+        "monetary",
+    )
+    return seg.groupBy("recency_seg", "freq_seg").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        half_up_round(F.sum("monetary").cast("double"), 4).alias("total_value"),
+        half_up_round(
+            F.sum("monetary").cast("double") / F.count("*").cast("double"), 4
+        ).alias("avg_value"),
+    )
