@@ -505,3 +505,38 @@ def test_correlation_matrix_independent_near_zero(spark):
     df = spark.createDataFrame(rows, "x double, y double")
     r = correlation_matrix(df, ["x", "y"]).collect()[0]["pearson_r"]
     assert abs(r) < 0.2
+
+
+# ---- property test: KMV set algebra exact below k --------------------------
+
+
+def test_kmv_set_ops_property_exact_below_k(spark):
+    """Hypothesis sweep: for ANY two small token sets (|A∪B| < k), the
+    sketch algebra must return the EXACT union/Jaccard/intersection —
+    below k the sketch sees every hash, so estimator error is zero."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dbt_glue_spark.extensions.sketches import kmv_set_ops
+
+    toks = st.sets(st.integers(min_value=0, max_value=60), max_size=20)
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(sa=toks, sb=toks)
+    def run(sa, sb):
+        if not sa or not sb:
+            return
+        rows = [("A", f"t{v}") for v in sa] + [("B", f"t{v}") for v in sb]
+        df = spark.createDataFrame(rows, "g string, tok string")
+        out = kmv_set_ops(df, "tok", "g", k=128).collect()
+        assert len(out) == 1
+        r = out[0]
+        union, inter = len(sa | sb), len(sa & sb)
+        assert r["union_distinct_est"] == float(union)
+        assert r["intersection_est"] == round(union * (inter / union), 4)
+        assert r["jaccard_est"] == round(inter / union, 6)
+    run()
