@@ -98,6 +98,13 @@ SINGLETON_BROADCAST_OK = {
     # filter is constant work at any scale (same class as the HWM reads)
     "q11_important_parts",
     "q22_sales_opportunity",
+    # share-of-total rollups and the RFM corpus-max: a ONE-ROW total /
+    # max-timestamp aggregate broadcast into a ≤cells-row frame (heatmap
+    # ≤168 rows, attribution ≤types rows) or into the user aggregate —
+    # the same singleton-broadcast class as the HWM reads above
+    "event_activity_heatmap",
+    "last_touch_attribution",
+    "rfm_segments",
 }
 
 
