@@ -2194,3 +2194,76 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary").cast("double") / F.count("*").cast("double"), 4
         ).alias("avg_value"),
     )
+
+
+@register(
+    "funnel_conversion_timing",
+    """
+    WITH fv AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= fv.v_ts
+      GROUP BY e.user_id
+    ),
+    g AS (
+      SELECT fv.user_id,
+             CAST(epoch_us(fp.p_ts) - epoch_us(fv.v_ts) AS BIGINT) AS gap_us
+      FROM fv LEFT JOIN fp ON fp.user_id = fv.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_converted,
+           FLOOR(CAST(COUNT(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS conversion_rate,
+           FLOOR(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0
+                 * 100.0 + 0.5) / 100.0 AS median_gap_s,
+           FLOOR(quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 1000000.0
+                 * 100.0 + 0.5) / 100.0 AS p90_gap_s
+    FROM g
+    """,
+    doc="Funnel conversion timing: per user, seconds from first view to "
+    "first purchase at-or-after it (microsecond-exact integer gaps — "
+    "unix_micros ≡ epoch_us; unix_timestamp would truncate sub-second "
+    "precision); conversion rate + exact median/p90 time-to-convert "
+    "(Spark percentile ≡ DuckDB quantile_cont). Two user-keyed "
+    "aggregates + one hash join; the percentile runs over ≤ |converted users| integer gaps.",
+)
+def funnel_conversion_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    events = load_table(spark, sf_dir, "events")
+    fv = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    g = fv.join(fp, "user_id", "left").select(
+        (
+            F.unix_micros("p_ts") - F.unix_micros("v_ts")
+        ).cast("bigint").alias("gap_us")
+    )
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_viewers"),
+        F.count("gap_us").cast("bigint").alias("n_converted"),
+        half_up_round(
+            F.count("gap_us").cast("double") / F.count("*").cast("double"), 6
+        ).alias("conversion_rate"),
+        half_up_round(
+            F.expr("percentile(cast(gap_us as double), 0.5)") / F.lit(1000000.0),
+            2,
+        ).alias("median_gap_s"),
+        half_up_round(
+            F.expr("percentile(cast(gap_us as double), 0.9)") / F.lit(1000000.0),
+            2,
+        ).alias("p90_gap_s"),
+    )
