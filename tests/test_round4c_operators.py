@@ -540,3 +540,51 @@ def test_kmv_set_ops_property_exact_below_k(spark):
         assert r["intersection_est"] == round(union * (inter / union), 4)
         assert r["jaccard_est"] == round(inter / union, 6)
     run()
+
+
+# ---- event analytics hand checks -------------------------------------------
+
+
+def test_transition_matrix_probabilities_hand_check(spark, sf_dir):
+    from dbt_glue_spark.plans.catalog import SPECS
+
+    rows = SPECS()["event_transition_matrix"].fn(spark, sf_dir).collect()
+    # probabilities are row-stochastic: per from_type they sum to ~1
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for r in rows:
+        sums[r["from_type"]] += r["prob"]
+        assert 0.0 <= r["prob"] <= 1.0
+    for s in sums.values():
+        assert abs(s - 1.0) < 1e-4
+    # 5 event types → at most 25 cells
+    assert len(rows) <= 25
+
+
+def test_attribution_shares_sum_to_one(spark, sf_dir):
+    from dbt_glue_spark.plans.catalog import SPECS
+
+    rows = SPECS()["last_touch_attribution"].fn(spark, sf_dir).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    kinds = {r["touch_type"] for r in rows}
+    assert kinds <= {"view", "click", "unattributed"}
+
+
+def test_heatmap_covers_week_and_sums_to_one(spark, sf_dir):
+    from dbt_glue_spark.plans.catalog import SPECS
+
+    rows = SPECS()["event_activity_heatmap"].fn(spark, sf_dir).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    assert {r["dow"] for r in rows} <= set(range(7))
+    assert {r["hour"] for r in rows} <= set(range(24))
+
+
+def test_funnel_timing_bounds(spark, sf_dir):
+    from dbt_glue_spark.plans.catalog import SPECS
+
+    r = SPECS()["funnel_conversion_timing"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["conversion_rate"] <= 1.0
+    assert r["n_converted"] <= r["n_viewers"]
+    if r["n_converted"] > 0:
+        assert 0.0 <= r["median_gap_s"] <= r["p90_gap_s"]
