@@ -251,3 +251,48 @@ def quota_sample(
         .withColumn("sample_rank", F.col("__rk").cast("bigint"))
         .drop("__rk")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Plan-and-apply mixture resampling in one dataflow: compute the
+    sqrt-temperature mixture weights (:func:`mixture_weights`) and apply
+    them as per-group content-hash keep rates, reporting per group the
+    target rate and the achieved fraction. Closes the loop between the
+    planning operator and :func:`mixture_sample` WITHOUT a driver
+    round-trip — rates flow as a broadcast join of the ≤ groups-row
+    weight frame, never through a collected dict, so the whole mixture
+    step stays inside one distributed plan (the scale-correct form for
+    pipelines where weights must track the current corpus).
+
+    The largest domain (weight 1.0) keeps everything; membership is the
+    hash_sample content-hash rule — stable across runs, partitionings,
+    and corpus growth.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    w = mixture_weights(df, group_col, text_col).select(group_col, "mix_weight")
+    joined = df.join(F.broadcast(w), group_col)
+    kept = (_hash_frac(F.col(key_col)) < F.col("mix_weight")).cast("int")
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.min("mix_weight").alias("target_rate"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_kept",
+            "target_rate",
+            half_up_round(
+                F.col("n_kept").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("achieved_rate"),
+        )
+    )

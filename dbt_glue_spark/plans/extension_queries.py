@@ -5684,3 +5684,41 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+def _mixture_resample_oracle() -> str:
+    from dbt_glue_spark.plans.catalog import _REGISTRY
+
+    mw = _REGISTRY["ext_mixture_weights"].oracle
+    frac = _duck_hash_fraction("d.doc_id")
+    return f"""
+    WITH mw AS ({mw}),
+    j AS (
+      SELECT d.source, mw.mix_weight,
+             CASE WHEN {frac} < mw.mix_weight THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN mw ON mw.source = d.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           MIN(mix_weight) AS target_rate,
+           FLOOR(CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS achieved_rate
+    FROM j GROUP BY source
+    """
+
+
+@register(
+    "ext_mixture_resample",
+    _mixture_resample_oracle(),
+    doc="Plan-and-apply mixture resampling (sampling.mixture_resample): "
+    "the sqrt-temperature weights computed in-pipeline and applied as "
+    "per-source content-hash keep rates in the SAME distributed plan — "
+    "the ≤ sources-row weight frame broadcasts into the filter, no "
+    "driver round-trip dict. Per source: target vs achieved rate (the "
+    "binomial realization of the hash rule). Composes the registered "
+    "mixture-weights oracle verbatim.",
+)
+def ext_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.mixture_resample(docs)

@@ -588,3 +588,23 @@ def test_funnel_timing_bounds(spark, sf_dir):
     assert r["n_converted"] <= r["n_viewers"]
     if r["n_converted"] > 0:
         assert 0.0 <= r["median_gap_s"] <= r["p90_gap_s"]
+
+
+# ---- mixture_resample ------------------------------------------------------
+
+
+def test_mixture_resample_largest_domain_keeps_all(spark):
+    from dbt_glue_spark.extensions.sampling import mixture_resample
+
+    rows = (
+        [(i, "w " * 50, "en", "big") for i in range(40)]
+        + [(100 + i, "w " * 50, "en", "small") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {r["source"]: r for r in mixture_resample(df).collect()}
+    big, small = out["big"], out["small"]
+    assert big["target_rate"] == 1.0 and big["n_kept"] == big["n_docs"]
+    # sqrt temperature: small domain targets sqrt(10/40) = 0.5
+    assert small["target_rate"] == 0.5
+    assert 0 <= small["n_kept"] <= small["n_docs"]
+    assert small["achieved_rate"] <= 1.0
