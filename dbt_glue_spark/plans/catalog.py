@@ -67,7 +67,7 @@ def _family(name: str) -> str:
 
 
 def _previously_checked() -> set[str]:
-    """Query names that already have a hard driver CORRECTNESS_r*.json row.
+    """Query names with a fully GREEN driver CORRECTNESS_r*.json row.
 
     The external correctness gate samples a prefix of this catalog each
     round; without rotation the same prefix gets re-checked forever while
@@ -76,16 +76,39 @@ def _previously_checked() -> set[str]:
     already-checked queries so each round's sample automatically covers the
     largest never-checked set. Deterministic within a round: the result
     files only change between rounds.
+
+    Only a query whose LATEST row passed counts as checked: a query whose
+    most recent row is an ``err`` or a mismatch re-enters the sampled
+    prefix, so a fix earns a fresh green driver row the following round
+    instead of being deprioritized alongside genuine passes (this bit r2's
+    two err rows — both green in r1, red in r2 — which never got
+    re-sampled in r3/r4 because *any* historical row counted). Rows-only
+    checks (oracle-less queries, where the driver records null matches but
+    no ``err``) still count — re-sampling them would never produce a
+    stronger signal.
     """
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
+    latest_green: dict[str, bool] = {}
+    # Lexicographic sort == round order for CORRECTNESS_r{NN}.json; later
+    # files overwrite, so each query's entry reflects its latest row.
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
-    return seen
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                latest_green[name] = True
+                continue
+            matches = [
+                row.get("rows_match"),
+                row.get("schema_match"),
+                row.get("hash_match"),
+            ]
+            green = not row.get("err") and not any(m is False for m in matches)
+            latest_green[name] = green
+    return {name for name, green in latest_green.items() if green}
 
 
 def _interleave(specs: list[QuerySpec]) -> list[QuerySpec]:

@@ -1865,7 +1865,7 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_orders",
     """
     SELECT o_custkey,
-           list_sort(list(o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
            CAST(len(list(o_orderstatus)) AS INT) AS n_orders
     FROM orders
     WHERE o_custkey <= 100
@@ -1875,12 +1875,19 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "list_sort(list(...))): the denormalize step for feature vectors and "
     "nested exports. Sorting makes the array deterministic — bare "
     "collect_list order is shuffle-dependent and would never "
-    "cross-engine match. One shuffle on custkey.",
+    "cross-engine match. One shuffle on custkey. The result serializes "
+    "the array with array_join/array_to_string on BOTH sides: the driver "
+    "canonicalizer pandas-sorts result columns and numpy arrays are "
+    "unhashable (r4's one red row), so catalog results must stay "
+    "flat-typed — enforced for all queries by "
+    "tests/test_driver_contract.py.",
 )
 def array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderstatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_list("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
         F.size(F.collect_list("o_orderstatus")).cast("int").alias("n_orders"),
     )
 
