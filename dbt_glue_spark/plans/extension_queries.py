@@ -3340,7 +3340,9 @@ def streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, spark, target, os.path.join(target, "ckpt"), "user_id"
     )
     q.awaitTermination(300)
-    sketch = spark.read.parquet(os.path.join(target, "data"))
+    from dbt_glue_spark.streaming.pipelines import read_ledger
+
+    sketch = read_ledger(spark, target)
     top = (
         events.groupBy("user_id")
         .agg(F.count("*").alias("true_n"))
@@ -3862,8 +3864,9 @@ def streaming_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = tempfile.mkdtemp(prefix="dgs_q_kmvtgt_")
     q = kmv_stream_sink(stream, spark, target, os.path.join(target, "ckpt"), "user_id")
     q.awaitTermination(300)
-    ledger = spark.read.parquet(os.path.join(target, "data"))
-    est = kmv_estimate_from_hashes(ledger)
+    from dbt_glue_spark.streaming.pipelines import read_ledger
+
+    est = kmv_estimate_from_hashes(read_ledger(spark, target))
     exact = events.agg(
         F.countDistinct("user_id").cast("bigint").alias("true_distinct")
     )
@@ -4693,7 +4696,9 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, spark, target, os.path.join(target, "ckpt"), "value", 16
     )
     q.awaitTermination(300)
-    live = spark.read.parquet(os.path.join(target, "data"))
+    from dbt_glue_spark.streaming.pipelines import read_ledger
+
+    live = read_ledger(spark, target)
     ref = value_histogram(
         events.filter(F.col("event_id") % 2 == 0), "value", 16
     )

@@ -360,6 +360,77 @@ def clean_documents_stream(docs) -> "DataFrame":
     return pii_redact(kept)
 
 
+def _ledger_latest(target_path: str):
+    """Newest committed ledger version under ``{target_path}/data``.
+
+    Ledger sinks commit each merged state as an immutable versioned
+    directory ``data/b{batch_id:012d}`` (``.tmp`` suffix while being
+    written). Returns ``(path, batch_id)`` of the newest committed
+    version, or ``(None, -1)`` if no version exists yet. The embedded
+    batch id doubles as the idempotency watermark: a replayed micro-batch
+    (foreachBatch is at-least-once) carries a batch_id ≤ the stored one
+    and is skipped instead of merged twice.
+    """
+    import os
+
+    root = os.path.join(target_path, "data")
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return None, -1
+    best, best_id = None, -1
+    for name in names:
+        if not name.startswith("b") or name.endswith(".tmp"):
+            continue
+        try:
+            bid = int(name[1:])
+        except ValueError:
+            continue
+        if bid > best_id:
+            best_id, best = bid, os.path.join(root, name)
+    return best, best_id
+
+
+def _ledger_commit(df: DataFrame, target_path: str, batch_id: int) -> None:
+    """Atomically publish a new ledger version for ``batch_id``.
+
+    Writes to ``b{id}.tmp`` then renames to ``b{id}`` — a single-dirent
+    rename, so readers (and a crashed retry of the same batch) never see
+    a half-written ledger, and the version being READ by the merge plan
+    is never the directory being overwritten (the r4 sinks overwrote the
+    dir they were lazily reading; an executor failure mid-write could
+    lose the ledger). Old versions are garbage-collected keeping the
+    previous one, so an in-flight reader of version N-1 survives the
+    commit of N.
+    """
+    import os
+    import shutil
+
+    root = os.path.join(target_path, "data")
+    os.makedirs(root, exist_ok=True)
+    final = os.path.join(root, f"b{batch_id:012d}")
+    tmp = final + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)
+    committed = sorted(
+        n for n in os.listdir(root) if n.startswith("b") and not n.endswith(".tmp")
+    )
+    for name in os.listdir(root):
+        keep = set(committed[-2:])
+        if name in keep:
+            continue
+        shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def read_ledger(spark, target_path: str) -> DataFrame:
+    """Read the newest committed ledger version of a sketch stream sink."""
+    path, _ = _ledger_latest(target_path)
+    if path is None:
+        raise FileNotFoundError(f"no committed ledger under {target_path}/data")
+    return spark.read.parquet(path)
+
+
 def countmin_stream_sink(
     source_stream: DataFrame,
     spark,
@@ -370,37 +441,37 @@ def countmin_stream_sink(
     """Streaming count-min maintenance: each micro-batch builds a sketch
     of its own rows and merges it CELL-WISE (+) into the persistent
     sketch. Count-min is linear — ``build(A ∪ B) = build(A) + build(B)``
-    cell by cell — so the streamed sketch is EXACTLY the batch-built
-    sketch no matter how the stream was batched or ordered: the
-    mergeable-sketch contract doing its real job, maintaining a ~4 KB
-    frequency summary of an unbounded stream with constant state. At
-    cluster scale the same shape runs cross-pipeline: shards build
-    sketches independently and a coordinator folds them cell-wise.
+    cell by cell — so on the failure-free path the streamed sketch equals
+    the batch-built sketch no matter how the stream was batched or
+    ordered. Because the merge is ADDITIVE, at-least-once redelivery
+    would double-count without extra defense; the ledger therefore embeds
+    the last merged batch_id in its version name and a replayed batch
+    (batch_id ≤ stored) is skipped, making the sink idempotent
+    end-to-end. Versions commit via temp-dir + atomic rename
+    (:func:`_ledger_commit`), so the ledger being read is never the
+    directory being overwritten. Constant ~4 KB state for an unbounded
+    stream; at cluster scale the same shape runs cross-pipeline: shards
+    build sketches independently and a coordinator folds them cell-wise.
     """
-    import os
-
     from dbt_glue_spark.extensions.sketches import countmin_build
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        data_dir = os.path.join(target_path, "data")
+        cur_path, cur_id = _ledger_latest(target_path)
+        if batch_id <= cur_id:
+            return  # at-least-once replay of an already-merged batch
         batch_sketch = countmin_build(batch_df, col)
-        try:
-            cur = spark.read.parquet(data_dir)
-            exists = True
-        except Exception:  # first batch — no sketch yet
-            exists = False
-        if exists:
+        if cur_path is not None:
             merged = (
-                cur.unionByName(batch_sketch)
+                spark.read.parquet(cur_path)
+                .unionByName(batch_sketch)
                 .groupBy("row_idx", "bucket")
                 .agg(F.sum("cnt").cast("bigint").alias("cnt"))
             )
         else:
             merged = batch_sketch
-        staged = merged.localCheckpoint(eager=True)  # read+overwrite safety
-        staged.write.mode("overwrite").parquet(data_dir)
+        _ledger_commit(merged, target_path, batch_id)
 
     return (
         source_stream.writeStream.foreachBatch(merge_batch)
@@ -427,24 +498,26 @@ def kmv_stream_sink(
     batch-built one no matter how the stream was batched, ordered, or
     retried. Constant O(k) state for an unbounded stream; the same union
     folds per-shard ledgers cross-pipeline (mergeable-sketch contract).
+    Although the merge itself tolerates replays, the ledger still uses
+    the versioned atomic commit (:func:`_ledger_commit`) so a crash
+    mid-write can never lose the previous state, and replayed batches
+    are skipped rather than re-unioned (cheaper, same result).
     """
-    import os
-
     from dbt_glue_spark.extensions.sketches import hash_fraction
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        data_dir = os.path.join(target_path, "data")
+        cur_path, cur_id = _ledger_latest(target_path)
+        if batch_id <= cur_id:
+            return  # at-least-once replay of an already-merged batch
         bh = batch_df.select(hash_fraction(F.col(col)).alias("h")).distinct()
-        try:
-            cur = spark.read.parquet(data_dir)
-            merged = cur.unionByName(bh).distinct()
-        except Exception:  # first batch — no ledger yet
+        if cur_path is not None:
+            merged = spark.read.parquet(cur_path).unionByName(bh).distinct()
+        else:
             merged = bh
         topk = merged.orderBy(F.col("h").asc()).limit(k)
-        staged = topk.localCheckpoint(eager=True)  # read+overwrite safety
-        staged.write.mode("overwrite").parquet(data_dir)
+        _ledger_commit(topk, target_path, batch_id)
 
     return (
         source_stream.writeStream.foreachBatch(merge_batch)
@@ -465,37 +538,35 @@ def histogram_stream_sink(
 ):
     """Streaming histogram maintenance: each micro-batch's fixed-width
     bucket counts are merged cell-wise (+) into a persistent ≤ n_buckets-
-    row parquet ledger. Histogram counting is linear — the streamed
-    ledger equals the batch-built histogram EXACTLY no matter how the
-    stream was batched or ordered — so the live distribution a drift
-    monitor compares against its reference is always the true one.
-    Constant state (≤ n_buckets rows) for an unbounded stream; the same
-    fold merges per-shard histograms cross-pipeline.
+    row parquet ledger. Histogram counting is linear, so on the
+    failure-free path the streamed ledger equals the batch-built
+    histogram no matter how the stream was batched or ordered; like the
+    count-min sink the merge is ADDITIVE, so replayed micro-batches are
+    detected by the batch_id embedded in the ledger version and skipped
+    (idempotent under at-least-once delivery), and versions commit via
+    temp-dir + atomic rename so a mid-write failure cannot lose the
+    ledger. Constant state (≤ n_buckets rows) for an unbounded stream;
+    the same fold merges per-shard histograms cross-pipeline.
     """
-    import os
-
     from dbt_glue_spark.extensions.audit import value_histogram
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        data_dir = os.path.join(target_path, "data")
+        cur_path, cur_id = _ledger_latest(target_path)
+        if batch_id <= cur_id:
+            return  # at-least-once replay of an already-merged batch
         batch_hist = value_histogram(batch_df, col, bucket_width, n_buckets)
-        try:
-            cur = spark.read.parquet(data_dir)
-            exists = True
-        except Exception:  # first batch — no ledger yet
-            exists = False
-        if exists:
+        if cur_path is not None:
             merged = (
-                cur.unionByName(batch_hist)
+                spark.read.parquet(cur_path)
+                .unionByName(batch_hist)
                 .groupBy("bucket")
                 .agg(F.sum("cnt").cast("bigint").alias("cnt"))
             )
         else:
             merged = batch_hist
-        staged = merged.localCheckpoint(eager=True)  # read+overwrite safety
-        staged.write.mode("overwrite").parquet(data_dir)
+        _ledger_commit(merged, target_path, batch_id)
 
     return (
         source_stream.writeStream.foreachBatch(merge_batch)

@@ -169,7 +169,7 @@ def test_streaming_kmv_equals_batch(spark):
         kmv_distinct,
         kmv_estimate_from_hashes,
     )
-    from dbt_glue_spark.streaming.pipelines import kmv_stream_sink
+    from dbt_glue_spark.streaming.pipelines import kmv_stream_sink, read_ledger
 
     vals = [(i % 400,) for i in range(1200)]  # 400 distinct, heavy redelivery
     df = spark.createDataFrame(vals, "user_id long")
@@ -181,7 +181,7 @@ def test_streaming_kmv_equals_batch(spark):
     target = tempfile.mkdtemp(prefix="dgs_t_kmvtgt_")
     q = kmv_stream_sink(stream, spark, target, os.path.join(target, "ckpt"), "user_id")
     q.awaitTermination(300)
-    ledger = spark.read.parquet(os.path.join(target, "data"))
+    ledger = read_ledger(spark, target)
     streamed = kmv_estimate_from_hashes(ledger).collect()[0]["approx_distinct"]
     batch = kmv_distinct(df, "user_id").collect()[0]["approx_distinct"]
     assert streamed == batch

@@ -285,7 +285,7 @@ def test_countmin_stream_sink_equals_batch_sketch_exactly(spark, tmp_path):
     import os
 
     from dbt_glue_spark.extensions.sketches import countmin_build
-    from dbt_glue_spark.streaming.pipelines import countmin_stream_sink
+    from dbt_glue_spark.streaming.pipelines import countmin_stream_sink, read_ledger
 
     vals = [(f"u{i % 37}",) for i in range(2000)]
     df = spark.createDataFrame(vals, "item string")
@@ -304,7 +304,7 @@ def test_countmin_stream_sink_equals_batch_sketch_exactly(spark, tmp_path):
     q.awaitTermination(120)
     streamed = {
         (r["row_idx"], r["bucket"]): r["cnt"]
-        for r in spark.read.parquet(os.path.join(target, "data")).collect()
+        for r in read_ledger(spark, target).collect()
     }
     batch = {
         (r["row_idx"], r["bucket"]): r["cnt"]
@@ -319,7 +319,7 @@ def test_histogram_stream_sink_equals_batch_histogram_exactly(spark, tmp_path):
     import os
 
     from dbt_glue_spark.extensions.audit import value_histogram
-    from dbt_glue_spark.streaming.pipelines import histogram_stream_sink
+    from dbt_glue_spark.streaming.pipelines import histogram_stream_sink, read_ledger
 
     vals = [(float((i * 37) % 500),) for i in range(3000)]
     df = spark.createDataFrame(vals, "value double")
@@ -337,8 +337,7 @@ def test_histogram_stream_sink_equals_batch_histogram_exactly(spark, tmp_path):
     )
     q.awaitTermination(120)
     streamed = {
-        r["bucket"]: r["cnt"]
-        for r in spark.read.parquet(os.path.join(target, "data")).collect()
+        r["bucket"]: r["cnt"] for r in read_ledger(spark, target).collect()
     }
     batch = {
         r["bucket"]: r["cnt"] for r in value_histogram(df, "value", 16).collect()
@@ -347,3 +346,73 @@ def test_histogram_stream_sink_equals_batch_histogram_exactly(spark, tmp_path):
     # one-shot batch histogram, independent of batching
     assert streamed == batch
     assert sum(streamed.values()) == 3000
+
+
+def test_countmin_sink_idempotent_under_batch_replay(spark, tmp_path):
+    """At-least-once simulation: re-running the whole stream against the
+    SAME ledger with a FRESH checkpoint replays every micro-batch with
+    already-merged batch_ids. An additive sketch would double-count;
+    the batch_id watermark embedded in the ledger version must skip the
+    replays so the sketch stays cell-for-cell equal to the batch build."""
+    from dbt_glue_spark.extensions.sketches import countmin_build
+    from dbt_glue_spark.streaming.pipelines import countmin_stream_sink, read_ledger
+
+    df = spark.createDataFrame([(f"u{i % 23}",) for i in range(1500)], "item string")
+    stage = str(tmp_path / "src")
+    df.repartition(4).write.mode("overwrite").parquet(stage)
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = countmin_stream_sink(stream, spark, str(tmp_path / "tgt"), ckpt, "item")
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    run(str(tmp_path / "ckpt2"))  # full replay: batch ids 0..3 all over again
+    streamed = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in read_ledger(spark, str(tmp_path / "tgt")).collect()
+    }
+    batch = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in countmin_build(df, "item").collect()
+    }
+    assert streamed == batch  # no double counting
+
+
+def test_ledger_commit_versioned_atomic(spark, tmp_path):
+    """Ledger versions are immutable dirs committed by atomic rename:
+    a newer commit never overwrites the dir being read, stale .tmp
+    residue is cleaned, and GC keeps the previous version for in-flight
+    readers."""
+    import os
+
+    from dbt_glue_spark.streaming.pipelines import (
+        _ledger_commit,
+        _ledger_latest,
+        read_ledger,
+    )
+
+    target = str(tmp_path / "tgt")
+    one = spark.createDataFrame([(1, 10)], "bucket int, cnt int")
+    _ledger_commit(one, target, 0)
+    path0, bid0 = _ledger_latest(target)
+    assert bid0 == 0 and path0.endswith("b000000000000")
+    # simulate a crashed write: stale tmp must not be picked up as latest
+    os.makedirs(os.path.join(target, "data", "b000000000005.tmp"))
+    assert _ledger_latest(target)[1] == 0
+    two = spark.createDataFrame([(1, 30)], "bucket int, cnt int")
+    _ledger_commit(two, target, 3)
+    path3, bid3 = _ledger_latest(target)
+    assert bid3 == 3
+    versions = sorted(os.listdir(os.path.join(target, "data")))
+    # stale tmp GC'd; previous version kept for in-flight readers
+    assert versions == ["b000000000000", "b000000000003"]
+    assert read_ledger(spark, target).collect()[0]["cnt"] == 30
+    # a third commit GCs version 0
+    _ledger_commit(two, target, 7)
+    versions = sorted(os.listdir(os.path.join(target, "data")))
+    assert versions == ["b000000000003", "b000000000007"]
