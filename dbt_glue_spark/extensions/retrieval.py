@@ -215,9 +215,11 @@ def hard_negatives(
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     pos_sh = sh.filter(F.col("rk") == 1).select(F.col("h").alias("h"))
-    pos_size = sizes.join(
-        sh.filter(F.col("rk") == 1).select(id_col).distinct(), id_col
-    ).select(F.col("n_sh").alias("pos_sh"))
+    # agg over the (possibly empty) positive shingle set: ALWAYS one row,
+    # pos_sh = 0 when the positive has < shingle_n tokens. The previous
+    # sizes-join produced an EMPTY frame in that case, and the cross join
+    # below then silently returned zero negatives.
+    pos_size = sh.filter(F.col("rk") == 1).agg(F.count("*").alias("pos_sh"))
     inter = (
         sh.filter(F.col("rk") > 1)
         .join(F.broadcast(pos_sh), "h", "inner")
@@ -226,6 +228,13 @@ def hard_negatives(
     )
     from dbt_glue_spark.functions.scalars import half_up_round
 
+    # A candidate with < shingle_n tokens has no row in `sizes` → n_sh
+    # coalesces to 0 instead of nulling the jaccard (which dropped it).
+    # Both sets empty ⇒ jaccard defined as 0 (disjoint-by-vacuity: a short
+    # doc is certainly not a near-duplicate of the positive).
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    n_sh = F.coalesce(F.col("n_sh"), F.lit(0))
+    denom = n_sh + F.col("pos_sh") - n_common
     cands = (
         ranked.filter(F.col("rk") > 1)
         .join(sizes, id_col, "left")
@@ -234,15 +243,9 @@ def hard_negatives(
         .select(
             id_col,
             "bm25",
-            half_up_round(
-                F.coalesce(F.col("n_common"), F.lit(0))
-                / (
-                    F.col("n_sh")
-                    + F.col("pos_sh")
-                    - F.coalesce(F.col("n_common"), F.lit(0))
-                ),
-                6,
-            ).alias("jaccard_to_pos"),
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(half_up_round(n_common / denom, 6))
+            .alias("jaccard_to_pos"),
         )
         .filter(F.col("jaccard_to_pos") < jaccard_threshold)
     )

@@ -208,7 +208,14 @@ def cluster_safe_split(
     """
     from dbt_glue_spark.extensions.dedup import dup_clusters
 
-    assert val_fraction + test_fraction < 1.0
+    # ValueError, not assert: user-facing argument validation must survive
+    # python -O (asserts are stripped, and an invalid split would silently
+    # produce all-val/test output)
+    if not 0.0 <= val_fraction + test_fraction < 1.0:
+        raise ValueError(
+            "val_fraction + test_fraction must be in [0, 1), got "
+            f"{val_fraction} + {test_fraction}"
+        )
     comp = dup_clusters(df, pairs, id_col)
     frac = _hash_frac(F.col("cluster_id"))
     train_hi = 1.0 - val_fraction - test_fraction

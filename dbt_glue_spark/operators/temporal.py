@@ -301,6 +301,11 @@ def pit_join(
     most one match per fact row, so ``inner``/``left`` joins never fan
     out.
 
+    The dimension-side copies of the business-key columns are dropped
+    from the result, so the joined frame is directly usable by name —
+    without the drop every key column is duplicated and any downstream
+    select/groupBy by name raises AMBIGUOUS_REFERENCE.
+
     100 TB shape: this is an EQUI-join on the business key with the
     validity window as a residual filter — Catalyst plans a hash join
     keyed on ``keys`` (broadcast when the dim fits), NOT a range join:
@@ -317,4 +322,7 @@ def pit_join(
         & (facts[ts_col] >= dim[valid_from])
         & (dim[valid_to].isNull() | (facts[ts_col] < dim[valid_to]))
     )
-    return facts.join(dim, cond, how)
+    joined = facts.join(dim, cond, how)
+    for k in keys:
+        joined = joined.drop(dim[k])
+    return joined

@@ -3929,7 +3929,7 @@ def ext_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rk
       FROM counts ORDER BY cnt DESC, k LIMIT 5
     )
-    SELECT CAST(rk AS INT) AS rk, CAST(k AS BIGINT) AS key_value,
+    SELECT CAST(rk AS INT) AS rk, CAST(k AS VARCHAR) AS key_value,
            CAST(cnt AS BIGINT) AS n_key_rows,
            FLOOR(CAST(cnt AS DOUBLE) / n_rows * 1000000 + 0.5) / 1000000.0
              AS row_share,
@@ -4101,8 +4101,7 @@ def ext_remove_dominant_direction(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
     possh AS (SELECT shingle FROM rsh WHERE rk = 1),
-    possz AS (SELECT n_sh AS pos_sh FROM sizes
-              JOIN (SELECT DISTINCT doc_id FROM rsh WHERE rk = 1) p USING (doc_id)),
+    possz AS (SELECT COUNT(*) AS pos_sh FROM rsh WHERE rk = 1),
     inter AS (
       SELECT a.doc_id, COUNT(*) AS n_common
       FROM rsh a JOIN possh b ON a.shingle = b.shingle
@@ -4110,11 +4109,14 @@ def ext_remove_dominant_direction(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
     cands AS (
       SELECT r.doc_id, r.bm25,
-             FLOOR(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-                   / (s.n_sh + p.pos_sh - COALESCE(i.n_common, 0))
-                   * 1000000 + 0.5) / 1000000.0 AS jaccard_to_pos
+             CASE WHEN COALESCE(s.n_sh, 0) + p.pos_sh
+                       - COALESCE(i.n_common, 0) = 0 THEN 0.0
+                  ELSE FLOOR(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                       / (COALESCE(s.n_sh, 0) + p.pos_sh
+                          - COALESCE(i.n_common, 0))
+                       * 1000000 + 0.5) / 1000000.0 END AS jaccard_to_pos
       FROM ranked r
-      JOIN sizes s USING (doc_id)
+      LEFT JOIN sizes s USING (doc_id)
       LEFT JOIN inter i USING (doc_id)
       CROSS JOIN possz p
       WHERE r.rk > 1

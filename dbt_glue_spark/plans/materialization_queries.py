@@ -619,9 +619,10 @@ def mat_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_custkey"],
         "event_ts",
     )
+    # pit_join drops the dim-side key copy, so plain names are unambiguous
     return joined.select(
-        facts["o_orderkey"],
-        facts["o_custkey"],
+        "o_orderkey",
+        "o_custkey",
         "event_ts",
         "price",
         "bal",

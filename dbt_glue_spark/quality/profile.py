@@ -101,7 +101,10 @@ def key_skew(df: "DataFrame", key_col: str, top_k: int = 5) -> "DataFrame":
         .join(F.broadcast(stats))
         .select(
             F.col("rk").cast("int").alias("rk"),
-            F.col(key_col).cast("bigint").alias("key_value"),
+            # string, not bigint: the audit's usual targets include string
+            # join keys, and a numeric cast would NULL them — making the
+            # top-k rows indistinguishable from each other
+            F.col(key_col).cast("string").alias("key_value"),
             F.col("cnt").cast("bigint").alias("n_key_rows"),
             half_up_round(F.col("cnt") / F.col("n_rows"), 6).alias("row_share"),
             half_up_round(

@@ -1,0 +1,102 @@
+"""Regression tests for the round-5 advisor findings (ADVICE.md r4):
+
+- hard_negatives silently returned zero rows when the rank-1 positive had
+  fewer than shingle_n tokens, and silently dropped short candidates;
+- key_skew cast the key value to bigint, nulling string keys;
+- cluster_safe_split validated fractions with a bare assert (stripped
+  under python -O);
+- pit_join returned duplicate business-key columns, so by-name selects
+  raised AMBIGUOUS_REFERENCE.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_hard_negatives_short_positive_keeps_candidates(spark):
+    """Rank-1 positive with < 3 tokens: candidates must survive with
+    jaccard 0 instead of vanishing through an empty cross join."""
+    from dbt_glue_spark.extensions.retrieval import hard_negatives
+
+    rows = [
+        # 'spark spark spark' ranks first on the query terms but has
+        # repeated-token shingles; make it 2 tokens → NO 3-shingles at all
+        (1, "spark spark"),
+        (2, "window functions are described here in long prose form"),
+        (3, "vector search details appear here in long prose form too"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = hard_negatives(docs, ["spark", "window", "vector"], topk=3).collect()
+    # doc 1 is the positive (highest bm25 for 'spark'); both other docs
+    # must come back as negatives with jaccard 0, not an empty frame
+    assert len(out) == 2
+    assert all(r["jaccard_to_pos"] == 0.0 for r in out)
+
+
+def test_hard_negatives_short_candidate_not_dropped(spark):
+    """A candidate with < 3 tokens has an empty shingle set: it is a valid
+    (maximally-dissimilar) negative, not a NULL-jaccard dropout."""
+    from dbt_glue_spark.extensions.retrieval import hard_negatives
+
+    rows = [
+        (1, "spark spark spark streaming guide with many extra words"),
+        (2, "window tiny"),  # 2 tokens → no shingles
+        (3, "vector search details appear here in long prose form too"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           hard_negatives(docs, ["spark", "window", "vector"], topk=3).collect()}
+    assert 2 in out, "short candidate must pass through as a valid negative"
+    assert out[2]["jaccard_to_pos"] == 0.0
+
+
+def test_key_skew_string_keys_survive(spark):
+    from dbt_glue_spark.quality.profile import key_skew
+
+    df = spark.createDataFrame(
+        [("hot",)] * 10 + [("warm",)] * 3 + [("cold",)], "seg string"
+    )
+    out = {r["rk"]: r for r in key_skew(df, "seg", top_k=3).collect()}
+    assert out[1]["key_value"] == "hot" and out[1]["n_key_rows"] == 10
+    assert out[2]["key_value"] == "warm"
+    # numeric keys still round-trip (as their string form)
+    dfn = spark.createDataFrame([(7,)] * 5 + [(9,)], "k long")
+    top = key_skew(dfn, "k", top_k=1).collect()[0]
+    assert top["key_value"] == "7"
+
+
+def test_cluster_safe_split_rejects_bad_fractions(spark):
+    from dbt_glue_spark.extensions.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="val_fraction"):
+        cluster_safe_split(docs, pairs, val_fraction=0.6, test_fraction=0.5)
+
+
+def test_pit_join_usable_by_name(spark):
+    """The joined frame must be directly selectable/groupable by the
+    business-key NAME (dim-side copies dropped)."""
+    from dbt_glue_spark.operators.temporal import pit_join
+
+    facts = spark.createDataFrame(
+        [(1, 10, "2024-01-15"), (2, 10, "2024-02-15")],
+        "fid long, k long, d string",
+    ).select("fid", "k", F.col("d").cast("timestamp").alias("ts"))
+    dim = spark.createDataFrame(
+        [(10, "v1", "2024-01-01", "2024-02-01"), (10, "v2", "2024-02-01", None)],
+        "k long, ver string, f string, t string",
+    ).select(
+        "k",
+        "ver",
+        F.col("f").cast("timestamp").alias("dbt_valid_from"),
+        F.col("t").cast("timestamp").alias("dbt_valid_to"),
+    )
+    joined = pit_join(facts, dim, ["k"], "ts")
+    assert joined.columns.count("k") == 1
+    # by-name select and groupBy must not raise AMBIGUOUS_REFERENCE
+    assert joined.select("k", "ver").count() == 2
+    agg = {r["k"]: r["n"] for r in joined.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert agg == {10: 2}
