@@ -16,10 +16,17 @@ similarity is zero — replication adds no artificial near-dup mass; and
 stay realistic. Each scaled corpus is materialized to parquet scratch so
 every timed run pays a real scan, not a cached lineage.
 
-Usage: python tools/scale_probe.py [--factors 2,8,32]
+Usage: python tools/scale_probe.py [--factors=2,8,32] [--probe=dedup|mmr]
 Prints one JSON line: per-op seconds per factor + fitted exponents.
 A near-linear operator shows exponent ≈ 1 (ratio bound 1.5x of linear
 per SCALE.md policy); quadratic blowup would show ≈ 2.
+
+``--probe=mmr`` scales the QUERY set against a fixed corpus instead of
+scaling the corpus: mmr_rerank's k greedy rounds are joins keyed by
+query_id, so a batch of B queries must re-rank in one pass of k rounds
+(cost ∝ B·n² per round), i.e. exponent ≈ 1 in B. The corpus-side cost
+(knn_bruteforce candidate generation) is one broadcast-probe scan per
+batch regardless of B.
 """
 
 from __future__ import annotations
@@ -75,14 +82,64 @@ def timed(fn) -> float:
     return round(time.time() - t0, 3)
 
 
+def probe_mmr(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
+    """Query-set scaling for the retrieval re-rank family: corpus fixed
+    (the full embeddings table), query batch = ``25·factor`` vectors.
+    Base 25 puts even the smallest batch well past fixed session
+    overhead; 32× = 800 queries stays under the corpus size at sf0.1."""
+    from dbt_glue_spark.extensions import similarity
+    from dbt_glue_spark.extensions.retrieval import bm25_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    results: dict[str, dict[str, float]] = {}
+    rows: dict[str, int] = {}
+    # warmup: one tiny re-rank pays codegen/broadcast machinery
+    similarity.mmr_rerank(emb, emb.filter(F.col("vec_id") < 5)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    bm25_search(docs, ["spark", "window"]).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dedup.release_caches()
+    for f_ in factors:
+        queries = emb.filter(F.col("vec_id") < 25 * f_)
+        rows[str(f_)] = queries.count()
+
+        def run_mmr():
+            similarity.mmr_rerank(emb, queries).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        def run_knn():
+            similarity.knn_bruteforce(emb, queries, k=20).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        for name, fn in [
+            ("mmr_rerank_queries", run_mmr),
+            ("knn_bruteforce_queries", run_knn),
+        ]:
+            results.setdefault(name, {})[str(f_)] = timed(fn)
+            dedup.release_caches()
+    return results, rows
+
+
 def main() -> None:
     factors = [2, 8, 32]
+    probe = "dedup"
     for a in sys.argv[1:]:
         if a.startswith("--factors"):
             factors = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--probe"):
+            probe = a.split("=", 1)[1]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if probe == "mmr":
+        results, rows = probe_mmr(spark, sf_dir, factors)
+        _emit(factors, results, rows)
+        return
     scratch = tempfile.mkdtemp(prefix="dgs_scale_probe_")
     results: dict[str, dict[str, float]] = {}
     rows: dict[str, int] = {}
@@ -186,6 +243,10 @@ def main() -> None:
                 dedup.release_caches()
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+    _emit(factors, results, rows)
+
+
+def _emit(factors: list[int], results: dict, rows: dict) -> None:
     import math
 
     exponents = {}
