@@ -173,15 +173,18 @@ def main() -> None:
             spread[name] = round(max(samples) - min(samples), 3)
     total = round(sum(timings.values()), 2)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    r1_subtotal = round(
-        sum(timings[n] for n in R1_SUBSET if n in timings), 2
-    )
+    # r1_n marks subset completeness: if a subset query errored, the
+    # subtotal covers fewer than 31 queries and is NOT comparable to the
+    # 41.059 s r1 baseline — consumers must check r1_n == 31.
+    r1_present = [n for n in R1_SUBSET if n in timings]
+    r1_subtotal = round(sum(timings[n] for n in r1_present), 2)
     # Full-fidelity record → sidecar (spread/errors would blow the stdout
     # tail budget; see module docstring).
     detail = {
         "metric": "headline_queries_total_seconds",
         "value": total,
         "value_r1_subset": r1_subtotal,
+        "r1_n": len(r1_present),
         "unit": "sec",
         "queries": timings,
         "spread": spread,
@@ -193,23 +196,31 @@ def main() -> None:
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    sidecar_ok = True
     try:
         with open(sidecar, "w") as fh:
             json.dump(detail, fh, indent=1)
     except OSError:
-        pass
+        sidecar_ok = False
     # Lean stdout line: 2-dp medians, compact separators, no spread/errors.
     out = {
         "metric": "headline_queries_total_seconds",
         "value": total,
         "value_r1_subset": r1_subtotal,
+        "r1_n": len(r1_present),
         "unit": "sec",
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "reps": reps,
         "sf": sf_val,
     }
     if errors:
-        out["errors"] = {n: "see BENCH_DETAIL.json" for n in errors}
+        # point at the sidecar only if it actually landed on disk;
+        # otherwise inline a truncated real message so the round's error
+        # detail is not lost entirely
+        out["errors"] = {
+            n: ("see BENCH_DETAIL.json" if sidecar_ok else msg[:80])
+            for n, msg in errors.items()
+        }
     line = json.dumps(out, separators=(",", ":"))
     # Printed twice: the driver's tail capture then always holds at least
     # one complete copy even if another writer interleaves mid-line.

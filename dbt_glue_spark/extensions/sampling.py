@@ -210,10 +210,15 @@ def cluster_safe_split(
 
     # ValueError, not assert: user-facing argument validation must survive
     # python -O (asserts are stripped, and an invalid split would silently
-    # produce all-val/test output)
-    if not 0.0 <= val_fraction + test_fraction < 1.0:
+    # produce all-val/test output). Each fraction is checked individually:
+    # a negative fraction can pass the sum check yet silently shift the
+    # split boundaries.
+    for name, frac in (("val_fraction", val_fraction), ("test_fraction", test_fraction)):
+        if not 0.0 <= frac < 1.0:
+            raise ValueError(f"{name} must be in [0, 1), got {frac}")
+    if not val_fraction + test_fraction < 1.0:
         raise ValueError(
-            "val_fraction + test_fraction must be in [0, 1), got "
+            "val_fraction + test_fraction must be < 1, got "
             f"{val_fraction} + {test_fraction}"
         )
     comp = dup_clusters(df, pairs, id_col)

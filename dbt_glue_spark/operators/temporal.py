@@ -301,10 +301,12 @@ def pit_join(
     most one match per fact row, so ``inner``/``left`` joins never fan
     out.
 
-    The dimension-side copies of the business-key columns are dropped
-    from the result, so the joined frame is directly usable by name —
-    without the drop every key column is duplicated and any downstream
-    select/groupBy by name raises AMBIGUOUS_REFERENCE.
+    The result carries ONE column per business key —
+    ``coalesce(facts.k, dim.k)`` — so the joined frame is directly usable
+    by name (two copies would make any downstream select/groupBy raise
+    AMBIGUOUS_REFERENCE). Coalescing rather than dropping the dim side
+    keeps the key populated for unmatched dim rows under
+    ``how='right'/'full'``, where the fact-side copy is NULL.
 
     100 TB shape: this is an EQUI-join on the business key with the
     validity window as a residual filter — Catalyst plans a hash join
@@ -323,6 +325,7 @@ def pit_join(
         & (dim[valid_to].isNull() | (facts[ts_col] < dim[valid_to]))
     )
     joined = facts.join(dim, cond, how)
-    for k in keys:
-        joined = joined.drop(dim[k])
-    return joined
+    key_cols = [F.coalesce(facts[k], dim[k]).alias(k) for k in keys]
+    fact_cols = [facts[c] for c in facts.columns if c not in keys]
+    dim_cols = [dim[c] for c in dim.columns if c not in keys]
+    return joined.select(*key_cols, *fact_cols, *dim_cols)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -89,9 +90,15 @@ def _previously_checked() -> set[str]:
     """
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     latest_green: dict[str, bool] = {}
-    # Lexicographic sort == round order for CORRECTNESS_r{NN}.json; later
-    # files overwrite, so each query's entry reflects its latest row.
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+
+    def _round_no(path: str) -> int:
+        # numeric round order, NOT lexicographic: "r100.json" would sort
+        # between r10 and r11 and let older rows overwrite newer ones
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    # later files overwrite, so each query's entry reflects its latest row
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=_round_no):
         try:
             with open(path) as fh:
                 rows = json.load(fh)

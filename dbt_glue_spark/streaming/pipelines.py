@@ -364,12 +364,17 @@ def _ledger_latest(target_path: str):
     """Newest committed ledger version under ``{target_path}/data``.
 
     Ledger sinks commit each merged state as an immutable versioned
-    directory ``data/b{batch_id:012d}`` (``.tmp`` suffix while being
-    written). Returns ``(path, batch_id)`` of the newest committed
-    version, or ``(None, -1)`` if no version exists yet. The embedded
-    batch id doubles as the idempotency watermark: a replayed micro-batch
+    directory ``data/g{gen:06d}b{batch_id:012d}`` (``.tmp`` suffix while
+    being written). ``gen`` is the checkpoint GENERATION — it increments
+    whenever the ledger is taken over by a new streaming checkpoint, so
+    version names stay monotonically ordered even though foreachBatch
+    batch_ids restart at 0 per checkpoint (generation-major,
+    zero-padded, so lexicographic name order == commit order). Returns
+    ``(path, gen, batch_id)`` of the newest committed version, or
+    ``(None, -1, -1)`` if no version exists yet. The embedded batch id
+    is the per-generation idempotency watermark: a replayed micro-batch
     (foreachBatch is at-least-once) carries a batch_id ≤ the stored one
-    and is skipped instead of merged twice.
+    in the SAME generation and is skipped instead of merged twice.
     """
     import os
 
@@ -377,27 +382,28 @@ def _ledger_latest(target_path: str):
     try:
         names = os.listdir(root)
     except OSError:
-        return None, -1
-    best, best_id = None, -1
+        return None, -1, -1
+    best = None
+    best_key = (-1, -1)
     for name in names:
-        if not name.startswith("b") or name.endswith(".tmp"):
+        if not name.startswith("g") or name.endswith(".tmp"):
             continue
         try:
-            bid = int(name[1:])
+            gen, bid = int(name[1:7]), int(name[8:])
         except ValueError:
             continue
-        if bid > best_id:
-            best_id, best = bid, os.path.join(root, name)
-    return best, best_id
+        if (gen, bid) > best_key:
+            best_key, best = (gen, bid), os.path.join(root, name)
+    return best, best_key[0], best_key[1]
 
 
-def _ledger_commit(df: DataFrame, target_path: str, batch_id: int) -> None:
-    """Atomically publish a new ledger version for ``batch_id``.
+def _ledger_commit(df: DataFrame, target_path: str, gen: int, batch_id: int) -> None:
+    """Atomically publish a new ledger version for (gen, batch_id).
 
-    Writes to ``b{id}.tmp`` then renames to ``b{id}`` — a single-dirent
-    rename, so readers (and a crashed retry of the same batch) never see
-    a half-written ledger, and the version being READ by the merge plan
-    is never the directory being overwritten (the r4 sinks overwrote the
+    Writes to ``g{gen}b{id}.tmp`` then renames — a single-dirent rename,
+    so readers (and a crashed retry of the same batch) never see a
+    half-written ledger, and the version being READ by the merge plan is
+    never the directory being overwritten (the r4 sinks overwrote the
     dir they were lazily reading; an executor failure mid-write could
     lose the ledger). Old versions are garbage-collected keeping the
     previous one, so an in-flight reader of version N-1 survives the
@@ -408,27 +414,88 @@ def _ledger_commit(df: DataFrame, target_path: str, batch_id: int) -> None:
 
     root = os.path.join(target_path, "data")
     os.makedirs(root, exist_ok=True)
-    final = os.path.join(root, f"b{batch_id:012d}")
+    final = os.path.join(root, f"g{gen:06d}b{batch_id:012d}")
     tmp = final + ".tmp"
     df.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(final, ignore_errors=True)
     os.rename(tmp, final)
     committed = sorted(
-        n for n in os.listdir(root) if n.startswith("b") and not n.endswith(".tmp")
+        n for n in os.listdir(root) if n.startswith("g") and not n.endswith(".tmp")
     )
+    keep = set(committed[-2:])
     for name in os.listdir(root):
-        keep = set(committed[-2:])
-        if name in keep:
+        # only version dirs (g…/g….tmp) are GC candidates — the _ckpt
+        # token and any future sidecar files must survive
+        if not name.startswith("g") or name in keep:
             continue
         shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 def read_ledger(spark, target_path: str) -> DataFrame:
     """Read the newest committed ledger version of a sketch stream sink."""
-    path, _ = _ledger_latest(target_path)
+    path, _gen, _bid = _ledger_latest(target_path)
     if path is None:
         raise FileNotFoundError(f"no committed ledger under {target_path}/data")
     return spark.read.parquet(path)
+
+
+def _ckpt_token(checkpoint: str) -> str:
+    """Stable identity of the streaming checkpoint that owns the ledger.
+
+    foreachBatch batch_ids are PER-CHECKPOINT counters, not a property of
+    the data: a stream restarted with a fresh checkpoint over the same
+    target restarts at batch 0. The batch_id watermark alone would then
+    misread every new batch as a replay and silently drop it. Stamping
+    the ledger with the checkpoint's identity scopes the watermark: only
+    a batch from the SAME checkpoint with batch_id ≤ stored is a replay.
+    """
+    import hashlib
+    import os
+
+    return hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()
+
+
+def _read_token(target_path: str) -> tuple[str | None, int]:
+    """Read ``(checkpoint_token, generation)`` from the ledger, or
+    ``(None, -1)`` if no takeover has been recorded."""
+    import os
+
+    try:
+        with open(os.path.join(target_path, "data", "_ckpt")) as fh:
+            raw = fh.read().strip()
+        token, gen = raw.rsplit(":", 1)
+        return token or None, int(gen)
+    except (OSError, ValueError):
+        return None, -1
+
+
+def _write_token(target_path: str, token: str, gen: int) -> None:
+    """Record that generation ``gen`` belongs to checkpoint ``token``.
+
+    Atomic (tmp + rename) so a crash never leaves a torn token. Written
+    BEFORE the generation's first version commit: if the process dies in
+    between, the replayed batch sees a matching token whose generation
+    has no committed version yet (latest gen < stored gen) and merges
+    normally; the reverse order would let the replay double-merge an
+    already-committed batch — and skipping on a bare token match would
+    wrongly compare the new run's restarted batch ids against the OLD
+    generation's watermark.
+    """
+    import os
+
+    root = os.path.join(target_path, "data")
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, "_ckpt.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{token}:{gen}")
+    os.rename(tmp, os.path.join(root, "_ckpt"))
+
+
+def _reset_ledger(target_path: str) -> None:
+    import os
+    import shutil
+
+    shutil.rmtree(os.path.join(target_path, "data"), ignore_errors=True)
 
 
 def countmin_stream_sink(
@@ -446,21 +513,42 @@ def countmin_stream_sink(
     ordered. Because the merge is ADDITIVE, at-least-once redelivery
     would double-count without extra defense; the ledger therefore embeds
     the last merged batch_id in its version name and a replayed batch
-    (batch_id ≤ stored) is skipped, making the sink idempotent
-    end-to-end. Versions commit via temp-dir + atomic rename
-    (:func:`_ledger_commit`), so the ledger being read is never the
-    directory being overwritten. Constant ~4 KB state for an unbounded
-    stream; at cluster scale the same shape runs cross-pipeline: shards
-    build sketches independently and a coordinator folds them cell-wise.
+    (batch_id ≤ stored, SAME checkpoint — the watermark is scoped by a
+    checkpoint token, since batch ids restart per checkpoint) is skipped,
+    making the sink idempotent end-to-end. A run under a NEW checkpoint
+    against a warm ledger resets it and rebuilds from what the new run
+    delivers — the only consistent additive answer: the old watermark
+    says nothing about which of the re-delivered batches were merged.
+    Versions commit via temp-dir + atomic rename (:func:`_ledger_commit`),
+    so the ledger being read is never the directory being overwritten.
+    Constant ~4 KB state for an unbounded stream; at cluster scale the
+    same shape runs cross-pipeline: shards build sketches independently
+    and a coordinator folds them cell-wise.
     """
     from dbt_glue_spark.extensions.sketches import countmin_build
+
+    token = _ckpt_token(checkpoint)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cur_path, cur_id = _ledger_latest(target_path)
-        if batch_id <= cur_id:
-            return  # at-least-once replay of an already-merged batch
+        stored_token, stored_gen = _read_token(target_path)
+        if stored_token is not None and stored_token != token:
+            # fresh checkpoint over a warm ledger: batch ids restarted and
+            # the source re-delivers history — rebuild from scratch
+            _reset_ledger(target_path)
+            cur_path, gen, cur_id = None, -1, -1
+        else:
+            cur_path, gen, cur_id = _ledger_latest(target_path)
+            # skip only within OUR OWN generation's watermark: a matching
+            # token whose generation has no committed version yet (crash
+            # between token write and first commit) must not be compared
+            # against an older generation's batch ids
+            if stored_token == token and gen == stored_gen and batch_id <= cur_id:
+                return  # at-least-once replay of an already-merged batch
+        commit_gen = stored_gen if stored_token == token else gen + 1
+        if stored_token != token:
+            _write_token(target_path, token, commit_gen)
         batch_sketch = countmin_build(batch_df, col)
         if cur_path is not None:
             merged = (
@@ -471,7 +559,7 @@ def countmin_stream_sink(
             )
         else:
             merged = batch_sketch
-        _ledger_commit(merged, target_path, batch_id)
+        _ledger_commit(merged, target_path, commit_gen, batch_id)
 
     return (
         source_stream.writeStream.foreachBatch(merge_batch)
@@ -501,23 +589,40 @@ def kmv_stream_sink(
     Although the merge itself tolerates replays, the ledger still uses
     the versioned atomic commit (:func:`_ledger_commit`) so a crash
     mid-write can never lose the previous state, and replayed batches
-    are skipped rather than re-unioned (cheaper, same result).
+    from the same checkpoint are skipped rather than re-unioned
+    (cheaper, same result). Under a NEW checkpoint the skip is disabled
+    — batch ids restarted, so early ids may carry new data — but no
+    reset is needed: re-unioning re-delivered history is a no-op for a
+    set merge, unlike the additive sinks.
     """
     from dbt_glue_spark.extensions.sketches import hash_fraction
+
+    token = _ckpt_token(checkpoint)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cur_path, cur_id = _ledger_latest(target_path)
-        if batch_id <= cur_id:
+        stored_token, stored_gen = _read_token(target_path)
+        cur_path, gen, cur_id = _ledger_latest(target_path)
+        # skip only within our own generation's watermark (see
+        # _write_token): a new checkpoint's restarted batch ids must not
+        # be compared against the old generation's counter
+        if stored_token == token and gen == stored_gen and batch_id <= cur_id:
             return  # at-least-once replay of an already-merged batch
+        # a new checkpoint starts a new GENERATION so its restarted batch
+        # ids still commit as strictly newer versions than the old run's;
+        # no reset needed (unlike the additive sinks): re-unioning
+        # re-delivered history is a set-merge no-op
+        commit_gen = stored_gen if stored_token == token else gen + 1
+        if stored_token != token:
+            _write_token(target_path, token, commit_gen)
         bh = batch_df.select(hash_fraction(F.col(col)).alias("h")).distinct()
         if cur_path is not None:
             merged = spark.read.parquet(cur_path).unionByName(bh).distinct()
         else:
             merged = bh
         topk = merged.orderBy(F.col("h").asc()).limit(k)
-        _ledger_commit(topk, target_path, batch_id)
+        _ledger_commit(topk, target_path, commit_gen, batch_id)
 
     return (
         source_stream.writeStream.foreachBatch(merge_batch)
@@ -550,12 +655,24 @@ def histogram_stream_sink(
     """
     from dbt_glue_spark.extensions.audit import value_histogram
 
+    token = _ckpt_token(checkpoint)
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cur_path, cur_id = _ledger_latest(target_path)
-        if batch_id <= cur_id:
-            return  # at-least-once replay of an already-merged batch
+        stored_token, stored_gen = _read_token(target_path)
+        if stored_token is not None and stored_token != token:
+            # fresh checkpoint over a warm ledger: rebuild from scratch
+            # (additive merge — see countmin_stream_sink)
+            _reset_ledger(target_path)
+            cur_path, gen, cur_id = None, -1, -1
+        else:
+            cur_path, gen, cur_id = _ledger_latest(target_path)
+            if stored_token == token and gen == stored_gen and batch_id <= cur_id:
+                return  # at-least-once replay of an already-merged batch
+        commit_gen = stored_gen if stored_token == token else gen + 1
+        if stored_token != token:
+            _write_token(target_path, token, commit_gen)
         batch_hist = value_histogram(batch_df, col, bucket_width, n_buckets)
         if cur_path is not None:
             merged = (
@@ -566,7 +683,7 @@ def histogram_stream_sink(
             )
         else:
             merged = batch_hist
-        _ledger_commit(merged, target_path, batch_id)
+        _ledger_commit(merged, target_path, commit_gen, batch_id)
 
     return (
         source_stream.writeStream.foreachBatch(merge_batch)

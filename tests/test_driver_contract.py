@@ -11,17 +11,20 @@ burning the query's sample slot with an ``err`` row even though the answer
 is correct. This is exactly what happened to ``array_agg_orders`` in round
 4 (CORRECTNESS_r04.json: ``unhashable type: 'numpy.ndarray'``).
 
-Two gates, both catalog-wide so a future query can't reintroduce the bug:
+One pass over the catalog applies two gates:
 
-1. schema flatness — no ArrayType/MapType/StructType result column,
-   checked on the *unexecuted* plan for all queries (cheap: no jobs run);
-2. canonicalization round-trip — execute each query at sf0.001, convert
+1. schema flatness — no ArrayType/MapType/StructType result column, for
+   EVERY query. (Building a plan is cheap for pure-relational specs, but
+   note some specs are eager — streaming pipelines and iterative
+   operators execute work at build time — so the pass is shared with
+   gate 2 rather than run twice.)
+2. canonicalization round-trip — execute the query at sf0.001, convert
    to pandas, and run the driver's own sort recipe; any unhashable or
-   un-orderable cell type fails here even if the Spark schema looked flat.
+   un-orderable cell type fails here even if the Spark schema looked
+   flat.
 
-Gate 2 executes the full catalog, so it is opt-in-slow by default: it runs
-the round-trip on a deterministic rotating subset unless
-``SPARK_GRAFT_CONTRACT_FULL=1`` (the full sweep is what pre-round
+Gate 2 executes results, so it runs on a deterministic rotating subset
+unless ``SPARK_GRAFT_CONTRACT_FULL=1`` (the full sweep is what pre-round
 validation should run; see ``tools/check_parity.py`` for the stronger
 value-level equivalent).
 """
@@ -38,30 +41,6 @@ from dbt_glue_spark.plans.catalog import SPECS
 NESTED = (T.ArrayType, T.MapType, T.StructType)
 
 
-def _specs():
-    return SPECS()
-
-
-def test_all_result_schemas_flat(spark, sf_dir):
-    """No catalog query may return a nested-typed column.
-
-    Builds every plan (lazy — no job execution for pure-relational
-    queries) and inspects the result schema. Failure message names every
-    offending query+column so a batch of regressions surfaces at once.
-    """
-    offenders: list[str] = []
-    for name, spec in _specs().items():
-        df = spec.fn(spark, sf_dir)
-        for field in df.schema.fields:
-            if isinstance(field.dataType, NESTED):
-                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
-    assert not offenders, (
-        "nested result columns break the driver canonicalizer "
-        "(pandas sort_values over unhashable cells) — serialize with "
-        f"array_join/to_json on BOTH sides: {offenders}"
-    )
-
-
 def _driver_canon(pdf):
     """The driver's canonicalization recipe, verbatim in spirit:
     column-name sort, then a row sort over every column."""
@@ -71,32 +50,50 @@ def _driver_canon(pdf):
     return pdf
 
 
-def test_canonicalization_roundtrip(spark, sf_dir):
-    """Execute catalog queries and run the driver's pandas sort on the
-    result — catches unhashable/unorderable cell types the schema gate
-    can't see (and doubles as a smoke-run of every registered plan)."""
-    specs = _specs()
+def test_driver_contract_catalog_wide(spark, sf_dir):
+    """Single pass: build every catalog plan once; flat-schema gate for
+    all queries, canonicalization round-trip for the rotating subset
+    (all queries under SPARK_GRAFT_CONTRACT_FULL=1)."""
+    specs = SPECS()
     names = list(specs)
-    if os.environ.get("SPARK_GRAFT_CONTRACT_FULL") != "1":
+    if os.environ.get("SPARK_GRAFT_CONTRACT_FULL") == "1":
+        roundtrip = set(names)
+    else:
         # Deterministic subset: the catalog's sampled prefix (what the
         # driver will actually check next round) plus every 7th of the
         # rest, so repeated suite runs still sweep the whole catalog as
         # the rotation advances.
-        names = names[:60] + names[60::7]
+        roundtrip = set(names[:60] + names[60::7])
+    schema_offenders: list[str] = []
     failures: list[str] = []
     for name in names:
         try:
-            pdf = specs[name].fn(spark, sf_dir).limit(200).toPandas()
-            _driver_canon(pdf)
+            df = specs[name].fn(spark, sf_dir)
         except Exception as exc:  # noqa: BLE001
-            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+            failures.append(f"{name}: build failed: {type(exc).__name__}: {exc}")
+            continue
+        for field in df.schema.fields:
+            if isinstance(field.dataType, NESTED):
+                schema_offenders.append(
+                    f"{name}.{field.name}: {field.dataType.simpleString()}"
+                )
+        if name in roundtrip:
+            try:
+                _driver_canon(df.limit(200).toPandas())
+            except Exception as exc:  # noqa: BLE001
+                failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not schema_offenders, (
+        "nested result columns break the driver canonicalizer "
+        "(pandas sort_values over unhashable cells) — serialize with "
+        f"array_join/to_json on BOTH sides: {schema_offenders}"
+    )
     assert not failures, f"driver canonicalization would crash on: {failures}"
 
 
 @pytest.mark.parametrize("query", ["array_agg_orders"])
 def test_r4_regression_array_agg_serialized(spark, sf_dir, query):
     """array_agg_orders (r4's one red row) now returns a flat string."""
-    df = _specs()[query].fn(spark, sf_dir)
+    df = SPECS()[query].fn(spark, sf_dir)
     statuses = dict(df.dtypes)["statuses"]
     assert statuses == "string", statuses
     pdf = df.toPandas()

@@ -100,3 +100,79 @@ def test_pit_join_usable_by_name(spark):
     assert joined.select("k", "ver").count() == 2
     agg = {r["k"]: r["n"] for r in joined.groupBy("k").agg(F.count("*").alias("n")).collect()}
     assert agg == {10: 2}
+
+
+def test_pit_join_outer_keeps_key_for_unmatched_dim_rows(spark):
+    """how='full': a dim version with no fact in its window must surface
+    with its business key populated (coalesced), not NULL."""
+    from pyspark.sql import functions as F
+
+    from dbt_glue_spark.operators.temporal import pit_join
+
+    facts = spark.createDataFrame(
+        [(1, 10, "2024-01-15")], "fid long, k long, d string"
+    ).select("fid", "k", F.col("d").cast("timestamp").alias("ts"))
+    dim = spark.createDataFrame(
+        [
+            (10, "v1", "2024-01-01", None),
+            (77, "w1", "2024-01-01", None),  # key with no facts at all
+        ],
+        "k long, ver string, f string, t string",
+    ).select(
+        "k",
+        "ver",
+        F.col("f").cast("timestamp").alias("dbt_valid_from"),
+        F.col("t").cast("timestamp").alias("dbt_valid_to"),
+    )
+    out = {r["ver"]: r for r in pit_join(facts, dim, ["k"], "ts", how="full").collect()}
+    assert out["v1"]["k"] == 10 and out["v1"]["fid"] == 1
+    # unmatched dim row: key must survive via the dim side
+    assert out["w1"]["k"] == 77 and out["w1"]["fid"] is None
+
+
+def test_cluster_safe_split_rejects_negative_fraction(spark):
+    from dbt_glue_spark.extensions.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    # sum is fine (0.2) but the negative fraction must still be rejected
+    with pytest.raises(ValueError, match="val_fraction"):
+        cluster_safe_split(docs, pairs, val_fraction=-0.1, test_fraction=0.3)
+
+
+def test_kmv_sink_survives_checkpoint_loss(spark, tmp_path):
+    """KMV under a fresh checkpoint: no reset (set merge is idempotent),
+    but the takeover starts a new generation so the rebuilt run's
+    restarted batch ids still resolve as the newest ledger version."""
+    from dbt_glue_spark.extensions.sketches import kmv_distinct, kmv_estimate_from_hashes
+    from dbt_glue_spark.streaming.pipelines import (
+        _ledger_latest,
+        kmv_stream_sink,
+        read_ledger,
+    )
+
+    df = spark.createDataFrame([(i % 97,) for i in range(600)], "user_id long")
+    stage = str(tmp_path / "src")
+    df.repartition(3).write.mode("overwrite").parquet(stage)
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = kmv_stream_sink(
+            stream, spark, str(tmp_path / "tgt"), ckpt, "user_id"
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    gen_before = _ledger_latest(str(tmp_path / "tgt"))[1]
+    run(str(tmp_path / "ckpt2"))  # checkpoint loss: full re-delivery
+    gen_after = _ledger_latest(str(tmp_path / "tgt"))[1]
+    assert gen_after == gen_before + 1
+    streamed = kmv_estimate_from_hashes(
+        read_ledger(spark, str(tmp_path / "tgt"))
+    ).collect()[0]["approx_distinct"]
+    batch = kmv_distinct(df, "user_id").collect()[0]["approx_distinct"]
+    assert streamed == batch

@@ -348,12 +348,14 @@ def test_histogram_stream_sink_equals_batch_histogram_exactly(spark, tmp_path):
     assert sum(streamed.values()) == 3000
 
 
-def test_countmin_sink_idempotent_under_batch_replay(spark, tmp_path):
-    """At-least-once simulation: re-running the whole stream against the
-    SAME ledger with a FRESH checkpoint replays every micro-batch with
-    already-merged batch_ids. An additive sketch would double-count;
-    the batch_id watermark embedded in the ledger version must skip the
-    replays so the sketch stays cell-for-cell equal to the batch build."""
+def test_countmin_sink_correct_after_checkpoint_loss(spark, tmp_path):
+    """Checkpoint-loss simulation: re-running the whole stream against
+    the SAME warm ledger with a FRESH checkpoint re-delivers every
+    micro-batch with restarted batch_ids. An additive sketch that merged
+    them would double-count; one that skipped them (bare batch_id
+    watermark) would drop genuinely new data. The checkpoint-token fence
+    detects the takeover and REBUILDS, so the final sketch is
+    cell-for-cell equal to the batch build either way."""
     from dbt_glue_spark.extensions.sketches import countmin_build
     from dbt_glue_spark.streaming.pipelines import countmin_stream_sink, read_ledger
 
@@ -386,33 +388,41 @@ def test_countmin_sink_idempotent_under_batch_replay(spark, tmp_path):
 def test_ledger_commit_versioned_atomic(spark, tmp_path):
     """Ledger versions are immutable dirs committed by atomic rename:
     a newer commit never overwrites the dir being read, stale .tmp
-    residue is cleaned, and GC keeps the previous version for in-flight
-    readers."""
+    residue is cleaned, GC keeps the previous version for in-flight
+    readers (and never touches the _ckpt token), and a new GENERATION's
+    batch 0 out-orders the old generation's higher batch ids."""
     import os
 
     from dbt_glue_spark.streaming.pipelines import (
         _ledger_commit,
         _ledger_latest,
+        _read_token,
+        _write_token,
         read_ledger,
     )
 
     target = str(tmp_path / "tgt")
     one = spark.createDataFrame([(1, 10)], "bucket int, cnt int")
-    _ledger_commit(one, target, 0)
-    path0, bid0 = _ledger_latest(target)
-    assert bid0 == 0 and path0.endswith("b000000000000")
+    _ledger_commit(one, target, 0, 0)
+    path0, gen0, bid0 = _ledger_latest(target)
+    assert (gen0, bid0) == (0, 0) and path0.endswith("g000000b000000000000")
     # simulate a crashed write: stale tmp must not be picked up as latest
-    os.makedirs(os.path.join(target, "data", "b000000000005.tmp"))
-    assert _ledger_latest(target)[1] == 0
+    os.makedirs(os.path.join(target, "data", "g000000b000000000005.tmp"))
+    assert _ledger_latest(target)[1:] == (0, 0)
+    _write_token(target, "ckpt-a", 0)
     two = spark.createDataFrame([(1, 30)], "bucket int, cnt int")
-    _ledger_commit(two, target, 3)
-    path3, bid3 = _ledger_latest(target)
-    assert bid3 == 3
+    _ledger_commit(two, target, 0, 3)
+    assert _ledger_latest(target)[1:] == (0, 3)
     versions = sorted(os.listdir(os.path.join(target, "data")))
-    # stale tmp GC'd; previous version kept for in-flight readers
-    assert versions == ["b000000000000", "b000000000003"]
+    # stale tmp GC'd; previous version kept; token file survives GC
+    assert versions == ["_ckpt", "g000000b000000000000", "g000000b000000000003"]
     assert read_ledger(spark, target).collect()[0]["cnt"] == 30
-    # a third commit GCs version 0
-    _ledger_commit(two, target, 7)
+    assert _read_token(target) == ("ckpt-a", 0)
+    # generation-major ordering: gen 1 batch 0 beats gen 0 batch 3 even
+    # though its batch id is smaller (checkpoint takeover restarts ids)
+    three = spark.createDataFrame([(1, 99)], "bucket int, cnt int")
+    _ledger_commit(three, target, 1, 0)
+    assert _ledger_latest(target)[1:] == (1, 0)
+    assert read_ledger(spark, target).collect()[0]["cnt"] == 99
     versions = sorted(os.listdir(os.path.join(target, "data")))
-    assert versions == ["b000000000003", "b000000000007"]
+    assert versions == ["_ckpt", "g000000b000000000003", "g000001b000000000000"]
