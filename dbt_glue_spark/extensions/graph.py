@@ -42,6 +42,10 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()  # O(1) driver scalar, like the CC convergence count
+    if n_nodes == 0:
+        # empty edge relation → empty ranking (1/n seeding would divide
+        # by zero); schema preserved for downstream unions/joins
+        return nodes.select("node", F.lit(None).cast("double").alias("rank"))
     out_w = e.groupBy("src").agg(F.sum(F.col("w").cast("decimal(28,12)")).alias("ow"))
     # edge transition shares, fixed across rounds
     trans = (

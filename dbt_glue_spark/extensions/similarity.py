@@ -186,6 +186,10 @@ def ivf_train(
         .collect()
     )
     centroids = [(i, list(r.v)) for i, r in enumerate(init)]
+    if not centroids:
+        # empty corpus → empty codebook (running Lloyd iterations with an
+        # empty centroid array would build a VOID-typed literal)
+        return []
     for _ in range(iters):
         assigned = ivf_assign(corpus, centroids, vec_col, id_col)
         means = (
@@ -228,6 +232,16 @@ def knn_ivf(
     with nprobe. All vector math stays in Catalyst expressions.
     """
     centroids = ivf_train(corpus, vec_col, id_col, n_centroids)
+    if not centroids:
+        # empty corpus → empty codebook → no neighbors; an empty literal
+        # F.array() is VOID-typed and would break the probe expressions
+        return (
+            queries.select(F.col(id_col).alias("query_id"))
+            .limit(0)
+            .withColumn("neighbor_id", F.col("query_id"))
+            .withColumn("sim", F.lit(None).cast("double"))
+            .withColumn("rk", F.lit(None).cast("int"))
+        )
     corpus_cells = ivf_assign(corpus, centroids, vec_col, id_col).select(
         F.col("id").alias("neighbor_id"), F.col("cell"), F.col("v").alias("__cv")
     )

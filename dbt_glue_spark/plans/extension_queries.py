@@ -1155,7 +1155,12 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_source_on="event_id",
     )
     q.awaitTermination(300)
-    final = spark.read.parquet(os.path.join(target, "data"))
+    data_dir = os.path.join(target, "data")
+    # empty source stream → no micro-batch ever merged → no target dir;
+    # the upsert of nothing is an empty table, not a read error
+    final = (
+        spark.read.parquet(data_dir) if os.path.exists(data_dir) else events.limit(0)
+    )
     return final.select(
         "user_id", "event_type", F.col("event_id").alias("last_event_id")
     )
@@ -3340,9 +3345,15 @@ def streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, spark, target, os.path.join(target, "ckpt"), "user_id"
     )
     q.awaitTermination(300)
+    from dbt_glue_spark.extensions.sketches import countmin_build
     from dbt_glue_spark.streaming.pipelines import read_ledger
 
-    sketch = read_ledger(spark, target)
+    try:
+        sketch = read_ledger(spark, target)
+    except FileNotFoundError:
+        # empty stream → no ledger committed; the sketch of nothing is
+        # an empty (row_idx, bucket, cnt) frame with the same schema
+        sketch = countmin_build(events.limit(0), "user_id")
     top = (
         events.groupBy("user_id")
         .agg(F.count("*").alias("true_n"))
@@ -3864,9 +3875,15 @@ def streaming_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = tempfile.mkdtemp(prefix="dgs_q_kmvtgt_")
     q = kmv_stream_sink(stream, spark, target, os.path.join(target, "ckpt"), "user_id")
     q.awaitTermination(300)
+    from dbt_glue_spark.extensions.sketches import hash_fraction
     from dbt_glue_spark.streaming.pipelines import read_ledger
 
-    est = kmv_estimate_from_hashes(read_ledger(spark, target))
+    try:
+        ledger = read_ledger(spark, target)
+    except FileNotFoundError:
+        # empty stream → no ledger committed → empty hash set
+        ledger = events.limit(0).select(hash_fraction(F.col("user_id")).alias("h"))
+    est = kmv_estimate_from_hashes(ledger)
     exact = events.agg(
         F.countDistinct("user_id").cast("bigint").alias("true_distinct")
     )
@@ -4700,7 +4717,11 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
     from dbt_glue_spark.streaming.pipelines import read_ledger
 
-    live = read_ledger(spark, target)
+    try:
+        live = read_ledger(spark, target)
+    except FileNotFoundError:
+        # empty stream → no ledger committed → empty histogram
+        live = value_histogram(events.limit(0), "value", 16)
     ref = value_histogram(
         events.filter(F.col("event_id") % 2 == 0), "value", 16
     )

@@ -2223,8 +2223,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
            CAST(COUNT(gap_us) AS BIGINT) AS n_converted,
-           FLOOR(CAST(COUNT(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-                 * 1000000.0 + 0.5) / 1000000.0 AS conversion_rate,
+           CASE WHEN COUNT(*) = 0 THEN NULL ELSE
+             FLOOR(CAST(COUNT(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0 END AS conversion_rate,
            FLOOR(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0
                  * 100.0 + 0.5) / 100.0 AS median_gap_s,
            FLOOR(quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 1000000.0
@@ -2262,8 +2263,13 @@ def funnel_conversion_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.agg(
         F.count("*").cast("bigint").alias("n_viewers"),
         F.count("gap_us").cast("bigint").alias("n_converted"),
+        # try_divide: zero viewers (empty slice) must yield NULL, not an
+        # ANSI DIVIDE_BY_ZERO abort — mirrored by the oracle's CASE
         half_up_round(
-            F.count("gap_us").cast("double") / F.count("*").cast("double"), 6
+            F.try_divide(
+                F.count("gap_us").cast("double"), F.count("*").cast("double")
+            ),
+            6,
         ).alias("conversion_rate"),
         half_up_round(
             F.expr("percentile(cast(gap_us as double), 0.5)") / F.lit(1000000.0),

@@ -47,7 +47,15 @@ def _nano_ts_columns(path: str) -> list[str]:
     TIMESTAMP cast, so oracle values agree exactly.
     """
     if path not in _NANO_TS_COLS:
-        schema = pq.read_schema(path)
+        if os.path.isdir(path):
+            # directory-style table (standard Spark writer layout):
+            # pq.read_schema only accepts a single file, so resolve the
+            # unified schema through pyarrow.dataset instead
+            import pyarrow.dataset as ds
+
+            schema = ds.dataset(path, format="parquet").schema
+        else:
+            schema = pq.read_schema(path)
         _NANO_TS_COLS[path] = [
             f.name for f in schema if str(f.type) == "timestamp[ns]"
         ]
@@ -76,10 +84,22 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table from ``sf_dir`` as a DataFrame."""
+    from pyspark.sql.types import LongType
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    for col in _nano_ts_columns(path):
-        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    nano_cols = set(_nano_ts_columns(path))
+    for field in df.schema.fields:
+        # Convert only when Spark ACTUALLY surfaced the column as bigint
+        # (the nanosAsLong path for TIMESTAMP(NANOS)). The pyarrow footer
+        # check alone is not sufficient: Spark-written INT96 timestamps
+        # also report as timestamp[ns] in pyarrow, but Spark reads them
+        # as TIMESTAMP directly — applying `div 1000` there is a type
+        # error on a perfectly valid table.
+        if field.name in nano_cols and isinstance(field.dataType, LongType):
+            df = df.withColumn(
+                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+            )
     return normalize_timestamps(df)
 
 

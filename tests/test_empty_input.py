@@ -1,0 +1,106 @@
+"""Empty-input robustness: every operator must degrade to an empty (or
+NULL-aggregate) result, never crash.
+
+At 100 TB this is not a corner case: partition pruning, a too-tight
+incremental predicate, or an upstream outage routinely hands an operator
+ZERO rows, and a pipeline that throws DIVIDE_BY_ZERO / reads a
+never-created sink path / collects an empty codebook takes the whole DAG
+down. Round-5 probe findings fixed here and regression-gated:
+
+- load_table: pyarrow footer check crashed on directory-style parquet
+  (the standard Spark writer layout) and misread Spark INT96 timestamps
+  as nanos-as-long bigint;
+- funnel_conversion_timing: ANSI DIVIDE_BY_ZERO with zero viewers;
+- pagerank: Python ZeroDivisionError seeding 1/n ranks with n=0;
+- ivf_train/knn_ivf: empty codebook built a VOID-typed literal array;
+- streaming sketch/merge sinks: an empty stream commits no ledger — the
+  readers now fall back to the typed empty sketch instead of raising.
+
+The full catalog sweep runs under SPARK_GRAFT_EMPTY_FULL=1 (the probe
+that found the above); by default only the fixed surfaces run.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.plans.catalog import SPECS
+from dbt_glue_spark.sources.registry import TABLES, load_table
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, sf_dir, tmp_path_factory):
+    """An sf dir with every table present but 0 rows — written with the
+    standard Spark writer (directory layout, INT96 timestamps), so it
+    also exercises the directory/footers path of load_table."""
+    out = str(tmp_path_factory.mktemp("sf_empty"))
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+REGRESSION_QUERIES = [
+    "funnel_conversion_timing",
+    "ext_pagerank_trade",
+    "ext_knn_ivf",
+    "streaming_merge_upsert",
+    "flagship_revenue_by_nation",  # exercises directory+INT96 load path
+    "events_hourly",
+]
+
+
+def test_fixed_queries_survive_empty_input(spark, empty_sf):
+    specs = SPECS()
+    names = (
+        list(specs)
+        if os.environ.get("SPARK_GRAFT_EMPTY_FULL") == "1"
+        else REGRESSION_QUERIES
+    )
+    failures = []
+    for name in names:
+        try:
+            specs[name].fn(spark, empty_sf).limit(5).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:150]}")
+    assert not failures, failures
+
+
+def test_load_table_reads_directory_layout_with_int96(spark, empty_sf, sf_dir):
+    """Directory-style parquet with Spark INT96 timestamps must load with
+    the SAME schema as the single-file driver testdata."""
+    for t in ("events", "orders"):
+        a = load_table(spark, empty_sf, t).schema
+        b = load_table(spark, sf_dir, t).schema
+        assert [(f.name, f.dataType) for f in a] == [
+            (f.name, f.dataType) for f in b
+        ], t
+
+
+def test_pagerank_empty_edges(spark):
+    from dbt_glue_spark.extensions.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges)
+    assert out.count() == 0
+    assert out.columns == ["node", "rank"]
+
+
+def test_knn_ivf_empty_corpus(spark):
+    from dbt_glue_spark.extensions.similarity import ivf_train, knn_ivf
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivf_train(empty) == []
+    out = knn_ivf(empty, empty)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "sim", "rk"]
+
+
+def test_funnel_timing_empty_events(spark, empty_sf):
+    row = SPECS()["funnel_conversion_timing"].fn(spark, empty_sf).collect()[0]
+    assert row["n_viewers"] == 0 and row["n_converted"] == 0
+    assert row["conversion_rate"] is None  # NULL, not DIVIDE_BY_ZERO
