@@ -97,9 +97,15 @@ def data_card(
             .alias("n_dup_docs")
         )
     )
+    # NULL lang is "unknown", not a language: it is excluded from the
+    # majority vote (Spark's NULLS-FIRST asc tie-break would otherwise
+    # crown NULL while the SQL twin's NULLS-LAST crowns a real language —
+    # a silent cross-engine divergence). A group with only NULL langs
+    # keeps a NULL top_lang via the left join.
     w = Window.partitionBy(by).orderBy(F.desc("lc"), F.asc(lang_col))
     top_lang = (
-        per_doc.groupBy(by, lang_col)
+        per_doc.filter(F.col(lang_col).isNotNull())
+        .groupBy(by, lang_col)
         .agg(F.count("*").alias("lc"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
@@ -107,7 +113,7 @@ def data_card(
     )
     return (
         base.join(dup, by)
-        .join(top_lang, by)
+        .join(top_lang, by, "left")
         .select(
             by,
             "n_docs",

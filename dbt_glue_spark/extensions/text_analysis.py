@@ -37,10 +37,19 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.length("__t").cast("bigint").alias("n_chars_computed"),
         F.size(tok).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(tok)).cast("bigint").alias("n_distinct_tokens"),
+        # try_divide: an empty/whitespace-only doc has 0 tokens — the
+        # ratio is NULL on both engines (DuckDB x/0 → NULL), not an ANSI
+        # DIVIDE_BY_ZERO abort that kills the whole corpus scan
         half_up_round(
-            F.aggregate(tok, F.lit(0.0), lambda acc, t: acc + F.length(t)) / F.size(tok), 6
+            F.try_divide(
+                F.aggregate(tok, F.lit(0.0), lambda acc, t: acc + F.length(t)),
+                F.size(tok),
+            ),
+            6,
         ).alias("avg_token_len"),
-        half_up_round(F.size(F.array_distinct(tok)) / F.size(tok), 6).alias("type_token_ratio"),
+        half_up_round(
+            F.try_divide(F.size(F.array_distinct(tok)), F.size(tok)), 6
+        ).alias("type_token_ratio"),
     )
 
 
@@ -51,7 +60,8 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     staged = tokenize_once(df, text_col, [F.col(id_col), F.col(text_col).alias("__t")])
     tok = F.col("toks")
     n_tok = F.size(tok)
-    ttr = F.size(F.array_distinct(tok)) / n_tok
+    # try_divide: 0 tokens → NULL ttr (engine-aligned), not DIVIDE_BY_ZERO
+    ttr = F.try_divide(F.size(F.array_distinct(tok)), n_tok)
     alpha_ratio = (
         F.length(F.regexp_replace("__t", r"[^a-zA-Z]", ""))
         / F.greatest(F.length("__t"), F.lit(1))
@@ -147,6 +157,10 @@ def chunk_tokens(
     """
     staged = tokenize_once(df, text_col, [F.col(id_col)])
     tok = F.col("toks")
+    # 0-token (empty/whitespace/NULL) docs produce NO chunks — without the
+    # filter the greatest(…, 0) start clamp emits one empty chunk per
+    # empty doc, which the SQL generate_series formulation never does
+    staged = staged.filter(F.size(tok) > 0)
     starts = F.sequence(F.lit(0), F.greatest(F.size(tok) - 1, F.lit(0)), F.lit(stride))
     chunks = F.transform(starts, lambda s: F.slice(tok, s + 1, size))
     return staged.select(

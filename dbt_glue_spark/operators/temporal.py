@@ -42,11 +42,21 @@ def asof_join(
     ``{on}{suffix}`` for the matched timestamp. If multiple right rows
     share one timestamp within a key, pre-deduplicate the right side —
     ties are otherwise resolved arbitrarily.
+
+    NULL semantics follow the SQL equi-join, not Spark's window
+    grouping: a right row with a NULL ``by`` key or NULL timestamp can
+    never be anyone's match, and a left row with a NULL key/timestamp
+    matches nothing (NULL payload). Without this, partitionBy groups the
+    NULL keys together and they happily match EACH OTHER — a silent
+    divergence from what the same join written in SQL would produce.
     """
     by = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by]
     payload = [on, *right_cols]
+
+    for c in (on, *by):
+        right = right.filter(F.col(c).isNotNull())
 
     # The union formulation requires the shared key/ts columns to agree in
     # type; a mismatch would otherwise be silently null-cast below.
@@ -73,10 +83,12 @@ def asof_join(
     )
     unioned = l.unionByName(r)
 
+    # nulls FIRST in scan order (both directions): a NULL-ts left row then
+    # precedes every right row and accumulates no payload → NULL match
     if direction == "backward":
-        w = Window.partitionBy(*by).orderBy(F.asc(on), F.asc("__side"))
+        w = Window.partitionBy(*by).orderBy(F.asc_nulls_first(on), F.asc("__side"))
     elif direction == "forward":
-        w = Window.partitionBy(*by).orderBy(F.desc(on), F.asc("__side"))
+        w = Window.partitionBy(*by).orderBy(F.desc_nulls_first(on), F.asc("__side"))
     else:
         raise ValueError(f"unknown direction {direction}")
     w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -137,6 +149,12 @@ def asof_join_bucketed(
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction}")
 
+    # SQL equi-join NULL semantics (same contract as asof_join): NULL
+    # key/ts right rows never match; they would otherwise bucket into
+    # the NULL partition and match NULL-key left rows
+    for c in (on, *by):
+        right = right.filter(F.col(c).isNotNull())
+
     # numeric timeline: works for TIMESTAMP (epoch seconds w/ fraction)
     # and plain numeric ``on`` columns alike
     def ts_num(col: Column) -> Column:
@@ -164,7 +182,9 @@ def asof_join_bucketed(
         .unionByName(summ.select(*by, "__b"))
         .distinct()
     )
-    order = F.asc("__b") if backward else F.desc("__b")
+    # nulls-first in both directions: the NULL bucket (NULL-ts left rows)
+    # must never receive carried payload from real buckets
+    order = F.asc_nulls_first("__b") if backward else F.desc_nulls_first("__b")
     wc = (
         Window.partitionBy(*by)
         .orderBy(order)
@@ -205,7 +225,7 @@ def asof_join_bucketed(
         F.col("__p").alias("__r"),
     )
     unioned = l.unionByName(r).unionByName(c_rows)
-    t_ord = F.asc(on) if backward else F.desc(on)
+    t_ord = F.asc_nulls_first(on) if backward else F.desc_nulls_first(on)
     w = (
         Window.partitionBy(*by, "__b")
         .orderBy(F.asc("__real"), t_ord, F.asc("__side"))

@@ -380,7 +380,7 @@ def ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
     scored AS (
       SELECT query_id, neighbor_id,
-             FLOOR(list_cosine_similarity(qv, cv) * 10000 + 0.5) / 10000 AS sim
+             FLOOR(CASE WHEN list_inner_product(qv, qv) = 0 OR list_inner_product(cv, cv) = 0 THEN NULL ELSE list_cosine_similarity(qv, cv) END * 10000 + 0.5) / 10000 AS sim
       FROM q, c WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, sim, CAST(rk AS INT) AS rk FROM (
@@ -460,9 +460,9 @@ def _bucket_sql(col: str, planes: int = 4, dim: int = 64) -> str:
                       {_bucket_sql('embedding::DOUBLE[]')} AS b
                FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           FLOOR(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 AS sim
+           FLOOR(CASE WHEN list_inner_product(a.v, a.v) = 0 OR list_inner_product(b.v, b.v) = 0 THEN NULL ELSE list_cosine_similarity(a.v, b.v) END * 10000 + 0.5) / 10000 AS sim
     FROM e a JOIN e b ON a.b = b.b AND a.vec_id < b.vec_id
-    WHERE FLOOR(list_cosine_similarity(a.v, b.v) * 10000 + 0.5) / 10000 >= 0.35
+    WHERE FLOOR(CASE WHEN list_inner_product(a.v, a.v) = 0 OR list_inner_product(b.v, b.v) = 0 THEN NULL ELSE list_cosine_similarity(a.v, b.v) END * 10000 + 0.5) / 10000 >= 0.35
     """,
     doc="Embedding-cosine near-dup pairs on the LSH-bucketed path "
     "(random-hyperplane sign buckets → equi-join within buckets only): "
@@ -489,7 +489,7 @@ def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings),
     scored AS (
       SELECT query_id, neighbor_id,
-             FLOOR(list_cosine_similarity(qv, cv) * 10000 + 0.5) / 10000 AS sim
+             FLOOR(CASE WHEN list_inner_product(qv, qv) = 0 OR list_inner_product(cv, cv) = 0 THEN NULL ELSE list_cosine_similarity(qv, cv) END * 10000 + 0.5) / 10000 AS sim
       FROM q JOIN c USING (b) WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, sim, CAST(rk AS INT) AS rk FROM (
@@ -1448,7 +1448,7 @@ def ext_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT p.query_id, c.id AS neighbor_id,
-             FLOOR(list_cosine_similarity(q.v, c.v) * 10000 + 0.5) / 10000 AS sim
+             FLOOR(CASE WHEN list_inner_product(q.v, q.v) = 0 OR list_inner_product(c.v, c.v) = 0 THEN NULL ELSE list_cosine_similarity(q.v, c.v) END * 10000 + 0.5) / 10000 AS sim
       FROM probes p
       JOIN cells c ON c.cell = p.cell
       JOIN e q ON q.id = p.query_id
@@ -2438,7 +2438,7 @@ def ext_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHEN x.d2 < y.d2 THEN y.id
                            ELSE greatest(x.id, y.id) END AS id
       FROM m x JOIN m y ON x.cid = y.cid AND x.id < y.id
-      WHERE FLOOR(list_cosine_similarity(x.v, y.v) * 1e4 + 0.5) / 1e4 >= 0.30
+      WHERE FLOOR(CASE WHEN list_inner_product(x.v, x.v) = 0 OR list_inner_product(y.v, y.v) = 0 THEN NULL ELSE list_cosine_similarity(x.v, y.v) END * 1e4 + 0.5) / 1e4 >= 0.30
     )
     SELECT id AS vec_id, cid AS cluster_id FROM m
     WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.id = m.id)
@@ -3031,7 +3031,7 @@ def _mmr_oracle(n_queries: int = 4, n_cand: int = 20, k: int = 8) -> str:
           FROM embeddings),
     scored AS (
       SELECT query_id, neighbor_id,
-             FLOOR(list_cosine_similarity(qv, cv) * 10000 + 0.5) / 10000 AS sim
+             FLOOR(CASE WHEN list_inner_product(qv, qv) = 0 OR list_inner_product(cv, cv) = 0 THEN NULL ELSE list_cosine_similarity(qv, cv) END * 10000 + 0.5) / 10000 AS sim
       FROM q, c WHERE neighbor_id <> query_id
     ),
     cand AS MATERIALIZED (
@@ -3043,8 +3043,7 @@ def _mmr_oracle(n_queries: int = 4, n_cand: int = 20, k: int = 8) -> str:
     ),
     pairs AS MATERIALIZED (
       SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
-             FLOOR(list_cosine_similarity(ea.embedding::DOUBLE[],
-                                          eb.embedding::DOUBLE[])
+             FLOOR(CASE WHEN list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]) = 0 OR list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]) = 0 THEN NULL ELSE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) END
                    * 10000 + 0.5) / 10000 AS sim_ab
       FROM cand a
       JOIN cand b ON a.query_id = b.query_id
@@ -3176,8 +3175,8 @@ def ext_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id + 1000000 AS doc_id, 'new document ' || doc_id AS text
       FROM documents WHERE doc_id % 23 = 0
     ),
-    ha AS (SELECT doc_id, MD5(text) AS h FROM documents),
-    hb AS (SELECT doc_id, MD5(text) AS h FROM b)
+    ha AS (SELECT doc_id, MD5(COALESCE(text, '')) AS h FROM documents),
+    hb AS (SELECT doc_id, MD5(COALESCE(text, '')) AS h FROM b)
     SELECT CASE WHEN ha.h IS NULL THEN 'added'
                 WHEN hb.h IS NULL THEN 'removed'
                 WHEN ha.h = hb.h THEN 'unchanged'
@@ -3283,9 +3282,12 @@ def _stream_cm_oracle() -> str:
     from dbt_glue_spark.extensions.sketches import _CM_DEPTH, _duck_cm_bucket
 
     uid = "CAST(user_id AS VARCHAR)"
+    # NULL keys are excluded on both sides: a NULL hashes to NULL (no
+    # sketch cell) in Spark, so probing it is meaningless — the true-count
+    # frame must not rank a NULL group either
     build_arms = "\n      UNION ALL ".join(
         f"SELECT {j} AS row_idx, {_duck_cm_bucket(uid, j)} AS bucket"
-        " FROM events"
+        " FROM events WHERE user_id IS NOT NULL"
         for j in range(_CM_DEPTH)
     )
     probe_arms = "\n      UNION ALL ".join(
@@ -3301,7 +3303,8 @@ def _stream_cm_oracle() -> str:
     ),
     top AS (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
-      FROM events GROUP BY user_id ORDER BY true_n DESC, user_id LIMIT 20
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id ORDER BY true_n DESC, user_id LIMIT 20
     ),
     probes AS ({probe_arms})
     SELECT user_id, true_n, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cm_count
@@ -3330,8 +3333,11 @@ def streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions.sketches import countmin_estimate
     from dbt_glue_spark.streaming.pipelines import countmin_stream_sink
 
-    events = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("user_id")
+    events = (
+        load_table(spark, sf_dir, "events")
+        # NULL keys excluded on both sides (see _stream_cm_oracle)
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("user_id"))
     )
     stage = tempfile.mkdtemp(prefix="dgs_q_cmsrc_")
     events.repartition(4).write.mode("overwrite").parquet(stage)
@@ -3755,7 +3761,7 @@ def ext_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT vec_id AS neighbor_id, pv AS cv FROM proj),
     scored AS (
       SELECT query_id, neighbor_id,
-             FLOOR(list_cosine_similarity(qv, cv) * 10000 + 0.5) / 10000 AS sim
+             FLOOR(CASE WHEN list_inner_product(qv, qv) = 0 OR list_inner_product(cv, cv) = 0 THEN NULL ELSE list_cosine_similarity(qv, cv) END * 10000 + 0.5) / 10000 AS sim
       FROM q, c WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, sim, CAST(rk AS INT) AS rk FROM (
@@ -3807,7 +3813,8 @@ def ext_knn_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY source
                  ORDER BY lc DESC, lang) AS rk
         FROM (SELECT source, lang, COUNT(*) AS lc
-              FROM tokd GROUP BY source, lang) lcs) r
+              FROM tokd WHERE lang IS NOT NULL
+              GROUP BY source, lang) lcs) r
       WHERE rk = 1
     )
     SELECT b.source, CAST(n_docs AS BIGINT) AS n_docs,
@@ -3816,7 +3823,7 @@ def ext_knn_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
            FLOOR(CAST(n_dup_docs AS DOUBLE) / n_docs * 1000000 + 0.5)
              / 1000000.0 AS dup_fraction
-    FROM base b JOIN dup USING (source) JOIN tl USING (source)
+    FROM base b JOIN dup USING (source) LEFT JOIN tl USING (source)
     """,
     doc="Per-source corpus data card (audit.data_card): document/language "
     "counts, majority language, token totals, mean doc length, and the "
@@ -4217,7 +4224,7 @@ def ext_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-                 FLOOR(list_cosine_similarity(qv, cv) * 10000 + 0.5) / 10000
+                 FLOOR(CASE WHEN list_inner_product(qv, qv) = 0 OR list_inner_product(cv, cv) = 0 THEN NULL ELSE list_cosine_similarity(qv, cv) END * 10000 + 0.5) / 10000
                    DESC, neighbor_id) AS rk
         FROM q, c WHERE neighbor_id <> query_id) t
       WHERE rk <= 5
@@ -4226,7 +4233,7 @@ def ext_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-                 FLOOR(list_cosine_similarity(qv, cv) * 10000 + 0.5) / 10000
+                 FLOOR(CASE WHEN list_inner_product(qv, qv) = 0 OR list_inner_product(cv, cv) = 0 THEN NULL ELSE list_cosine_similarity(qv, cv) END * 10000 + 0.5) / 10000
                    DESC, neighbor_id) AS rk
         FROM q JOIN c USING (b) WHERE neighbor_id <> query_id) t
       WHERE rk <= 5

@@ -307,7 +307,12 @@ def mat_backfill_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mat_post_hook_audit",
     """
     SELECT 'ord_sum' AS model_name,
-           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_rows,
+           -- distinct-subquery, not COUNT(DISTINCT): the audited model is
+           -- a GROUP BY, and GROUP BY keeps a NULL group while
+           -- COUNT(DISTINCT) drops it — the audit must count group rows
+           CAST((SELECT COUNT(*) FROM
+                 (SELECT DISTINCT o_orderstatus FROM orders) d) AS BIGINT)
+             AS n_rows,
            CAST(COUNT(*) AS BIGINT) AS total_orders
     FROM orders
     """,

@@ -564,7 +564,8 @@ def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(YEAR(o_orderdate) AS INT) AS order_year,
            CAST(MONTH(o_orderdate) AS INT) AS order_month,
            UPPER(SUBSTRING(o_orderpriority, 1, 1)) AS prio_code,
-           CONCAT(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           CONCAT(COALESCE(o_orderstatus, ''), '-',
+                  COALESCE(o_orderpriority, '')) AS status_prio,
            CASE WHEN o_totalprice > 300000 THEN 'high'
                 WHEN o_totalprice > 100000 THEN 'mid'
                 ELSE 'low' END AS price_band,
@@ -582,7 +583,14 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("order_year"),
         F.month("o_orderdate").cast("int").alias("order_month"),
         F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_code"),
-        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        # explicit COALESCE, not concat_ws: concat_ws silently DROPS null
+        # operands (no separator), DuckDB CONCAT keeps the separator —
+        # pinning '' for NULL makes both engines emit 'x-', '-y', '-'
+        F.concat(
+            F.coalesce("o_orderstatus", F.lit("")),
+            F.lit("-"),
+            F.coalesce("o_orderpriority", F.lit("")),
+        ).alias("status_prio"),
         F.when(F.col("o_totalprice") > 300000, "high")
         .when(F.col("o_totalprice") > 100000, "mid")
         .otherwise("low")
@@ -595,13 +603,19 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_events",
     """
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(
+                    NULLIF(TRIM(props, ' ' || chr(9) || chr(10) || chr(13)),
+                           ''), '$.k')
+                         AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type
     """,
     doc="JSON extraction from string props (SURVEY §2.8 F8 "
-    "get_json_object); JVM-side json path, no UDF.",
+    "get_json_object); JVM-side json path, no UDF. The oracle NULLIFs "
+    "blank payloads first: Spark's get_json_object returns NULL for "
+    "empty/whitespace input while DuckDB's json_extract_string raises "
+    "Malformed JSON — the NULLIF pins both engines to NULL.",
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -1531,25 +1545,30 @@ def window_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
            FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) / 1000000 AS cume,
            CAST(DENSE_RANK() OVER (PARTITION BY o_orderstatus
-                                   ORDER BY o_orderpriority) AS BIGINT)
+                                   ORDER BY o_orderpriority NULLS LAST)
+                AS BIGINT)
              AS prio_dense_rank
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus
-                 ORDER BY o_totalprice DESC, o_orderkey)
+                 ORDER BY o_totalprice DESC NULLS LAST, o_orderkey)
     LIMIT 1000000
     """,
     doc="Ranking-function family: ntile quartiles, percent_rank, "
     "cume_dist, dense_rank. All evaluate in one pass per window after a "
     "single o_orderstatus shuffle+sort; the unique o_orderkey tie-break "
     "makes every rank deterministic (cume_dist/dense_rank are "
-    "peer-based and need none).",
+    "peer-based and need none). NULL placement is pinned NULLS LAST on "
+    "both sides — Spark defaults ASC to NULLS FIRST, DuckDB to NULLS "
+    "LAST, so an unpinned ordering silently diverges on NULL sort keys.",
 )
 def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+        F.desc_nulls_last("o_totalprice"), F.asc("o_orderkey")
     )
-    wd = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    wd = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc_nulls_last("o_orderpriority")
+    )
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return orders.select(
         "o_orderkey",
@@ -1616,7 +1635,16 @@ def collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect("a1", "a2")).cast("int").alias("n_inter"),
         F.size(F.array_union("a1", "a2")).cast("int").alias("n_union"),
         F.size(F.array_except("a1", "a2")).cast("int").alias("n_except"),
-        F.element_at(freq, F.col("toks")[0]).cast("int").alias("first_tok_count"),
+        # empty-doc defense: toks[0] under ANSI raises INVALID_ARRAY_INDEX
+        # on a 0-element array → F.get (NULL); try_element_at tolerates
+        # the NULL key; the explicit 0 for empty-but-non-NULL docs mirrors
+        # the oracle's len(list_filter([])) = 0 (NULL text stays NULL)
+        F.when(
+            F.col("toks").isNotNull() & (F.size("toks") == 0), F.lit(0)
+        )
+        .otherwise(F.try_element_at(freq, F.get(F.col("toks"), 0)))
+        .cast("int")
+        .alias("first_tok_count"),
         F.size(F.map_keys(freq)).cast("int").alias("n_map_keys"),
         F.aggregate(
             F.map_values(doubled), F.lit(0), lambda acc, v: acc + v
@@ -1865,8 +1893,11 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_orders",
     """
     SELECT o_custkey,
-           array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
-           CAST(len(list(o_orderstatus)) AS INT) AS n_orders
+           COALESCE(array_to_string(
+             list_sort(list(o_orderstatus)
+                       FILTER (o_orderstatus IS NOT NULL)), ','), '')
+             AS statuses,
+           CAST(COUNT(o_orderstatus) AS INT) AS n_orders
     FROM orders
     WHERE o_custkey <= 100
     GROUP BY o_custkey

@@ -59,6 +59,11 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="tok: string, n: bigint, first_pos: int")
     class TokenStats:
         def eval(self, text: str):
+            if not text:
+                # NULL/empty document → no token rows (the oracle's
+                # generate_series over a NULL/empty list yields none);
+                # re.split(None) would TypeError inside the worker
+                return
             counts: dict[str, list[int]] = {}
             for pos, tok in enumerate(t for t in re.split(r"\s+", text) if t):
                 if tok in counts:
@@ -100,7 +105,10 @@ def udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def np_median(v: "pd.Series") -> "float":
-        return float(np.median(v.to_numpy()))
+        # NULL prices arrive as NaN; SQL MEDIAN ignores NULLs, and
+        # np.median over a NaN-bearing array would poison the result
+        arr = v.dropna().to_numpy()
+        return float(np.median(arr)) if len(arr) else None
 
     # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg —
     # the row count rides along as a second pandas aggregate

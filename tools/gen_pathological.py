@@ -1,0 +1,95 @@
+"""Generate a pathological scale-factor directory for NULL/edge-value
+parity sweeps.
+
+Takes the driver testdata and injects, deterministically per (row key,
+column): NULLs, empty strings, whitespace-only strings, zeros and
+negatives into every nullable value column (never the leading key
+column), plus all-zero embedding vectors. The output keeps the driver's
+table names, so the EXACT same oracle-parity harness runs against it:
+
+    python tools/gen_pathological.py            # writes /tmp/sf_nulls
+    python tools/check_parity.py /tmp/sf_nulls  # cross-engine NULL gate
+
+Any mismatch is a genuine cross-engine NULL/edge-semantics divergence —
+this sweep surfaced (and round 5 fixed) 21 of them: ANSI DIVIDE_BY_ZERO
+in ratio operators, NULL join keys matching each other in the as-of
+window formulation, collect_list-vs-list() NULL handling, concat_ws
+dropping NULL operands, NULLS FIRST/LAST window-ordering defaults,
+DuckDB's -1.0 zero-vector cosine, NaN-poisoned pandas medians, and
+NULL-text crashes in a UDTF. See SCALE.md "Round-5 NULL/edge-semantics
+sweep".
+
+Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.session import get_spark
+from dbt_glue_spark.sources.registry import TABLES, load_table
+
+
+def mutate(df, rows: int = 300):
+    """Deterministic per-cell mutation: hash(key, column) selects the
+    edge case, so re-runs produce byte-identical tables."""
+    base = df.limit(rows)
+    cols = dict(df.dtypes)
+    names = df.columns
+    out = base
+    for i, c in enumerate(names):
+        if i == 0:  # leading column is the key — keep joinable rows
+            continue
+        dt = cols[c]
+        h = F.abs(F.hash(F.col(names[0]).cast("string"), F.lit(c)))
+        if dt == "string":
+            out = out.withColumn(
+                c,
+                F.when(h % 7 == 0, F.lit(None).cast("string"))
+                .when(h % 7 == 1, F.lit(""))
+                .when(h % 7 == 2, F.lit("  \t "))
+                .otherwise(F.col(c)),
+            )
+        elif dt in ("double", "float"):
+            out = out.withColumn(
+                c,
+                F.when(h % 7 == 0, F.lit(None).cast(dt))
+                .when(h % 7 == 1, F.lit(0.0).cast(dt))
+                .when(h % 7 == 2, F.lit(-1.0).cast(dt))
+                .otherwise(F.col(c)),
+            )
+        elif dt in ("bigint", "int", "long"):
+            out = out.withColumn(
+                c, F.when(h % 9 == 0, F.lit(None).cast(dt)).otherwise(F.col(c))
+            )
+        elif dt.startswith("array"):
+            out = out.withColumn(
+                c,
+                F.when(
+                    h % 11 == 0, F.transform(F.col(c), lambda x: F.lit(0.0))
+                ).otherwise(F.col(c)),
+            )
+    return out
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_nulls"
+    spark = get_spark("pathological_gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        mutated = mutate(load_table(spark, src, t))
+        mutated.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+        print(t, "written")
+
+
+if __name__ == "__main__":
+    main()
