@@ -55,8 +55,11 @@ def kmeans_assign(
     nested-loop over k, i.e. map-side linear scan; the only shuffle per
     round is the (cluster, dim) mean, whose output is k·d rows. Rounds are
     O(max_iter) scans — exactly Spark MLlib's dataflow, minus RNG.
+
+    NULL vectors are excluded (no geometry; oracle twins filter
+    ``embedding IS NOT NULL``).
     """
-    vecs = df.select(
+    vecs = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     # global window is intentional: numbering runs over the k-row seed
@@ -411,6 +414,10 @@ def label_separation(
     """
     from dbt_glue_spark.functions.scalars import half_up_round
 
+    # NULL vectors excluded up front: posexplode would silently drop them
+    # from the scatter sums while groupBy counts kept them — inconsistent
+    # n_vecs vs w_ss (and a divergence from the oracle's IS NOT NULL scan)
+    df = df.filter(F.col(vec_col).isNotNull())
     dims = df.select(
         F.col(label_col).alias("lbl"), F.col(vec_col).cast("array<double>").alias("v")
     ).select("lbl", F.posexplode("v").alias("pos", "x"))
@@ -486,7 +493,8 @@ def embedding_dim_audit(
     """
     from dbt_glue_spark.functions.scalars import half_up_round
 
-    dims = df.select(
+    # NULL vectors excluded (no geometry; oracle filters IS NOT NULL)
+    dims = df.filter(F.col(vec_col).isNotNull()).select(
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
     )
     agg = dims.groupBy("dim").agg(

@@ -68,11 +68,17 @@ def knn_bruteforce(
 
     Returns (query_id, neighbor_id, sim) — sim half-up rounded so the
     DuckDB oracle (same formula) hashes identically.
+
+    Rows with a NULL vector are excluded on both sides — no geometry, no
+    similarity (and DuckDB's list_inner_product hard-errors on NULL, so
+    the oracles filter `embedding IS NOT NULL` to the same effect).
     """
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -102,12 +108,13 @@ def knn_lsh(
     scale path when the query set itself is large (e.g. corpus-vs-corpus).
     2^planes buckets; expected candidate fraction 2^-planes per table pair.
     """
-    q = queries.select(
+    # NULL vectors excluded (no geometry) — matches the oracle scan filter
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         sign_bucket(F.col(vec_col), dim, planes).alias("__b"),
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         sign_bucket(F.col(vec_col), dim, planes).alias("__b"),
@@ -179,6 +186,10 @@ def ivf_train(
     (the ``n_centroids`` lowest-id vectors). Each iteration is one narrow
     assignment pass + one groupBy-mean over (cell, dim) — linear scans, no
     pairwise work. Returns the codebook as a driver-side list."""
+    # NULL embeddings carry no geometry: they can neither seed nor train
+    # a centroid (list(None) would TypeError on the driver), so the
+    # codebook is trained on the non-NULL corpus only
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     init = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
@@ -231,6 +242,9 @@ def knn_ivf(
     nprobe cells → candidate fraction ≈ nprobe/n_centroids. Recall tunes
     with nprobe. All vector math stays in Catalyst expressions.
     """
+    # NULL vectors excluded (no geometry) — matches the oracle scan filter
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     centroids = ivf_train(corpus, vec_col, id_col, n_centroids)
     if not centroids:
         # empty corpus → empty codebook → no neighbors; an empty literal
@@ -296,8 +310,13 @@ def all_pairs_cosine(
     equi-join (approximate, scale path).
 
     Returns (id_a, id_b, sim), id_a < id_b.
+
+    NULL vectors are excluded (no geometry; oracle twin filters
+    ``embedding IS NOT NULL``).
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     if buckets > 0:
         base = base.withColumn("__b", sign_bucket(F.col("v"), dim, buckets))
         cond = (F.col("a.__b") == F.col("b.__b")) & (F.col("a.id") < F.col("b.id"))

@@ -372,15 +372,31 @@ def ext_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ext_embedding_near_dup is registered below, after _bucket_sql)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """Zero-norm-guarded cosine at 4 dp, the SINGLE source of truth for
+    every oracle cosine — MUST mirror functions/vectors.cosine_sim
+    (NULL when either norm is 0; DuckDB's list_cosine_similarity returns
+    -1.0 for zero vectors, and both it and list_inner_product hard-error
+    when fed a NULL list, so callers must scan from an IS NOT NULL
+    materialized CTE)."""
+    return (
+        f"FLOOR(CASE WHEN list_inner_product({a}, {a}) = 0 "
+        f"OR list_inner_product({b}, {b}) = 0 THEN NULL "
+        f"ELSE list_cosine_similarity({a}, {b}) END * 10000 + 0.5) / 10000"
+    )
+
+
 @register(
     "ext_knn_bruteforce",
-    """
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    f"""
+    WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings
+               WHERE vec_id < 10 AND embedding IS NOT NULL),
+         c AS MATERIALIZED (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE embedding IS NOT NULL),
     scored AS (
       SELECT query_id, neighbor_id,
-             FLOOR(CASE WHEN list_inner_product(qv, qv) = 0 OR list_inner_product(cv, cv) = 0 THEN NULL ELSE list_cosine_similarity(qv, cv) END * 10000 + 0.5) / 10000 AS sim
+             {_cos_sql('qv', 'cv')} AS sim
       FROM q, c WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, sim, CAST(rk AS INT) AS rk FROM (
@@ -456,13 +472,15 @@ def _bucket_sql(col: str, planes: int = 4, dim: int = 64) -> str:
 @register(
     "ext_embedding_near_dup",
     f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    WITH base AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                           WHERE embedding IS NOT NULL),
+    e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
                       {_bucket_sql('embedding::DOUBLE[]')} AS b
-               FROM embeddings)
+               FROM base)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           FLOOR(CASE WHEN list_inner_product(a.v, a.v) = 0 OR list_inner_product(b.v, b.v) = 0 THEN NULL ELSE list_cosine_similarity(a.v, b.v) END * 10000 + 0.5) / 10000 AS sim
+           {_cos_sql('a.v', 'b.v')} AS sim
     FROM e a JOIN e b ON a.b = b.b AND a.vec_id < b.vec_id
-    WHERE FLOOR(CASE WHEN list_inner_product(a.v, a.v) = 0 OR list_inner_product(b.v, b.v) = 0 THEN NULL ELSE list_cosine_similarity(a.v, b.v) END * 10000 + 0.5) / 10000 >= 0.35
+    WHERE {_cos_sql('a.v', 'b.v')} >= 0.35
     """,
     doc="Embedding-cosine near-dup pairs on the LSH-bucketed path "
     "(random-hyperplane sign buckets → equi-join within buckets only): "
@@ -481,15 +499,17 @@ def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_knn_lsh",
     f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+    WITH base AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                           WHERE embedding IS NOT NULL),
+    q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
                       {_bucket_sql('embedding::DOUBLE[]')} AS b
-               FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+               FROM base WHERE vec_id < 10),
+         c AS MATERIALIZED (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
                       {_bucket_sql('embedding::DOUBLE[]')} AS b
-               FROM embeddings),
+               FROM base),
     scored AS (
       SELECT query_id, neighbor_id,
-             FLOOR(CASE WHEN list_inner_product(qv, qv) = 0 OR list_inner_product(cv, cv) = 0 THEN NULL ELSE list_cosine_similarity(qv, cv) END * 10000 + 0.5) / 10000 AS sim
+             {_cos_sql('qv', 'cv')} AS sim
       FROM q JOIN c USING (b) WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, sim, CAST(rk AS INT) AS rk FROM (
@@ -1405,7 +1425,8 @@ def ext_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_knn_ivf",
     r"""
-    WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                         FROM embeddings WHERE embedding IS NOT NULL),
     cb(i, cid, c) AS (
       SELECT 0, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, v
       FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)
@@ -1448,7 +1469,7 @@ def ext_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT p.query_id, c.id AS neighbor_id,
-             FLOOR(CASE WHEN list_inner_product(q.v, q.v) = 0 OR list_inner_product(c.v, c.v) = 0 THEN NULL ELSE list_cosine_similarity(q.v, c.v) END * 10000 + 0.5) / 10000 AS sim
+             """ + _cos_sql("q.v", "c.v") + r""" AS sim
       FROM probes p
       JOIN cells c ON c.cell = p.cell
       JOIN e q ON q.id = p.query_id
@@ -2362,7 +2383,8 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KMEANS_CTE = r"""
-    WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                         FROM embeddings WHERE embedding IS NOT NULL),
     cent(i, cid, c) AS (
       SELECT 0, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, v
       FROM (SELECT id, v FROM e ORDER BY id LIMIT 10)
@@ -2427,7 +2449,7 @@ def ext_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_semantic_dedup",
     _KMEANS_CTE
-    + """
+    + f"""
     , m AS (
       SELECT a2.id, (a2.best).cid AS cid,
              FLOOR((a2.best).d2 * 1e6 + 0.5) / 1e6 AS d2, e2.v
@@ -2438,7 +2460,7 @@ def ext_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHEN x.d2 < y.d2 THEN y.id
                            ELSE greatest(x.id, y.id) END AS id
       FROM m x JOIN m y ON x.cid = y.cid AND x.id < y.id
-      WHERE FLOOR(CASE WHEN list_inner_product(x.v, x.v) = 0 OR list_inner_product(y.v, y.v) = 0 THEN NULL ELSE list_cosine_similarity(x.v, y.v) END * 1e4 + 0.5) / 1e4 >= 0.30
+      WHERE {_cos_sql('x.v', 'y.v')} >= 0.30
     )
     SELECT id AS vec_id, cid AS cluster_id FROM m
     WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.id = m.id)
@@ -3025,13 +3047,15 @@ def _mmr_oracle(n_queries: int = 4, n_cand: int = 20, k: int = 8) -> str:
     (mu is never computed as 1-lam: that double differs from 0.3)."""
     parts = [
         f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < {n_queries}),
-    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
-          FROM embeddings),
+    WITH base AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                           WHERE embedding IS NOT NULL),
+    q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM base WHERE vec_id < {n_queries}),
+    c AS MATERIALIZED (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM base),
     scored AS (
       SELECT query_id, neighbor_id,
-             FLOOR(CASE WHEN list_inner_product(qv, qv) = 0 OR list_inner_product(cv, cv) = 0 THEN NULL ELSE list_cosine_similarity(qv, cv) END * 10000 + 0.5) / 10000 AS sim
+             {_cos_sql('qv', 'cv')} AS sim
       FROM q, c WHERE neighbor_id <> query_id
     ),
     cand AS MATERIALIZED (
@@ -3043,13 +3067,12 @@ def _mmr_oracle(n_queries: int = 4, n_cand: int = 20, k: int = 8) -> str:
     ),
     pairs AS MATERIALIZED (
       SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
-             FLOOR(CASE WHEN list_inner_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]) = 0 OR list_inner_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]) = 0 THEN NULL ELSE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) END
-                   * 10000 + 0.5) / 10000 AS sim_ab
+             {_cos_sql('ea.embedding::DOUBLE[]', 'eb.embedding::DOUBLE[]')} AS sim_ab
       FROM cand a
       JOIN cand b ON a.query_id = b.query_id
                  AND a.neighbor_id <> b.neighbor_id
-      JOIN embeddings ea ON ea.vec_id = a.neighbor_id
-      JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+      JOIN base ea ON ea.vec_id = a.neighbor_id
+      JOIN base eb ON eb.vec_id = b.neighbor_id
     ),
     sel1 AS (
       SELECT query_id, neighbor_id, sim, 1 AS sel_rank FROM (
@@ -3352,14 +3375,9 @@ def streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     from dbt_glue_spark.extensions.sketches import countmin_build
-    from dbt_glue_spark.streaming.pipelines import read_ledger
+    from dbt_glue_spark.streaming.pipelines import read_ledger_or
 
-    try:
-        sketch = read_ledger(spark, target)
-    except FileNotFoundError:
-        # empty stream → no ledger committed; the sketch of nothing is
-        # an empty (row_idx, bucket, cnt) frame with the same schema
-        sketch = countmin_build(events.limit(0), "user_id")
+    sketch = read_ledger_or(spark, target, countmin_build(events.limit(0), "user_id"))
     top = (
         events.groupBy("user_id")
         .agg(F.count("*").alias("true_n"))
@@ -3756,12 +3774,12 @@ def ext_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_knn_projected",
     "WITH proj AS (SELECT vec_id, ["
     + ", ".join(_proj_component_sql(j) for j in range(8))
-    + """] AS pv FROM embeddings),
+    + f"""] AS pv FROM embeddings WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id AS query_id, pv AS qv FROM proj WHERE vec_id < 10),
     c AS (SELECT vec_id AS neighbor_id, pv AS cv FROM proj),
     scored AS (
       SELECT query_id, neighbor_id,
-             FLOOR(CASE WHEN list_inner_product(qv, qv) = 0 OR list_inner_product(cv, cv) = 0 THEN NULL ELSE list_cosine_similarity(qv, cv) END * 10000 + 0.5) / 10000 AS sim
+             {_cos_sql('qv', 'cv')} AS sim
       FROM q, c WHERE neighbor_id <> query_id
     )
     SELECT query_id, neighbor_id, sim, CAST(rk AS INT) AS rk FROM (
@@ -3883,13 +3901,13 @@ def streaming_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = kmv_stream_sink(stream, spark, target, os.path.join(target, "ckpt"), "user_id")
     q.awaitTermination(300)
     from dbt_glue_spark.extensions.sketches import hash_fraction
-    from dbt_glue_spark.streaming.pipelines import read_ledger
+    from dbt_glue_spark.streaming.pipelines import read_ledger_or
 
-    try:
-        ledger = read_ledger(spark, target)
-    except FileNotFoundError:
-        # empty stream → no ledger committed → empty hash set
-        ledger = events.limit(0).select(hash_fraction(F.col("user_id")).alias("h"))
+    ledger = read_ledger_or(
+        spark,
+        target,
+        events.limit(0).select(hash_fraction(F.col("user_id")).alias("h")),
+    )
     est = kmv_estimate_from_hashes(ledger)
     exact = events.agg(
         F.countDistinct("user_id").cast("bigint").alias("true_distinct")
@@ -4214,17 +4232,19 @@ def ext_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_ann_recall_audit",
     f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+    WITH base AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+                           WHERE embedding IS NOT NULL),
+    q AS MATERIALIZED (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
                       {_bucket_sql('embedding::DOUBLE[]')} AS b
-               FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+               FROM base WHERE vec_id < 10),
+         c AS MATERIALIZED (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
                       {_bucket_sql('embedding::DOUBLE[]')} AS b
-               FROM embeddings),
+               FROM base),
     exact AS (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-                 FLOOR(CASE WHEN list_inner_product(qv, qv) = 0 OR list_inner_product(cv, cv) = 0 THEN NULL ELSE list_cosine_similarity(qv, cv) END * 10000 + 0.5) / 10000
+                 {_cos_sql('qv', 'cv')}
                    DESC, neighbor_id) AS rk
         FROM q, c WHERE neighbor_id <> query_id) t
       WHERE rk <= 5
@@ -4233,7 +4253,7 @@ def ext_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
-                 FLOOR(CASE WHEN list_inner_product(qv, qv) = 0 OR list_inner_product(cv, cv) = 0 THEN NULL ELSE list_cosine_similarity(qv, cv) END * 10000 + 0.5) / 10000
+                 {_cos_sql('qv', 'cv')}
                    DESC, neighbor_id) AS rk
         FROM q JOIN c USING (b) WHERE neighbor_id <> query_id) t
       WHERE rk <= 5
@@ -4479,6 +4499,7 @@ def ext_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dims AS (
       SELECT label AS lbl, gs.pos AS pos, CAST(embedding[gs.pos] AS DOUBLE) AS x
       FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) gs
+      WHERE embedding IS NOT NULL
     ),
     lm AS (
       SELECT lbl, pos,
@@ -4506,7 +4527,7 @@ def ext_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cnt AS (
       SELECT label AS lbl, CAST(COUNT(*) AS BIGINT) AS n_vecs
-      FROM embeddings GROUP BY label
+      FROM embeddings WHERE embedding IS NOT NULL GROUP BY label
     )
     SELECT cnt.lbl AS label, cnt.n_vecs,
            FLOOR(w.w_ss * 1000000.0 + 0.5) / 1000000.0 AS within_ss,
@@ -4722,13 +4743,9 @@ def streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, spark, target, os.path.join(target, "ckpt"), "value", 16
     )
     q.awaitTermination(300)
-    from dbt_glue_spark.streaming.pipelines import read_ledger
+    from dbt_glue_spark.streaming.pipelines import read_ledger_or
 
-    try:
-        live = read_ledger(spark, target)
-    except FileNotFoundError:
-        # empty stream → no ledger committed → empty histogram
-        live = value_histogram(events.limit(0), "value", 16)
+    live = read_ledger_or(spark, target, value_histogram(events.limit(0), "value", 16))
     ref = value_histogram(
         events.filter(F.col("event_id") % 2 == 0), "value", 16
     )
@@ -5016,6 +5033,7 @@ def ext_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dims AS (
       SELECT gs.pos AS pos, CAST(embedding[gs.pos] AS DOUBLE) AS x
       FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) gs
+      WHERE embedding IS NOT NULL
     ),
     agg AS (
       SELECT pos,

@@ -386,15 +386,33 @@ def _ledger_latest(target_path: str):
     best = None
     best_key = (-1, -1)
     for name in names:
-        if not name.startswith("g") or name.endswith(".tmp"):
+        key = _parse_version(name)
+        if key is None:
             continue
-        try:
-            gen, bid = int(name[1:7]), int(name[8:])
-        except ValueError:
-            continue
-        if (gen, bid) > best_key:
-            best_key, best = (gen, bid), os.path.join(root, name)
+        if key > best_key:
+            best_key, best = key, os.path.join(root, name)
     return best, best_key[0], best_key[1]
+
+
+def _parse_version(name: str):
+    """Parse a ledger version dir name → (gen, batch_id), or None.
+
+    Accepts the current ``g{gen:06d}b{batch_id:012d}`` format AND the
+    pre-generation legacy ``b{batch_id:012d}`` (mapped to generation 0),
+    so a ledger written before the format change is still readable and
+    GC-able instead of silently reading as "no ledger" — which the
+    empty-stream fallbacks would then misreport as zero state.
+    """
+    if name.endswith(".tmp"):
+        return None
+    try:
+        if name.startswith("g"):
+            return int(name[1:7]), int(name[8:])
+        if name.startswith("b"):
+            return 0, int(name[1:])
+    except ValueError:
+        return None
+    return None
 
 
 def _ledger_commit(df: DataFrame, target_path: str, gen: int, batch_id: int) -> None:
@@ -420,13 +438,18 @@ def _ledger_commit(df: DataFrame, target_path: str, gen: int, batch_id: int) -> 
     shutil.rmtree(final, ignore_errors=True)
     os.rename(tmp, final)
     committed = sorted(
-        n for n in os.listdir(root) if n.startswith("g") and not n.endswith(".tmp")
+        (n for n in os.listdir(root) if _parse_version(n) is not None),
+        key=_parse_version,
     )
     keep = set(committed[-2:])
     for name in os.listdir(root):
-        # only version dirs (g…/g….tmp) are GC candidates — the _ckpt
-        # token and any future sidecar files must survive
-        if not name.startswith("g") or name in keep:
+        # only version dirs (current or legacy format, incl. their .tmp
+        # residue) are GC candidates — the _ckpt token and any future
+        # sidecar files must survive
+        versionish = _parse_version(name) is not None or (
+            name.endswith(".tmp") and name[0] in "gb"
+        )
+        if not versionish or name in keep:
             continue
         shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
@@ -439,6 +462,17 @@ def read_ledger(spark, target_path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_ledger_or(spark, target_path: str, fallback: DataFrame) -> DataFrame:
+    """read_ledger with an empty-stream contract: an EMPTY source stream
+    commits no ledger at all, and the sketch of nothing is ``fallback``
+    (a typed empty frame built by the caller), not a read error. Keeps
+    the contract in one place for every sketch-reading query."""
+    try:
+        return read_ledger(spark, target_path)
+    except FileNotFoundError:
+        return fallback
+
+
 def _ckpt_token(checkpoint: str) -> str:
     """Stable identity of the streaming checkpoint that owns the ledger.
 
@@ -448,11 +482,26 @@ def _ckpt_token(checkpoint: str) -> str:
     misread every new batch as a replay and silently drop it. Stamping
     the ledger with the checkpoint's identity scopes the watermark: only
     a batch from the SAME checkpoint with batch_id ≤ stored is a replay.
+
+    Identity source, in order: the query id Spark stores in the
+    checkpoint's own ``metadata`` file (written at stream start, stable
+    across restarts, independent of how the path is spelled), falling
+    back to an md5 of the symlink-resolved real path. A raw-path hash
+    alone would treat ``/data/ckpt`` and its symlink target as DIFFERENT
+    checkpoints and spuriously reset the additive ledgers.
     """
     import hashlib
+    import json
     import os
 
-    return hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()
+    try:
+        with open(os.path.join(checkpoint, "metadata")) as fh:
+            qid = json.load(fh).get("id")
+        if qid:
+            return str(qid)
+    except (OSError, ValueError):
+        pass
+    return hashlib.md5(os.path.realpath(checkpoint).encode()).hexdigest()
 
 
 def _read_token(target_path: str) -> tuple[str | None, int]:
@@ -498,6 +547,43 @@ def _reset_ledger(target_path: str) -> None:
     shutil.rmtree(os.path.join(target_path, "data"), ignore_errors=True)
 
 
+def _takeover_state(
+    target_path: str, token: str, batch_id: int, reset_on_takeover: bool
+) -> tuple[str | None, int, bool]:
+    """The shared watermark/takeover protocol of every ledger sink.
+
+    Returns ``(cur_path, commit_gen, skip)``:
+
+    - ``skip`` — this batch_id is ≤ OUR OWN generation's committed
+      watermark: an at-least-once replay, already merged, do nothing.
+      The generation comparison matters: a matching token whose
+      generation has no committed version yet (crash between token
+      write and first commit) must NOT be compared against an older
+      generation's batch ids.
+    - takeover (stored token differs): start a new generation so the
+      new checkpoint's restarted batch ids still commit as strictly
+      newer versions. ``reset_on_takeover`` encodes the sink's merge
+      algebra — ADDITIVE sinks (count-min, histogram) must rebuild from
+      the re-delivered history (the old watermark says nothing about
+      which re-delivered batches were merged), while idempotent SET
+      merges (KMV) keep the ledger and union through.
+    - the token is recorded (atomically, BEFORE the generation's first
+      commit) whenever it changes.
+    """
+    stored_token, stored_gen = _read_token(target_path)
+    if stored_token is not None and stored_token != token and reset_on_takeover:
+        _reset_ledger(target_path)
+        cur_path, gen, cur_id = None, -1, -1
+    else:
+        cur_path, gen, cur_id = _ledger_latest(target_path)
+        if stored_token == token and gen == stored_gen and batch_id <= cur_id:
+            return cur_path, stored_gen, True
+    commit_gen = stored_gen if stored_token == token else gen + 1
+    if stored_token != token:
+        _write_token(target_path, token, commit_gen)
+    return cur_path, commit_gen, False
+
+
 def countmin_stream_sink(
     source_stream: DataFrame,
     spark,
@@ -532,23 +618,11 @@ def countmin_stream_sink(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        stored_token, stored_gen = _read_token(target_path)
-        if stored_token is not None and stored_token != token:
-            # fresh checkpoint over a warm ledger: batch ids restarted and
-            # the source re-delivers history — rebuild from scratch
-            _reset_ledger(target_path)
-            cur_path, gen, cur_id = None, -1, -1
-        else:
-            cur_path, gen, cur_id = _ledger_latest(target_path)
-            # skip only within OUR OWN generation's watermark: a matching
-            # token whose generation has no committed version yet (crash
-            # between token write and first commit) must not be compared
-            # against an older generation's batch ids
-            if stored_token == token and gen == stored_gen and batch_id <= cur_id:
-                return  # at-least-once replay of an already-merged batch
-        commit_gen = stored_gen if stored_token == token else gen + 1
-        if stored_token != token:
-            _write_token(target_path, token, commit_gen)
+        cur_path, commit_gen, skip = _takeover_state(
+            target_path, token, batch_id, reset_on_takeover=True
+        )
+        if skip:
+            return  # at-least-once replay of an already-merged batch
         batch_sketch = countmin_build(batch_df, col)
         if cur_path is not None:
             merged = (
@@ -602,20 +676,13 @@ def kmv_stream_sink(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        stored_token, stored_gen = _read_token(target_path)
-        cur_path, gen, cur_id = _ledger_latest(target_path)
-        # skip only within our own generation's watermark (see
-        # _write_token): a new checkpoint's restarted batch ids must not
-        # be compared against the old generation's counter
-        if stored_token == token and gen == stored_gen and batch_id <= cur_id:
+        # reset_on_takeover=False: re-unioning re-delivered history is a
+        # set-merge no-op, so the ledger survives checkpoint loss intact
+        cur_path, commit_gen, skip = _takeover_state(
+            target_path, token, batch_id, reset_on_takeover=False
+        )
+        if skip:
             return  # at-least-once replay of an already-merged batch
-        # a new checkpoint starts a new GENERATION so its restarted batch
-        # ids still commit as strictly newer versions than the old run's;
-        # no reset needed (unlike the additive sinks): re-unioning
-        # re-delivered history is a set-merge no-op
-        commit_gen = stored_gen if stored_token == token else gen + 1
-        if stored_token != token:
-            _write_token(target_path, token, commit_gen)
         bh = batch_df.select(hash_fraction(F.col(col)).alias("h")).distinct()
         if cur_path is not None:
             merged = spark.read.parquet(cur_path).unionByName(bh).distinct()
@@ -660,19 +727,11 @@ def histogram_stream_sink(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        stored_token, stored_gen = _read_token(target_path)
-        if stored_token is not None and stored_token != token:
-            # fresh checkpoint over a warm ledger: rebuild from scratch
-            # (additive merge — see countmin_stream_sink)
-            _reset_ledger(target_path)
-            cur_path, gen, cur_id = None, -1, -1
-        else:
-            cur_path, gen, cur_id = _ledger_latest(target_path)
-            if stored_token == token and gen == stored_gen and batch_id <= cur_id:
-                return  # at-least-once replay of an already-merged batch
-        commit_gen = stored_gen if stored_token == token else gen + 1
-        if stored_token != token:
-            _write_token(target_path, token, commit_gen)
+        cur_path, commit_gen, skip = _takeover_state(
+            target_path, token, batch_id, reset_on_takeover=True
+        )
+        if skip:
+            return  # at-least-once replay of an already-merged batch
         batch_hist = value_histogram(batch_df, col, bucket_width, n_buckets)
         if cur_path is not None:
             merged = (

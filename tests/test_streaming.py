@@ -426,3 +426,51 @@ def test_ledger_commit_versioned_atomic(spark, tmp_path):
     assert read_ledger(spark, target).collect()[0]["cnt"] == 99
     versions = sorted(os.listdir(os.path.join(target, "data")))
     assert versions == ["_ckpt", "g000000b000000000003", "g000001b000000000000"]
+
+
+def test_takeover_state_protocol(spark, tmp_path):
+    """The watermark/takeover protocol driving every ledger sink
+    (review follow-up: the same-checkpoint replay skip path needs direct
+    coverage — the e2e streaming tests exercise takeover, and Spark 4
+    refuses externally-mutated checkpoints, so the protocol is tested at
+    the function level with the exact call sequence merge_batch uses)."""
+    from dbt_glue_spark.streaming.pipelines import (
+        _ledger_commit,
+        _ledger_latest,
+        _takeover_state,
+        _write_token,
+        read_ledger,
+    )
+
+    target = str(tmp_path / "tgt")
+    frame = lambda n: spark.createDataFrame([(1, n)], "bucket int, cnt int")  # noqa: E731
+
+    # batches 0..2 under checkpoint A — all merge, none skip
+    for bid in range(3):
+        cur, gen, skip = _takeover_state(target, "ckpt-A", bid, True)
+        assert not skip
+        _ledger_commit(frame(bid * 10), target, gen, bid)
+    assert _ledger_latest(target)[1:] == (0, 2)
+
+    # at-least-once REPLAY of batch 2 (same checkpoint): must skip
+    _, _, skip = _takeover_state(target, "ckpt-A", 2, True)
+    assert skip, "same-checkpoint replay of a committed batch must skip"
+    # ... and of batch 1 (older replay) too
+    assert _takeover_state(target, "ckpt-A", 1, True)[2]
+    # the next new batch does NOT skip
+    cur, gen, skip = _takeover_state(target, "ckpt-A", 3, True)
+    assert not skip and gen == 0 and cur is not None
+
+    # crash window: token advanced to a new generation but its first
+    # commit never landed — the replayed batch 0 must MERGE, not skip
+    # against the old generation's watermark
+    _write_token(target, "ckpt-B", 1)
+    cur, gen, skip = _takeover_state(target, "ckpt-B", 0, False)
+    assert not skip and gen == 1
+
+    # additive takeover by a third checkpoint resets the ledger
+    _ledger_commit(frame(99), target, gen, 0)
+    cur, gen, skip = _takeover_state(target, "ckpt-C", 0, True)
+    assert not skip and cur is None and gen == 0
+    _ledger_commit(frame(7), target, gen, 0)
+    assert read_ledger(spark, target).collect()[0]["cnt"] == 7

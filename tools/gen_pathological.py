@@ -70,9 +70,9 @@ def mutate(df, rows: int = 300):
         elif dt.startswith("array"):
             out = out.withColumn(
                 c,
-                F.when(
-                    h % 11 == 0, F.transform(F.col(c), lambda x: F.lit(0.0))
-                ).otherwise(F.col(c)),
+                F.when(h % 11 == 0, F.transform(F.col(c), lambda x: F.lit(0.0)))
+                .when(h % 11 == 1, F.lit(None).cast(dt))
+                .otherwise(F.col(c)),
             )
     return out
 
