@@ -1775,11 +1775,16 @@ def ext_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_column_profile",
     profile.profile_oracle_sql(
-        "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
+        "lineitem",
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
+        double_cols=("l_quantity", "l_extendedprice", "l_discount"),
     ),
     doc="Distributed column profiling (null rate, exact cardinality, "
-    "range) over four lineitem measures in ONE aggregate job — the "
-    "pre-filter reconnaissance pass of a curation pipeline. The 1-row "
+    "non-finite count, range) over four lineitem measures in ONE "
+    "aggregate job — the pre-filter reconnaissance pass of a curation "
+    "pipeline, and the gate for the engine's non-finite policy (NaN/Inf "
+    "measures silently become NULL inside exact-decimal casts, so they "
+    "must be counted BEFORE aggregation trusts the column). The 1-row "
     "aggregate is pivoted to per-column rows via explode(array(struct)); "
     "exact COUNT(DISTINCT) costs one Expand (deliberate — exactness is "
     "what the oracle checks; hll_distinct is the wide-table path).",

@@ -603,19 +603,19 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_events",
     """
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(
-                    NULLIF(TRIM(props, ' ' || chr(9) || chr(10) || chr(13)),
-                           ''), '$.k')
+           CAST(SUM(CAST(CASE WHEN json_valid(props)
+                              THEN json_extract_string(props, '$.k') END
                          AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events
     GROUP BY event_type
     """,
     doc="JSON extraction from string props (SURVEY §2.8 F8 "
-    "get_json_object); JVM-side json path, no UDF. The oracle NULLIFs "
-    "blank payloads first: Spark's get_json_object returns NULL for "
-    "empty/whitespace input while DuckDB's json_extract_string raises "
-    "Malformed JSON — the NULLIF pins both engines to NULL.",
+    "get_json_object); JVM-side json path, no UDF. The oracle gates on "
+    "json_valid: Spark's get_json_object returns NULL for ANY malformed "
+    "payload (blank, whitespace, arbitrary text) while DuckDB's "
+    "json_extract_string raises Malformed JSON — the guard pins both "
+    "engines to NULL.",
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -923,14 +923,20 @@ def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
            REPLACE(p_type, ' ', '_') AS type_snake,
            UPPER(p_brand) AS brand_upper,
-           REVERSE(p_brand) AS brand_rev,
+           array_to_string(list_reverse(string_split_regex(p_brand, '')), '')
+             AS brand_rev,
            SUBSTRING(p_name, 1, 12) AS name_prefix,
            CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
            CAST(LENGTH(TRIM(p_name)) AS INT) AS name_len
     FROM part WHERE p_partkey <= 500
     """,
     doc="String function surface (SURVEY §2.8 F8): pad/replace/case/"
-    "reverse/substr/search/trim — all codegen expressions.",
+    "reverse/substr/search/trim — all codegen expressions. The oracle "
+    "reverses via split('')+list_reverse, NOT DuckDB's reverse(): "
+    "DuckDB reverses GRAPHEME CLUSTERS (combining marks travel with "
+    "their base) while Spark reverses CODE POINTS — the semantics are "
+    "pinned to Spark's, and the divergence only surfaces on decomposed "
+    "Unicode (caught by the round-5 unicode parity axis).",
 )
 def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)

@@ -28,14 +28,35 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Profile ``cols`` (numeric/date/string all fine; min/max are cast to
     double so the output schema is stable — pass numeric columns when the
     range matters). Output: (col_name, n_rows, n_nulls, n_distinct,
-    min_value, max_value), one row per column."""
+    n_nonfinite, min_value, max_value), one row per column.
+
+    ``n_nonfinite`` counts NaN/±Infinity in float/double columns (0 for
+    other types). This is the pre-aggregation gate for the engine's
+    declared non-finite policy: exact-decimal measure aggregates CAST
+    doubles to DECIMAL, and Spark silently maps NaN/Inf → NULL there
+    (even under ANSI), so non-finite measures VANISH from totals. The
+    profile makes that visible before it silently skews a 100 TB sum.
+    """
+    dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
+        if dtypes.get(c) in ("double", "float"):
+            nonfinite = F.sum(
+                F.when(
+                    F.isnan(F.col(c)) | (F.abs(F.col(c)) == float("inf")), 1
+                ).otherwise(0)
+            )
+        else:
+            nonfinite = F.lit(0)
         aggs += [
             F.count(F.col(c)).alias(f"__nn_{c}"),
             F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
-            F.min(F.col(c)).cast("double").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("double").alias(f"__mx_{c}"),
+            nonfinite.cast("bigint").alias(f"__nf_{c}"),
+            # try_cast: the stable-schema double cast must not abort the
+            # profile under ANSI when a STRING column's min/max is
+            # non-numeric — unparseable ranges surface as NULL
+            F.expr(f"try_cast(min({c}) as double)").alias(f"__mn_{c}"),
+            F.expr(f"try_cast(max({c}) as double)").alias(f"__mx_{c}"),
         ]
     one = df.agg(*aggs)
     rows = F.array(
@@ -45,6 +66,7 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
                 F.col("__n").alias("n_rows"),
                 (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
                 F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__nf_{c}").alias("n_nonfinite"),
                 F.col(f"__mn_{c}").alias("min_value"),
                 F.col(f"__mx_{c}").alias("max_value"),
             )
@@ -54,19 +76,32 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(F.explode(rows).alias("p")).select("p.*")
 
 
-def profile_oracle_sql(source: str, cols: list[str]) -> str:
-    """DuckDB mirror of :func:`profile_columns` (for parity gates)."""
-    arms = "\n    UNION ALL ".join(
-        f"""SELECT '{c}' AS col_name,
+def profile_oracle_sql(
+    source: str, cols: list[str], double_cols: tuple[str, ...] = ()
+) -> str:
+    """DuckDB mirror of :func:`profile_columns` (for parity gates).
+    ``double_cols`` names the float/double members of ``cols`` that get
+    a real non-finite count (others emit 0, matching the Spark side)."""
+    arms = []
+    for c in cols:
+        if c in double_cols:
+            nf = (
+                f"CAST(SUM(CASE WHEN isnan({c}) OR isinf({c}) "
+                f"THEN 1 ELSE 0 END) AS BIGINT)"
+            )
+        else:
+            nf = "CAST(0 AS BIGINT)"
+        arms.append(
+            f"""SELECT '{c}' AS col_name,
                COUNT(*) AS n_rows,
                COUNT(*) - COUNT({c}) AS n_nulls,
                COUNT(DISTINCT {c}) AS n_distinct,
-               CAST(MIN({c}) AS DOUBLE) AS min_value,
-               CAST(MAX({c}) AS DOUBLE) AS max_value
+               {nf} AS n_nonfinite,
+               TRY_CAST(MIN({c}) AS DOUBLE) AS min_value,
+               TRY_CAST(MAX({c}) AS DOUBLE) AS max_value
         FROM {source}"""
-        for c in cols
-    )
-    return arms
+        )
+    return "\n    UNION ALL ".join(arms)
 
 
 def key_skew(df: "DataFrame", key_col: str, top_k: int = 5) -> "DataFrame":

@@ -56,3 +56,18 @@ def relationships(
     )
     p = parent.select(F.col(parent_column).alias("to_field"))
     return c.join(p, c.from_field == p.to_field, "left_anti").distinct()
+
+
+def finite(df: DataFrame, column: str) -> DataFrame:
+    """Failing rows: NaN or ±Infinity in a float/double measure column.
+
+    Extension beyond dbt's generic tests, paired with the engine's
+    declared non-finite policy: exact-decimal aggregates CAST measures
+    to DECIMAL, where Spark silently maps NaN/Inf → NULL (even under
+    ANSI) — a non-finite measure therefore VANISHES from totals instead
+    of poisoning them. Run this gate (or read column_profile's
+    n_nonfinite) before trusting a measure column; NULL values pass
+    (not_null's business, per the dbt convention).
+    """
+    c = F.col(column)
+    return df.filter(F.isnan(c) | (F.abs(c) == float("inf")))

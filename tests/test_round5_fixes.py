@@ -176,3 +176,29 @@ def test_kmv_sink_survives_checkpoint_loss(spark, tmp_path):
     ).collect()[0]["approx_distinct"]
     batch = kmv_distinct(df, "user_id").collect()[0]["approx_distinct"]
     assert streamed == batch
+
+
+def test_dq_finite_flags_nan_and_inf(spark):
+    from dbt_glue_spark.quality.tests import finite
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, float("inf")),
+         (4, float("-inf")), (5, None)],
+        "id long, v double",
+    )
+    bad = {r["id"] for r in finite(df, "v").collect()}
+    assert bad == {2, 3, 4}  # NULL passes (not_null's business)
+
+
+def test_profile_counts_nonfinite(spark):
+    from dbt_glue_spark.quality.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 1.5, "a"), (2, float("nan"), "b"), (3, float("inf"), None)],
+        "id long, v double, s string",
+    )
+    rows = {r["col_name"]: r for r in profile_columns(df, ["id", "v", "s"]).collect()}
+    assert rows["v"]["n_nonfinite"] == 2
+    assert rows["id"]["n_nonfinite"] == 0  # non-float columns report 0
+    assert rows["s"]["n_nonfinite"] == 0
+    assert rows["s"]["n_nulls"] == 1

@@ -50,9 +50,19 @@ def mutate(df, rows: int = 300):
         if dt == "string":
             out = out.withColumn(
                 c,
-                F.when(h % 7 == 0, F.lit(None).cast("string"))
-                .when(h % 7 == 1, F.lit(""))
-                .when(h % 7 == 2, F.lit("  \t "))
+                F.when(h % 13 == 0, F.lit(None).cast("string"))
+                .when(h % 13 == 1, F.lit(""))
+                .when(h % 13 == 2, F.lit("  \t "))
+                # unicode axis: diacritics, CJK (no spaces), emoji
+                # (UTF-16 surrogate pairs), RTL, combining marks, and
+                # regex metacharacters — each probes a different
+                # length/regex/tokenization divergence class
+                .when(h % 13 == 3, F.lit("héllo wörld tæst"))
+                .when(h % 13 == 4, F.lit("日本語のテキスト断片"))
+                .when(h % 13 == 5, F.lit("rocket 🚀 launch 🎉 ok"))
+                .when(h % 13 == 6, F.lit("مرحبا بالعالم hello"))
+                .when(h % 13 == 7, F.lit("café naïve"))
+                .when(h % 13 == 8, F.lit("a.b*c(d)[e]{2}|f+g?"))
                 .otherwise(F.col(c)),
             )
         elif dt in ("double", "float"):
