@@ -490,7 +490,9 @@ def ndcg_at_k(
                 F.col("rel").cast("double") * F.element_at(discs, F.col("d"))
             ).cast("decimal(28,12)").alias("t")
         )
-        .agg(F.sum("t").cast("double").alias("idcg"))
+        # coalesce like the DCG branch: an empty relevance set means an
+        # ideal gain of ZERO, not NULL (sum-over-nothing)
+        .agg(F.coalesce(F.sum("t").cast("double"), F.lit(0.0)).alias("idcg"))
     )
     return (
         dcg.join(F.broadcast(idcg))

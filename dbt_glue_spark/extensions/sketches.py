@@ -550,9 +550,17 @@ def histogram_quantiles(
     hist = (
         df.join(F.broadcast(stats))
         .select(
-            F.least(
-                F.floor((c - F.col("lo")) / width).cast("int"), F.lit(buckets - 1)
-            ).alias("bucket")
+            # constant column ⇒ width 0: everything lands in bucket 0 and
+            # every quantile interpolates to lo (the constant) — without
+            # the guard the width division ANSI-aborts the whole sketch
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((c - F.col("lo")) / width).cast("int"),
+                    F.lit(buckets - 1),
+                )
+            )
+            .alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))

@@ -2740,9 +2740,10 @@ def _hist_oracle() -> str:
       FROM orders
     ),
     hist AS (
-      SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo)
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo)
                                / ((hi - lo) / {b})) AS INT),
-                   {_HIST_BUCKETS - 1}) AS bucket,
+                   {_HIST_BUCKETS - 1}) END AS bucket,
              COUNT(*) AS cnt
       FROM orders CROSS JOIN stats
       GROUP BY 1
@@ -5205,8 +5206,8 @@ def _ndcg_oracle(k: int = 10) -> str:
       FROM ideal JOIN disc ON disc.d = ideal.d
     )
     SELECT CAST({k} AS INT) AS k,
-           FLOOR(dcg * 1000000.0 + 0.5) / 1000000.0 AS dcg,
-           FLOOR(idcg * 1000000.0 + 0.5) / 1000000.0 AS idcg,
+           FLOOR(COALESCE(dcg, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS dcg,
+           FLOOR(COALESCE(idcg, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS idcg,
            FLOOR(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END
                  * 1000000.0 + 0.5) / 1000000.0 AS ndcg
     FROM dcg CROSS JOIN idcg
@@ -5527,13 +5528,15 @@ def _ap_oracle(k: int = 10) -> str:
                   * CAST(isrel AS DOUBLE) AS DECIMAL(28,12)) AS t
       FROM cum
     ),
-    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM relids)
+    nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rel FROM relids),
+    -- 1-row aggregate BEFORE the cross join: an empty terms set must
+    -- still yield one (k, n_rel, ap=0) row, matching the Spark agg
+    tsum AS (SELECT COALESCE(CAST(SUM(t) AS DOUBLE), 0.0) AS s FROM terms)
     SELECT CAST({k} AS INT) AS k, n_rel,
            FLOOR(CASE WHEN LEAST(n_rel, {k}) > 0
-                      THEN COALESCE(CAST(SUM(t) AS DOUBLE), 0.0)
-                           / CAST(LEAST(n_rel, {k}) AS DOUBLE)
+                      THEN s / CAST(LEAST(n_rel, {k}) AS DOUBLE)
                       ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS ap
-    FROM terms CROSS JOIN nr GROUP BY n_rel
+    FROM tsum CROSS JOIN nr
     """
     )
 

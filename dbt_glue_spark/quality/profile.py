@@ -263,7 +263,9 @@ def correlation_matrix(
             F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
-                half_up_round(num / (da * db), 6).alias("pearson_r"),
+                # try_divide: a zero-variance column has no defined
+                # correlation — NULL (both engines), not an ANSI abort
+                half_up_round(F.try_divide(num, da * db), 6).alias("pearson_r"),
             )
         )
     return m.select(F.explode(F.array(*rows)).alias("p")).select(

@@ -134,3 +134,57 @@ def test_dirty_data_parity_regression_set(spark, dirty_sf, duck):
                 failures.append(f"{name}: value diff {sr} vs {dr}")
                 break
     assert not failures, "\n".join(failures)
+
+
+# Zero-variance / all-duplicate axis: the four queries that diverged on
+# constant data (variance-normalized math), fixed round 5.
+CONST_REGRESSION_SET = [
+    "ext_correlation_matrix",   # Pearson r of a constant → NULL, not abort
+    "ext_histogram_quantiles",  # width 0 → bucket 0, quantiles = the constant
+    "ext_ndcg_bm25",            # empty relevance → dcg/idcg 0.0, ndcg 0.0
+    "ext_average_precision",    # empty relevance → one (k, 0, 0.0) row
+]
+
+
+@pytest.fixture(scope="module")
+def const_sf(spark, sf_dir, tmp_path_factory):
+    from gen_pathological import mutate_const
+
+    out = str(tmp_path_factory.mktemp("sf_const"))
+    for t in TABLES:
+        mutate_const(load_table(spark, sf_dir, t)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def test_constant_data_parity_regression_set(spark, const_sf):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(const_sf, f"{t}.parquet")
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    specs = SPECS()
+    failures = []
+    for name in CONST_REGRESSION_SET:
+        spec = specs[name]
+        try:
+            sdf = spec.fn(spark, const_sf)
+            srows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+            cur = con.execute(spec.oracle)
+            dcols = [d[0] for d in cur.description]
+            drows = _normalize(cur.fetchall(), dcols)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:140]}")
+            continue
+        if len(srows) != len(drows):
+            failures.append(f"{name}: rowcount spark={len(srows)} duck={len(drows)}")
+            continue
+        for sr, dr in zip(srows, drows):
+            if len(sr) != len(dr) or not all(
+                _values_equal(a, b) for a, b in zip(sr, dr)
+            ):
+                failures.append(f"{name}: value diff {sr} vs {dr}")
+                break
+    assert not failures, "\n".join(failures)

@@ -19,7 +19,14 @@ DuckDB's -1.0 zero-vector cosine, NaN-poisoned pandas medians, and
 NULL-text crashes in a UDTF. See SCALE.md "Round-5 NULL/edge-semantics
 sweep".
 
-Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir]
+A second axis, ``--variant=const``, replaces every double measure with a
+single constant and every document text with one identical string —
+the zero-variance / all-duplicate shape that flushes division-by-zero
+in variance-normalized operators (Pearson r, histogram bucket width,
+nDCG ideal gain, AP with an empty relevance set — all found and fixed
+round 5).
+
+Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const]
 """
 
 from __future__ import annotations
@@ -87,15 +94,40 @@ def mutate(df, rows: int = 300):
     return out
 
 
+def mutate_const(df, rows: int = 300):
+    """Zero-variance variant: constant measures, one identical document."""
+    base = df.limit(rows)
+    cols = dict(df.dtypes)
+    out = base
+    for i, c in enumerate(df.columns):
+        if i == 0:
+            continue
+        dt = cols[c]
+        if dt in ("double", "float"):
+            out = out.withColumn(c, F.lit(42.0).cast(dt))
+        elif dt == "string" and c == "text":
+            out = out.withColumn(
+                c, F.lit("the same constant document text for every row")
+            )
+    return out
+
+
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_nulls"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    variant = "dirty"
+    for a in sys.argv[1:]:
+        if a.startswith("--variant"):
+            variant = a.split("=", 1)[1]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+    out = args[1] if len(args) > 1 else (
+        "/tmp/sf_nulls" if variant == "dirty" else "/tmp/sf_const"
+    )
+    fn = mutate if variant == "dirty" else mutate_const
     spark = get_spark("pathological_gen")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
-        mutated = mutate(load_table(spark, src, t))
-        mutated.coalesce(1).write.mode("overwrite").parquet(
+        fn(load_table(spark, src, t)).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out, f"{t}.parquet")
         )
         print(t, "written")
