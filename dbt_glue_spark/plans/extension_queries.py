@@ -878,8 +878,13 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(FLOOR(value * 10000 + 0.5)) AS DOUBLE) AS total_value,
-           CAST(MIN(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) AS first_ts_ms,
-           CAST(MAX(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_ts_ms
+           -- floor(us/1000), not epoch_ms: for PRE-EPOCH timestamps with
+           -- fractional ms, Spark's unix_millis FLOORS while DuckDB's
+           -- epoch_ms truncates toward zero — off by one ms below 1970
+           CAST(MIN(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 1000.0))
+                AS BIGINT) AS first_ts_ms,
+           CAST(MAX(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 1000.0))
+                AS BIGINT) AS last_ts_ms
     FROM events GROUP BY user_id
     """,
     doc="Custom stateful streaming operator under the oracle "

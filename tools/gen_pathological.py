@@ -26,7 +26,14 @@ in variance-normalized operators (Pearson r, histogram bucket width,
 nDCG ideal gain, AP with an empty relevance set — all found and fixed
 round 5).
 
-Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const]
+A third axis, ``--variant=ts``, replaces timestamp values with epoch
+boundaries: 1970-01-01 exactly, pre-epoch (1969) values, the
+timestamp[ns] ceiling (2262-04-11), a pre-1900 fractional-ms value, and
+a leap-day .999999 edge. Found (and fixed) the floor-vs-truncate
+divergence of Spark unix_millis vs DuckDB epoch_ms on pre-epoch
+fractional milliseconds.
+
+Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts]
 """
 
 from __future__ import annotations
@@ -112,6 +119,28 @@ def mutate_const(df, rows: int = 300):
     return out
 
 
+def mutate_ts(df, rows: int = 300):
+    """Epoch-boundary variant: timestamp columns get exact-epoch,
+    pre-epoch, ns-ceiling, pre-1900 fractional and leap-day edges."""
+    base = df.limit(rows)
+    cols = dict(df.dtypes)
+    out = base
+    for i, c in enumerate(df.columns):
+        if i == 0 or cols[c] != "timestamp":
+            continue
+        h = F.abs(F.hash(F.col(df.columns[0]).cast("string"), F.lit(c)))
+        out = out.withColumn(
+            c,
+            F.when(h % 9 == 0, F.lit("1970-01-01 00:00:00").cast("timestamp"))
+            .when(h % 9 == 1, F.lit("1969-07-20 20:17:40").cast("timestamp"))
+            .when(h % 9 == 2, F.lit("2262-04-11 23:47:16").cast("timestamp"))
+            .when(h % 9 == 3, F.lit("1900-01-01 00:00:00.123456").cast("timestamp"))
+            .when(h % 9 == 4, F.lit("2024-02-29 23:59:59.999999").cast("timestamp"))
+            .otherwise(F.col(c)),
+        )
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     variant = "dirty"
@@ -119,10 +148,9 @@ def main() -> None:
         if a.startswith("--variant"):
             variant = a.split("=", 1)[1]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
-    out = args[1] if len(args) > 1 else (
-        "/tmp/sf_nulls" if variant == "dirty" else "/tmp/sf_const"
-    )
-    fn = mutate if variant == "dirty" else mutate_const
+    defaults = {"dirty": "/tmp/sf_nulls", "const": "/tmp/sf_const", "ts": "/tmp/sf_ts"}
+    out = args[1] if len(args) > 1 else defaults[variant]
+    fn = {"dirty": mutate, "const": mutate_const, "ts": mutate_ts}[variant]
     spark = get_spark("pathological_gen")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
