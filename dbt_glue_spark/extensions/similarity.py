@@ -643,8 +643,16 @@ def random_project(
         comps.append(half_up_round(p, round_digits).alias(f"p{j}"))
     out = df.select(F.col(id_col), *comps)
     if as_array:
+        # a NULL input vector must stay a NULL vector, not an array of
+        # NULL components: F.array(p0..p7) of NULLs is a NON-NULL array,
+        # which would slip past downstream isNotNull geometry filters
+        # (knn_* rank padding with NULL sims)
         out = out.select(
             F.col(id_col),
-            F.array(*[F.col(f"p{j}") for j in range(out_dim)]).alias("proj"),
+            F.when(
+                F.col(f"p0").isNull(), F.lit(None).cast("array<double>")
+            )
+            .otherwise(F.array(*[F.col(f"p{j}") for j in range(out_dim)]))
+            .alias("proj"),
         )
     return out

@@ -878,12 +878,19 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(FLOOR(value * 10000 + 0.5)) AS DOUBLE) AS total_value,
-           -- floor(us/1000), not epoch_ms: for PRE-EPOCH timestamps with
-           -- fractional ms, Spark's unix_millis FLOORS while DuckDB's
-           -- epoch_ms truncates toward zero — off by one ms below 1970
-           CAST(MIN(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 1000.0))
+           -- exact integer FLOOR division of epoch_us by 1000, matching
+           -- Spark's int64 floor semantics everywhere: epoch_ms truncates
+           -- toward zero (off by 1 ms pre-epoch), FLOOR(us/1000.0) loses
+           -- integer precision past 2^53 (the timestamp[ns] ceiling), and
+           -- DuckDB's // also truncates — the a-((a%m+m)%m) identity is
+           -- exact at any magnitude and any sign
+           CAST(MIN((epoch_us(CAST(ts AS TIMESTAMP))
+                     - ((epoch_us(CAST(ts AS TIMESTAMP)) % 1000) + 1000)
+                       % 1000) // 1000)
                 AS BIGINT) AS first_ts_ms,
-           CAST(MAX(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 1000.0))
+           CAST(MAX((epoch_us(CAST(ts AS TIMESTAMP))
+                     - ((epoch_us(CAST(ts AS TIMESTAMP)) % 1000) + 1000)
+                       % 1000) // 1000)
                 AS BIGINT) AS last_ts_ms
     FROM events GROUP BY user_id
     """,

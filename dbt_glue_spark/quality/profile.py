@@ -52,11 +52,13 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             F.count(F.col(c)).alias(f"__nn_{c}"),
             F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
             nonfinite.cast("bigint").alias(f"__nf_{c}"),
-            # try_cast: the stable-schema double cast must not abort the
-            # profile under ANSI when a STRING column's min/max is
-            # non-numeric — unparseable ranges surface as NULL
-            F.expr(f"try_cast(min({c}) as double)").alias(f"__mn_{c}"),
-            F.expr(f"try_cast(max({c}) as double)").alias(f"__mx_{c}"),
+            # Column.try_cast (not an f-string F.expr, which would break
+            # on non-identifier column names): the stable-schema double
+            # cast must not abort the profile under ANSI when a STRING
+            # column's min/max is non-numeric — unparseable ranges
+            # surface as NULL
+            F.min(F.col(c)).try_cast("double").alias(f"__mn_{c}"),
+            F.max(F.col(c)).try_cast("double").alias(f"__mx_{c}"),
         ]
     one = df.agg(*aggs)
     rows = F.array(

@@ -613,11 +613,16 @@ def countmin_stream_sink(
     """
     from dbt_glue_spark.extensions.sketches import countmin_build
 
-    token = _ckpt_token(checkpoint)
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # token resolved INSIDE the batch, not at sink construction:
+        # the checkpoint's metadata file (the stable query-id source)
+        # is only written once the stream STARTS, so an eager token
+        # would be the path-hash fallback on the first run and the
+        # query id on restart — misreading a same-checkpoint restart
+        # as a takeover and wiping the ledger without re-delivery
+        token = _ckpt_token(checkpoint)
         cur_path, commit_gen, skip = _takeover_state(
             target_path, token, batch_id, reset_on_takeover=True
         )
@@ -671,11 +676,16 @@ def kmv_stream_sink(
     """
     from dbt_glue_spark.extensions.sketches import hash_fraction
 
-    token = _ckpt_token(checkpoint)
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # token resolved INSIDE the batch, not at sink construction:
+        # the checkpoint's metadata file (the stable query-id source)
+        # is only written once the stream STARTS, so an eager token
+        # would be the path-hash fallback on the first run and the
+        # query id on restart — misreading a same-checkpoint restart
+        # as a takeover and wiping the ledger without re-delivery
+        token = _ckpt_token(checkpoint)
         # reset_on_takeover=False: re-unioning re-delivered history is a
         # set-merge no-op, so the ledger survives checkpoint loss intact
         cur_path, commit_gen, skip = _takeover_state(
@@ -722,11 +732,16 @@ def histogram_stream_sink(
     """
     from dbt_glue_spark.extensions.audit import value_histogram
 
-    token = _ckpt_token(checkpoint)
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # token resolved INSIDE the batch, not at sink construction:
+        # the checkpoint's metadata file (the stable query-id source)
+        # is only written once the stream STARTS, so an eager token
+        # would be the path-hash fallback on the first run and the
+        # query id on restart — misreading a same-checkpoint restart
+        # as a takeover and wiping the ledger without re-delivery
+        token = _ckpt_token(checkpoint)
         cur_path, commit_gen, skip = _takeover_state(
             target_path, token, batch_id, reset_on_takeover=True
         )

@@ -20,11 +20,11 @@ import math
 import os
 import sys
 
-import duckdb
 import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
+from check_parity import duck_con  # noqa: E402 — the tool's own view setup
 from gen_pathological import mutate  # noqa: E402
 
 from dbt_glue_spark.plans.catalog import SPECS
@@ -77,13 +77,8 @@ def dirty_sf(spark, sf_dir, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def duck(dirty_sf):
-    con = duckdb.connect()
-    for t in TABLES:
-        path = os.path.join(dirty_sf, f"{t}.parquet")
-        if os.path.isdir(path):
-            path = os.path.join(path, "*.parquet")
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-    return con
+    # reuse the parity tool's own view setup so tool and gate can't drift
+    return duck_con(dirty_sf)
 
 
 def _normalize(rows, cols):
@@ -159,12 +154,7 @@ def const_sf(spark, sf_dir, tmp_path_factory):
 
 
 def test_constant_data_parity_regression_set(spark, const_sf):
-    con = duckdb.connect()
-    for t in TABLES:
-        path = os.path.join(const_sf, f"{t}.parquet")
-        if os.path.isdir(path):
-            path = os.path.join(path, "*.parquet")
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    con = duck_con(const_sf)
     specs = SPECS()
     failures = []
     for name in CONST_REGRESSION_SET:

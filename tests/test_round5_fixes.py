@@ -202,3 +202,62 @@ def test_profile_counts_nonfinite(spark):
     assert rows["id"]["n_nonfinite"] == 0  # non-float columns report 0
     assert rows["s"]["n_nonfinite"] == 0
     assert rows["s"]["n_nulls"] == 1
+
+
+def test_countmin_sink_same_checkpoint_restart_keeps_ledger(spark, tmp_path):
+    """Restarting the SAME checkpoint with new data must MERGE the new
+    batches into the warm ledger, not misread the restart as a takeover
+    and reset it. This is the token-timing hazard: the checkpoint's
+    metadata (query-id) file only exists once the stream has started, so
+    a token computed at sink CONSTRUCTION would be the path-hash on the
+    first run and the query id on restart — a spurious mismatch that
+    wipes the additive sketch without re-delivery."""
+    from pyspark.sql import functions as F
+
+    from dbt_glue_spark.extensions.sketches import countmin_build
+    from dbt_glue_spark.streaming.pipelines import countmin_stream_sink, read_ledger
+
+    first = spark.createDataFrame([(f"u{i % 11}",) for i in range(800)], "item string")
+    stage = str(tmp_path / "src")
+    first.repartition(3).write.mode("overwrite").parquet(stage)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = countmin_stream_sink(stream, spark, str(tmp_path / "tgt"), ckpt, "item")
+        q.awaitTermination(120)
+
+    run()
+    # new data arrives; SAME checkpoint restart processes only the new file
+    extra = spark.createDataFrame([(f"v{i % 5}",) for i in range(300)], "item string")
+    extra.coalesce(1).write.mode("append").parquet(stage)
+    run()
+    streamed = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in read_ledger(spark, str(tmp_path / "tgt")).collect()
+    }
+    batch = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in countmin_build(first.unionByName(extra), "item").collect()
+    }
+    assert streamed == batch  # warm counts kept + new batch merged once
+
+
+def test_random_project_null_vector_stays_null(spark):
+    """A NULL embedding projects to a NULL vector (not an array of NULL
+    components), so downstream isNotNull geometry filters exclude it —
+    knn over projected vectors must not pad ranks with NULL-sim rows."""
+    from dbt_glue_spark.extensions.similarity import knn_bruteforce, random_project
+
+    rows = [(1, [1.0] * 64), (2, None), (3, [0.5] * 64), (4, [2.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    proj = random_project(emb, as_array=True)
+    got = {r["vec_id"]: r["proj"] for r in proj.collect()}
+    assert got[2] is None
+    out = knn_bruteforce(proj, proj, vec_col="proj", k=3).collect()
+    assert all(r["query_id"] != 2 and r["neighbor_id"] != 2 for r in out)
+    assert all(r["sim"] is not None for r in out)
