@@ -54,15 +54,19 @@ def build_scaled(spark, sf_dir: str, factor: int, out_dir: str) -> str:
         if r == 0:
             reps.append(docs)
         else:
-            # word → word<r>: per-replica vocabulary, zero cross-replica
-            # shingle overlap, identical intra-replica dup structure
+            # word → word␟<r>: per-replica vocabulary, zero cross-replica
+            # shingle overlap, identical intra-replica dup structure.
+            # The \x1f separator closes a suffix-collision hole a bare
+            # numeric suffix has (base "x1" + replica 2 == base "x" +
+            # replica 12 would create cross-replica overlap that grows
+            # with the factor)
             reps.append(
                 docs.select(
                     (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
                     F.array_join(
                         F.transform(
                             F.split(F.col("text"), " "),
-                            lambda w: F.concat(w, F.lit(str(r))),
+                            lambda w: F.concat(w, F.lit("\x1f" + str(r))),
                         ),
                         " ",
                     ).alias("text"),
