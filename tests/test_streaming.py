@@ -474,3 +474,77 @@ def test_takeover_state_protocol(spark, tmp_path):
     assert not skip and cur is None and gen == 0
     _ledger_commit(frame(7), target, gen, 0)
     assert read_ledger(spark, target).collect()[0]["cnt"] == 7
+
+
+def test_takeover_protocol_random_interleavings(spark, tmp_path):
+    """Model-based check of the ledger protocol: drive random sequences
+    of {new batch, at-least-once replay, checkpoint switch, crash between
+    token write and commit} through the REAL _takeover_state/_ledger_commit
+    pair, with 'merge' = append-a-marker so the final ledger's marker set
+    is comparable against a pure-Python reference model."""
+    import random
+
+    from dbt_glue_spark.streaming.pipelines import (
+        _ledger_commit,
+        _takeover_state,
+        read_ledger,
+    )
+
+    rng = random.Random(20260814)
+
+    def deliver(target, token, bid, marker, model):
+        """One merge_batch execution (additive policy)."""
+        cur, gen, skip = _takeover_state(target, token, bid, True)
+        if skip:
+            return
+        if cur is None:
+            merged = spark.createDataFrame([(marker,)], "m string")
+        else:
+            merged = spark.read.parquet(cur).unionByName(
+                spark.createDataFrame([(marker,)], "m string")
+            )
+        _ledger_commit(merged, target, gen, bid)
+        # model: takeover (token change) resets; this batch's marker lands
+        if model["token"] != token:
+            model["markers"] = []
+            model["token"] = token
+        model["markers"].append(marker)
+
+    for seq in range(6):
+        target = str(tmp_path / f"t{seq}")
+        model = {"token": None, "markers": []}
+        token_i, bid, marker_i = 0, -1, 0
+        token = "ckpt-0"
+        # model bootstrap: first token counts as a (vacuous) takeover
+        last = None
+        for _ in range(rng.randint(4, 8)):
+            ev = rng.choice(["batch", "batch", "replay", "switch", "crash"])
+            if ev == "batch" or last is None:
+                bid += 1
+                marker = f"m{seq}-{marker_i}"; marker_i += 1
+                deliver(target, token, bid, marker, model)
+                last = (token, bid)
+            elif ev == "replay":
+                # re-deliver the last batch verbatim (at-least-once): its
+                # marker must NOT appear twice
+                deliver(target, last[0], last[1], f"dup{marker_i}", model)
+            elif ev == "switch":
+                token_i += 1
+                token = f"ckpt-{token_i}"
+                bid = -1  # batch ids restart under a new checkpoint
+            elif ev == "crash":
+                # crash window: token/generation advanced, commit lost —
+                # the NEXT delivery of the same batch must merge normally
+                bid += 1
+                cur, gen, skip = _takeover_state(target, token, bid, True)
+                assert not skip
+                # model: a reset may have happened (token change)
+                if model["token"] != token:
+                    model["markers"] = []
+                    model["token"] = token
+                marker = f"m{seq}-{marker_i}"; marker_i += 1
+                deliver(target, token, bid, marker, model)  # replayed batch
+                last = (token, bid)
+        if model["markers"]:
+            got = sorted(r["m"] for r in read_ledger(spark, target).collect())
+            assert got == sorted(model["markers"]), f"seq {seq}: {got} vs {model}"
