@@ -17,6 +17,8 @@ shuffle partitioning follows spark.sql.shuffle.partitions.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -394,6 +396,10 @@ def _ledger_latest(target_path: str):
     return best, best_key[0], best_key[1]
 
 
+_VERSION_RE = re.compile(r"^g(\d{6})b(\d{12})$")
+_LEGACY_VERSION_RE = re.compile(r"^b(\d{12})$")
+
+
 def _parse_version(name: str):
     """Parse a ledger version dir name → (gen, batch_id), or None.
 
@@ -401,17 +407,17 @@ def _parse_version(name: str):
     pre-generation legacy ``b{batch_id:012d}`` (mapped to generation 0),
     so a ledger written before the format change is still readable and
     GC-able instead of silently reading as "no ledger" — which the
-    empty-stream fallbacks would then misreport as zero state.
+    empty-stream fallbacks would then misreport as zero state. The match
+    is a strict full-name regex (separator AND field widths), so a stray
+    directory like ``g00000100`` or ``g000001x000000000005`` can never be
+    returned as the latest ledger or garbage-collected as a version.
     """
-    if name.endswith(".tmp"):
-        return None
-    try:
-        if name.startswith("g"):
-            return int(name[1:7]), int(name[8:])
-        if name.startswith("b"):
-            return 0, int(name[1:])
-    except ValueError:
-        return None
+    m = _VERSION_RE.match(name)
+    if m:
+        return int(m.group(1)), int(m.group(2))
+    m = _LEGACY_VERSION_RE.match(name)
+    if m:
+        return 0, int(m.group(1))
     return None
 
 
@@ -447,7 +453,7 @@ def _ledger_commit(df: DataFrame, target_path: str, gen: int, batch_id: int) -> 
         # residue) are GC candidates — the _ckpt token and any future
         # sidecar files must survive
         versionish = _parse_version(name) is not None or (
-            name.endswith(".tmp") and name[0] in "gb"
+            name.endswith(".tmp") and _parse_version(name[: -len(".tmp")]) is not None
         )
         if not versionish or name in keep:
             continue
@@ -473,7 +479,7 @@ def read_ledger_or(spark, target_path: str, fallback: DataFrame) -> DataFrame:
         return fallback
 
 
-def _ckpt_token(checkpoint: str) -> str:
+class _CkptToken:
     """Stable identity of the streaming checkpoint that owns the ledger.
 
     foreachBatch batch_ids are PER-CHECKPOINT counters, not a property of
@@ -489,19 +495,50 @@ def _ckpt_token(checkpoint: str) -> str:
     back to an md5 of the symlink-resolved real path. A raw-path hash
     alone would treat ``/data/ckpt`` and its symlink target as DIFFERENT
     checkpoints and spuriously reset the additive ledgers.
-    """
-    import hashlib
-    import json
-    import os
 
-    try:
-        with open(os.path.join(checkpoint, "metadata")) as fh:
-            qid = json.load(fh).get("id")
-        if qid:
-            return str(qid)
-    except (OSError, ValueError):
-        pass
-    return hashlib.md5(os.path.realpath(checkpoint).encode()).hexdigest()
+    The resolver is instantiated once per sink run and CACHES the first
+    token it resolves from the metadata file. A transient read failure on
+    a later batch therefore cannot mint a different identity mid-run —
+    which a reset_on_takeover sink would misread as a checkpoint takeover
+    and wipe the additive ledger with NO re-delivery to rebuild from (the
+    real checkpoint is intact, so history is never replayed). If the
+    metadata file EXISTS but cannot be read/parsed and nothing is cached
+    yet, the batch fails (Spark retries it under the same batch_id)
+    rather than falling back; the path-hash fallback applies only while
+    the metadata file does not exist at all, and is deliberately not
+    cached so the real query id wins as soon as the file appears.
+    """
+
+    def __init__(self, checkpoint: str) -> None:
+        self.checkpoint = checkpoint
+        self._token: str | None = None
+
+    def __call__(self) -> str:
+        import hashlib
+        import json
+        import os
+
+        if self._token is not None:
+            return self._token
+        meta = os.path.join(self.checkpoint, "metadata")
+        try:
+            with open(meta) as fh:
+                qid = json.load(fh).get("id")
+        except OSError:
+            if os.path.exists(meta):
+                raise  # existing metadata unreadable: fail the batch, never mint a second identity
+            return hashlib.md5(
+                os.path.realpath(self.checkpoint).encode()
+            ).hexdigest()
+        if not qid:
+            # metadata without a query id: the path-hash is deterministic
+            # per checkpoint, so it is a stable (cacheable) identity
+            self._token = hashlib.md5(
+                os.path.realpath(self.checkpoint).encode()
+            ).hexdigest()
+        else:
+            self._token = str(qid)
+        return self._token
 
 
 def _read_token(target_path: str) -> tuple[str | None, int]:
@@ -541,10 +578,44 @@ def _write_token(target_path: str, token: str, gen: int) -> None:
 
 
 def _reset_ledger(target_path: str) -> None:
+    """Wipe the ledger for an additive takeover — VERIFIED.
+
+    ``rmtree(ignore_errors=True)`` alone can partially fail (one
+    undeletable file) and silently leave old committed version dirs on
+    disk; a reader would then keep seeing stale pre-takeover state until
+    the new generation's first commit. So after the bulk delete, any
+    surviving committed version is retried individually, and the reset
+    RAISES if one still survives — failing the micro-batch (Spark
+    retries it under the same batch_id) instead of proceeding over a
+    half-wiped ledger. Defense in depth: even if survivors slipped
+    through, :func:`_takeover_state` continues the generation sequence
+    ABOVE the pre-reset maximum, so new commits always out-order stale
+    residue rather than being shadowed by it.
+    """
     import os
     import shutil
 
-    shutil.rmtree(os.path.join(target_path, "data"), ignore_errors=True)
+    root = os.path.join(target_path, "data")
+    shutil.rmtree(root, ignore_errors=True)
+    if not os.path.isdir(root):
+        return
+    survivors = []
+    for name in os.listdir(root):
+        if _parse_version(name) is None and name != "_ckpt":
+            continue
+        path = os.path.join(root, name)
+        try:
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            else:
+                os.remove(path)
+        except OSError:
+            survivors.append(name)
+    if any(_parse_version(n) is not None for n in survivors):
+        raise RuntimeError(
+            f"takeover reset left committed ledger versions under {root}: "
+            f"{sorted(survivors)}"
+        )
 
 
 def _takeover_state(
@@ -559,28 +630,40 @@ def _takeover_state(
       The generation comparison matters: a matching token whose
       generation has no committed version yet (crash between token
       write and first commit) must NOT be compared against an older
-      generation's batch ids.
-    - takeover (stored token differs): start a new generation so the
-      new checkpoint's restarted batch ids still commit as strictly
-      newer versions. ``reset_on_takeover`` encodes the sink's merge
-      algebra — ADDITIVE sinks (count-min, histogram) must rebuild from
-      the re-delivered history (the old watermark says nothing about
-      which re-delivered batches were merged), while idempotent SET
+      generation's batch ids — and for ADDITIVE sinks any version from
+      another generation is pre-takeover state that must not be merged
+      either (it is residue of that crash window or of a partially
+      failed reset), so ``cur_path`` is cleared for them in that case.
+    - takeover (stored token differs — or, for additive sinks, a
+      committed ledger that predates tokens entirely: with no watermark
+      scope there is no way to tell which re-delivered batches a legacy
+      ledger already merged, so it is rebuilt exactly like a takeover,
+      closing the one-time legacy double-merge window): start a new
+      generation so the new checkpoint's restarted batch ids still
+      commit as strictly newer versions. ``reset_on_takeover`` encodes
+      the sink's merge algebra — ADDITIVE sinks (count-min, histogram)
+      must rebuild from the re-delivered history, while idempotent SET
       merges (KMV) keep the ledger and union through.
+    - the new generation is ``max(latest committed, stored) + 1`` — the
+      sequence continues past wiped/uncommitted generations instead of
+      restarting at 0, so commits stay monotonic even across a
+      partially failed reset.
     - the token is recorded (atomically, BEFORE the generation's first
       commit) whenever it changes.
     """
     stored_token, stored_gen = _read_token(target_path)
-    if stored_token is not None and stored_token != token and reset_on_takeover:
+    cur_path, gen, cur_id = _ledger_latest(target_path)
+    if stored_token == token:
+        if gen == stored_gen:
+            return cur_path, stored_gen, batch_id <= cur_id
+        if reset_on_takeover:
+            cur_path = None  # other-generation residue: never merge it additively
+        return cur_path, stored_gen, False
+    if reset_on_takeover and (stored_token is not None or cur_path is not None):
         _reset_ledger(target_path)
-        cur_path, gen, cur_id = None, -1, -1
-    else:
-        cur_path, gen, cur_id = _ledger_latest(target_path)
-        if stored_token == token and gen == stored_gen and batch_id <= cur_id:
-            return cur_path, stored_gen, True
-    commit_gen = stored_gen if stored_token == token else gen + 1
-    if stored_token != token:
-        _write_token(target_path, token, commit_gen)
+        cur_path = None
+    commit_gen = max(gen, stored_gen) + 1
+    _write_token(target_path, token, commit_gen)
     return cur_path, commit_gen, False
 
 
@@ -613,16 +696,19 @@ def countmin_stream_sink(
     """
     from dbt_glue_spark.extensions.sketches import countmin_build
 
+    # constructed HERE but resolved lazily inside the batch: the
+    # checkpoint's metadata file (the stable query-id source) is only
+    # written once the stream STARTS, so an eager resolve would be the
+    # path-hash fallback on the first run and the query id on restart —
+    # misreading a same-checkpoint restart as a takeover. Once resolved
+    # from metadata the token is CACHED for the sink run, so a transient
+    # read failure on a later batch cannot mint a second identity either.
+    token_of = _CkptToken(checkpoint)
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # token resolved INSIDE the batch, not at sink construction:
-        # the checkpoint's metadata file (the stable query-id source)
-        # is only written once the stream STARTS, so an eager token
-        # would be the path-hash fallback on the first run and the
-        # query id on restart — misreading a same-checkpoint restart
-        # as a takeover and wiping the ledger without re-delivery
-        token = _ckpt_token(checkpoint)
+        token = token_of()
         cur_path, commit_gen, skip = _takeover_state(
             target_path, token, batch_id, reset_on_takeover=True
         )
@@ -676,16 +762,19 @@ def kmv_stream_sink(
     """
     from dbt_glue_spark.extensions.sketches import hash_fraction
 
+    # constructed HERE but resolved lazily inside the batch: the
+    # checkpoint's metadata file (the stable query-id source) is only
+    # written once the stream STARTS, so an eager resolve would be the
+    # path-hash fallback on the first run and the query id on restart —
+    # misreading a same-checkpoint restart as a takeover. Once resolved
+    # from metadata the token is CACHED for the sink run, so a transient
+    # read failure on a later batch cannot mint a second identity either.
+    token_of = _CkptToken(checkpoint)
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # token resolved INSIDE the batch, not at sink construction:
-        # the checkpoint's metadata file (the stable query-id source)
-        # is only written once the stream STARTS, so an eager token
-        # would be the path-hash fallback on the first run and the
-        # query id on restart — misreading a same-checkpoint restart
-        # as a takeover and wiping the ledger without re-delivery
-        token = _ckpt_token(checkpoint)
+        token = token_of()
         # reset_on_takeover=False: re-unioning re-delivered history is a
         # set-merge no-op, so the ledger survives checkpoint loss intact
         cur_path, commit_gen, skip = _takeover_state(
@@ -732,16 +821,19 @@ def histogram_stream_sink(
     """
     from dbt_glue_spark.extensions.audit import value_histogram
 
+    # constructed HERE but resolved lazily inside the batch: the
+    # checkpoint's metadata file (the stable query-id source) is only
+    # written once the stream STARTS, so an eager resolve would be the
+    # path-hash fallback on the first run and the query id on restart —
+    # misreading a same-checkpoint restart as a takeover. Once resolved
+    # from metadata the token is CACHED for the sink run, so a transient
+    # read failure on a later batch cannot mint a second identity either.
+    token_of = _CkptToken(checkpoint)
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # token resolved INSIDE the batch, not at sink construction:
-        # the checkpoint's metadata file (the stable query-id source)
-        # is only written once the stream STARTS, so an eager token
-        # would be the path-hash fallback on the first run and the
-        # query id on restart — misreading a same-checkpoint restart
-        # as a takeover and wiping the ledger without re-delivery
-        token = _ckpt_token(checkpoint)
+        token = token_of()
         cur_path, commit_gen, skip = _takeover_state(
             target_path, token, batch_id, reset_on_takeover=True
         )

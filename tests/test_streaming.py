@@ -468,12 +468,154 @@ def test_takeover_state_protocol(spark, tmp_path):
     cur, gen, skip = _takeover_state(target, "ckpt-B", 0, False)
     assert not skip and gen == 1
 
-    # additive takeover by a third checkpoint resets the ledger
+    # additive takeover by a third checkpoint resets the ledger; the
+    # generation sequence CONTINUES past the wiped generations (max+1,
+    # not 0) so commits stay monotonic even across a partial reset
     _ledger_commit(frame(99), target, gen, 0)
     cur, gen, skip = _takeover_state(target, "ckpt-C", 0, True)
-    assert not skip and cur is None and gen == 0
+    assert not skip and cur is None and gen == 2
     _ledger_commit(frame(7), target, gen, 0)
     assert read_ledger(spark, target).collect()[0]["cnt"] == 7
+
+
+def test_takeover_legacy_tokenless_ledger(spark, tmp_path):
+    """A committed ledger that PREDATES checkpoint tokens (no _ckpt file)
+    gives the watermark no scope: an additive sink cannot tell which
+    re-delivered batches it already merged, so it must be treated as a
+    takeover (reset + rebuild) — the one-time upgrade window that would
+    otherwise double-merge an at-least-once replay. A SET-merge sink
+    (reset_on_takeover=False) instead keeps it and unions through, since
+    re-merging is a no-op for it."""
+    from dbt_glue_spark.streaming.pipelines import (
+        _ledger_commit,
+        _read_token,
+        _takeover_state,
+        read_ledger,
+    )
+
+    frame = lambda n: spark.createDataFrame([(1, n)], "bucket int, cnt int")  # noqa: E731
+
+    # additive: tokenless legacy ledger → reset, rebuild from this batch
+    target = str(tmp_path / "add")
+    _ledger_commit(frame(50), target, 0, 7)  # legacy state, no token written
+    cur, gen, skip = _takeover_state(target, "ckpt-new", 0, True)
+    assert not skip and cur is None, "tokenless additive ledger must reset"
+    _ledger_commit(frame(3), target, gen, 0)
+    assert read_ledger(spark, target).collect()[0]["cnt"] == 3
+    assert _read_token(target)[0] == "ckpt-new"
+
+    # set-merge: tokenless legacy ledger survives and is unioned through
+    target2 = str(tmp_path / "set")
+    _ledger_commit(frame(50), target2, 0, 7)
+    cur, gen, skip = _takeover_state(target2, "ckpt-new", 0, False)
+    assert not skip and cur is not None, "tokenless set ledger unions through"
+
+
+def test_parse_version_strict(spark):
+    """Version dir names parse with a strict full-name regex: wrong
+    separators, wrong field widths, or trailing garbage never read as a
+    committed version (they would otherwise be returned as the latest
+    ledger or garbage-collected)."""
+    from dbt_glue_spark.streaming.pipelines import _parse_version
+
+    assert _parse_version("g000001b000000000005") == (1, 5)
+    assert _parse_version("b000000000005") == (0, 5)  # legacy
+    for bad in [
+        "g00000100",  # no separator
+        "g000001x000000000005",  # wrong separator
+        "g0001b000000000005",  # short gen field
+        "g000001b0005",  # short batch field
+        "g000001b000000000005x",  # trailing garbage
+        "g000001b000000000005.tmp",  # in-flight write
+        "xg000001b000000000005",  # leading garbage
+        "b0005",
+        "_ckpt",
+        "part-00000.parquet",
+    ]:
+        assert _parse_version(bad) is None, bad
+
+
+def test_reset_ledger_raises_on_surviving_version(spark, tmp_path, monkeypatch):
+    """If the takeover wipe partially fails and a committed version dir
+    survives both the bulk rmtree and the per-version retry, the reset
+    raises (failing the micro-batch for a retry) instead of proceeding
+    over a half-wiped ledger whose stale versions a reader could see."""
+    import shutil
+
+    import pytest
+
+    from dbt_glue_spark.streaming.pipelines import _ledger_commit, _reset_ledger
+
+    target = str(tmp_path / "tgt")
+    _ledger_commit(spark.createDataFrame([(1, 10)], "bucket int, cnt int"), target, 0, 0)
+
+    real_rmtree = shutil.rmtree
+    stubborn = "g000000b000000000000"
+
+    def flaky_rmtree(path, *args, **kwargs):
+        # simulate an undeletable committed version: the bulk delete
+        # leaves it behind, the targeted retry raises
+        if str(path).endswith(stubborn):
+            raise OSError("simulated undeletable dir")
+        if kwargs.get("ignore_errors"):
+            # bulk pass: delete everything except the stubborn version
+            import os
+
+            for name in os.listdir(path):
+                if name != stubborn:
+                    real_rmtree(os.path.join(path, name), ignore_errors=True)
+            return
+        return real_rmtree(path, *args, **kwargs)
+
+    monkeypatch.setattr(shutil, "rmtree", flaky_rmtree)
+    with pytest.raises(RuntimeError, match="committed ledger versions"):
+        _reset_ledger(target)
+
+
+def test_ckpt_token_cached_and_strict(tmp_path):
+    """_CkptToken: first successful metadata resolve is cached (a later
+    transient read failure cannot mint a second identity mid-run and
+    trigger a spurious additive-ledger wipe); an EXISTING-but-unreadable
+    metadata file with nothing cached fails the batch instead of falling
+    back; only a truly absent metadata file uses the path-hash fallback,
+    uncached so the real query id wins once the file appears."""
+    import json
+    import os
+
+    import pytest
+
+    from dbt_glue_spark.streaming.pipelines import _CkptToken
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    meta = ckpt / "metadata"
+
+    # absent metadata → deterministic path-hash fallback, not cached
+    tok = _CkptToken(str(ckpt))
+    fb1, fb2 = tok(), tok()
+    assert fb1 == fb2 and len(fb1) == 32
+
+    # metadata appears → query id wins (fallback was not cached)
+    meta.write_text(json.dumps({"id": "qid-123"}))
+    assert tok() == "qid-123"
+
+    # cached: metadata becomes unreadable/corrupt — token unchanged
+    meta.write_text("{corrupt")
+    assert tok() == "qid-123"
+    os.remove(meta)
+    assert tok() == "qid-123"
+
+    # no cache + corrupt EXISTING file → raise, never a second identity
+    meta.write_text("{corrupt")
+    tok2 = _CkptToken(str(ckpt))
+    with pytest.raises(ValueError):
+        tok2()
+    # no cache + unreadable EXISTING file (directory → OSError) → raise
+    os.remove(meta)
+    meta.mkdir()
+    tok3 = _CkptToken(str(ckpt))
+    with pytest.raises(OSError):
+        tok3()
 
 
 def test_takeover_protocol_random_interleavings(spark, tmp_path):
