@@ -142,9 +142,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    # no F.broadcast hint on sizes: it is one row PER DOCUMENT, so a
+    # forced broadcast would bypass autoBroadcastJoinThreshold and OOM
+    # the driver at corpus scale. AQE picks broadcast at runtime iff the
+    # frame is actually small (tests/test_plan_quality.py gates this).
     out = (
-        inter.join(F.broadcast(sizes).withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
-        .join(F.broadcast(sizes).withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
             half_up_round(
@@ -242,7 +246,9 @@ def minhash_lsh_pairs(
     )
     a = stacked.alias("a")
     b = stacked.alias("b")
-    cand = (
+    # cand feeds the intersection join AND the candidate-id semi-join
+    # below — persist so the band self-join runs once
+    cand = _persist(
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
@@ -257,7 +263,24 @@ def minhash_lsh_pairs(
     # (id_b, shingle). Cost ∝ |candidates| × shingles/doc — independent of
     # corpus size, unlike an all-pairs verification. Reuses the postings
     # persisted above (one tokenize+shingle pass for the whole pipeline).
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # Shingle sizes are computed ONLY for candidate-incident docs (semi-
+    # join first): `sh.groupBy(id)` alone would be one row per document —
+    # and a forced F.broadcast of that, as this used to do, bypasses
+    # autoBroadcastJoinThreshold and OOMs the driver at corpus scale. No
+    # explicit hint either way: the candidate-bounded frame is usually
+    # tiny and AQE promotes the join to broadcast at runtime from its
+    # REAL size (tests/test_plan_quality.py gates the absence of the
+    # per-document broadcast).
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sizes = (
+        sh.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_sh"))
+    )
     sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
@@ -268,10 +291,10 @@ def minhash_lsh_pairs(
     )
     return (
         inter.join(
-            F.broadcast(sizes).withColumnsRenamed({"id": "id_a", "n_sh": "sh_a"}), "id_a"
+            sizes.withColumnsRenamed({"id": "id_a", "n_sh": "sh_a"}), "id_a"
         )
         .join(
-            F.broadcast(sizes).withColumnsRenamed({"id": "id_b", "n_sh": "sh_b"}), "id_b"
+            sizes.withColumnsRenamed({"id": "id_b", "n_sh": "sh_b"}), "id_b"
         )
         .withColumn(
             "jaccard",

@@ -199,6 +199,38 @@ def test_near_dup_pair_generation_is_bucketed(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_dedup_verification_never_forces_per_document_broadcast(spark, sf_dir):
+    # The exact-Jaccard verification joins used to hint
+    # F.broadcast(sizes) where sizes is ONE ROW PER DOCUMENT: an explicit
+    # hint bypasses autoBroadcastJoinThreshold, so at 10^8-10^9 docs the
+    # driver would try to collect tens of GB and OOM. Policy now: no
+    # broadcast hints anywhere in the dedup module (its frames scale with
+    # the corpus); AQE promotes joins to broadcast at runtime from their
+    # REAL size. Gate 1: source-level — the module must stay hint-free.
+    import inspect
+
+    from dbt_glue_spark.extensions import dedup
+
+    src = inspect.getsource(dedup)
+    assert "F.broadcast(" not in src, (
+        "dedup.py must not force broadcasts: its per-doc/per-pair frames "
+        "are corpus-proportional; let AQE decide from runtime sizes"
+    )
+
+    # Gate 2: plan-level — the broadcast-side of the LSH verification is
+    # candidate-bounded: sizes are computed behind a LeftSemi join to
+    # candidate-incident ids, and no join in the plan carries an explicit
+    # broadcast hint (ResolvedHint survives into the analyzed plan).
+    df = SPECS()["ext_minhash_lsh_pairs"].fn(spark, sf_dir)
+    analyzed = plan_of(df, mode="extended")
+    assert "ResolvedHint" not in analyzed.split("== Optimized Logical Plan ==")[0], (
+        "explicit join hint found in the LSH dedup plan"
+    )
+    assert "LeftSemi" in analyzed, (
+        "sizes frame is no longer candidate-bounded (semi-join missing)"
+    )
+
+
 def test_ungrouped_kmv_uses_take_ordered(spark, sf_dir):
     # Global smallest-k must compile to TakeOrderedAndProject (per-partition
     # top-k + k-row driver merge), not a single-partition global window
