@@ -61,11 +61,16 @@ def values_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+def run_parity(sf_dir: str, only=None, spark=None) -> list[str]:
+    """Run the sweep; return the list of failing query names.
+
+    Importable entry point so the same exact-compare gate runs as an
+    opt-in pytest marker (tests/test_parity_sweep.py, ``-m parity``) —
+    a refactor can't silently break an oracle between rounds.
+    """
+    only = set(only or ())
     specs = SPECS()
-    spark = get_spark("parity-check")
+    spark = spark or get_spark("parity-check")
     con = duck_con(sf_dir)
     failures = []
     for name, spec in sorted(specs.items()):
@@ -112,7 +117,12 @@ def main() -> int:
         else:
             print(f"PASS  {name} ({len(sn)} rows)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
-    return 1 if failures else 0
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    return 1 if run_parity(sf_dir, only=sys.argv[2:]) else 0
 
 
 if __name__ == "__main__":
