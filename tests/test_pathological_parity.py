@@ -153,6 +153,45 @@ def const_sf(spark, sf_dir, tmp_path_factory):
     return out
 
 
+STREAMING_SET = [
+    "streaming_hourly_counts",
+    "streaming_sessionize",
+    "streaming_dedup",
+    "streaming_activity_tracker",
+    "streaming_incremental_append",
+    "streaming_merge_upsert",
+    "streaming_interval_join",
+    "streaming_enrich",
+    "streaming_countmin",
+    "streaming_kmv_users",
+    "streaming_drift_monitor",
+    "streaming_quality_gate",
+]
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("variant", ["dirty", "const", "ts"])
+def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
+    """Pathological-axis × streaming cross-product (round-6, opt-in).
+
+    Each of the 12 streaming pipelines stages a real file stream
+    (~10-30 s), so the 36-run cross-product is parity-marked rather than
+    suite-default. Round-6 baseline: all 36 green, zero divergences
+    (SCALE.md "Round-6 streaming × pathological axes").
+    """
+    from check_parity import run_parity
+    from gen_pathological import mutate_const, mutate_ts
+
+    fn = {"dirty": mutate, "const": mutate_const, "ts": mutate_ts}[variant]
+    out = str(tmp_path_factory.mktemp(f"sf_stream_{variant}"))
+    for t in TABLES:
+        fn(load_table(spark, sf_dir, t)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    failures = run_parity(out, only=STREAMING_SET, spark=spark)
+    assert not failures, f"streaming {variant}-axis divergences: {failures}"
+
+
 def test_constant_data_parity_regression_set(spark, const_sf):
     con = duck_con(const_sf)
     specs = SPECS()
