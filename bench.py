@@ -139,6 +139,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = SPECS()
     names = [n for n in HEADLINE + EXTENSION_HEADLINE if n in specs]
+    # Spot-check filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    # queries (same warmup/reps methodology) for drift investigations.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        names = [n for n in names if n in wanted]
     # warmup: JVM + parquet footer caches for every table family the
     # headline set touches (orders/lineitem via flagship, documents via
     # text stats, embeddings via knn) so the first timed query of each
