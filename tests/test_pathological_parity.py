@@ -170,19 +170,19 @@ STREAMING_SET = [
 
 
 @pytest.mark.parity
-@pytest.mark.parametrize("variant", ["dirty", "const", "ts"])
+@pytest.mark.parametrize("variant", ["dirty", "const", "ts", "hot"])
 def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
     """Pathological-axis × streaming cross-product (round-6, opt-in).
 
     Each of the 12 streaming pipelines stages a real file stream
-    (~10-30 s), so the 36-run cross-product is parity-marked rather than
-    suite-default. Round-6 baseline: all 36 green, zero divergences
+    (~10-30 s), so the 48-run cross-product is parity-marked rather than
+    suite-default. Round-6 baseline: all 48 green, zero divergences
     (SCALE.md "Round-6 streaming × pathological axes").
     """
     from check_parity import run_parity
-    from gen_pathological import mutate_const, mutate_ts
+    from gen_pathological import mutate_const, mutate_hot, mutate_ts
 
-    fn = {"dirty": mutate, "const": mutate_const, "ts": mutate_ts}[variant]
+    fn = {"dirty": mutate, "const": mutate_const, "ts": mutate_ts, "hot": mutate_hot}[variant]
     out = str(tmp_path_factory.mktemp(f"sf_stream_{variant}"))
     for t in TABLES:
         fn(load_table(spark, sf_dir, t)).coalesce(1).write.mode(

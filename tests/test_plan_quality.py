@@ -461,6 +461,45 @@ def test_skew_salted_join_spreads_hot_merge_key(spark):
     assert hot_max <= 2 * hot_total / salt, hot_max
 
 
+def test_aqe_skew_join_splits_hot_partition_at_runtime(spark):
+    # The session claims AQE skew-join as the runtime defense for hot join
+    # keys (SCALE.md Joins). The conf assertion above proves it's ON; this
+    # proves it FIRES: with the skew thresholds lowered to test scale, a
+    # join where one key owns half the fact rows must come back from
+    # execution re-planned as SortMergeJoin(skew=true) — the oversized
+    # partition split into advisory-sized pieces instead of one straggler
+    # task. At production scale the same mechanism triggers at the default
+    # 256 MB threshold with zero code changes.
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # the payload must be per-row-unique (a constant would fold past
+        # the shuffle AND lz4-compress to nothing, leaving every map
+        # output below the skew threshold)
+        left = spark.range(200_000).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k",
+            "concat(md5(string(id)), md5(string(id + 1)), md5(string(id + 2))) AS pad",
+        )
+        right = spark.range(50_000).selectExpr("id AS k", "id AS w")
+        joined = left.hint("merge").join(right, "k", "inner")
+        # the action must run THIS DataFrame's QueryExecution — a
+        # noop-sink write (or .count(), which wraps a new agg plan) runs a
+        # separate execution and this one would stay isFinalPlan=false
+        joined.collect()
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_lm_score_shuffles_words_not_documents(spark, sf_dir):
     # The model aggregates shuffle short word(-pair) keys; the document
     # text must be pruned before every exchange (the dedup discipline).

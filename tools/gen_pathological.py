@@ -33,7 +33,12 @@ a leap-day .999999 edge. Found (and fixed) the floor-vs-truncate
 divergence of Spark unix_millis vs DuckDB epoch_ms on pre-epoch
 fractional milliseconds.
 
-Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts]
+A fourth axis, ``--variant=hot``, pins the round-5 ad-hoc hot-key probe:
+90 % of every FK/group key (custkey/suppkey/partkey/nationkey/user_id = 7,
+source = src7, lang = en, event_type = click) collapses to one value —
+the extreme-skew shape for windows, shuffles and tie-break determinism.
+
+Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot]
 """
 
 from __future__ import annotations
@@ -141,6 +146,39 @@ def mutate_ts(df, rows: int = 300):
     return out
 
 
+# FK / group-key columns that the hot variant skews (leading PKs stay
+# unique so joins remain well-defined). Key 7 exists in every dimension
+# at sf0.001+ (10 suppliers, 150 customers, 200 parts, 25 nations).
+_HOT_INT_KEYS = {
+    "o_custkey", "c_nationkey", "s_nationkey", "n_regionkey",
+    "l_suppkey", "l_partkey", "ps_suppkey", "ps_partkey", "user_id",
+}
+_HOT_STR_KEYS = {"source": "src7", "lang": "en", "event_type": "click", "label": "hot"}
+
+
+def mutate_hot(df, rows: int = 300):
+    """Hot-key variant: 90 % of every FK/group key becomes one value —
+    the extreme-skew shape that breaks single-partition windows and
+    unsalted shuffles, and flushes nondeterministic tie-breaks (pinned
+    from the round-5 ad-hoc probe, SCALE.md 'Round-5 hot-key probe')."""
+    base = df.limit(rows)
+    cols = dict(df.dtypes)
+    out = base
+    for i, c in enumerate(df.columns):
+        if i == 0:
+            continue
+        h = F.abs(F.hash(F.col(df.columns[0]).cast("string"), F.lit(c)))
+        if c in _HOT_INT_KEYS:
+            out = out.withColumn(
+                c, F.when(h % 10 != 0, F.lit(7).cast(cols[c])).otherwise(F.col(c))
+            )
+        elif c in _HOT_STR_KEYS and cols[c] == "string":
+            out = out.withColumn(
+                c, F.when(h % 10 != 0, F.lit(_HOT_STR_KEYS[c])).otherwise(F.col(c))
+            )
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     variant = "dirty"
@@ -148,9 +186,14 @@ def main() -> None:
         if a.startswith("--variant"):
             variant = a.split("=", 1)[1]
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
-    defaults = {"dirty": "/tmp/sf_nulls", "const": "/tmp/sf_const", "ts": "/tmp/sf_ts"}
+    defaults = {
+        "dirty": "/tmp/sf_nulls",
+        "const": "/tmp/sf_const",
+        "ts": "/tmp/sf_ts",
+        "hot": "/tmp/sf_hot",
+    }
     out = args[1] if len(args) > 1 else defaults[variant]
-    fn = {"dirty": mutate, "const": mutate_const, "ts": mutate_ts}[variant]
+    fn = {"dirty": mutate, "const": mutate_const, "ts": mutate_ts, "hot": mutate_hot}[variant]
     spark = get_spark("pathological_gen")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
