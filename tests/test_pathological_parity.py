@@ -170,19 +170,28 @@ STREAMING_SET = [
 
 
 @pytest.mark.parity
-@pytest.mark.parametrize("variant", ["dirty", "const", "ts", "hot"])
+@pytest.mark.parametrize("variant", ["dirty", "const", "ts", "hot", "empty"])
 def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
     """Pathological-axis × streaming cross-product (round-6, opt-in).
 
     Each of the 12 streaming pipelines stages a real file stream
-    (~10-30 s), so the 48-run cross-product is parity-marked rather than
-    suite-default. Round-6 baseline: all 48 green, zero divergences
-    (SCALE.md "Round-6 streaming × pathological axes").
+    (~10-30 s), so the 60-run cross-product is parity-marked rather than
+    suite-default. Round-6 baseline: all 60 green, zero divergences
+    (SCALE.md "Round-6 streaming × pathological axes"). The empty axis
+    is the streaming twin of tests/test_empty_input.py: a zero-row
+    stream must start, drain, commit, and agree with the batch oracle
+    on empty tables (watermarks with no data, ledgers with no batches).
     """
     from check_parity import run_parity
     from gen_pathological import mutate_const, mutate_hot, mutate_ts
 
-    fn = {"dirty": mutate, "const": mutate_const, "ts": mutate_ts, "hot": mutate_hot}[variant]
+    fn = {
+        "dirty": mutate,
+        "const": mutate_const,
+        "ts": mutate_ts,
+        "hot": mutate_hot,
+        "empty": lambda df: df.limit(0),
+    }[variant]
     out = str(tmp_path_factory.mktemp(f"sf_stream_{variant}"))
     for t in TABLES:
         fn(load_table(spark, sf_dir, t)).coalesce(1).write.mode(

@@ -156,12 +156,15 @@ _HOT_INT_KEYS = {
 _HOT_STR_KEYS = {"source": "src7", "lang": "en", "event_type": "click", "label": "hot"}
 
 
-def mutate_hot(df, rows: int = 300):
+def mutate_hot(df, rows: int | None = 300):
     """Hot-key variant: 90 % of every FK/group key becomes one value —
     the extreme-skew shape that breaks single-partition windows and
     unsalted shuffles, and flushes nondeterministic tie-breaks (pinned
-    from the round-5 ad-hoc probe, SCALE.md 'Round-5 hot-key probe')."""
-    base = df.limit(rows)
+    from the round-5 ad-hoc probe, SCALE.md 'Round-5 hot-key probe').
+
+    rows=None keeps the full table — the perf-probe shape (skew
+    degradation at sf0.1) as opposed to the 300-row parity shape."""
+    base = df if rows is None else df.limit(rows)
     cols = dict(df.dtypes)
     out = base
     for i, c in enumerate(df.columns):
