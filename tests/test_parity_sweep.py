@@ -27,3 +27,78 @@ def test_full_catalog_oracle_parity(spark):
     sf_dir = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
     failures = run_parity(sf_dir, spark=spark)
     assert not failures, f"{len(failures)} parity failures at {sf_dir}: {failures}"
+
+
+# Spill axis: at 100 TB every sort/window/join buffer spills; results must
+# not depend on whether an operator's buffer stayed in memory. These are
+# the public per-operator spill knobs; 32/256 rows at sf0.001 forces the
+# external-sorter path on every window/SMJ/session-window while keeping
+# the spill-file count bounded (64-row spills at 200 k rows OOM'd the
+# probe with thousands of 1 MB spill-writer buffers — don't lower these
+# without re-checking heap).
+SPILL_CONFS = {
+    f"spark.sql.{op}.buffer.{knob}.threshold": v
+    for op in ("windowExec", "sortMergeJoinExec", "cartesianProductExec", "sessionWindow")
+    for knob, v in (("in.memory", "32"), ("spill", "256"))
+}
+SPILL_CONFS["spark.sql.objectHashAggregate.sortBased.fallbackThreshold"] = "4"
+
+
+def _window_spill_bytes(spark) -> int:
+    """Canary: a 200 k-row window under the spill confs must report
+    spillSize > 0 in its executed plan, proving the confs still bite
+    (conf names silently no-op if a Spark upgrade renames them)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(200_000).selectExpr("id % 5 AS k", "id AS v", "md5(string(id)) AS pad")
+    out = df.withColumn("rn", F.row_number().over(Window.partitionBy("k").orderBy("v")))
+    out.collect()
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if "spill" in kv._1().lower():
+                total += kv._2().value()
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(out._jdf.queryExecution().executedPlan())
+    return total
+
+
+@pytest.mark.parity
+def test_full_catalog_parity_under_forced_spill(spark):
+    """Every catalog query must produce oracle-exact results when Spark's
+    window/join/aggregate buffers are forced through their disk-spill
+    paths — order-sensitivity that only shows up once an external sorter
+    re-reads spilled runs is a real 100 TB determinism bug that clean
+    in-memory runs can never catch. Round-6 baseline: 214/214, 0
+    divergences, window canary ~10 MB spilled."""
+    from tools.check_parity import run_parity
+
+    sf_dir = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+    old = {k: spark.conf.get(k, None) for k in SPILL_CONFS}
+    # AQE re-plans from runtime stats, which legitimately changes which
+    # operators exist; the canary reads one fixed plan, so pin it off
+    # there only — the sweep itself keeps the session's AQE setting.
+    aqe_old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        for k, v in SPILL_CONFS.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert _window_spill_bytes(spark) > 0, "spill confs no longer bite — renamed?"
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_old)
+        failures = run_parity(sf_dir, spark=spark)
+        assert not failures, f"{len(failures)} spill-axis divergences: {failures}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_old)
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
