@@ -144,6 +144,11 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
     if only:
         wanted = {q.strip() for q in only.split(",") if q.strip()}
+        unknown = wanted - set(names)
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in the headline set: {sorted(unknown)}"
+            )
         names = [n for n in names if n in wanted]
     # warmup: JVM + parquet footer caches for every table family the
     # headline set touches (orders/lineitem via flagship, documents via

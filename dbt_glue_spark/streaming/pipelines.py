@@ -507,6 +507,14 @@ class _CkptToken:
     rather than falling back; the path-hash fallback applies only while
     the metadata file does not exist at all, and is deliberately not
     cached so the real query id wins as soon as the file appears.
+
+    That mid-run upgrade (path-hash on batch 0, query id from batch 1
+    on — possible on stores with delayed metadata visibility) must NOT
+    read as a takeover: a ledger committed under the path-hash belongs
+    to this same checkpoint. :meth:`aliases` exposes the path-hash so
+    :func:`_takeover_state` can recognize it as self and upgrade the
+    stored token in place instead of wiping an additive ledger that the
+    intact checkpoint would never re-deliver history to rebuild.
     """
 
     def __init__(self, checkpoint: str) -> None:
@@ -540,19 +548,40 @@ class _CkptToken:
             self._token = str(qid)
         return self._token
 
+    def aliases(self) -> frozenset[str]:
+        """Other tokens that denote THIS checkpoint: its path-hash (the
+        pre-metadata fallback identity). A stored token matching an
+        alias is the same owner, not a takeover."""
+        import hashlib
+        import os
+
+        return frozenset(
+            {hashlib.md5(os.path.realpath(self.checkpoint).encode()).hexdigest()}
+        )
+
 
 def _read_token(target_path: str) -> tuple[str | None, int]:
     """Read ``(checkpoint_token, generation)`` from the ledger, or
-    ``(None, -1)`` if no takeover has been recorded."""
+    ``(None, -1)`` if no takeover has been recorded.
+
+    A MISSING token file (fresh ledger, or one that predates tokens) is
+    the only condition mapped to ``(None, -1)``. Any other read or parse
+    failure raises, failing the micro-batch so Spark retries it under
+    the same batch_id: silently mapping a transient EIO/EACCES — or a
+    corrupt token, which the atomic tmp+rename write can never produce
+    on its own — to "tokenless" would make a ``reset_on_takeover`` sink
+    classify a healthy tokened ledger as legacy and wipe it with no
+    re-delivery to rebuild from (the same absent-vs-unreadable
+    distinction :class:`_CkptToken` draws for the checkpoint metadata)."""
     import os
 
     try:
         with open(os.path.join(target_path, "data", "_ckpt")) as fh:
             raw = fh.read().strip()
-        token, gen = raw.rsplit(":", 1)
-        return token or None, int(gen)
-    except (OSError, ValueError):
+    except FileNotFoundError:
         return None, -1
+    token, gen = raw.rsplit(":", 1)
+    return token or None, int(gen)
 
 
 def _write_token(target_path: str, token: str, gen: int) -> None:
@@ -580,29 +609,34 @@ def _write_token(target_path: str, token: str, gen: int) -> None:
 def _reset_ledger(target_path: str) -> None:
     """Wipe the ledger for an additive takeover — VERIFIED.
 
-    ``rmtree(ignore_errors=True)`` alone can partially fail (one
+    A blind ``rmtree(ignore_errors=True)`` can partially fail (one
     undeletable file) and silently leave old committed version dirs on
     disk; a reader would then keep seeing stale pre-takeover state until
-    the new generation's first commit. So after the bulk delete, any
-    surviving committed version is retried individually, and the reset
-    RAISES if one still survives — failing the micro-batch (Spark
-    retries it under the same batch_id) instead of proceeding over a
-    half-wiped ledger. Defense in depth: even if survivors slipped
-    through, :func:`_takeover_state` continues the generation sequence
-    ABOVE the pre-reset maximum, so new commits always out-order stale
-    residue rather than being shadowed by it.
+    the new generation's first commit. So every entry is deleted
+    individually and the reset RAISES if a committed version survives —
+    failing the micro-batch (Spark retries it under the same batch_id)
+    instead of proceeding over a half-wiped ledger. Defense in depth:
+    even if survivors slipped through, :func:`_takeover_state` continues
+    the generation sequence ABOVE the pre-reset maximum, so new commits
+    always out-order stale residue rather than being shadowed by it.
+
+    The ownership record (``_ckpt``) is deleted LAST, only once every
+    committed version is confirmed gone: a bulk delete that drops the
+    token first and then fails on a version dir leaves a tokenless
+    ledger with committed versions — which the original owner's resumed
+    stream (takeover abandoned after the raise) would misclassify as a
+    legacy ledger and destructively rebuild mid-stream.
     """
     import os
     import shutil
 
     root = os.path.join(target_path, "data")
-    shutil.rmtree(root, ignore_errors=True)
     if not os.path.isdir(root):
         return
     survivors = []
     for name in os.listdir(root):
-        if _parse_version(name) is None and name != "_ckpt":
-            continue
+        if name == "_ckpt":
+            continue  # ownership record goes last, see above
         path = os.path.join(root, name)
         try:
             if os.path.isdir(path):
@@ -616,10 +650,18 @@ def _reset_ledger(target_path: str) -> None:
             f"takeover reset left committed ledger versions under {root}: "
             f"{sorted(survivors)}"
         )
+    try:
+        os.remove(os.path.join(root, "_ckpt"))
+    except FileNotFoundError:
+        pass
 
 
 def _takeover_state(
-    target_path: str, token: str, batch_id: int, reset_on_takeover: bool
+    target_path: str,
+    token: str,
+    batch_id: int,
+    reset_on_takeover: bool,
+    aliases: frozenset[str] = frozenset(),
 ) -> tuple[str | None, int, bool]:
     """The shared watermark/takeover protocol of every ledger sink.
 
@@ -634,6 +676,10 @@ def _takeover_state(
       another generation is pre-takeover state that must not be merged
       either (it is residue of that crash window or of a partially
       failed reset), so ``cur_path`` is cleared for them in that case.
+    - ``aliases`` — alternate tokens that denote the SAME checkpoint
+      (its path-hash, per :meth:`_CkptToken.aliases`): a stored alias
+      match is ownership, not takeover, and upgrades the stored token
+      to the primary one in place.
     - takeover (stored token differs — or, for additive sinks, a
       committed ledger that predates tokens entirely: with no watermark
       scope there is no way to tell which re-delivered batches a legacy
@@ -653,7 +699,14 @@ def _takeover_state(
     """
     stored_token, stored_gen = _read_token(target_path)
     cur_path, gen, cur_id = _ledger_latest(target_path)
-    if stored_token == token:
+    if stored_token == token or (stored_token is not None and stored_token in aliases):
+        if stored_token != token:
+            # same checkpoint under its path-hash alias (the metadata
+            # file became visible after the alias was recorded): same
+            # owner, same generation — upgrade the stored token in
+            # place; a reset here would discard merges the intact
+            # checkpoint will never re-deliver
+            _write_token(target_path, token, stored_gen)
         if gen == stored_gen:
             return cur_path, stored_gen, batch_id <= cur_id
         if reset_on_takeover:
@@ -696,13 +749,8 @@ def countmin_stream_sink(
     """
     from dbt_glue_spark.extensions.sketches import countmin_build
 
-    # constructed HERE but resolved lazily inside the batch: the
-    # checkpoint's metadata file (the stable query-id source) is only
-    # written once the stream STARTS, so an eager resolve would be the
-    # path-hash fallback on the first run and the query id on restart —
-    # misreading a same-checkpoint restart as a takeover. Once resolved
-    # from metadata the token is CACHED for the sink run, so a transient
-    # read failure on a later batch cannot mint a second identity either.
+    # constructed here, resolved lazily inside the batch — the metadata
+    # file only exists once the stream starts (rules: _CkptToken doc)
     token_of = _CkptToken(checkpoint)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -710,7 +758,8 @@ def countmin_stream_sink(
             return
         token = token_of()
         cur_path, commit_gen, skip = _takeover_state(
-            target_path, token, batch_id, reset_on_takeover=True
+            target_path, token, batch_id,
+            reset_on_takeover=True, aliases=token_of.aliases(),
         )
         if skip:
             return  # at-least-once replay of an already-merged batch
@@ -762,13 +811,8 @@ def kmv_stream_sink(
     """
     from dbt_glue_spark.extensions.sketches import hash_fraction
 
-    # constructed HERE but resolved lazily inside the batch: the
-    # checkpoint's metadata file (the stable query-id source) is only
-    # written once the stream STARTS, so an eager resolve would be the
-    # path-hash fallback on the first run and the query id on restart —
-    # misreading a same-checkpoint restart as a takeover. Once resolved
-    # from metadata the token is CACHED for the sink run, so a transient
-    # read failure on a later batch cannot mint a second identity either.
+    # constructed here, resolved lazily inside the batch — the metadata
+    # file only exists once the stream starts (rules: _CkptToken doc)
     token_of = _CkptToken(checkpoint)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -778,7 +822,8 @@ def kmv_stream_sink(
         # reset_on_takeover=False: re-unioning re-delivered history is a
         # set-merge no-op, so the ledger survives checkpoint loss intact
         cur_path, commit_gen, skip = _takeover_state(
-            target_path, token, batch_id, reset_on_takeover=False
+            target_path, token, batch_id,
+            reset_on_takeover=False, aliases=token_of.aliases(),
         )
         if skip:
             return  # at-least-once replay of an already-merged batch
@@ -821,13 +866,8 @@ def histogram_stream_sink(
     """
     from dbt_glue_spark.extensions.audit import value_histogram
 
-    # constructed HERE but resolved lazily inside the batch: the
-    # checkpoint's metadata file (the stable query-id source) is only
-    # written once the stream STARTS, so an eager resolve would be the
-    # path-hash fallback on the first run and the query id on restart —
-    # misreading a same-checkpoint restart as a takeover. Once resolved
-    # from metadata the token is CACHED for the sink run, so a transient
-    # read failure on a later batch cannot mint a second identity either.
+    # constructed here, resolved lazily inside the batch — the metadata
+    # file only exists once the stream starts (rules: _CkptToken doc)
     token_of = _CkptToken(checkpoint)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -835,7 +875,8 @@ def histogram_stream_sink(
             return
         token = token_of()
         cur_path, commit_gen, skip = _takeover_state(
-            target_path, token, batch_id, reset_on_takeover=True
+            target_path, token, batch_id,
+            reset_on_takeover=True, aliases=token_of.aliases(),
         )
         if skip:
             return  # at-least-once replay of an already-merged batch

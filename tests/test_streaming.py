@@ -511,7 +511,7 @@ def test_takeover_legacy_tokenless_ledger(spark, tmp_path):
     assert not skip and cur is not None, "tokenless set ledger unions through"
 
 
-def test_parse_version_strict(spark):
+def test_parse_version_strict():
     """Version dir names parse with a strict full-name regex: wrong
     separators, wrong field widths, or trailing garbage never read as a
     committed version (they would otherwise be returned as the latest
@@ -690,3 +690,104 @@ def test_takeover_protocol_random_interleavings(spark, tmp_path):
         if model["markers"]:
             got = sorted(r["m"] for r in read_ledger(spark, target).collect())
             assert got == sorted(model["markers"]), f"seq {seq}: {got} vs {model}"
+
+
+def test_read_token_missing_vs_unreadable(spark, tmp_path):
+    """Round-6 review fix: only a MISSING _ckpt maps to (None, -1) —
+    corrupt content or an unreadable file RAISES (failing the batch for
+    retry) instead of classifying a healthy tokened ledger as legacy,
+    which a reset_on_takeover sink would wipe with no re-delivery to
+    rebuild from."""
+    import os
+
+    from dbt_glue_spark.streaming.pipelines import _read_token, _write_token
+
+    target = str(tmp_path / "tgt")
+    assert _read_token(target) == (None, -1)  # genuinely absent: fresh/legacy
+    _write_token(target, "ckpt-A", 0)
+    assert _read_token(target) == ("ckpt-A", 0)
+    ckpt_file = os.path.join(target, "data", "_ckpt")
+    with open(ckpt_file, "w") as fh:
+        fh.write("garbage-without-a-generation")
+    with pytest.raises(ValueError):
+        _read_token(target)  # atomic writes never produce this: corruption
+    os.remove(ckpt_file)
+    os.mkdir(ckpt_file)  # unreadable-as-file (EISDIR ∈ OSError, ∉ FileNotFoundError)
+    with pytest.raises(OSError):
+        _read_token(target)
+
+
+def test_path_hash_alias_upgrade_not_takeover(spark, tmp_path):
+    """Round-6 review fix: a ledger committed under the checkpoint's
+    path-hash fallback (metadata not yet visible on batch 0) must be
+    recognized as SELF once the query id resolves — token upgraded in
+    place, no additive reset (the intact checkpoint would never
+    re-deliver the already-merged history), replay skip still scoped."""
+    import json
+
+    from dbt_glue_spark.streaming.pipelines import (
+        _CkptToken,
+        _ledger_commit,
+        _read_token,
+        _takeover_state,
+        read_ledger,
+    )
+
+    frame = lambda n: spark.createDataFrame([(1, n)], "bucket int, cnt int")  # noqa: E731
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    token_of = _CkptToken(str(ckpt))
+    alias = token_of()  # metadata absent: the path-hash fallback
+    assert alias in token_of.aliases()
+
+    target = str(tmp_path / "tgt")
+    cur, gen, skip = _takeover_state(target, alias, 0, True, aliases=token_of.aliases())
+    assert not skip
+    _ledger_commit(frame(11), target, gen, 0)
+
+    # metadata becomes visible; the SAME sink run now resolves the qid
+    (ckpt / "metadata").write_text(json.dumps({"id": "qid-123"}))
+    qid = token_of()
+    assert qid == "qid-123" and qid != alias
+    cur, gen2, skip = _takeover_state(target, qid, 1, True, aliases=token_of.aliases())
+    assert not skip and gen2 == gen and cur is not None, "alias is self, not takeover"
+    assert _read_token(target) == (qid, gen), "stored token upgraded in place"
+    assert read_ledger(spark, target).collect()[0]["cnt"] == 11  # nothing wiped
+    # at-least-once replay of batch 0 under the upgraded token: skip
+    assert _takeover_state(target, qid, 0, True, aliases=token_of.aliases())[2]
+
+
+def test_reset_ledger_keeps_token_until_versions_gone(spark, tmp_path, monkeypatch):
+    """Round-6 review fix: _reset_ledger deletes the ownership record
+    LAST. If a version dir refuses deletion the reset raises with _ckpt
+    intact, so the original owner's resumed stream (takeover abandoned)
+    still recognizes its own ledger instead of misreading a tokenless
+    one as legacy and destructively rebuilding mid-stream."""
+    import shutil
+
+    from dbt_glue_spark.streaming.pipelines import (
+        _ledger_commit,
+        _read_token,
+        _reset_ledger,
+        _write_token,
+    )
+
+    frame = lambda n: spark.createDataFrame([(1, n)], "bucket int, cnt int")  # noqa: E731
+    target = str(tmp_path / "tgt")
+    _write_token(target, "ckpt-A", 0)
+    _ledger_commit(frame(5), target, 0, 0)
+
+    real_rmtree = shutil.rmtree
+
+    def stubborn(path, *a, **k):
+        if str(path).endswith("g000000b000000000000"):
+            raise OSError("simulated undeletable version dir")
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(shutil, "rmtree", stubborn)
+    with pytest.raises(RuntimeError):
+        _reset_ledger(target)
+    assert _read_token(target) == ("ckpt-A", 0), "ownership record must survive a failed reset"
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    _reset_ledger(target)
+    assert _read_token(target) == (None, -1), "clean reset removes the token too"

@@ -70,6 +70,11 @@ def run_parity(sf_dir: str, only=None, spark=None) -> list[str]:
     """
     only = set(only or ())
     specs = SPECS()
+    unknown = only - set(specs)
+    if unknown:
+        # a renamed/removed catalog query must fail the gate, not
+        # silently shrink the sweep to a vacuous green
+        raise ValueError(f"unknown catalog queries in only=: {sorted(unknown)}")
     spark = spark or get_spark("parity-check")
     con = duck_con(sf_dir)
     failures = []

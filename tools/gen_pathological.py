@@ -151,7 +151,7 @@ def mutate_ts(df, rows: int = 300):
 # at sf0.001+ (10 suppliers, 150 customers, 200 parts, 25 nations).
 _HOT_INT_KEYS = {
     "o_custkey", "c_nationkey", "s_nationkey", "n_regionkey",
-    "l_suppkey", "l_partkey", "ps_suppkey", "ps_partkey", "user_id",
+    "l_suppkey", "l_partkey", "user_id",
 }
 _HOT_STR_KEYS = {"source": "src7", "lang": "en", "event_type": "click", "label": "hot"}
 
