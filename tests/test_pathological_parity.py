@@ -170,20 +170,20 @@ STREAMING_SET = [
 
 
 @pytest.mark.parity
-@pytest.mark.parametrize("variant", ["dirty", "const", "ts", "hot", "empty"])
+@pytest.mark.parametrize("variant", ["dirty", "const", "ts", "hot", "empty", "long"])
 def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
     """Pathological-axis × streaming cross-product (round-6, opt-in).
 
     Each of the 12 streaming pipelines stages a real file stream
-    (~10-30 s), so the 60-run cross-product is parity-marked rather than
-    suite-default. Round-6 baseline: all 60 green, zero divergences
+    (~10-30 s), so the 72-run cross-product is parity-marked rather than
+    suite-default. Round-6 baseline: all 72 green, zero divergences
     (SCALE.md "Round-6 streaming × pathological axes"). The empty axis
     is the streaming twin of tests/test_empty_input.py: a zero-row
     stream must start, drain, commit, and agree with the batch oracle
     on empty tables (watermarks with no data, ledgers with no batches).
     """
     from check_parity import run_parity
-    from gen_pathological import mutate_const, mutate_hot, mutate_ts
+    from gen_pathological import mutate_const, mutate_hot, mutate_long, mutate_ts
 
     fn = {
         "dirty": mutate,
@@ -191,6 +191,7 @@ def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
         "ts": mutate_ts,
         "hot": mutate_hot,
         "empty": lambda df: df.limit(0),
+        "long": mutate_long,
     }[variant]
     out = str(tmp_path_factory.mktemp(f"sf_stream_{variant}"))
     for t in TABLES:
@@ -226,3 +227,54 @@ def test_constant_data_parity_regression_set(spark, const_sf):
                 failures.append(f"{name}: value diff {sr} vs {dr}")
                 break
     assert not failures, "\n".join(failures)
+
+
+LONG_TEXT_SET = [
+    "ext_text_stats",
+    "ext_token_count",
+    "ext_quality_score",
+    "ext_quality_filter",
+    "ext_doc_chunks",
+    "ext_cdc_chunks",
+    "ext_paragraph_dedup",
+    "ext_span_dedup",
+    "ext_repetition_ratio",
+    "ext_boilerplate_strip",
+    "ext_pii_scan",
+    "ext_pii_redact",
+    "ext_exact_dedup",
+    "ext_minhash_signatures",
+    "ext_minhash_lsh_pairs",
+    "ext_simhash",
+    "ext_ngram_dup_fraction",
+    "ext_lm_score",
+    "ext_tfidf_top_terms",
+    "ext_bm25_search",
+    "ext_countmin_tokens",
+    "ext_kmv_distinct_tokens",
+    "ext_top_tokens",
+    "udtf_token_stats",
+    "ext_wordpiece_doc_stats",
+    "ext_bpe_merges",
+]
+
+
+@pytest.mark.parity
+def test_long_document_axis(spark, sf_dir, tmp_path_factory):
+    """Per-row blowup axis (round-6, opt-in): ~1/3 of documents become
+    64× repetitions of their own text (30-60 KB each) — the shape that
+    flushes quadratic-in-length behavior in tokenize/shingle/chunk
+    operators, invisible to every corpus-SIZE axis. Round-6 baseline:
+    the FULL 214-query sweep passed on /tmp/sf_long (0 failures,
+    including the O(len²)-per-candidate edit-distance verify); this
+    pins the text-family subset so the axis re-runs in minutes."""
+    from check_parity import run_parity
+    from gen_pathological import mutate_long
+
+    out = str(tmp_path_factory.mktemp("sf_long"))
+    for t in TABLES:
+        mutate_long(load_table(spark, sf_dir, t)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    failures = run_parity(out, only=LONG_TEXT_SET, spark=spark)
+    assert not failures, f"long-document-axis divergences: {failures}"

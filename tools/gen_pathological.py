@@ -38,7 +38,11 @@ A fourth axis, ``--variant=hot``, pins the round-5 ad-hoc hot-key probe:
 source = src7, lang = en, event_type = click) collapses to one value —
 the extreme-skew shape for windows, shuffles and tie-break determinism.
 
-Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot]
+A fifth axis, ``--variant=long``, makes ~1/3 of documents 64× longer
+(repetitions of their own text with per-repetition markers) — the
+per-row blowup shape for tokenize/shingle/chunk operators.
+
+Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot|long]
 """
 
 from __future__ import annotations
@@ -182,6 +186,33 @@ def mutate_hot(df, rows: int | None = 300):
     return out
 
 
+def mutate_long(df, rows: int = 300):
+    """Long-document variant: ~1/3 of documents become 64× repetitions of
+    their own text (each repetition suffixed with a marker so boundary
+    shingles differ) — the per-ROW blowup shape (web pages are routinely
+    100 KB+) that flushes quadratic-in-length behavior in tokenize /
+    shingle / chunk operators, which the corpus-size axes cannot see.
+    ``n_chars`` is recomputed so length-derived features stay consistent."""
+    base = df.limit(rows)
+    if "text" not in df.columns:
+        return base
+    h = F.abs(F.hash(F.col(df.columns[0]).cast("string"), F.lit("text")))
+    long_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.concat(F.col("text"), F.lit(" #"), i.cast("string")),
+        ),
+    )
+    out = base.withColumn(
+        "text", F.when(h % 3 == 0, long_text).otherwise(F.col("text"))
+    )
+    if "n_chars" in df.columns:
+        dt = dict(df.dtypes)["n_chars"]
+        out = out.withColumn("n_chars", F.length("text").cast(dt))
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     variant = "dirty"
@@ -194,9 +225,16 @@ def main() -> None:
         "const": "/tmp/sf_const",
         "ts": "/tmp/sf_ts",
         "hot": "/tmp/sf_hot",
+        "long": "/tmp/sf_long",
     }
     out = args[1] if len(args) > 1 else defaults[variant]
-    fn = {"dirty": mutate, "const": mutate_const, "ts": mutate_ts, "hot": mutate_hot}[variant]
+    fn = {
+        "dirty": mutate,
+        "const": mutate_const,
+        "ts": mutate_ts,
+        "hot": mutate_hot,
+        "long": mutate_long,
+    }[variant]
     spark = get_spark("pathological_gen")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
