@@ -620,10 +620,14 @@ def test_ckpt_token_cached_and_strict(tmp_path):
 
 def test_takeover_protocol_random_interleavings(spark, tmp_path):
     """Model-based check of the ledger protocol: drive random sequences
-    of {new batch, at-least-once replay, checkpoint switch, crash between
-    token write and commit} through the REAL _takeover_state/_ledger_commit
-    pair, with 'merge' = append-a-marker so the final ledger's marker set
-    is comparable against a pure-Python reference model."""
+    of {new batch, at-least-once replay, checkpoint switch, path-hash →
+    query-id alias upgrade, crash between token write and commit} through
+    the REAL _takeover_state/_ledger_commit pair, with 'merge' =
+    append-a-marker so the final ledger's marker set is comparable
+    against a pure-Python reference model. Identity in the model is the
+    CHECKPOINT, not the token string: a checkpoint may deliver first
+    under its path-hash alias and later under its query id (round-6
+    alias fix) — same identity, no reset, replay-skip unaffected."""
     import random
 
     from dbt_glue_spark.streaming.pipelines import (
@@ -634,9 +638,9 @@ def test_takeover_protocol_random_interleavings(spark, tmp_path):
 
     rng = random.Random(20260814)
 
-    def deliver(target, token, bid, marker, model):
+    def deliver(target, token, aliases, bid, marker, model, ident):
         """One merge_batch execution (additive policy)."""
-        cur, gen, skip = _takeover_state(target, token, bid, True)
+        cur, gen, skip = _takeover_state(target, token, bid, True, aliases=aliases)
         if skip:
             return
         if cur is None:
@@ -646,47 +650,64 @@ def test_takeover_protocol_random_interleavings(spark, tmp_path):
                 spark.createDataFrame([(marker,)], "m string")
             )
         _ledger_commit(merged, target, gen, bid)
-        # model: takeover (token change) resets; this batch's marker lands
-        if model["token"] != token:
+        # model: takeover (checkpoint change) resets; this marker lands
+        if model["ident"] != ident:
             model["markers"] = []
-            model["token"] = token
+            model["ident"] = ident
         model["markers"].append(marker)
 
     for seq in range(6):
         target = str(tmp_path / f"t{seq}")
-        model = {"token": None, "markers": []}
-        token_i, bid, marker_i = 0, -1, 0
-        token = "ckpt-0"
-        # model bootstrap: first token counts as a (vacuous) takeover
+        model = {"ident": None, "markers": []}
+        ident, bid, marker_i = 0, -1, 0
+        # a checkpoint may start under its path-hash alias (metadata not
+        # yet visible); "upgrade" flips it to the query id mid-run
+        alias_mode = rng.random() < 0.5
+
+        def cur_token():
+            return f"hash-{ident}" if alias_mode else f"qid-{ident}"
+
+        def cur_aliases():
+            return frozenset({f"hash-{ident}"})
+
         last = None
-        for _ in range(rng.randint(4, 8)):
-            ev = rng.choice(["batch", "batch", "replay", "switch", "crash"])
+        for _ in range(rng.randint(5, 10)):
+            ev = rng.choice(["batch", "batch", "replay", "switch", "upgrade", "crash"])
             if ev == "batch" or last is None:
                 bid += 1
                 marker = f"m{seq}-{marker_i}"; marker_i += 1
-                deliver(target, token, bid, marker, model)
-                last = (token, bid)
+                deliver(target, cur_token(), cur_aliases(), bid, marker, model, ident)
+                last = (cur_token(), cur_aliases(), bid, ident)
             elif ev == "replay":
                 # re-deliver the last batch verbatim (at-least-once): its
-                # marker must NOT appear twice
-                deliver(target, last[0], last[1], f"dup{marker_i}", model)
+                # marker must NOT appear twice — even if an alias upgrade
+                # happened in between (the token the batch sees is the
+                # CURRENT one, but identity is unchanged)
+                tok = cur_token() if last[3] == ident else last[0]
+                als = cur_aliases() if last[3] == ident else last[1]
+                deliver(target, tok, als, last[2], f"dup{marker_i}", model, last[3])
             elif ev == "switch":
-                token_i += 1
-                token = f"ckpt-{token_i}"
+                ident += 1
+                alias_mode = rng.random() < 0.5
                 bid = -1  # batch ids restart under a new checkpoint
+            elif ev == "upgrade":
+                # metadata became visible: same checkpoint, primary token
+                alias_mode = False
             elif ev == "crash":
                 # crash window: token/generation advanced, commit lost —
                 # the NEXT delivery of the same batch must merge normally
                 bid += 1
-                cur, gen, skip = _takeover_state(target, token, bid, True)
+                cur, gen, skip = _takeover_state(
+                    target, cur_token(), bid, True, aliases=cur_aliases()
+                )
                 assert not skip
-                # model: a reset may have happened (token change)
-                if model["token"] != token:
+                # model: a reset may have happened (checkpoint change)
+                if model["ident"] != ident:
                     model["markers"] = []
-                    model["token"] = token
+                    model["ident"] = ident
                 marker = f"m{seq}-{marker_i}"; marker_i += 1
-                deliver(target, token, bid, marker, model)  # replayed batch
-                last = (token, bid)
+                deliver(target, cur_token(), cur_aliases(), bid, marker, model, ident)
+                last = (cur_token(), cur_aliases(), bid, ident)
         if model["markers"]:
             got = sorted(r["m"] for r in read_ledger(spark, target).collect())
             assert got == sorted(model["markers"]), f"seq {seq}: {got} vs {model}"
