@@ -479,6 +479,61 @@ def read_ledger_or(spark, target_path: str, fallback: DataFrame) -> DataFrame:
         return fallback
 
 
+_INSTANCE_MARKER = ".dgs-instance"
+
+
+def _read_instance(checkpoint: str) -> str | None:
+    """Read this checkpoint instance's minted fallback identity, or None
+    if no fallback identity was ever minted (see :func:`_mint_instance`).
+    The marker lives INSIDE the checkpoint directory, so it dies with
+    the instance by construction — a checkpoint deleted and recreated at
+    the same path starts markerless."""
+    import os
+
+    try:
+        with open(os.path.join(checkpoint, _INSTANCE_MARKER)) as fh:
+            return fh.read().strip() or None
+    except OSError:
+        return None
+
+
+def _mint_instance(checkpoint: str) -> str:
+    """Fallback identity of this checkpoint INSTANCE: a random token
+    minted once into a marker file inside the checkpoint directory
+    (tmp+rename, re-read so a concurrent minter converges).
+
+    Instance-scoped on purpose: a checkpoint DELETED AND RECREATED at
+    the same path is a different stream (its batch counter restarts at 0
+    and its history is re-delivered from scratch), so it must NOT
+    inherit the previous instance's watermark. A path hash — or even a
+    path+inode hash, since common filesystems recycle inode numbers
+    immediately — would alias the two, and a ``reset_on_takeover`` sink
+    would then silently skip the new stream's early batches and merge
+    the rest into stale pre-restart state. The marker file cannot alias
+    them: it is deleted with the directory. If the marker cannot be
+    written (read-only checkpoint store — in which case Spark's own
+    commit protocol is failing too), this degrades to the md5 of the
+    symlink-resolved real path, which still never splits one instance
+    into two identities."""
+    import hashlib
+    import os
+    import uuid
+
+    existing = _read_instance(checkpoint)
+    if existing is not None:
+        return existing
+    token = uuid.uuid4().hex
+    marker = os.path.join(checkpoint, _INSTANCE_MARKER)
+    try:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(token)
+        os.replace(tmp, marker)
+    except OSError:
+        return hashlib.md5(os.path.realpath(checkpoint).encode()).hexdigest()
+    return _read_instance(checkpoint) or token
+
+
 class _CkptToken:
     """Stable identity of the streaming checkpoint that owns the ledger.
 
@@ -492,9 +547,12 @@ class _CkptToken:
     Identity source, in order: the query id Spark stores in the
     checkpoint's own ``metadata`` file (written at stream start, stable
     across restarts, independent of how the path is spelled), falling
-    back to an md5 of the symlink-resolved real path. A raw-path hash
-    alone would treat ``/data/ckpt`` and its symlink target as DIFFERENT
-    checkpoints and spuriously reset the additive ledgers.
+    back to an instance token minted into a marker file inside the
+    checkpoint directory itself (see :func:`_mint_instance`). A path
+    hash would conflate a deleted-and-recreated checkpoint with its
+    predecessor and inherit a watermark that silently skips the new
+    stream's restarted batch ids; the marker dies with the directory,
+    so the two instances can never alias.
 
     The resolver is instantiated once per sink run and CACHES the first
     token it resolves from the metadata file. A transient read failure on
@@ -504,17 +562,22 @@ class _CkptToken:
     real checkpoint is intact, so history is never replayed). If the
     metadata file EXISTS but cannot be read/parsed and nothing is cached
     yet, the batch fails (Spark retries it under the same batch_id)
-    rather than falling back; the path-hash fallback applies only while
-    the metadata file does not exist at all, and is deliberately not
-    cached so the real query id wins as soon as the file appears.
+    rather than falling back; the instance-hash fallback applies only
+    while the metadata file does not exist at all, and is deliberately
+    not cached so the real query id wins as soon as the file appears.
 
-    That mid-run upgrade (path-hash on batch 0, query id from batch 1
-    on — possible on stores with delayed metadata visibility) must NOT
-    read as a takeover: a ledger committed under the path-hash belongs
-    to this same checkpoint. :meth:`aliases` exposes the path-hash so
+    That mid-run upgrade (instance token on batch 0, query id from
+    batch 1 on — possible on stores with delayed metadata visibility)
+    must NOT read as a takeover: a ledger committed under the instance
+    token belongs to this same checkpoint. :meth:`aliases` exposes it so
     :func:`_takeover_state` can recognize it as self and upgrade the
     stored token in place instead of wiping an additive ledger that the
-    intact checkpoint would never re-deliver history to rebuild.
+    intact checkpoint would never re-deliver history to rebuild. The
+    alias is scoped to the INSTANCE (the marker dies with the
+    directory): a checkpoint deleted and recreated at the same path does
+    not alias-match, so it is correctly treated as a takeover — reset
+    and rebuilt from its from-scratch re-delivery — instead of skipping
+    its restarted batch ids against the dead instance's watermark.
     """
 
     def __init__(self, checkpoint: str) -> None:
@@ -522,7 +585,6 @@ class _CkptToken:
         self._token: str | None = None
 
     def __call__(self) -> str:
-        import hashlib
         import json
         import os
 
@@ -535,29 +597,26 @@ class _CkptToken:
         except OSError:
             if os.path.exists(meta):
                 raise  # existing metadata unreadable: fail the batch, never mint a second identity
-            return hashlib.md5(
-                os.path.realpath(self.checkpoint).encode()
-            ).hexdigest()
+            return _mint_instance(self.checkpoint)
         if not qid:
-            # metadata without a query id: the path-hash is deterministic
-            # per checkpoint, so it is a stable (cacheable) identity
-            self._token = hashlib.md5(
-                os.path.realpath(self.checkpoint).encode()
-            ).hexdigest()
+            # metadata without a query id: the minted instance token is
+            # stable for this checkpoint instance, so it is a cacheable
+            # identity
+            self._token = _mint_instance(self.checkpoint)
         else:
             self._token = str(qid)
         return self._token
 
     def aliases(self) -> frozenset[str]:
-        """Other tokens that denote THIS checkpoint: its path-hash (the
-        pre-metadata fallback identity). A stored token matching an
-        alias is the same owner, not a takeover."""
-        import hashlib
-        import os
-
-        return frozenset(
-            {hashlib.md5(os.path.realpath(self.checkpoint).encode()).hexdigest()}
-        )
+        """Other tokens that denote THIS checkpoint instance: its minted
+        fallback identity (see :func:`_mint_instance`), read-only — a
+        run that resolved its query id directly never mints one. A
+        stored token matching an alias is the same owner, not a
+        takeover; a checkpoint recreated at the same path starts
+        markerless, so its predecessor's fallback token deliberately
+        does NOT alias-match."""
+        m = _read_instance(self.checkpoint)
+        return frozenset({m}) if m else frozenset()
 
 
 def _read_token(target_path: str) -> tuple[str | None, int]:
@@ -677,9 +736,10 @@ def _takeover_state(
       either (it is residue of that crash window or of a partially
       failed reset), so ``cur_path`` is cleared for them in that case.
     - ``aliases`` — alternate tokens that denote the SAME checkpoint
-      (its path-hash, per :meth:`_CkptToken.aliases`): a stored alias
-      match is ownership, not takeover, and upgrades the stored token
-      to the primary one in place.
+      instance (its minted fallback identity, per
+      :meth:`_CkptToken.aliases`): a stored alias match is ownership,
+      not takeover, and upgrades the stored token to the primary one in
+      place.
     - takeover (stored token differs — or, for additive sinks, a
       committed ledger that predates tokens entirely: with no watermark
       scope there is no way to tell which re-delivered batches a legacy
@@ -701,7 +761,7 @@ def _takeover_state(
     cur_path, gen, cur_id = _ledger_latest(target_path)
     if stored_token == token or (stored_token is not None and stored_token in aliases):
         if stored_token != token:
-            # same checkpoint under its path-hash alias (the metadata
+            # same checkpoint under its fallback-identity alias (the metadata
             # file became visible after the alias was recorded): same
             # owner, same generation — upgrade the stored token in
             # place; a reset here would discard merges the intact

@@ -209,9 +209,9 @@ def test_countmin_sink_same_checkpoint_restart_keeps_ledger(spark, tmp_path):
     batches into the warm ledger, not misread the restart as a takeover
     and reset it. This is the token-timing hazard: the checkpoint's
     metadata (query-id) file only exists once the stream has started, so
-    a token computed at sink CONSTRUCTION would be the path-hash on the
-    first run and the query id on restart — a spurious mismatch that
-    wipes the additive sketch without re-delivery."""
+    a token computed at sink CONSTRUCTION would be the fallback instance
+    token on the first run and the query id on restart — a spurious
+    mismatch that wipes the additive sketch without re-delivery."""
     from pyspark.sql import functions as F
 
     from dbt_glue_spark.extensions.sketches import countmin_build

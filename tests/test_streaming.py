@@ -577,8 +577,8 @@ def test_ckpt_token_cached_and_strict(tmp_path):
     transient read failure cannot mint a second identity mid-run and
     trigger a spurious additive-ledger wipe); an EXISTING-but-unreadable
     metadata file with nothing cached fails the batch instead of falling
-    back; only a truly absent metadata file uses the path-hash fallback,
-    uncached so the real query id wins once the file appears."""
+    back; only a truly absent metadata file uses the minted instance
+    fallback, uncached so the real query id wins once the file appears."""
     import json
     import os
 
@@ -590,7 +590,7 @@ def test_ckpt_token_cached_and_strict(tmp_path):
     ckpt.mkdir()
     meta = ckpt / "metadata"
 
-    # absent metadata → deterministic path-hash fallback, not cached
+    # absent metadata → stable minted instance fallback, not cached
     tok = _CkptToken(str(ckpt))
     fb1, fb2 = tok(), tok()
     assert fb1 == fb2 and len(fb1) == 32
@@ -620,13 +620,13 @@ def test_ckpt_token_cached_and_strict(tmp_path):
 
 def test_takeover_protocol_random_interleavings(spark, tmp_path):
     """Model-based check of the ledger protocol: drive random sequences
-    of {new batch, at-least-once replay, checkpoint switch, path-hash →
+    of {new batch, at-least-once replay, checkpoint switch, fallback →
     query-id alias upgrade, crash between token write and commit} through
     the REAL _takeover_state/_ledger_commit pair, with 'merge' =
     append-a-marker so the final ledger's marker set is comparable
     against a pure-Python reference model. Identity in the model is the
     CHECKPOINT, not the token string: a checkpoint may deliver first
-    under its path-hash alias and later under its query id (round-6
+    under its fallback alias and later under its query id (round-6
     alias fix) — same identity, no reset, replay-skip unaffected."""
     import random
 
@@ -660,7 +660,7 @@ def test_takeover_protocol_random_interleavings(spark, tmp_path):
         target = str(tmp_path / f"t{seq}")
         model = {"ident": None, "markers": []}
         ident, bid, marker_i = 0, -1, 0
-        # a checkpoint may start under its path-hash alias (metadata not
+        # a checkpoint may start under its fallback alias (metadata not
         # yet visible); "upgrade" flips it to the query id mid-run
         alias_mode = rng.random() < 0.5
 
@@ -738,9 +738,9 @@ def test_read_token_missing_vs_unreadable(spark, tmp_path):
         _read_token(target)
 
 
-def test_path_hash_alias_upgrade_not_takeover(spark, tmp_path):
+def test_fallback_alias_upgrade_not_takeover(spark, tmp_path):
     """Round-6 review fix: a ledger committed under the checkpoint's
-    path-hash fallback (metadata not yet visible on batch 0) must be
+    instance-token fallback (metadata not yet visible on batch 0) must be
     recognized as SELF once the query id resolves — token upgraded in
     place, no additive reset (the intact checkpoint would never
     re-deliver the already-merged history), replay skip still scoped."""
@@ -758,7 +758,7 @@ def test_path_hash_alias_upgrade_not_takeover(spark, tmp_path):
     ckpt = tmp_path / "ckpt"
     ckpt.mkdir()
     token_of = _CkptToken(str(ckpt))
-    alias = token_of()  # metadata absent: the path-hash fallback
+    alias = token_of()  # metadata absent: the minted instance fallback
     assert alias in token_of.aliases()
 
     target = str(tmp_path / "tgt")
@@ -812,3 +812,59 @@ def test_reset_ledger_keeps_token_until_versions_gone(spark, tmp_path, monkeypat
     monkeypatch.setattr(shutil, "rmtree", real_rmtree)
     _reset_ledger(target)
     assert _read_token(target) == (None, -1), "clean reset removes the token too"
+
+
+def test_recreated_checkpoint_is_takeover_not_alias(spark, tmp_path):
+    """Round-6 review fix: the fallback identity is INSTANCE-scoped — a
+    token minted into a marker file inside the checkpoint directory, so
+    it dies with the directory. A checkpoint deleted and recreated at
+    the same path is a different stream — batch ids restart at 0 and
+    history is re-delivered from scratch — so the predecessor's fallback
+    token must NOT alias-match: inheriting the dead instance's watermark
+    would silently skip the new stream's early batches and merge the
+    rest into stale pre-restart additive state. (A path+inode hash fails
+    this too: tmpfs/ext4 recycle inode numbers immediately, as the first
+    version of this fix learned the hard way.)"""
+    import json
+    import shutil
+
+    from dbt_glue_spark.streaming.pipelines import (
+        _CkptToken,
+        _ledger_commit,
+        _mint_instance,
+        _takeover_state,
+        read_ledger,
+    )
+
+    frame = lambda n: spark.createDataFrame([(1, n)], "bucket int, cnt int")  # noqa: E731
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    target = str(tmp_path / "tgt")
+
+    # run 1: metadata never becomes visible — commits under the fallback
+    run1 = _CkptToken(str(ckpt))
+    tok1 = run1()
+    assert tok1 == _mint_instance(str(ckpt)), "minted identity is stable per instance"
+    assert run1() == tok1, "re-resolving before metadata appears reuses the marker"
+    cur, gen, skip = _takeover_state(target, tok1, 0, True, aliases=run1.aliases())
+    assert not skip
+    _ledger_commit(frame(11), target, gen, 0)
+    cur, gen, skip = _takeover_state(target, tok1, 1, True, aliases=run1.aliases())
+    _ledger_commit(frame(99), target, gen, 1)
+
+    # user deletes the checkpoint and restarts to force a rebuild
+    shutil.rmtree(ckpt)
+    ckpt.mkdir()
+    (ckpt / "metadata").write_text(json.dumps({"id": "qid-run2"}))
+    run2 = _CkptToken(str(ckpt))
+    assert tok1 not in run2.aliases(), "recreated dir has a new inode → new instance"
+
+    # run 2's batch 0 (fresh data, re-delivered from scratch) must MERGE
+    # — not be skipped against the dead instance's watermark — and must
+    # see a RESET ledger, not run 1's additive state
+    cur, gen2, skip = _takeover_state(target, run2(), 0, True, aliases=run2.aliases())
+    assert not skip, "batch 0 of the recreated stream must not be skipped"
+    assert cur is None, "additive takeover must reset, not merge into stale state"
+    assert gen2 > gen
+    _ledger_commit(frame(7), target, gen2, 0)
+    assert [r["cnt"] for r in read_ledger(spark, target).collect()] == [7]
