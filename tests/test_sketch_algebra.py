@@ -103,33 +103,35 @@ def test_kmv_topk_is_a_semilattice_under_any_split(spark, words, split):
     split=st.integers(min_value=0, max_value=40),
 )
 def test_histogram_bucket_counts_additive_under_any_split(spark, values, split):
-    """The fixed-bucket histogram merges by per-bucket count addition —
-    but only once the bucket GRID is shared. With min/max (the grid
-    inputs) computed over the union, the parts' bucket counts must sum
-    to the whole's counts for any data and split."""
-    lo, hi = min(values), max(values)
+    """``value_histogram`` — the PRODUCT bucketing, fixed ``bucket_width``
+    grid exactly as ``histogram_stream_sink`` builds it — merges by the
+    sink's own fold (unionByName → groupBy(bucket) → sum(cnt)): for any
+    data and any split, merging the parts' histograms must equal the
+    histogram of the whole. Driving the real builder (not an inline
+    re-derivation) is the point: an off-by-one in the bucket edges, the
+    overflow clamp, or a non-linear count in ``value_histogram`` fails
+    HERE, not only at 100 TB."""
+    from dbt_glue_spark.extensions.audit import value_histogram
 
-    def counts(vals):
-        if not vals:
-            return {}
+    width, n_buckets = 7, 8  # small grid: overflow clamp gets exercised
+
+    def hist(vals):
         df = spark.createDataFrame([(float(v),) for v in vals], "x double")
-        width = (hi - lo) / 16 if hi > lo else 1.0
-        b = df.select(
-            F.least(
-                F.lit(15),
-                F.floor((F.col("x") - F.lit(lo)) / F.lit(width)).cast("int"),
-            ).alias("bucket")
-        )
-        return {r["bucket"]: r["n"] for r in b.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+        return value_histogram(df, "x", width, n_buckets)
 
     split = min(split, len(values))
     a, b = values[:split], values[split:]
-    whole = counts(values)
-    merged: dict[int, int] = {}
-    for part in (counts(a), counts(b)):
-        for k_, v in part.items():
-            merged[k_] = merged.get(k_, 0) + v
-    assert merged == whole
+    whole = sorted(map(tuple, hist(values).collect()))
+    parts = [hist(p) for p in (a, b) if p]
+    merged = parts[0]
+    for p in parts[1:]:
+        # the exact streaming-ledger fold (histogram_stream_sink)
+        merged = (
+            merged.unionByName(p)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+    assert sorted(map(tuple, merged.collect())) == whole
 
 
 @SKETCH_SETTINGS
