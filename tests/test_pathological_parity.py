@@ -278,3 +278,29 @@ def test_long_document_axis(spark, sf_dir, tmp_path_factory):
         ).parquet(os.path.join(out, f"{t}.parquet"))
     failures = run_parity(out, only=LONG_TEXT_SET, spark=spark)
     assert not failures, f"long-document-axis divergences: {failures}"
+
+
+def test_hot_variant_keys_reference_existing_dimension_rows(spark, sf_dir):
+    """Round-6 review fix: every hot FK value must EXIST in its
+    referenced dimension. A dangling hot key (the original n_regionkey=7
+    against region's fixed 0-4 domain) makes inner joins eliminate 90%
+    of the fact side, so a skew probe on that join path measures row
+    elimination instead of skew degradation."""
+    from gen_pathological import _HOT_INT_KEYS
+
+    fks = {
+        "n_regionkey": ("region", "r_regionkey"),
+        "c_nationkey": ("nation", "n_nationkey"),
+        "s_nationkey": ("nation", "n_nationkey"),
+        "o_custkey": ("customer", "c_custkey"),
+        "l_suppkey": ("supplier", "s_suppkey"),
+        "l_partkey": ("part", "p_partkey"),
+    }
+    for col, (dim, dim_key) in fks.items():
+        hot = _HOT_INT_KEYS[col]
+        dim_keys = {
+            r[0] for r in load_table(spark, sf_dir, dim).select(dim_key).collect()
+        }
+        assert hot in dim_keys, (
+            f"hot value {hot} for {col} dangles: not in {dim}.{dim_key}"
+        )

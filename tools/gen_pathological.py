@@ -151,11 +151,16 @@ def mutate_ts(df, rows: int = 300):
 
 
 # FK / group-key columns that the hot variant skews (leading PKs stay
-# unique so joins remain well-defined). Key 7 exists in every dimension
-# at sf0.001+ (10 suppliers, 150 customers, 200 parts, 25 nations).
+# unique so joins remain well-defined), each with a hot value that
+# EXISTS in its referenced dimension — a dangling hot FK would make
+# inner joins drop 90% of the fact side, so the "skew" probe would
+# measure row elimination instead of skew degradation. Key 7 exists in
+# every dimension at sf0.001+ (10 suppliers, 150 customers, 200 parts,
+# 25 nations) EXCEPT region, which is fixed at 5 rows (keys 0-4) at
+# every scale factor — its hot key is 2.
 _HOT_INT_KEYS = {
-    "o_custkey", "c_nationkey", "s_nationkey", "n_regionkey",
-    "l_suppkey", "l_partkey", "user_id",
+    "o_custkey": 7, "c_nationkey": 7, "s_nationkey": 7, "n_regionkey": 2,
+    "l_suppkey": 7, "l_partkey": 7, "user_id": 7,
 }
 _HOT_STR_KEYS = {"source": "src7", "lang": "en", "event_type": "click", "label": "hot"}
 
@@ -177,7 +182,10 @@ def mutate_hot(df, rows: int | None = 300):
         h = F.abs(F.hash(F.col(df.columns[0]).cast("string"), F.lit(c)))
         if c in _HOT_INT_KEYS:
             out = out.withColumn(
-                c, F.when(h % 10 != 0, F.lit(7).cast(cols[c])).otherwise(F.col(c))
+                c,
+                F.when(
+                    h % 10 != 0, F.lit(_HOT_INT_KEYS[c]).cast(cols[c])
+                ).otherwise(F.col(c)),
             )
         elif c in _HOT_STR_KEYS and cols[c] == "string":
             out = out.withColumn(
