@@ -308,3 +308,87 @@ def mixture_resample(
             ).alias("achieved_rate"),
         )
     )
+
+
+#: canonical priority space: hash space 16^13 scaled by the 1000 priority
+#: quantum. 16^13·1000 = 2^55·125 — exact as int64 AND as an IEEE double,
+#: so the estimator's single float division is engine-identical.
+_PRIORITY_SPACE = 16**13 * 1000
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 256,
+    seed: str = "7",
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): a
+    weight-sensitive sample of ``k`` rows without replacement, plus the
+    estimator weight that makes any subset-sum estimate unbiased.
+
+    Model: each row draws a deterministic uniform u = md5(seed:key)/16^13
+    and gets canonical priority q = w/u; the k largest q win, and with
+    τ = the (k+1)-th largest q, ``est_weight = max(w, τ)`` satisfies
+    E[Σ_{i∈sample, i∈S} est_i] = Σ_{i∈S} w_i for every fixed subset S —
+    the standard sketch for weighted subset-sum analytics over a tiny
+    sample. Heavy rows (w ≥ τ) are ALWAYS included, the long tail is
+    sampled ∝ w.
+
+    Exactness discipline: ranking on q = w/u directly would put pow/log
+    or float division on the oracle boundary. Instead rows are ranked
+    ASCENDING on the integer ``priority = ((h+1)·1000) div w`` (h the
+    int64 md5 hash, w clamped ≥ 1) — an exact int64 floor division,
+    order-equivalent to q descending up to the 1000-quantum, identical in
+    any engine; ties (only when w ≫ 1000 collapses quanta) break on the
+    key. The single float step — est_weight = max(w, 16^13·1000/τ) — is
+    one IEEE division of exactly-representable integers, half-up 4 dp.
+    Overflow: (h+1)·1000 ≤ 16^13·1000 < 2^63 always; any int64 weight is
+    safe (it only divides).
+
+    100 TB shape: ``orderBy(priority).limit(k+1)`` plans
+    TakeOrderedAndProject — per-partition partial top-(k+1), one O(p·k)
+    merge, NO global sort and no corpus shuffle. The k+1 survivors host
+    the only window; τ flows as a 1-row broadcast (codebook contract).
+
+    Output: key, weight (bigint), priority (bigint), est_weight (double).
+    Corpora with ≤ k rows return every row with est_weight = weight
+    (inclusion probability 1, no τ).
+    """
+    from dbt_glue_spark.extensions.sketches import hash_int
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    h = hash_int(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    w = F.greatest(F.coalesce(F.col(weight_col).cast("bigint"), F.lit(1)), F.lit(1))
+    pri = df.select(
+        F.col(key_col),
+        w.alias("weight"),
+        ((h + F.lit(1)) * F.lit(1000)).alias("__num"),
+    ).select(
+        key_col, "weight", F.expr("__num DIV weight").cast("bigint").alias("priority")
+    )
+    top = pri.orderBy(F.col("priority").asc(), F.col(key_col).asc()).limit(k + 1)
+
+    wnd = Window.orderBy(F.col("priority").asc(), F.col(key_col).asc())
+    ranked = top.select("*", F.row_number().over(wnd).alias("__rn"))
+    tau = ranked.agg(
+        F.max(F.when(F.col("__rn") == k + 1, F.col("priority"))).alias("__tau")
+    )
+    est = F.when(
+        F.col("__tau").isNull(), F.col("weight").cast("double")
+    ).otherwise(
+        F.greatest(
+            F.col("weight").cast("double"),
+            F.lit(float(_PRIORITY_SPACE)) / F.col("__tau").cast("double"),
+        )
+    )
+    return (
+        ranked.filter(F.col("__rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            key_col,
+            "weight",
+            "priority",
+            half_up_round(est, 4).alias("est_weight"),
+        )
+    )

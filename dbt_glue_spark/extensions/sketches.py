@@ -35,6 +35,16 @@ def hash_fraction(col) -> "F.Column":
     ) / F.lit(_SPACE)
 
 
+def hash_int(col) -> "F.Column":
+    """Uniform BIGINT in [0, 16^13) from md5(col) — the integer form of
+    :func:`hash_fraction` for operators whose downstream math must stay in
+    exact int64 (priority-sampling floor-division keys). 16^13 = 2^52, so
+    the value is exact both as int64 and as a double."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, _PREFIX_LEN), 16, 10).cast(
+        "bigint"
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     col: str,
@@ -93,6 +103,20 @@ def _duck_hash_fraction(col: str) -> str:
         for i in range(_PREFIX_LEN)
     )
     return f"({digits}) / {_SPACE!r}"
+
+
+def _duck_hash_int(col: str) -> str:
+    """DuckDB expression mirroring :func:`hash_int` digit-by-digit.
+
+    Pure BIGINT arithmetic (integer digit weights, no division) so the
+    result is bit-identical to Spark's ``conv(md5, 16, 10)`` int64 and
+    safe inside further exact floor-division math."""
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring(md5(CAST({col} AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (_PREFIX_LEN - 1 - i)}"
+        for i in range(_PREFIX_LEN)
+    )
+    return f"CAST(({digits}) AS BIGINT)"
 
 
 def kmv_oracle_sql(

@@ -1027,3 +1027,147 @@ def encoding_audit(
             .alias(f"docs_with_{n}")
         )
     return staged.groupBy(by).agg(*aggs)
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Windowed token co-occurrence with a log-free PMI association score:
+    the collocation-mining step (phrase detection, tokenizer-merge
+    candidates, embedding eval word pairs) over a raw corpus.
+
+    Pairs are unordered (least/greatest) alpha-token pairs within
+    ``window`` positions, equal-token pairs excluded. Association uses the
+    pair-space PMI ratio p(a,b)/(p(a)p(b)) with marginals taken over the
+    retained pair population: ratio = c_ab·P/(m_a·m_b), P = Σc_ab and
+    m_t = Σ_{pairs containing t} c_ab. log(ratio) is monotone in ratio, so
+    ranking on the ratio ranks exactly like textbook PMI without a
+    transcendental on the oracle boundary. Quantized exact:
+    ``pmi_q6 = ((c_ab·10^6 div m_a)·P) div m_b`` — staged int64 floor
+    divisions, identical in any engine (both engines lose the identical
+    floor remainders). Overflow: c_ab ≤ 2·window·m_a ⇒ first quotient
+    ≤ 2·window·10^6; safe while P ≤ 9.2e18/(2·window·10^6) ≈ 1.5e12 pair
+    instances (~half a trillion tokens at window 3 — shrink the 10^6
+    scale beyond that).
+
+    100 TB shape: NO self-join — pairs are generated inside one codegen'd
+    projection from the token array (per-gap slice zips), exploded once,
+    then a single map-side-combining groupBy on the pair key. Marginals
+    and totals are vocabulary²-bounded frames; the marginal joins carry NO
+    broadcast hint (vocabulary-proportional — AQE decides from runtime
+    size), the 1-row total is the only forced broadcast. Top-k via
+    orderBy+limit → TakeOrderedAndProject, no global sort.
+
+    Output: tok_a, tok_b, c_ab, m_a, m_b, pmi_q6 — top ``k`` by
+    (pmi_q6 desc, tok_a, tok_b), c_ab ≥ min_count.
+    """
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    # projection barrier (see module docstring): the array is referenced
+    # 2·window times by the gap zips below — materialize it once per row
+    staged = df.select(words.alias("__ws"), F.rand().alias("__once"))
+    tok = F.col("__ws")
+    empty = F.array().cast("array<int>")
+
+    def gap_structs(g: int):
+        idx = F.when(
+            F.size(tok) > g, F.sequence(F.lit(1), F.size(tok) - g)
+        ).otherwise(empty)
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.least(F.element_at(tok, i), F.element_at(tok, i + g)).alias("a"),
+                F.greatest(F.element_at(tok, i), F.element_at(tok, i + g)).alias("b"),
+            ),
+        )
+
+    allp = F.flatten(F.array(*[gap_structs(g) for g in range(1, window + 1)]))
+    inst = (
+        staged.select(F.explode(allp).alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))
+        .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+    )
+    from dbt_glue_spark.extensions.dedup import _persist
+
+    pairs = _persist(
+        inst.groupBy("tok_a", "tok_b").agg(F.count("*").cast("bigint").alias("c_ab"))
+    )
+    marg = (
+        pairs.select(F.explode(F.array("tok_a", "tok_b")).alias("tok"), "c_ab")
+        .groupBy("tok")
+        .agg(F.sum("c_ab").cast("bigint").alias("m"))
+    )
+    totals = pairs.agg(F.sum("c_ab").cast("bigint").alias("__p"))
+    scored = (
+        pairs.filter(F.col("c_ab") >= min_count)
+        .join(marg.select(F.col("tok").alias("tok_a"), F.col("m").alias("m_a")), "tok_a")
+        .join(marg.select(F.col("tok").alias("tok_b"), F.col("m").alias("m_b")), "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "m_a",
+            "m_b",
+            F.expr("(((c_ab * 1000000) DIV m_a) * __p) DIV m_b")
+            .cast("bigint")
+            .alias("pmi_q6"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_q6"), "tok_a", "tok_b").limit(k)
+
+
+def zipf_rank_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf/Heaps-style corpus-shape audit: the token frequency spectrum
+    bucketed by rank DECADE (rank 1-9, 10-99, …) — per decade the type
+    count, occurrence mass, frequency range, and hapax count. A healthy
+    natural-language corpus puts steadily-decaying mass in each decade; a
+    template-heavy or deduplication-damaged corpus shows up immediately as
+    a distorted spectrum (hapax collapse, flat head). All-integer output —
+    no log on the oracle boundary; the decade IS floor(log10(rank))+1,
+    computed as the digit count of the rank.
+
+    100 TB shape: the only global window runs over DISTINCT FREQUENCY
+    VALUES (≤ thousands even at corpus scale — frequency values collapse),
+    never over the vocabulary: rank = (types at strictly higher freq,
+    via a cumulative sum over the tiny freq histogram) + row_number within
+    the token's own frequency class (partitioned window). The oracle's
+    plain ``row_number() OVER (ORDER BY freq DESC, tok)`` is
+    order-equivalent by construction.
+    """
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    counts = (
+        df.select(F.explode(words).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    from pyspark.sql import Window as _W
+
+    freq_hist = counts.groupBy("freq").agg(F.count("*").cast("bigint").alias("__nf"))
+    wf = _W.orderBy(F.desc("freq")).rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    offs = freq_hist.select(
+        "freq", (F.sum("__nf").over(wf) - F.col("__nf")).alias("__off")
+    )
+    wt = _W.partitionBy("freq").orderBy(F.asc("tok"))
+    ranked = counts.join(offs, "freq").select(
+        "freq", (F.col("__off") + F.row_number().over(wt)).alias("__rank")
+    )
+    return (
+        ranked.select(
+            F.length(F.col("__rank").cast("string")).cast("int").alias("rank_decade"),
+            "freq",
+        )
+        .groupBy("rank_decade")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum("freq").cast("bigint").alias("n_occurrences"),
+            F.max("freq").cast("bigint").alias("max_freq"),
+            F.min("freq").cast("bigint").alias("min_freq"),
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hapax_types"),
+        )
+    )
