@@ -1,0 +1,99 @@
+"""Pareto-frontier (skyline) selection: rows not strictly dominated on
+two maximize-dimensions.
+
+The multi-objective filter a curation pipeline runs before trade-off
+decisions — "documents no other document beats on BOTH quality and
+freshness", "orders no other order beats on both value and recency".
+A row p is dominated iff some q has q.x ≥ p.x AND q.y ≥ p.y with strict
+inequality in at least one dimension; exact duplicates (both dims equal)
+never dominate each other, so tied frontier points all survive.
+
+No arithmetic crosses the oracle boundary — the operator is pure
+comparisons and max() order statistics, exact for any orderable types
+(doubles, timestamps, strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """All rows of ``df`` on the 2-D Pareto frontier (maximize both
+    ``x_col`` and ``y_col``), original columns preserved.
+
+    Semantics reduce to a prefix-max scan: group rows by x (within an
+    x-group only the max-y rows can survive — any lower y is dominated by
+    the group's own max), then an x-group survives iff every STRICTLY
+    greater x-group has a smaller ymax. The naive scan is a global window
+    over distinct x — a corpus-sized single-partition sort at 100 TB — so
+    this implementation distributes the prefix-max the classic two-level
+    way:
+
+    1. bucket x-groups into ``n_buckets`` equi-width ranges (1-row min/max
+       broadcast; a single IEEE multiply+divide, bucket ids identical in
+       any engine);
+    2. per-bucket ymax → an ``n_buckets``-row frame whose strictly-higher-
+       bucket prefix-max (the only global window — over ≤ n_buckets rows)
+       seeds each bucket;
+    3. within each bucket a window PARTITIONED BY BUCKET (parallel,
+       bucket-bounded) finishes the scan: an x-group survives iff
+       greatest(seed, within-bucket prefix-max) < its ymax.
+
+    Survivoring x-groups then semi-join the original rows on
+    (x, y == group ymax). Total cost: two narrow aggregations, one
+    bounded window family, one equi-join — no global sort anywhere.
+
+    Ordering contract: callers sort the result (frontier membership is a
+    set).
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    xg = df.groupBy(x_col).agg(F.max(y).alias("__ymax"))
+    stats = df.agg(F.min(x).alias("__mn"), F.max(x).alias("__mx"))
+    b = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (x - F.col("__mn"))
+                / (F.col("__mx") - F.col("__mn"))
+                * F.lit(float(n_buckets))
+            ),
+            F.lit(n_buckets - 1),
+        )
+    )
+    bucketed = xg.crossJoin(F.broadcast(stats)).select(
+        x_col, "__ymax", b.cast("int").alias("__b")
+    )
+    # n_buckets-row frame: the one cross-bucket window runs here, never
+    # over the x-groups themselves
+    wb = Window.orderBy(F.desc("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    seeds = (
+        bucketed.groupBy("__b")
+        .agg(F.max("__ymax").alias("__bm"))
+        .select("__b", F.max("__bm").over(wb).alias("__seed"))
+    )
+    wg = (
+        Window.partitionBy("__b")
+        .orderBy(F.desc(x_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # greatest() skips NULLs (first row of the first bucket has neither a
+    # seed nor a prefix), so __thr is NULL only when nothing precedes
+    marked = bucketed.join(F.broadcast(seeds), "__b").select(
+        x_col,
+        "__ymax",
+        F.greatest(F.col("__seed"), F.max("__ymax").over(wg)).alias("__thr"),
+    )
+    frontier = marked.filter(
+        F.col("__thr").isNull() | (F.col("__thr") < F.col("__ymax"))
+    ).select(F.col(x_col).alias("__fx"), F.col("__ymax"))
+    return df.join(
+        frontier,
+        (df[x_col] == frontier["__fx"]) & (df[y_col] == frontier["__ymax"]),
+        "left_semi",
+    )

@@ -1171,3 +1171,54 @@ def zipf_rank_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
             .alias("hapax_types"),
         )
     )
+
+
+def token_gini(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token-distribution diversity via the Gini–Simpson
+    index 1 − Σ p_i² — the log-free cousin of token entropy: 0 for a
+    one-token loop, → 1 for a flat distribution. Low values flag the
+    degenerate repetition (keyword stuffing, template loops) that
+    repetition_ratio's fixed n-gram window can miss when the loop period
+    is long.
+
+    Exactness: Σ p_i² = Σ c_i²/n² is rational — the score ships as
+    ``gini_q6 = 10^6 − (Σc_i²·10^6) div n²``, one exact int64 floor
+    division (engine-identical). Overflow bound: Σc_i²·10^6 < 2^63 ⇔
+    n ≤ 3·10⁶ tokens per document — far past any training document.
+
+    100 TB shape: explode → ONE map-side-combining groupBy on
+    (doc, token) → one groupBy on doc; both shuffles carry counting rows,
+    never text. The left join keeps token-free documents (n_tokens = 0,
+    gini_q6 NULL — undefined, not 0).
+
+    Output: id, n_tokens, n_types (bigint), gini_q6 (bigint, NULL when
+    the document has no tokens).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("__tok"),
+    )
+    per_doc = (
+        toks.groupBy(id_col, "__tok")
+        .agg(F.count("*").cast("bigint").alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("__ss"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("bigint").alias("n_types"),
+            F.expr("1000000 - (__ss * 1000000) DIV (n_tokens * n_tokens)")
+            .cast("bigint")
+            .alias("gini_q6"),
+        )
+    )

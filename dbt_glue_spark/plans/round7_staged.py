@@ -15,7 +15,7 @@ Promotion checklist (round 7, AFTER CORRECTNESS_r06.json exists):
   1. move these @register_staged specs into plans/extension_queries.py
      (swap the decorator for the live ``register``), or import this
      module from catalog._load_all with register_staged aliased;
-  2. add the three names to bench.py's headline set if desired;
+  2. add the staged names to bench.py's headline set if desired;
   3. delete this docstring's checklist and re-run `pytest -m parity`.
 """
 
@@ -24,8 +24,16 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from dbt_glue_spark.extensions import sampling, text_analysis
+from dbt_glue_spark.extensions import (
+    associations,
+    graph,
+    sampling,
+    skyline,
+    text_analysis,
+    timeseries,
+)
 from dbt_glue_spark.extensions.sampling import _PRIORITY_SPACE
 from dbt_glue_spark.extensions.sketches import _duck_hash_int
 from dbt_glue_spark.plans.catalog import QuerySpec
@@ -163,3 +171,225 @@ def ext_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_zipf_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
     return text_analysis.zipf_rank_buckets(docs, "text")
+
+
+_OHLC_R = """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_hour,
+             value AS v, ts, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bar_hour
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type, bar_hour
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM b
+    )
+"""
+
+
+@register_staged(
+    "ext_ohlc_hourly",
+    _OHLC_R
+    + """
+    SELECT event_type, bar_hour,
+           MAX(CASE WHEN ra = 1 THEN v END) AS open,
+           MAX(v) AS high,
+           MIN(v) AS low,
+           MAX(CASE WHEN rd = 1 THEN v END) AS close,
+           MAX(v) - MIN(v) AS hl_range,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type, bar_hour
+    """,
+    doc="Per-series hourly OHLC bars over events.value: open/close by the "
+    "(ts, event_id) total order, high/low/range/count. Sum-free (order "
+    "statistics only) so parity is float-exact; Spark side is ONE "
+    "map-side-combining groupBy via min_by/max_by — no window, no sort.",
+)
+def ext_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.ohlc_bars(ev, "ts", "event_type", "value", "event_id")
+
+
+@register_staged(
+    "ext_gap_fill_hourly",
+    _OHLC_R
+    + """,
+    c AS (
+      SELECT event_type, bar_hour, MAX(CASE WHEN rd = 1 THEN v END) AS close
+      FROM r GROUP BY event_type, bar_hour
+    ),
+    bounds AS (
+      SELECT GREATEST(date_trunc('hour', min(ts)),
+                      date_trunc('hour', max(ts)) - INTERVAL 999 HOUR) AS mn,
+             date_trunc('hour', max(ts)) AS mx
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bar_hour
+      FROM bounds
+    ),
+    grid AS (
+      SELECT event_type, bar_hour
+      FROM (SELECT DISTINCT event_type FROM events), spine
+    )
+    SELECT g.event_type, g.bar_hour, c.close,
+           last_value(c.close IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bar_hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+           CAST(c.close IS NULL AS INT) AS is_gap
+    FROM grid g
+    LEFT JOIN c ON c.event_type = g.event_type AND c.bar_hour = g.bar_hour
+    """,
+    doc="Dense hourly resample with forward fill over the trailing 1000 "
+    "hours: every (event_type, hour) cell carries the last in-window "
+    "close across gap hours, with an is_gap marker. Carried values are "
+    "copied bits (no arithmetic); the fill window is partitioned per "
+    "series, the spine is a 1-row-bounds sequence — no global window. "
+    "The trailing bound keeps outlier timestamps from densifying "
+    "centuries (pathological-ts axis).",
+)
+def ext_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.gap_fill_hourly(
+        ev, "ts", "event_type", "value", "event_id", trailing_hours=1000
+    )
+
+
+@register_staged(
+    "ext_token_gini",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, tok
+    ),
+    pd AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(pd.n_tokens, 0) AS n_tokens,
+           COALESCE(pd.n_types, 0) AS n_types,
+           CAST(1000000 - (ss * 1000000) // (pd.n_tokens * pd.n_tokens)
+                AS BIGINT) AS gini_q6
+    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+    """,
+    doc="Per-document Gini-Simpson token diversity 1 - sum(p_i^2), "
+    "quantized to one exact int64 floor division (log-free entropy "
+    "cousin; catches long-period repetition loops). Two counting "
+    "shuffles, token-free docs kept with NULL score.",
+)
+def ext_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_analysis.token_gini(docs, "doc_id", "text")
+
+
+_BASKET_D = """
+    WITH d AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+    )
+"""
+
+
+@register_staged(
+    "ext_basket_lift",
+    _BASKET_D
+    + """,
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM d a JOIN d b ON a.o = b.o AND a.i < b.i
+      GROUP BY 1, 2
+    ),
+    m AS (SELECT i, CAST(count(*) AS BIGINT) AS m FROM d GROUP BY i),
+    n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM d)
+    SELECT item_a, item_b, c_ab, ma.m AS m_a, mb.m AS m_b, n.n_baskets,
+           (((c_ab * 1000000) // ma.m) * n.n_baskets) // mb.m AS lift_q6
+    FROM pairs
+    JOIN m ma ON ma.i = item_a
+    JOIN m mb ON mb.i = item_b, n
+    WHERE c_ab >= 2
+    ORDER BY lift_q6 DESC, item_a, item_b LIMIT 100
+    """,
+    doc="Market-basket association: top-100 part pairs by quantized lift "
+    "c_ab*N/(m_a*m_b) (staged int64 floor divisions, log/float-free). "
+    "Spark generates pairs basket-bounded from per-order sorted item "
+    "arrays — never a corpus self-join; the oracle's self-join is the "
+    "independent formulation.",
+)
+def ext_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return associations.basket_lift_pairs(li, "l_orderkey", "l_partkey", 2, 100)
+
+
+@register_staged(
+    "ext_triangle_parts",
+    _BASKET_D
+    + """,
+    e AS (
+      SELECT a.i AS u, b.i AS v
+      FROM d a JOIN d b ON a.o = b.o AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    t AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM e ab
+      JOIN e bc ON ab.v = bc.u
+      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    ) GROUP BY node
+    ORDER BY n_triangles DESC, node LIMIT 20
+    """,
+    doc="Degree-oriented triangle counting (Suri-Vassilvitskii ordering) "
+    "on the co-purchase graph (parts sharing >=2 orders): top-20 parts by "
+    "triangle participation. Orientation bounds wedge fan-out by "
+    "O(sqrt(E)) per node; the oracle's naive a<b<c triple join is the "
+    "independent small-scale formulation.",
+)
+def ext_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = associations.copurchase_edges(li, "l_orderkey", "l_partkey", 2)
+    return graph.triangle_counts(edges, k=20)
+
+
+@register_staged(
+    "ext_pareto_orders",
+    r"""
+    WITH xg AS (
+      SELECT o_totalprice AS x, max(o_orderdate) AS ymax
+      FROM orders GROUP BY o_totalprice
+    ),
+    s AS (
+      SELECT x, ymax,
+             max(ymax) OVER (ORDER BY x DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM xg
+    ),
+    f AS (SELECT x, ymax FROM s WHERE prev IS NULL OR prev < ymax)
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN f ON o.o_totalprice = f.x AND o.o_orderdate = f.ymax
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    doc="2-D Pareto frontier of orders (maximize totalprice AND recency): "
+    "rows no other order beats on both dimensions. Spark distributes the "
+    "prefix-max scan via 64 equi-width x-buckets (the only global window "
+    "runs over the 64-row bucket frame); pure comparisons, float-exact.",
+)
+def ext_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        skyline.pareto_frontier_2d(orders, "o_totalprice", "o_orderdate")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
