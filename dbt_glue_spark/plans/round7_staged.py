@@ -37,6 +37,7 @@ from dbt_glue_spark.extensions import (
 from dbt_glue_spark.extensions.sampling import _PRIORITY_SPACE
 from dbt_glue_spark.extensions.sketches import _duck_hash_int
 from dbt_glue_spark.plans.catalog import QuerySpec
+from dbt_glue_spark.plans.extension_queries import _SH as _ext_SH
 from dbt_glue_spark.sources.registry import load_table
 
 _STAGED: dict[str, QuerySpec] = {}
@@ -392,4 +393,72 @@ def ext_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         skyline.pareto_frontier_2d(orders, "o_totalprice", "o_orderdate")
         .select("o_orderkey", "o_totalprice", "o_orderdate")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@register_staged(
+    "ext_prefix_jaccard_join",
+    "WITH "
+    + _ext_SH
+    + """,
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           FLOOR(CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common) * 1000000 + 0.5) / 1000000
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 2 >= (sa.n_sh + sb.n_sh - n_common)
+    """,
+    doc="EXACT all-pairs 3-gram Jaccard >= 1/2 via prefix filtering "
+    "(SSJoin/PPJoin family): candidates come from rare-first shingle "
+    "PREFIXES only (lossless by the prefix-filter lemma), verification is "
+    "candidate-bounded, the threshold is the cross-multiplied integer "
+    "c*q >= p*(n_a+n_b-c). The oracle is the naive full inverted-index "
+    "join — prefix filtering must reproduce it exactly.",
+)
+def ext_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_jaccard_pairs(docs, "text", "doc_id", 3, (1, 2))
+
+
+@register_staged(
+    "ext_session_trigrams",
+    r"""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    seq AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+      FROM ev GROUP BY user_id
+    ),
+    grams AS (
+      SELECT user_id, s[i] || ' ' || s[i+1] || ' ' || s[i+2] AS ngram
+      FROM seq, LATERAL (SELECT unnest(generate_series(1, len(s) - 2)) AS i) g
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM grams GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram LIMIT 25
+    """,
+    doc="User-journey mining: top-25 event-type trigrams over each user's "
+    "time-ordered stream. Spark orders INSIDE the row via "
+    "sort_array(collect_list(struct)) — no window, no global sort; "
+    "n-grams from a codegen'd transform, one map-side-combining groupBy.",
+)
+def ext_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return associations.sequence_ngrams(
+        ev, "user_id", ["ts", "event_id"], "event_type", n=3, k=25
     )

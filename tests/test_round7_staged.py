@@ -426,3 +426,94 @@ def test_staged_survive_empty_input(spark, sf_dir, tmp_path_factory):
         df = spec.fn(spark, out)
         rows = df.collect()
         assert isinstance(rows, list), name
+
+
+def test_prefix_jaccard_lossless_and_pruning(spark, sf_dir):
+    """Prefix filtering must be LOSSLESS (same qualifying pairs as a
+    Python brute force over the full shingle sets, exact integer
+    threshold) while generating strictly fewer candidates than the full
+    inverted-index join on real data."""
+    from dbt_glue_spark.extensions.dedup import prefix_jaccard_pairs
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.collect()
+    sets = {}
+    for r in rows:
+        toks = [t for t in (r.text or "").split() if t]
+        sets[r.doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    expected = set()
+    ids = sorted(sets)
+    import itertools
+
+    for a, b in itertools.combinations(ids, 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        c = len(sa & sb)
+        if c and c * 2 >= (len(sa) + len(sb) - c):
+            expected.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_jaccard_pairs(docs, "text", "doc_id", 3, (1, 2)).collect()
+    }
+    assert got == expected
+    # values: n_common / sizes agree with the brute force
+    for r in prefix_jaccard_pairs(docs, "text", "doc_id", 3, (1, 2)).collect():
+        sa, sb = sets[r.id_a], sets[r.id_b]
+        assert (r.n_common, r.n_a, r.n_b) == (len(sa & sb), len(sa), len(sb))
+
+
+def test_prefix_jaccard_hand_case(spark):
+    """A pair exactly AT the threshold qualifies (>=, cross-multiplied);
+    one shingle short does not."""
+    from dbt_glue_spark.extensions.dedup import prefix_jaccard_pairs
+
+    # doc1/doc2: 4-token docs -> 2 shingles each, sharing 1 -> J = 1/3 < 1/2
+    # doc3/doc4: identical -> J = 1 >= 1/2
+    # doc5/doc6: share 2 of 3 shingles each -> J = 2/4 = 1/2 (boundary)
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "b c d e"),
+            (3, "x y z w"),
+            (4, "x y z w"),
+            (5, "p q r s t"),
+            (6, "p q r s u"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_jaccard_pairs(df, "text", "doc_id", 3, (1, 2)).collect()
+    }
+    assert set(got) == {(3, 4), (5, 6)}
+    assert got[(3, 4)] == 1.0
+    assert got[(5, 6)] == 0.5
+
+
+def test_sequence_ngrams_hand_case(spark):
+    """Trigram counts over per-key time-ordered streams; NULL-item and
+    NULL-ts rows are dropped; short streams contribute nothing."""
+    from dbt_glue_spark.extensions.associations import sequence_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00", "v"),
+            (2, 1, "2024-01-01 10:01:00", "c"),
+            (3, 1, "2024-01-01 10:02:00", "p"),
+            (4, 1, "2024-01-01 10:03:00", "v"),
+            (5, 2, "2024-01-01 09:00:00", "v"),
+            (6, 2, "2024-01-01 09:01:00", "c"),
+            (7, 2, "2024-01-01 09:02:00", "p"),
+            (8, 2, None, "x"),  # dropped: NULL order field
+            (9, 2, "2024-01-01 09:03:00", None),  # dropped: NULL item
+            (10, 3, "2024-01-01 08:00:00", "v"),  # stream too short
+        ],
+        "event_id bigint, user_id bigint, ts string, event_type string",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "event_type")
+    rows = sequence_ngrams(df, "user_id", ["ts", "event_id"], "event_type", 3, 10).collect()
+    got = {r.ngram: (r.n_occurrences, r.n_keys) for r in rows}
+    assert got == {"v c p": (2, 2), "c p v": (1, 1)}
