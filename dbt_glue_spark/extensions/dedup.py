@@ -962,12 +962,24 @@ def prefix_jaccard_pairs(
     c·q ≥ p·(n_a + n_b − c). The reported ``jaccard`` is the one
     half-up-rounded division shared with ngram_jaccard_pairs.
 
-    100 TB shape: candidate generation joins PREFIX postings only; exact
-    verification is candidate-bounded (each candidate pair expands by one
-    doc's shingle list and probes an equi-key (id, shingle) join — never
-    an all-pairs pass); the per-doc ranking window partitions BY DOC. No
+    100 TB shape: candidate generation joins PREFIX postings only — the
+    pass whose cost is Σ df² per shingle, i.e. the one that explodes on a
+    heavy-tailed corpus if run over FULL postings — and applies the
+    length filter in the same join (J ≥ p/q forces
+    p·max(n_a,n_b) ≤ q·min(n_a,n_b), so wildly different-sized docs never
+    become candidates). Exact verification is candidate-bounded: each
+    candidate pair expands by one doc's shingle list and probes an
+    equi-key (id, shingle) hash join — cost Σ_cand |A|, never an
+    all-pairs pass. The per-doc ranking window partitions BY DOC. No
     broadcast hints anywhere — sizes/frequency frames are
     corpus-proportional, AQE decides (the r5-verdict broadcast lesson).
+
+    Measured trade-off (SCALE.md round-6): on the benign-df synthetic
+    sf0.1 corpus the naive full inverted join is ~2.5× faster — prefix
+    filtering pays a dfreq pass + per-doc ranking that only amortizes
+    when stop-shingles make Σ df² explode. This operator is the
+    heavy-tail/large-corpus exact path; ngram_jaccard_pairs remains the
+    small-benign-corpus tool, minhash_lsh_pairs the probabilistic route.
 
     Output: id_a < id_b, n_common, n_a, n_b (bigint), jaccard (double,
     half-up 6 dp).
@@ -975,6 +987,9 @@ def prefix_jaccard_pairs(
     p, q = threshold
     if not (0 < p <= q):
         raise ValueError(f"threshold must be a rational in (0, 1]: {threshold}")
+    # one persisted postings frame feeds the frequency pass, the ranking,
+    # and both verification probes — the tokenize+shingle explode runs
+    # once (same discipline as ngram_jaccard_pairs)
     sh = _persist(_shingle_postings(df, text_col, id_col, n, None))
     sizes = sh.groupBy("id").agg(F.count("*").cast("bigint").alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df_"))
@@ -982,47 +997,45 @@ def prefix_jaccard_pairs(
         sh.join(dfreq, "shingle")
         .withColumn(
             "rk",
-            F.row_number().over(
-                Window.partitionBy("id").orderBy("df_", "shingle")
-            ),
+            F.row_number().over(Window.partitionBy("id").orderBy("df_", "shingle")),
         )
         .join(sizes, "id")
     )
     pref = ranked.filter(
         F.col("rk")
         <= F.col("n_sh") - F.expr(f"({p} * n_sh + {q - 1}) DIV {q}") + F.lit(1)
-    ).select("id", "shingle")
+    ).select("id", "n_sh", "shingle")
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: lossless, prunes size-incompatible pairs
+            & (
+                F.lit(p) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                <= F.lit(q) * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .distinct()
     )
-    inter = (
+    verified = (
         cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").cast("bigint").alias("n_common"))
-    )
-    out = (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")),
-            "id_b",
-        )
         .filter(
             F.col("n_common") * F.lit(q)
             >= F.lit(p) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
         )
     )
-    return out.select(
+    return verified.select(
         "id_a",
         "id_b",
         "n_common",
