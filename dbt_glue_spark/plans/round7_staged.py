@@ -462,3 +462,58 @@ def ext_session_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return associations.sequence_ngrams(
         ev, "user_id", ["ts", "event_id"], "event_type", n=3, k=25
     )
+
+
+@register_staged(
+    "streaming_ohlc",
+    _OHLC_R
+    + """
+    SELECT event_type, bar_hour,
+           MAX(CASE WHEN ra = 1 THEN v END) AS open,
+           MAX(v) AS high,
+           MIN(v) AS low,
+           MAX(CASE WHEN rd = 1 THEN v END) AS close,
+           MAX(v) - MIN(v) AS hl_range,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type, bar_hour
+    """,
+    doc="Streaming twin of ext_ohlc_hourly: events staged to a file "
+    "stream, watermarked tumbling-window min_by/max_by aggregation, "
+    "complete-mode memory sink — the final state must equal the batch "
+    "OHLC oracle exactly (Kappa equivalence; sum-free so float-exact).",
+)
+def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from dbt_glue_spark.streaming.pipelines import ohlc_stream
+
+    events = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="dgs_q_stream_")
+    events.repartition(2).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)  # 2 staged files → 2 micro-batches
+        .parquet(stage)
+    )
+    name = f"q_stream_{uuid.uuid4().hex[:8]}"
+    # state = |series × open windows| partials — tiny; scope the
+    # state-store partitioning to it (same knob as streaming_hourly_counts)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            ohlc_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).select(
+        "event_type", "bar_hour", "open", "high", "low", "close",
+        "hl_range", "n_events",
+    )

@@ -517,3 +517,59 @@ def test_sequence_ngrams_hand_case(spark):
     rows = sequence_ngrams(df, "user_id", ["ts", "event_id"], "event_type", 3, 10).collect()
     got = {r.ngram: (r.n_occurrences, r.n_keys) for r in rows}
     assert got == {"v c p": (2, 2), "c p v": (1, 1)}
+
+
+def test_prefix_jaccard_heavy_df_lossless(spark, sf_dir):
+    """The regime prefix filtering exists for: a boilerplate-heavy corpus
+    (stop-shingles with df ~ corpus size). Output must stay bit-identical
+    to the naive full inverted join under the same integer threshold —
+    SCALE.md round-6 measured the 7.6x runtime win at sf0.1; this pins
+    the losslessness half of that claim in the suite."""
+    from dbt_glue_spark.extensions.dedup import (
+        _shingle_postings,
+        prefix_jaccard_pairs,
+    )
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = " ".join(f"footer{i % 7} legal{i % 5} notice{i % 3}" for i in range(14))
+    heavy = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 != 0, F.concat_ws(" ", "text", F.lit(boiler))
+        ).otherwise(F.col("text")),
+    )
+    pref = {
+        (r.id_a, r.id_b, r.n_common, r.n_a, r.n_b)
+        for r in prefix_jaccard_pairs(heavy, "text", "doc_id", 3, (1, 2)).collect()
+    }
+    for a, b, c, na, nb in pref:
+        assert c * 2 >= (na + nb - c)
+    # nothing qualifying is missed AND nothing extra admitted: the naive
+    # full inverted join under the same exact integer rule is the reference
+
+    sh = _shingle_postings(heavy, "text", "doc_id", 3, None)
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    szs = sh.groupBy("id").agg(F.count("*").alias("n"))
+    full = (
+        inter.join(szs.selectExpr("id AS id_a", "n AS na"), "id_a")
+        .join(szs.selectExpr("id AS id_b", "n AS nb"), "id_b")
+        .filter(F.col("c") * 2 >= F.col("na") + F.col("nb") - F.col("c"))
+    )
+    expected = {
+        (r.id_a, r.id_b, r.c, r.na, r.nb)
+        for r in full.selectExpr(
+            "id_a", "id_b", "CAST(c AS BIGINT) c",
+            "CAST(na AS BIGINT) na", "CAST(nb AS BIGINT) nb",
+        ).collect()
+    }
+    assert pref == expected

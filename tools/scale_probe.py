@@ -129,6 +129,125 @@ def probe_mmr(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
     return results, rows
 
 
+def probe_staged(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
+    """Weak-scaling probe for the round-7 staged family. Replication
+    keeps intra-replica structure constant and makes replicas disjoint
+    (suffixed words / offset order+part keys / offset users), so a
+    near-linear operator fits exponent ≈ 1 exactly like the dedup probe:
+
+    - prefix_jaccard_pairs: replica-disjoint shingle vocabularies keep
+      document frequencies flat, so prefix postings and candidates grow
+      ∝ corpus;
+    - pmi_pairs / token_gini: pair space and per-doc histograms are
+      replica-local;
+    - basket_lift_pairs / triangle_counts: the co-purchase graph is a
+      disjoint union of replica graphs — edges, wedges and triangles all
+      grow ∝ factor;
+    - sequence_ngrams: per-user streams are replica-local.
+    """
+    from dbt_glue_spark.extensions import associations, graph
+    from dbt_glue_spark.extensions.text_analysis import pmi_pairs, token_gini
+
+    scratch = tempfile.mkdtemp(prefix="dgs_staged_probe_")
+    results: dict[str, dict[str, float]] = {}
+    rows: dict[str, int] = {}
+    try:
+        li0 = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        ev0 = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        # warmup: codegen + shuffle machinery per operator
+        warm = load_table(spark, sf_dir, "documents").limit(500)
+        dedup.prefix_jaccard_pairs(warm).write.format("noop").mode("overwrite").save()
+        pmi_pairs(warm).write.format("noop").mode("overwrite").save()
+        token_gini(warm).write.format("noop").mode("overwrite").save()
+        wl = li0.limit(5000)
+        associations.basket_lift_pairs(wl, "l_orderkey", "l_partkey").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        graph.triangle_counts(
+            associations.copurchase_edges(wl, "l_orderkey", "l_partkey")
+        ).write.format("noop").mode("overwrite").save()
+        associations.sequence_ngrams(
+            ev0.limit(5000), "user_id", ["ts", "event_id"], "event_type"
+        ).write.format("noop").mode("overwrite").save()
+        dedup.release_caches()
+        for f_ in factors:
+            dpath = build_scaled(spark, sf_dir, f_, scratch)
+            docs = spark.read.parquet(dpath)
+            li = (
+                spark.range(f_)
+                .crossJoin(li0)
+                .select(
+                    (F.col("l_orderkey") + F.col("id") * 1_000_000_000).alias(
+                        "l_orderkey"
+                    ),
+                    (F.col("l_partkey") + F.col("id") * 100_000_000).alias(
+                        "l_partkey"
+                    ),
+                )
+            )
+            lpath = os.path.join(scratch, f"li_x{f_}")
+            li.repartition(32).write.mode("overwrite").parquet(lpath)
+            li = spark.read.parquet(lpath)
+            ev = (
+                spark.range(f_)
+                .crossJoin(ev0)
+                .select(
+                    (F.col("event_id") + F.col("id") * 1_000_000_000).alias(
+                        "event_id"
+                    ),
+                    (F.col("user_id") + F.col("id") * 10_000_000).alias("user_id"),
+                    "ts",
+                    "event_type",
+                )
+            )
+            epath = os.path.join(scratch, f"ev_x{f_}")
+            ev.repartition(32).write.mode("overwrite").parquet(epath)
+            ev = spark.read.parquet(epath)
+            rows[str(f_)] = docs.count()
+
+            def run_prefix():
+                dedup.prefix_jaccard_pairs(docs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_pmi():
+                pmi_pairs(docs).write.format("noop").mode("overwrite").save()
+
+            def run_gini():
+                token_gini(docs).write.format("noop").mode("overwrite").save()
+
+            def run_lift():
+                associations.basket_lift_pairs(
+                    li, "l_orderkey", "l_partkey"
+                ).write.format("noop").mode("overwrite").save()
+
+            def run_tri():
+                graph.triangle_counts(
+                    associations.copurchase_edges(li, "l_orderkey", "l_partkey")
+                ).write.format("noop").mode("overwrite").save()
+
+            def run_seq():
+                associations.sequence_ngrams(
+                    ev, "user_id", ["ts", "event_id"], "event_type"
+                ).write.format("noop").mode("overwrite").save()
+
+            for name, fn in [
+                ("prefix_jaccard_pairs", run_prefix),
+                ("pmi_pairs", run_pmi),
+                ("token_gini", run_gini),
+                ("basket_lift_pairs", run_lift),
+                ("triangle_counts", run_tri),
+                ("sequence_ngrams", run_seq),
+            ]:
+                results.setdefault(name, {})[str(f_)] = timed(fn)
+                dedup.release_caches()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return results, rows
+
+
 def main() -> None:
     factors = [2, 8, 32]
     probe = "dedup"
@@ -142,6 +261,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if probe == "mmr":
         results, rows = probe_mmr(spark, sf_dir, factors)
+        _emit(factors, results, rows)
+        return
+    if probe == "staged":
+        results, rows = probe_staged(spark, sf_dir, factors)
         _emit(factors, results, rows)
         return
     scratch = tempfile.mkdtemp(prefix="dgs_scale_probe_")
