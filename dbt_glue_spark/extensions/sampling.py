@@ -392,3 +392,68 @@ def weighted_sample(
             half_up_round(est, 4).alias("est_weight"),
         )
     )
+
+
+def weighted_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 64,
+    seed: str = "7",
+) -> DataFrame:
+    """Stratified priority sampling: an independent Duffield–Lund–Thorup
+    weight-sensitive sample of ``k`` rows per group, each with its own
+    per-group threshold τ and unbiased subset-sum estimator — the
+    per-source / per-language quota counterpart of :func:`weighted_sample`
+    (same integer priority space, same exactness discipline; see that
+    docstring for the estimator math).
+
+    100 TB shape: the global top-k becomes a rank window PARTITIONED BY
+    GROUP — parallel across strata, per-partition state bounded by the
+    group's rows, no global sort and no driver collection. τ stays inside
+    each window partition (a conditional max over the k+1 ranked rows),
+    so unlike the global variant nothing is broadcast at all.
+
+    Output: group, key, weight (bigint), priority (bigint),
+    est_weight (double). Groups with ≤ k rows return all rows with
+    est_weight = weight.
+    """
+    from dbt_glue_spark.extensions.sketches import hash_int
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    h = hash_int(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    w = F.greatest(F.coalesce(F.col(weight_col).cast("bigint"), F.lit(1)), F.lit(1))
+    pri = df.select(
+        F.col(group_col),
+        F.col(key_col),
+        w.alias("weight"),
+        ((h + F.lit(1)) * F.lit(1000)).alias("__num"),
+    ).select(
+        group_col,
+        key_col,
+        "weight",
+        F.expr("__num DIV weight").cast("bigint").alias("priority"),
+    )
+    wnd = Window.partitionBy(group_col).orderBy(
+        F.col("priority").asc(), F.col(key_col).asc()
+    )
+    ranked = pri.select("*", F.row_number().over(wnd).alias("__rn")).filter(
+        F.col("__rn") <= k + 1
+    )
+    tw = Window.partitionBy(group_col)
+    tau = F.max(F.when(F.col("__rn") == k + 1, F.col("priority"))).over(tw)
+    est = F.when(tau.isNull(), F.col("weight").cast("double")).otherwise(
+        F.greatest(
+            F.col("weight").cast("double"),
+            F.lit(float(_PRIORITY_SPACE)) / tau.cast("double"),
+        )
+    )
+    return ranked.select(
+        group_col,
+        key_col,
+        "weight",
+        "priority",
+        half_up_round(est, 4).alias("est_weight"),
+        "__rn",
+    ).filter(F.col("__rn") <= k).drop("__rn")

@@ -517,3 +517,46 @@ def streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bar_hour", "open", "high", "low", "close",
         "hl_range", "n_events",
     )
+
+
+_WSG_K = 64
+
+
+@register_staged(
+    "ext_weighted_sample_by_source",
+    f"""
+    WITH pri AS (
+      SELECT source, doc_id,
+             {_WS_W} AS weight,
+             (({_duck_hash_int("'7:' || CAST(doc_id AS VARCHAR)")} + 1) * 1000)
+               // {_WS_W} AS priority
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY priority, doc_id) AS rn
+      FROM pri
+    ),
+    tau AS (
+      SELECT source, MAX(CASE WHEN rn = {_WSG_K + 1} THEN priority END) AS tq
+      FROM ranked GROUP BY source
+    )
+    SELECT r.source, r.doc_id, r.weight, r.priority,
+           FLOOR((CASE WHEN t.tq IS NULL THEN CAST(r.weight AS DOUBLE)
+                       ELSE GREATEST(CAST(r.weight AS DOUBLE),
+                                     {float(_PRIORITY_SPACE)!r} / CAST(t.tq AS DOUBLE))
+                  END) * 10000.0 + 0.5) / 10000.0 AS est_weight
+    FROM ranked r JOIN tau t ON r.source IS NOT DISTINCT FROM t.source
+    WHERE r.rn <= {_WSG_K}
+    """,
+    doc="Stratified priority sampling: an independent 64-row "
+    "Duffield-Lund-Thorup sample per source with per-group tau and "
+    "unbiased estimator weights. Spark side is one rank window "
+    "PARTITIONED BY GROUP (parallel across strata, nothing broadcast); "
+    "the NULL-source group is a real stratum (NULL-safe oracle join).",
+)
+def ext_weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return sampling.weighted_sample_by_group(
+        docs, "source", "doc_id", "n_chars", k=_WSG_K, seed="7"
+    )

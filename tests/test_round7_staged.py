@@ -573,3 +573,42 @@ def test_prefix_jaccard_heavy_df_lossless(spark, sf_dir):
         ).collect()
     }
     assert pref == expected
+
+
+def test_weighted_sample_by_group_contracts(spark, sf_dir):
+    """Per-group sample size min(k, group size), est >= weight, per-group
+    subset-sum estimate near the group's true mass, and layout
+    invariance."""
+    from dbt_glue_spark.extensions.sampling import weighted_sample_by_group
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    k = 32
+    rows = weighted_sample_by_group(docs, "source", "doc_id", "n_chars", k=k).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.source, []).append(r)
+        assert r.est_weight >= r.weight
+    true_sizes = {
+        r.source: (r.n, r.mass)
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.greatest(F.col("n_chars").cast("bigint"), F.lit(1))).alias("mass"),
+        )
+        .collect()
+    }
+    assert set(by_group) == set(true_sizes)
+    for g, sample in by_group.items():
+        n, mass = true_sizes[g]
+        assert len(sample) == min(k, n)
+        est = sum(r.est_weight for r in sample)
+        # fixed corpus + fixed seed: deterministic regression band
+        assert abs(est - mass) / mass < 0.45, (g, est, mass)
+    b = sorted(
+        tuple(r)
+        for r in weighted_sample_by_group(
+            docs.repartition(11), "source", "doc_id", "n_chars", k=k
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in rows) == b
