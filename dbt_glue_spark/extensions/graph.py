@@ -122,11 +122,19 @@ def triangle_counts(edges: DataFrame, k: int = 20) -> DataFrame:
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     keyed = e.join(du, "u").join(dv, "v")
     fwd = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
-    oriented = keyed.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("da"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    # persisted: the wedge join consumes this twice (lo/hi) and the
+    # closing join a third time with a DIFFERENT key, so ReuseExchange
+    # cannot cover it — unpersisted, the scan + degree joins would run
+    # three times per action
+    from dbt_glue_spark.extensions.dedup import _persist
+
+    oriented = _persist(
+        keyed.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("da"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
     )
     lo = oriented.select(
         F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx")

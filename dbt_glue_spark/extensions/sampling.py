@@ -367,7 +367,14 @@ def weighted_sample(
     ).select(
         key_col, "weight", F.expr("__num DIV weight").cast("bigint").alias("priority")
     )
-    top = pri.orderBy(F.col("priority").asc(), F.col(key_col).asc()).limit(k + 1)
+    # persist the k+1 survivors: tau and the output both consume this
+    # frame, and TakeOrderedAndProject is not an Exchange — unpersisted,
+    # each action would run the corpus-wide top-(k+1) scan twice
+    from dbt_glue_spark.extensions.dedup import _persist
+
+    top = _persist(
+        pri.orderBy(F.col("priority").asc(), F.col(key_col).asc()).limit(k + 1)
+    )
 
     wnd = Window.orderBy(F.col("priority").asc(), F.col(key_col).asc())
     ranked = top.select("*", F.row_number().over(wnd).alias("__rn"))

@@ -9,8 +9,10 @@ inequality in at least one dimension; exact duplicates (both dims equal)
 never dominate each other, so tied frontier points all survive.
 
 No arithmetic crosses the oracle boundary — the operator is pure
-comparisons and max() order statistics, exact for any orderable types
-(doubles, timestamps, strings).
+comparisons and max() order statistics. The y dimension accepts any
+orderable type (doubles, timestamps, strings); the x dimension must be
+NUMERIC because the distributed prefix-max scan range-buckets on it
+(validated at call time).
 """
 
 from __future__ import annotations
@@ -53,6 +55,15 @@ def pareto_frontier_2d(
     Ordering contract: callers sort the result (frontier membership is a
     set).
     """
+    from pyspark.sql.types import NumericType
+
+    x_type = df.schema[x_col].dataType
+    if not isinstance(x_type, NumericType):
+        raise TypeError(
+            f"pareto_frontier_2d buckets on x, so {x_col!r} must be numeric "
+            f"(got {x_type.simpleString()}); put the non-numeric dimension "
+            "on y, or pre-map x to a numeric key (e.g. epoch seconds)"
+        )
     x, y = F.col(x_col), F.col(y_col)
     xg = df.groupBy(x_col).agg(F.max(y).alias("__ymax"))
     stats = df.agg(F.min(x).alias("__mn"), F.max(x).alias("__mx"))

@@ -1130,13 +1130,18 @@ def zipf_rank_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     no log on the oracle boundary; the decade IS floor(log10(rank))+1,
     computed as the digit count of the rank.
 
-    100 TB shape: the only global window runs over DISTINCT FREQUENCY
-    VALUES (≤ thousands even at corpus scale — frequency values collapse),
-    never over the vocabulary: rank = (types at strictly higher freq,
-    via a cumulative sum over the tiny freq histogram) + row_number within
-    the token's own frequency class (partitioned window). The oracle's
-    plain ``row_number() OVER (ORDER BY freq DESC, tok)`` is
-    order-equivalent by construction.
+    100 TB shape: NO per-token ranking at all. All tokens in one
+    frequency class occupy a contiguous rank interval
+    [offset+1, offset+n_f], so each class's contribution to a decade is a
+    pure interval-overlap count — the only window runs over the DISTINCT
+    FREQUENCY histogram (≤ thousands of rows even at corpus scale; a
+    naive per-token rank window would funnel the hapax class — half the
+    vocabulary — through one partition). Each class explodes into the
+    ≤ log₁₀(V) decades it spans; decade bounds come from digit counts
+    (no log, no float). The oracle's plain
+    ``row_number() OVER (ORDER BY freq DESC, tok)`` is rank-equivalent
+    by construction (intra-class order never crosses a decade boundary
+    in aggregate).
     """
     words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
     counts = (
@@ -1149,24 +1154,36 @@ def zipf_rank_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     freq_hist = counts.groupBy("freq").agg(F.count("*").cast("bigint").alias("__nf"))
     wf = _W.orderBy(F.desc("freq")).rowsBetween(_W.unboundedPreceding, _W.currentRow)
     offs = freq_hist.select(
-        "freq", (F.sum("__nf").over(wf) - F.col("__nf")).alias("__off")
+        "freq", "__nf", (F.sum("__nf").over(wf) - F.col("__nf")).alias("__off")
     )
-    wt = _W.partitionBy("freq").orderBy(F.asc("tok"))
-    ranked = counts.join(offs, "freq").select(
-        "freq", (F.col("__off") + F.row_number().over(wt)).alias("__rank")
+    digits = lambda c: F.length(c.cast("string")).cast("int")  # noqa: E731
+    spans = offs.select(
+        "freq",
+        "__nf",
+        "__off",
+        F.explode(
+            F.sequence(
+                digits(F.col("__off") + 1), digits(F.col("__off") + F.col("__nf"))
+            )
+        ).alias("rank_decade"),
     )
+    # decade d covers ranks [10^(d-1), 10^d - 1]; overlap with the
+    # class's rank interval is exact integer arithmetic (pow on ≤ 19
+    # digit counts is float-exact well past any vocabulary)
+    d_lo = F.pow(F.lit(10.0), F.col("rank_decade") - 1).cast("bigint")
+    d_hi = F.pow(F.lit(10.0), F.col("rank_decade")).cast("bigint") - 1
+    cnt = F.least(F.col("__off") + F.col("__nf"), d_hi) - F.greatest(
+        F.col("__off") + 1, d_lo
+    ) + 1
     return (
-        ranked.select(
-            F.length(F.col("__rank").cast("string")).cast("int").alias("rank_decade"),
-            "freq",
-        )
+        spans.select("rank_decade", "freq", cnt.alias("__cnt"))
         .groupBy("rank_decade")
         .agg(
-            F.count("*").cast("bigint").alias("n_types"),
-            F.sum("freq").cast("bigint").alias("n_occurrences"),
+            F.sum("__cnt").cast("bigint").alias("n_types"),
+            F.sum(F.col("__cnt") * F.col("freq")).cast("bigint").alias("n_occurrences"),
             F.max("freq").cast("bigint").alias("max_freq"),
             F.min("freq").cast("bigint").alias("min_freq"),
-            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+            F.sum(F.when(F.col("freq") == 1, F.col("__cnt")).otherwise(0))
             .cast("bigint")
             .alias("hapax_types"),
         )

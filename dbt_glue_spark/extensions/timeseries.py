@@ -111,6 +111,8 @@ def gap_fill_hourly(
         F.date_trunc("hour", F.min(ts_col)).alias("__mn"),
         F.date_trunc("hour", F.max(ts_col)).alias("__mx"),
     )
+    if trailing_hours is not None and trailing_hours < 1:
+        raise ValueError(f"trailing_hours must be >= 1: {trailing_hours}")
     if trailing_hours is not None:
         bounds = bounds.select(
             F.greatest(

@@ -545,7 +545,8 @@ def _read_instance(checkpoint: str) -> str | None:
 def _mint_instance(checkpoint: str) -> str:
     """Fallback identity of this checkpoint INSTANCE: a random token
     minted once into a marker file inside the checkpoint directory
-    (tmp+rename, re-read so a concurrent minter converges).
+    (unique tmp + atomic hard-link commit: the first minter wins and
+    every concurrent minter converges on the winner's token).
 
     Instance-scoped on purpose: a checkpoint DELETED AND RECREATED at
     the same path is a different stream (its batch counter restarts at 0
@@ -569,11 +570,28 @@ def _mint_instance(checkpoint: str) -> str:
         return existing
     token = uuid.uuid4().hex
     marker = os.path.join(checkpoint, _INSTANCE_MARKER)
+    # first-writer-wins: hard-link a fully-written unique tmp onto the
+    # marker name. link() is atomic and REFUSES an existing target, so
+    # (a) concurrent minters cannot interleave writes into one tmp path
+    # (each tmp is token-suffixed) and (b) exactly one minter's token
+    # becomes the marker — the losers read the winner's value, which is
+    # complete by construction (linked after the write closed). A
+    # replace()-based commit would let a loser overwrite the winner
+    # AFTER the winner re-read its own value, splitting one instance
+    # into two identities.
+    tmp = marker + "." + token
     try:
-        tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(token)
-        os.replace(tmp, marker)
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            pass  # lost the race — the winner's marker is authoritative
+        finally:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
     except OSError:
         return hashlib.md5(os.path.realpath(checkpoint).encode()).hexdigest()
     return _read_instance(checkpoint) or token

@@ -612,3 +612,22 @@ def test_weighted_sample_by_group_contracts(spark, sf_dir):
         ).collect()
     )
     assert sorted(tuple(r) for r in rows) == b
+
+
+def test_operator_input_validation(spark):
+    """Fail-fast contracts: non-numeric skyline x, empty order_cols,
+    non-positive trailing window."""
+    from dbt_glue_spark.extensions.associations import sequence_ngrams
+    from dbt_glue_spark.extensions.skyline import pareto_frontier_2d
+    from dbt_glue_spark.extensions.timeseries import gap_fill_hourly
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a", 1.0)],
+        "event_id bigint, ts string, event_type string, value double",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "event_type", "value")
+    with pytest.raises(TypeError, match="must be numeric"):
+        pareto_frontier_2d(df, "ts", "value")
+    with pytest.raises(ValueError, match="order_cols"):
+        sequence_ngrams(df, "event_type", [], "event_type")
+    with pytest.raises(ValueError, match="trailing_hours"):
+        gap_fill_hourly(df, trailing_hours=0)

@@ -868,3 +868,36 @@ def test_recreated_checkpoint_is_takeover_not_alias(spark, tmp_path):
     assert gen2 > gen
     _ledger_commit(frame(7), target, gen2, 0)
     assert [r["cnt"] for r in read_ledger(spark, target).collect()] == [7]
+
+
+def test_mint_instance_concurrent_single_identity(tmp_path):
+    """Concurrent minters on one fresh checkpoint must converge on ONE
+    identity (first-writer-wins hard-link commit): a replace()-based
+    commit could hand different tokens to different racers, splitting
+    one checkpoint instance into two identities and letting a
+    reset_on_takeover sink wipe the ledger mid-run."""
+    import threading
+
+    from dbt_glue_spark.streaming.pipelines import _mint_instance, _read_instance
+
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(ckpt)
+    tokens: list[str] = []
+    barrier = threading.Barrier(8)
+
+    def mint():
+        barrier.wait()
+        tokens.append(_mint_instance(ckpt))
+
+    threads = [threading.Thread(target=mint) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(set(tokens)) == 1, tokens
+    assert tokens[0] == _read_instance(ckpt)
+    # no stray tmp files survive the race
+    leftovers = [f for f in os.listdir(ckpt) if ".tmp" in f or "." in f.lstrip(".")]
+    assert all(not f.endswith(tuple(tokens)) for f in leftovers), leftovers

@@ -86,9 +86,13 @@ def main() -> None:
 
         specs = SPECS()
         results: dict[str, dict] = {}
-        # warmup both directories' footers + codegen once
-        _force(specs[PROBED[0]].fn(spark, sf_dir))
-        _force(specs[PROBED[0]].fn(spark, hot_dir))
+        # warm up EVERY probed query's codegen on both directories —
+        # each plan compiles its own WholeStageCodegen, so warming only
+        # one query would leave the others' first rep paying compile
+        # time (visible at --reps=1 on sub-second queries)
+        for name in PROBED:
+            _force(specs[name].fn(spark, sf_dir))
+            _force(specs[name].fn(spark, hot_dir))
         for name in PROBED:
             clean = _time(lambda: _force(specs[name].fn(spark, sf_dir)), reps)
             hot = _time(lambda: _force(specs[name].fn(spark, hot_dir)), reps)
