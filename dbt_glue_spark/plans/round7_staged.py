@@ -560,3 +560,53 @@ def ext_weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     return sampling.weighted_sample_by_group(
         docs, "source", "doc_id", "n_chars", k=_WSG_K, seed="7"
     )
+
+
+@register_staged(
+    "ext_ks_distance",
+    r"""
+    WITH v AS (
+      SELECT n_chars AS val,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+             CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS b
+      FROM documents
+      WHERE n_chars IS NOT NULL AND doc_id % 2 IN (0, 1)
+    ),
+    pv AS (
+      SELECT val, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+      FROM v GROUP BY val
+    ),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cA,
+             SUM(cb) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cB
+      FROM pv
+    ),
+    n AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+          FROM pv)
+    SELECT n_a, n_b,
+           CAST(MAX(ABS(cA * n_b - cB * n_a)) AS BIGINT) AS ks_num,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             FLOOR(CAST(MAX(ABS(cA * n_b - cB * n_a)) AS DOUBLE)
+                   / (n_a * n_b) * 1000000 + 0.5) / 1000000
+           END AS ks
+    FROM cum, n GROUP BY n_a, n_b
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov distance between even- and "
+    "odd-doc_id n_chars distributions: integer supremum numerator "
+    "max|cumA*n_b - cumB*n_a|, one rounded IEEE division. Spark "
+    "distributes the CDF prefix sums over 64 value buckets (no global "
+    "window on the distinct-value frame); the oracle's plain cumulative "
+    "window is the independent small-scale formulation.",
+)
+def ext_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import ks_distance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_distance(
+        docs,
+        "n_chars",
+        F.col("doc_id") % 2 == 0,
+        F.col("doc_id") % 2 == 1,
+    )

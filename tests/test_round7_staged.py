@@ -631,3 +631,37 @@ def test_operator_input_validation(spark):
         sequence_ngrams(df, "event_type", [], "event_type")
     with pytest.raises(ValueError, match="trailing_hours"):
         gap_fill_hourly(df, trailing_hours=0)
+
+
+def test_ks_distance_vs_bruteforce(spark):
+    """Bucketed prefix-sum KS equals a Python empirical-CDF computation,
+    including ties, identical distributions (D=0 over shared values...
+    actually D>0 when masses differ), and one-sided emptiness."""
+    from dbt_glue_spark.extensions.audit import ks_distance
+
+    rows = [(i, float(v)) for i, v in enumerate([1, 1, 2, 3, 3, 3, 7, 9, 9, 12])]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    a_cond = F.col("id") % 2 == 0
+    b_cond = F.col("id") % 2 == 1
+    got = ks_distance(df, "v", a_cond, b_cond, n_buckets=3).collect()[0]
+    a_vals = sorted(v for i, v in rows if i % 2 == 0)
+    b_vals = sorted(v for i, v in rows if i % 2 == 1)
+    na, nb = len(a_vals), len(b_vals)
+    points = sorted(set(a_vals + b_vals))
+    d_num = max(
+        abs(
+            sum(1 for x in a_vals if x <= p) * nb
+            - sum(1 for x in b_vals if x <= p) * na
+        )
+        for p in points
+    )
+    assert (got.n_a, got.n_b, got.ks_num) == (na, nb, d_num)
+    import math
+
+    assert got.ks == math.floor(d_num / (na * nb) * 1e6 + 0.5) / 1e6
+    # identical populations -> D = 0
+    same = ks_distance(df, "v", F.lit(True), F.lit(True)).collect()[0]
+    assert same.ks_num == 0 and same.ks == 0.0
+    # one side empty -> NULL statistic, no zero-division error
+    empty = ks_distance(df, "v", F.lit(True), F.lit(False)).collect()[0]
+    assert empty.n_b == 0 and empty.ks is None
