@@ -388,3 +388,66 @@ def ks_distance(
             ).alias("ks"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_sigma: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier audit via the median absolute deviation:
+    median, MAD, and the count of rows beyond ``k_sigma`` robust sigmas
+    (MAD·1.4826, the normal-consistency constant) — the outlier screen
+    that, unlike z-scores, a few extreme rows cannot mask (the anomaly
+    complement of anomaly_zscore's mean/stddev view).
+
+    Exactness: both medians use Spark ``percentile()`` ≡ DuckDB
+    ``quantile_cont`` (the repo's established exact-interpolation pair);
+    |x − med| and the k·1.4826·MAD threshold are single IEEE ops. A
+    zero-MAD group (≥ half the rows identical) reports n_outliers NULL —
+    the statistic is undefined there, not "everything is an outlier".
+
+    100 TB shape: two grouped exact percentiles (per-group sorts — the
+    same documented contract as order_price_quantiles: prefer
+    approx_percentile at extreme scale unless exactness is required) and
+    one group-keyed join; no window, nothing broadcast but the plan's
+    own AQE choices.
+
+    Output per group: n (bigint), median, mad (double, 4 dp),
+    n_outliers (bigint, NULL when MAD = 0).
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile(cast({value_col} as double), 0.5)").alias("__med"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    dev = df.join(med, group_col).select(
+        group_col, "__med", "n", v.alias("__v"), F.abs(v - F.col("__med")).alias("__d")
+    )
+    mad = dev.groupBy(group_col, "__med", "n").agg(
+        F.expr("percentile(__d, 0.5)").alias("__mad")
+    )
+    flagged = (
+        dev.join(mad.select(group_col, "__mad"), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__d") > F.lit(k_sigma) * F.lit(1.4826) * F.col("__mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("__out")
+        )
+    )
+    return mad.join(flagged, group_col).select(
+        group_col,
+        "n",
+        half_up_round(F.col("__med"), 4).alias("median"),
+        half_up_round(F.col("__mad"), 4).alias("mad"),
+        F.when(F.col("__mad") > 0, F.col("__out")).cast("bigint").alias("n_outliers"),
+    )

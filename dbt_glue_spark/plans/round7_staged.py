@@ -610,3 +610,47 @@ def ext_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 2 == 0,
         F.col("doc_id") % 2 == 1,
     )
+
+
+@register_staged(
+    "ext_mad_outliers",
+    r"""
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderpriority, m.med, m.n,
+             ABS(CAST(o.o_totalprice AS DOUBLE) - m.med) AS d
+      FROM orders o JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+      SELECT o_orderpriority, med, n, quantile_cont(d, 0.5) AS mad
+      FROM dev GROUP BY o_orderpriority, med, n
+    ),
+    fl AS (
+      SELECT d.o_orderpriority,
+             CAST(SUM(CASE WHEN d.d > 3.0 * 1.4826 * m.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS outs
+      FROM dev d JOIN mad m USING (o_orderpriority) GROUP BY d.o_orderpriority
+    )
+    SELECT m.o_orderpriority, m.n,
+           FLOOR(m.med * 10000 + 0.5) / 10000 AS median,
+           FLOOR(m.mad * 10000 + 0.5) / 10000 AS mad,
+           CASE WHEN m.mad > 0 THEN fl.outs END AS n_outliers
+    FROM mad m JOIN fl USING (o_orderpriority)
+    """,
+    doc="Robust per-priority outlier audit on order totals: exact median "
+    "and median-absolute-deviation (Spark percentile() = DuckDB "
+    "quantile_cont, the repo's exact-interpolation pair) with the count "
+    "beyond 3 robust sigmas (MAD*1.4826). Zero-MAD groups report NULL "
+    "rather than flagging everything; rows with a NULL group key drop "
+    "out via equality-join semantics in both engines.",
+)
+def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import mad_outliers
+
+    orders = load_table(spark, sf_dir, "orders")
+    return mad_outliers(orders, "o_orderpriority", "o_totalprice", 3.0)

@@ -665,3 +665,23 @@ def test_ks_distance_vs_bruteforce(spark):
     # one side empty -> NULL statistic, no zero-division error
     empty = ks_distance(df, "v", F.lit(True), F.lit(False)).collect()[0]
     assert empty.n_b == 0 and empty.ks is None
+
+
+def test_mad_outliers_hand_computed(spark):
+    """Median/MAD/outlier count on a hand-checkable group, a zero-MAD
+    group (NULL n_outliers, never 'everything is an outlier'), and
+    robustness to the very outlier a z-score would absorb."""
+    from dbt_glue_spark.extensions.audit import mad_outliers
+
+    rows = (
+        [("g1", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
+        + [("g2", 5.0)] * 6
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: r for r in mad_outliers(df, "g", "v").collect()}
+    # g1: med = 5.5, deviations [4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,994.5]
+    # -> mad = 2.5; threshold 3*1.4826*2.5 = 11.1195 -> only 1000 flagged
+    assert got["g1"].median == 5.5 and got["g1"].mad == 2.5
+    assert got["g1"].n == 10 and got["g1"].n_outliers == 1
+    # g2: constant -> mad 0 -> undefined outlier count
+    assert got["g2"].mad == 0.0 and got["g2"].n_outliers is None
