@@ -685,3 +685,20 @@ def test_mad_outliers_hand_computed(spark):
     assert got["g1"].n == 10 and got["g1"].n_outliers == 1
     # g2: constant -> mad 0 -> undefined outlier count
     assert got["g2"].mad == 0.0 and got["g2"].n_outliers is None
+
+
+def test_staged_driver_contract(spark, sf_dir):
+    """Staged results must already satisfy the driver's canonicalization
+    precondition (flat orderable scalar columns + pandas sort round-trip)
+    so promotion cannot re-create the round-4 array_agg incident."""
+    from pyspark.sql import types as T
+
+    from tests.test_driver_contract import NESTED, _driver_canon
+
+    for name, spec in sorted(STAGED().items()):
+        df = spec.fn(spark, sf_dir)
+        nested = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, NESTED)
+        ]
+        assert not nested, (name, nested)
+        _driver_canon(df.toPandas())
