@@ -349,3 +349,59 @@ def pit_join(
     fact_cols = [facts[c] for c in facts.columns if c not in keys]
     dim_cols = [dim[c] for c in dim.columns if c not in keys]
     return joined.select(*key_cols, *fact_cols, *dim_cols)
+
+
+def interval_islands(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key into maximal
+    "islands" (interval union — the gaps-and-islands primitive): the
+    busy-period view behind utilization, SLA coverage, and composable
+    downtime math. Distinct from sessionization: inputs are true
+    [start, end] INTERVALS that overlap, not point events with a gap
+    rule.
+
+    Island detection is the standard prefix-max scan: per key, ordered
+    by (start, end), an interval opens a new island iff its start is
+    strictly after the running max of all earlier ends; the island id is
+    the running count of such opens. Rows with a NULL key, start, or end
+    are dropped (no position without bounds; engines disagree on NULL
+    ordering); an end before its start is clamped to the start
+    (zero-length interval) rather than poisoning the running max.
+
+    100 TB shape: two windows, both PARTITIONED BY KEY (parallel across
+    keys, state bounded by a key's own intervals) — never a global sort.
+    Pure comparisons and max/count aggregates: engine-exact for
+    timestamps, dates, and numerics alike.
+
+    Output: key, island_start, island_end, n_intervals (bigint) — one
+    row per island.
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    clean = df.filter(
+        F.col(key_col).isNotNull() & s.isNotNull() & e.isNotNull()
+    ).select(key_col, s.alias("__s"), F.greatest(s, e).alias("__e"))
+    w = Window.partitionBy(key_col).orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opened = clean.select(
+        key_col,
+        "__s",
+        "__e",
+        F.when(prev_max_end.isNull() | (F.col("__s") > prev_max_end), 1)
+        .otherwise(0)
+        .alias("__new"),
+    )
+    island = F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        opened.select(key_col, "__s", "__e", island.alias("__island"))
+        .groupBy(key_col, "__island")
+        .agg(
+            F.min("__s").alias("island_start"),
+            F.max("__e").alias("island_end"),
+            F.count("*").cast("bigint").alias("n_intervals"),
+        )
+        .drop("__island")
+    )

@@ -654,3 +654,74 @@ def ext_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return mad_outliers(orders, "o_orderpriority", "o_totalprice", 3.0)
+
+
+@register_staged(
+    "ext_interval_islands",
+    r"""
+    WITH iv AS (
+      SELECT o.o_custkey AS k, o.o_orderdate AS s,
+             GREATEST(o.o_orderdate, MAX(l.l_shipdate)) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey IS NOT NULL AND o.o_orderdate IS NOT NULL
+      GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+    ),
+    op AS (
+      SELECT k, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR s > MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS nw
+      FROM iv
+    ),
+    isl AS (
+      SELECT k, s, e,
+             SUM(nw) OVER (PARTITION BY k ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM op
+    ),
+    g AS (
+      SELECT k, island, MIN(s) AS island_start, MAX(e) AS island_end,
+             CAST(COUNT(*) AS BIGINT) AS n_intervals
+      FROM isl GROUP BY k, island
+    )
+    SELECT k AS o_custkey,
+           CAST(SUM(n_intervals) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(datediff('day', island_start, island_end) + 1) AS BIGINT)
+             AS covered_days
+    FROM g GROUP BY k
+    """,
+    doc="Gaps-and-islands interval union: each order spans "
+    "[orderdate, last shipdate]; overlapping spans per customer merge "
+    "into maximal busy islands (prefix-max open detection, windows "
+    "partitioned per key). Output: per-customer order count, island "
+    "count, and covered calendar days — pure comparisons, engine-exact.",
+)
+def ext_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.operators.temporal import interval_islands
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("__ship"))
+    )
+    iv = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").alias("__s"),
+            F.greatest("o_orderdate", "__ship").alias("__e"),
+        )
+    )
+    islands = interval_islands(iv, "o_custkey", "__s", "__e")
+    return islands.groupBy("o_custkey").agg(
+        F.sum("n_intervals").cast("bigint").alias("n_orders"),
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum(F.datediff("island_end", "island_start") + 1)
+        .cast("bigint")
+        .alias("covered_days"),
+    )

@@ -702,3 +702,32 @@ def test_staged_driver_contract(spark, sf_dir):
         ]
         assert not nested, (name, nested)
         _driver_canon(df.toPandas())
+
+
+def test_interval_islands_hand_case(spark):
+    """Overlap merges, touching endpoints merge, gaps split, end-before-
+    start clamps, NULL bounds drop."""
+    from dbt_glue_spark.operators.temporal import interval_islands
+
+    rows = [
+        ("u", "2024-01-01", "2024-01-05"),
+        ("u", "2024-01-03", "2024-01-04"),  # nested -> same island
+        ("u", "2024-01-05", "2024-01-07"),  # touching -> merges
+        ("u", "2024-01-09", "2024-01-08"),  # inverted -> clamps to [09,09]
+        ("u", "2024-01-20", "2024-01-21"),  # gap -> new island
+        ("v", "2024-01-01", None),          # dropped
+        ("v", "2024-01-02", "2024-01-02"),
+    ]
+    df = spark.createDataFrame(rows, "k string, s string, e string").selectExpr(
+        "k", "CAST(s AS DATE) s", "CAST(e AS DATE) e"
+    )
+    got = sorted(
+        (r.k, str(r.island_start), str(r.island_end), r.n_intervals)
+        for r in interval_islands(df, "k", "s", "e").collect()
+    )
+    assert got == [
+        ("u", "2024-01-01", "2024-01-07", 3),
+        ("u", "2024-01-09", "2024-01-09", 1),
+        ("u", "2024-01-20", "2024-01-21", 1),
+        ("v", "2024-01-02", "2024-01-02", 1),
+    ]
