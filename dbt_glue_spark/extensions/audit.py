@@ -306,17 +306,26 @@ def ks_distance(
     cumA·n_b ≤ n_a·n_b < 2⁶³ ⇔ populations up to ~3·10⁹ rows each.
 
     100 TB shape: the empirical CDFs are prefix sums over DISTINCT
-    VALUES, distributed the same two-level way as the skyline scan —
-    equi-width value buckets from a 1-row min/max broadcast, per-bucket
-    subtotals (an ``n_buckets``-row frame hosting the only cross-bucket
-    window), then within-bucket cumulative windows PARTITIONED BY
-    BUCKET. No global window ever touches the distinct-value frame, so a
-    high-cardinality double column cannot funnel into one partition.
+    VALUES, distributed via the skyline scan's shared scaffolding
+    (skyline.equi_width_bucket) — equi-width value buckets from a 1-row
+    stats broadcast (min/max/totals in ONE aggregate, so the per-value
+    frame is aggregated once, and the frame itself is persisted for its
+    two consumers), per-bucket subtotals (an ``n_buckets``-row frame
+    hosting the only cross-bucket window), then within-bucket cumulative
+    windows PARTITIONED BY BUCKET. No global window ever touches the
+    distinct-value frame, so a high-cardinality double column cannot
+    funnel into one partition.
 
-    Output (1 row): n_a, n_b, ks_num (bigint), ks (double).
+    Output: one row — n_a, n_b, ks_num (bigint), ks (double) — for any
+    populated input; an input with zero qualifying rows returns an
+    EMPTY frame (there are no populations to compare), matching the
+    empty-input convention of the pair operators.
     """
+    from dbt_glue_spark.extensions.dedup import _persist
+    from dbt_glue_spark.extensions.skyline import check_numeric, equi_width_bucket
     from dbt_glue_spark.functions.scalars import half_up_round
 
+    check_numeric(df, value_col, "ks_distance")
     v = df.select(
         F.col(value_col).alias("__v"),
         F.when(a_cond, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("__a"),
@@ -324,23 +333,23 @@ def ks_distance(
     ).filter(
         F.col("__v").isNotNull() & ((F.col("__a") == 1) | (F.col("__b") == 1))
     )
-    per_v = v.groupBy("__v").agg(
-        F.sum("__a").cast("bigint").alias("__ca"),
-        F.sum("__b").cast("bigint").alias("__cb"),
-    )
-    stats = per_v.agg(F.min("__v").alias("__mn"), F.max("__v").alias("__mx"))
-    bk = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
-        F.least(
-            F.floor(
-                (F.col("__v") - F.col("__mn"))
-                / (F.col("__mx") - F.col("__mn"))
-                * F.lit(float(n_buckets))
-            ),
-            F.lit(n_buckets - 1),
+    per_v = _persist(
+        v.groupBy("__v").agg(
+            F.sum("__a").cast("bigint").alias("__ca"),
+            F.sum("__b").cast("bigint").alias("__cb"),
         )
     )
+    # bucket bounds AND population totals in one 1-row broadcast — the
+    # per-value frame is scanned once for all scalars
+    stats = per_v.agg(
+        F.min("__v").alias("__mn"),
+        F.max("__v").alias("__mx"),
+        F.sum("__ca").cast("bigint").alias("n_a"),
+        F.sum("__cb").cast("bigint").alias("n_b"),
+    )
+    bk = equi_width_bucket(F.col("__v"), F.col("__mn"), F.col("__mx"), n_buckets)
     bucketed = per_v.crossJoin(F.broadcast(stats)).select(
-        "__v", "__ca", "__cb", bk.cast("int").alias("__bk")
+        "__v", "__ca", "__cb", "n_a", "n_b", bk.alias("__bk")
     )
     wb = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
     seeds = (
@@ -358,16 +367,13 @@ def ks_distance(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = bucketed.join(F.broadcast(seeds), "__bk").select(
+        "n_a",
+        "n_b",
         (F.col("__seed_a") + F.sum("__ca").over(wg)).alias("__cA"),
         (F.col("__seed_b") + F.sum("__cb").over(wg)).alias("__cB"),
     )
-    totals = per_v.agg(
-        F.sum("__ca").cast("bigint").alias("n_a"),
-        F.sum("__cb").cast("bigint").alias("n_b"),
-    )
     return (
-        cum.crossJoin(F.broadcast(totals))
-        .groupBy("n_a", "n_b")
+        cum.groupBy("n_a", "n_b")
         .agg(
             F.max(
                 F.abs(F.col("__cA") * F.col("n_b") - F.col("__cB") * F.col("n_a"))
@@ -417,15 +423,23 @@ def mad_outliers(
     Output per group: n (bigint), median, mad (double, 4 dp),
     n_outliers (bigint, NULL when MAD = 0).
     """
+    from dbt_glue_spark.extensions.dedup import _persist
     from dbt_glue_spark.functions.scalars import half_up_round
 
+    if k_sigma <= 0:
+        raise ValueError(f"k_sigma must be > 0: {k_sigma}")
     v = F.col(value_col).cast("double")
     med = df.groupBy(group_col).agg(
-        F.expr(f"percentile(cast({value_col} as double), 0.5)").alias("__med"),
+        F.expr(f"percentile(cast(`{value_col}` as double), 0.5)").alias("__med"),
         F.count("*").cast("bigint").alias("n"),
     )
-    dev = df.join(med, group_col).select(
-        group_col, "__med", "n", v.alias("__v"), F.abs(v - F.col("__med")).alias("__d")
+    # persisted: the deviation frame (a full scan joined to the exact
+    # grouped percentile) feeds both the MAD percentile and the outlier
+    # count — unpersisted, the expensive per-group sort would run twice
+    dev = _persist(
+        df.join(med, group_col).select(
+            group_col, "__med", "n", F.abs(v - F.col("__med")).alias("__d")
+        )
     )
     mad = dev.groupBy(group_col, "__med", "n").agg(
         F.expr("percentile(__d, 0.5)").alias("__mad")

@@ -17,8 +17,43 @@ NUMERIC because the distributed prefix-max scan range-buckets on it
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def check_numeric(df: DataFrame, col: str, op: str) -> None:
+    """Raise a descriptive TypeError unless ``col`` is numeric — the
+    shared guard for every operator whose distributed prefix scan
+    range-buckets on a column (equi-width arithmetic needs subtraction
+    and division; timestamps/strings fail deep in the plan otherwise)."""
+    from pyspark.sql.types import NumericType
+
+    t = df.schema[col].dataType
+    if not isinstance(t, NumericType):
+        raise TypeError(
+            f"{op} range-buckets on {col!r}, which must be numeric "
+            f"(got {t.simpleString()}); pre-map it to a numeric key "
+            "(e.g. epoch seconds) first"
+        )
+
+
+def equi_width_bucket(col: Column, mn: Column, mx: Column, n_buckets: int) -> Column:
+    """Equi-width bucket id in [0, n_buckets) from a 1-row min/max frame
+    — the shared first level of the distributed prefix scans (skyline,
+    KS CDF): a single IEEE multiply+divide, identical in any engine; a
+    degenerate mn == mx range collapses to bucket 0."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    return (
+        F.when(mx == mn, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((col - mn) / (mx - mn) * F.lit(float(n_buckets))),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+    )
 
 
 def pareto_frontier_2d(
@@ -55,30 +90,13 @@ def pareto_frontier_2d(
     Ordering contract: callers sort the result (frontier membership is a
     set).
     """
-    from pyspark.sql.types import NumericType
-
-    x_type = df.schema[x_col].dataType
-    if not isinstance(x_type, NumericType):
-        raise TypeError(
-            f"pareto_frontier_2d buckets on x, so {x_col!r} must be numeric "
-            f"(got {x_type.simpleString()}); put the non-numeric dimension "
-            "on y, or pre-map x to a numeric key (e.g. epoch seconds)"
-        )
+    check_numeric(df, x_col, "pareto_frontier_2d")
     x, y = F.col(x_col), F.col(y_col)
     xg = df.groupBy(x_col).agg(F.max(y).alias("__ymax"))
     stats = df.agg(F.min(x).alias("__mn"), F.max(x).alias("__mx"))
-    b = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
-        F.least(
-            F.floor(
-                (x - F.col("__mn"))
-                / (F.col("__mx") - F.col("__mn"))
-                * F.lit(float(n_buckets))
-            ),
-            F.lit(n_buckets - 1),
-        )
-    )
+    b = equi_width_bucket(x, F.col("__mn"), F.col("__mx"), n_buckets)
     bucketed = xg.crossJoin(F.broadcast(stats)).select(
-        x_col, "__ymax", b.cast("int").alias("__b")
+        x_col, "__ymax", b.alias("__b")
     )
     # n_buckets-row frame: the one cross-bucket window runs here, never
     # over the x-groups themselves

@@ -1,10 +1,13 @@
-"""Temporal joins Spark lacks natively: as-of join and banded range join.
+"""Temporal operators Spark lacks natively: as-of join, banded range
+join, point-in-time join, and gaps-and-islands interval union.
 
 Not present in the reference (SURVEY.md §2.3: "as-of joins, interval/range
 joins — candidates for our extension layer only"); standard in the
 training-data/feature-store toolbox, so the engine ships them.
+``interval_islands`` is the non-join member: per-key interval merging
+via a prefix-max window (see its docstring for the scale shape).
 
-Both are built to avoid the naive O(|L|·|R|) theta join:
+The joins are built to avoid the naive O(|L|·|R|) theta join:
 
 - ``asof_join``: union both sides, one window pass per key — the sort-merge
   formulation. Exactly one hash-partition shuffle on the key; state is one

@@ -371,12 +371,18 @@ def test_new_staged_plan_shapes(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in tri_plan
+    from dbt_glue_spark.extensions import audit
+    from dbt_glue_spark.operators import temporal
+
     for mod, fn in (
         (associations, associations.basket_lift_pairs),
         (graph, graph.triangle_counts),
         (skyline, skyline.pareto_frontier_2d),
         (timeseries, timeseries.gap_fill_hourly),
         (timeseries, timeseries.ohlc_bars),
+        (audit, audit.ks_distance),
+        (audit, audit.mad_outliers),
+        (temporal, temporal.interval_islands),
     ):
         hints = [
             ln
@@ -631,6 +637,14 @@ def test_operator_input_validation(spark):
         sequence_ngrams(df, "event_type", [], "event_type")
     with pytest.raises(ValueError, match="trailing_hours"):
         gap_fill_hourly(df, trailing_hours=0)
+    from dbt_glue_spark.extensions.audit import ks_distance, mad_outliers
+
+    with pytest.raises(TypeError, match="must be numeric"):
+        ks_distance(df, "ts", F.lit(True), F.lit(True))
+    with pytest.raises(ValueError, match="n_buckets"):
+        ks_distance(df, "value", F.lit(True), F.lit(True), n_buckets=0)
+    with pytest.raises(ValueError, match="k_sigma"):
+        mad_outliers(df, "event_type", "value", k_sigma=0)
 
 
 def test_ks_distance_vs_bruteforce(spark):
