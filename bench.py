@@ -85,6 +85,15 @@ EXTENSION_HEADLINE = [
     "mat_scd2_snapshot_check",
     "asof_join_clicks_purchases",
     "range_join_signup_purchases",
+    # round-7 promoted heavyweights (staged in r6, parity-proven ×7 profiles)
+    "ext_prefix_jaccard_join",
+    "ext_basket_lift",
+    "ext_triangle_parts",
+    "ext_pareto_orders",
+    "ext_pmi_pairs",
+    "ext_weighted_sample",
+    "ext_ks_distance",
+    "ext_interval_islands",
 ]
 
 # The exact 31 queries timed in round 1 (BENCH_r01.json) — the fixed

@@ -420,8 +420,9 @@ def mad_outliers(
     one group-keyed join; no window, nothing broadcast but the plan's
     own AQE choices.
 
-    Output per group: n (bigint), median, mad (double, 4 dp),
-    n_outliers (bigint, NULL when MAD = 0).
+    Output per group: n (bigint, non-NULL values only — the population
+    the statistics cover), median, mad (double, 4 dp), n_outliers
+    (bigint, NULL when MAD = 0).
     """
     from dbt_glue_spark.extensions.dedup import _persist
     from dbt_glue_spark.functions.scalars import half_up_round
@@ -429,9 +430,13 @@ def mad_outliers(
     if k_sigma <= 0:
         raise ValueError(f"k_sigma must be > 0: {k_sigma}")
     v = F.col(value_col).cast("double")
+    # n counts non-NULL values only — the exact population the median/
+    # MAD/outlier statistics describe (count(*) would overstate it on
+    # NULL-bearing columns; percentile() and the deviation comparisons
+    # all skip NULLs)
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile(cast(`{value_col}` as double), 0.5)").alias("__med"),
-        F.count("*").cast("bigint").alias("n"),
+        F.count(v).cast("bigint").alias("n"),
     )
     # persisted: the deviation frame (a full scan joined to the exact
     # grouped percentile) feeds both the MAD percentile and the outlier

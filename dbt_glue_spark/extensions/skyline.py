@@ -89,11 +89,17 @@ def pareto_frontier_2d(
 
     Ordering contract: callers sort the result (frontier membership is a
     set).
+
+    NULL contract: rows with NULL in either coordinate are excluded from
+    the frontier — an unknown coordinate can neither dominate nor claim
+    non-dominance. This is an explicit pre-filter, not an artifact of the
+    join semantics (matching interval_islands' documented NULL handling).
     """
     check_numeric(df, x_col, "pareto_frontier_2d")
     x, y = F.col(x_col), F.col(y_col)
-    xg = df.groupBy(x_col).agg(F.max(y).alias("__ymax"))
-    stats = df.agg(F.min(x).alias("__mn"), F.max(x).alias("__mx"))
+    pts = df.filter(x.isNotNull() & y.isNotNull())
+    xg = pts.groupBy(x_col).agg(F.max(y).alias("__ymax"))
+    stats = pts.agg(F.min(x).alias("__mn"), F.max(x).alias("__mx"))
     b = equi_width_bucket(x, F.col("__mn"), F.col("__mx"), n_buckets)
     bucketed = xg.crossJoin(F.broadcast(stats)).select(
         x_col, "__ymax", b.alias("__b")

@@ -1066,9 +1066,12 @@ def pmi_pairs(
     (pmi_q6 desc, tok_a, tok_b), c_ab ≥ min_count.
     """
     words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
-    # projection barrier (see module docstring): the array is referenced
-    # 2·window times by the gap zips below — materialize it once per row
-    staged = df.select(words.alias("__ws"), F.rand().alias("__once"))
+    # The array is referenced 2·window times by the gap zips below.
+    # CollapseProject's non-cheap-expression guard keeps this projection
+    # separate (regexp_extract_all is not on the cheap list and is
+    # multiply-referenced), so the regexp runs once per row — pinned by
+    # tests/test_plan_quality.py::test_pmi_tokenize_evaluated_once.
+    staged = df.select(words.alias("__ws"))
     tok = F.col("__ws")
     empty = F.array().cast("array<int>")
 

@@ -56,6 +56,14 @@ def _load_all() -> None:
     from dbt_glue_spark.plans import extension_queries  # noqa: F401
     from dbt_glue_spark.plans import udf_queries  # noqa: F401
 
+    # Round-7 promotion: the 16 operators staged (and parity-proven) during
+    # round 6 join the live catalog. Staging-then-promoting at round
+    # boundaries is the standing rule — mid-round additions would dilute
+    # the driver's sampled correctness prefix (see round7_staged docstring).
+    from dbt_glue_spark.plans import round7_staged
+
+    _REGISTRY.update(round7_staged.STAGED())
+
 
 def _family(name: str) -> str:
     """Coarse operator family, by naming convention."""

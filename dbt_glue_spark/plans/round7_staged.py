@@ -1,22 +1,16 @@
-"""Round-7 STAGED queries — built and parity-proven during round 6, but
-deliberately NOT registered in the live catalog.
+"""Round-7 operators — built and parity-proven during round 6 under a
+catalog freeze, PROMOTED to the live catalog in round 7.
 
-The live catalog is frozen at 214 entries until the driver's
-CORRECTNESS_r06.json closes the last 31 never-driver-checked rows: the
-driver samples a 50-query prefix of the rotation, and any new entry would
-land in the never-checked tier and dilute that sample (catalog.py
-`_interleaved`). These specs use the same :class:`QuerySpec` contract and
-are exercised by tests/test_round7_staged.py with the exact DuckDB
-compare, so promotion in round 7 is a one-line import in
-``catalog._load_all`` plus moving the ``register`` calls — with parity
-already proven.
-
-Promotion checklist (round 7, AFTER CORRECTNESS_r06.json exists):
-  1. move these @register_staged specs into plans/extension_queries.py
-     (swap the decorator for the live ``register``), or import this
-     module from catalog._load_all with register_staged aliased;
-  2. add the staged names to bench.py's headline set if desired;
-  3. delete this docstring's checklist and re-run `pytest -m parity`.
+History: the live catalog was frozen at 214 entries through round 6 so
+the driver's 50-query correctness prefix could close the last 31
+never-driver-checked rows (CORRECTNESS_r06.json did — union 214/214).
+These 16 specs were built during that freeze with the same
+:class:`QuerySpec` contract and exact-DuckDB parity tests
+(tests/test_round7_staged.py), then promoted at the round-6→7 boundary:
+``catalog._load_all`` merges ``STAGED()`` into the live registry, so the
+driver rotation now samples them first (they are the never-checked
+tier). Standing rule: new operators stage here mid-round and promote
+only at round boundaries.
 """
 
 from __future__ import annotations
@@ -618,7 +612,7 @@ def ext_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH med AS (
       SELECT o_orderpriority,
              quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med,
-             CAST(COUNT(*) AS BIGINT) AS n
+             CAST(COUNT(o_totalprice) AS BIGINT) AS n
       FROM orders GROUP BY o_orderpriority
     ),
     dev AS (

@@ -556,13 +556,21 @@ def _mint_instance(checkpoint: str) -> str:
     immediately — would alias the two, and a ``reset_on_takeover`` sink
     would then silently skip the new stream's early batches and merge
     the rest into stale pre-restart state. The marker file cannot alias
-    them: it is deleted with the directory. If the marker cannot be
-    written (read-only checkpoint store — in which case Spark's own
-    commit protocol is failing too), this degrades to the md5 of the
-    symlink-resolved real path, which still never splits one instance
-    into two identities."""
+    them: it is deleted with the directory.
+
+    Commit ladder (ADVICE r6: link-unsupported ≠ read-only): hard-link
+    first; where the store refuses link() but is otherwise writable
+    (some FUSE/object-store mounts: EPERM/ENOTSUP), fall back to an
+    O_CREAT|O_EXCL exclusive create of the marker itself — still
+    first-writer-wins, losers poll the winner's bytes. Only when the
+    store refuses even a plain write (read-only — in which case Spark's
+    own commit protocol is failing too) does this degrade, WITH a
+    logged warning, to the md5 of the symlink-resolved real path, which
+    still never splits one instance into two identities but can alias a
+    deleted-and-recreated checkpoint."""
     import hashlib
     import os
+    import time
     import uuid
 
     existing = _read_instance(checkpoint)
@@ -579,21 +587,53 @@ def _mint_instance(checkpoint: str) -> str:
     # replace()-based commit would let a loser overwrite the winner
     # AFTER the winner re-read its own value, splitting one instance
     # into two identities.
+    def _path_hash() -> str:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "checkpoint store at %s refuses writes; degrading instance "
+            "identity to a path hash — a deleted-and-recreated checkpoint "
+            "at this path would alias its predecessor",
+            checkpoint,
+        )
+        return hashlib.md5(os.path.realpath(checkpoint).encode()).hexdigest()
+
     tmp = marker + "." + token
     try:
         with open(tmp, "w") as fh:
             fh.write(token)
+    except OSError:
+        # the store refuses even a plain create → read-only; last resort
+        return _path_hash()
+    try:
         try:
             os.link(tmp, marker)
         except FileExistsError:
             pass  # lost the race — the winner's marker is authoritative
-        finally:
+        except OSError:
+            # link-unsupported but writable store (FUSE/object mounts:
+            # EPERM/ENOTSUP): exclusive-create the marker itself. Unlike
+            # the link commit this publishes BEFORE the bytes land, so
+            # losers poll until the winner's write is visible.
             try:
-                os.remove(tmp)
+                fd = os.open(marker, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                try:
+                    os.write(fd, token.encode())
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            except FileExistsError:
+                for _ in range(500):  # winner's 32 bytes land in ~µs
+                    if _read_instance(checkpoint):
+                        break
+                    time.sleep(0.002)
             except OSError:
-                pass
-    except OSError:
-        return hashlib.md5(os.path.realpath(checkpoint).encode()).hexdigest()
+                return _path_hash()
+    finally:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
     return _read_instance(checkpoint) or token
 
 

@@ -726,3 +726,22 @@ def test_kmv_source_overlap_sketch_windows_are_group_keyed(spark, sf_dir):
     )
     plan = plan_of(sk, mode="formatted")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_pmi_tokenize_evaluated_once(spark, sf_dir):
+    # pmi_pairs drops the old dangling-rand "projection barrier" and
+    # relies on CollapseProject's non-cheap-expression guard to keep the
+    # regexp tokenization in its own projection; this gate pins that the
+    # optimized plan evaluates regexp_extract_all exactly once (a
+    # collapse would duplicate it 2·window times into the gap zips)
+    # (the persisted pair-count subtree repeats per consumer in the
+    # logical plan string, so assert per-projection, not globally)
+    spec = SPECS()["ext_pmi_pairs"]
+    df = spec.fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    hits = [ln for ln in plan.splitlines() if "regexp_extract_all" in ln]
+    assert hits, plan
+    for ln in hits:
+        assert ln.count("regexp_extract_all") == 1, ln
+        assert "AS __ws" in ln, ln
+    assert "rand(" not in plan, plan

@@ -1,10 +1,7 @@
-"""Round-7 staged operators: parity-proven now, catalog-registered later.
-
-The live catalog is frozen at 214 queries until CORRECTNESS_r06.json
-exists (see plans/round7_staged.py docstring). These tests prove the
-staged specs with the same exact DuckDB compare the live sweep uses, and
-pin the freeze itself so an accidental registration can't dilute the
-driver's 50-query rotation prefix mid-round.
+"""Round-7 staged operators — promoted to the live catalog at the r6→7
+boundary (see plans/round7_staged.py docstring). These tests keep the
+direct exact-DuckDB parity proofs for the 16 specs and pin the promotion
+contract: all 16 live, and sampled first by the driver rotation.
 """
 
 from __future__ import annotations
@@ -41,17 +38,21 @@ def test_staged_oracle_parity(spark, sf_dir, name):
     _exact_compare(spark, sf_dir, STAGED()[name])
 
 
-def test_catalog_freeze_holds_and_staged_not_registered():
-    """The catalog must stay at exactly 214 entries (driver-rotation
-    contract, VERDICT r5 item 2) and must not contain the staged names —
-    registering them this round would push never-checked entries into the
-    sampled prefix and crowd out the 31 rows the rotation is closing."""
+def test_staged_operators_promoted_and_sampled_first():
+    """Round-7 promotion contract: all 16 staged operators are live in the
+    catalog (214 + 16 = 230 entries), and — having no prior driver
+    CORRECTNESS row — they sit in the never-checked tier, i.e. inside the
+    driver's 50-query sampled prefix, so each earns a hard driver row
+    this round."""
     from dbt_glue_spark.plans.catalog import SPECS
 
     specs = SPECS()
-    assert len(specs) == 214, len(specs)
-    overlap = set(STAGED_NAMES) & set(specs)
-    assert not overlap, overlap
+    assert len(specs) == 230, len(specs)
+    missing = set(STAGED_NAMES) - set(specs)
+    assert not missing, missing
+    prefix = list(specs)[:50]
+    not_in_prefix = set(STAGED_NAMES) - set(prefix)
+    assert not not_in_prefix, not_in_prefix
 
 
 def test_weighted_sample_layout_invariant(spark, sf_dir):

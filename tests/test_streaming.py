@@ -901,3 +901,69 @@ def test_mint_instance_concurrent_single_identity(tmp_path):
     # no stray tmp files survive the race
     leftovers = [f for f in os.listdir(ckpt) if ".tmp" in f or "." in f.lstrip(".")]
     assert all(not f.endswith(tuple(tokens)) for f in leftovers), leftovers
+
+
+def test_mint_instance_link_unsupported_uses_excl_create(tmp_path, monkeypatch):
+    """Stores that refuse os.link but accept plain writes (FUSE/object
+    mounts) must still mint a marker-file identity — the path-hash
+    degradation is reserved for genuinely read-only stores (ADVICE r6).
+    Concurrent minters on the O_EXCL path must still converge on ONE
+    token."""
+    import os
+    import threading
+
+    from dbt_glue_spark.streaming import pipelines
+    from dbt_glue_spark.streaming.pipelines import _mint_instance, _read_instance
+
+    def no_link(src, dst, **kw):
+        raise PermissionError("link not supported on this mount")
+
+    monkeypatch.setattr(pipelines.os if hasattr(pipelines, "os") else os, "link", no_link, raising=True)
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    tokens: list[str] = []
+    barrier = threading.Barrier(8)
+
+    def mint():
+        barrier.wait()
+        tokens.append(_mint_instance(ckpt))
+
+    threads = [threading.Thread(target=mint) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(set(tokens)) == 1, tokens
+    assert tokens[0] == _read_instance(ckpt)
+    # marker file really exists → instance identity dies with the dir
+    assert os.path.exists(os.path.join(ckpt, pipelines._INSTANCE_MARKER))
+
+
+def test_mint_instance_readonly_store_degrades_with_warning(
+    tmp_path, caplog, monkeypatch
+):
+    """Only a store that refuses even a plain create falls back to the
+    path hash, and the degradation is logged (silent aliasing was the
+    ADVICE r6 complaint). Write refusal is simulated by patching open()
+    — the suite runs as root, where chmod 555 doesn't block writes."""
+    import builtins
+    import hashlib
+    import logging
+    import os
+
+    from dbt_glue_spark.streaming.pipelines import _mint_instance
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    real_open = builtins.open
+
+    def ro_open(file, mode="r", *a, **kw):
+        if str(file).startswith(ckpt) and ("w" in mode or "a" in mode):
+            raise PermissionError(f"read-only store: {file}")
+        return real_open(file, mode, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", ro_open)
+    with caplog.at_level(logging.WARNING):
+        tok = _mint_instance(ckpt)
+    assert tok == hashlib.md5(os.path.realpath(ckpt).encode()).hexdigest()
+    assert any("degrading instance identity" in r.message for r in caplog.records)
