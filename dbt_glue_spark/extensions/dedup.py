@@ -1046,3 +1046,182 @@ def prefix_jaccard_pairs(
             6,
         ).alias("jaccard"),
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 16,
+) -> DataFrame:
+    """Stride-1 exact-substring duplication coverage — the full Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") ExactSubstr shape, alignment-free, as a distributed
+    seed-and-merge instead of a suffix array.
+
+    Any substring of ≥ ``min_len`` tokens duplicated anywhere in the
+    corpus contains at least one full ``min_len``-token window at SOME
+    stride-1 position, so marking every position whose window recurs
+    corpus-wide (first occurrence = lowest (doc id, position) stays
+    clean, matching :func:`span_dedup`'s convention) and merging the
+    per-doc seed intervals [pos, pos+L-1] yields the EXACT set of
+    duplicated tokens — what the suffix array computes, without the
+    global suffix sort. Complements :func:`span_dedup` (stride=window
+    boundary-aligned spans miss duplicates shifted by one token) and CDC
+    chunking (content-defined boundaries, approximate coverage).
+
+    Interval union uses the equal-length-interval property: seeds sorted
+    by position have monotone interval ends, so an island breaks exactly
+    when ``pos - lag(pos) > L`` — one per-doc-keyed lag + running sum,
+    never a global window. Coverage per island = max(pos)-min(pos)+L.
+
+    100 TB shape: the seed explode is ∝ corpus TOKENS (the honest cost
+    of ExactSubstr — a suffix array is also O(tokens)); only
+    (id, pos, md5) triples cross the one wide exchange (md5-keyed
+    groupBy-min with map-side combine, so a passage duplicated 10M×
+    collapses per-partition), and both island windows are doc-keyed.
+    Both engines compute the same md5, so parity is exact by
+    construction (house convention, same as span_dedup). For a cheaper
+    screen use span_dedup; this operator is the exact-coverage pass run
+    on what the screen flags.
+
+    Output per doc (docs with ≥1 token): id, n_tokens, n_seeds,
+    n_dup_seeds, n_islands, dup_tokens, dup_token_ratio (6 dp,
+    dup_tokens / n_tokens).
+    """
+    L = int(min_len)
+    if L < 2:
+        raise ValueError(f"min_len must be >= 2: {min_len}")
+    staged = tokenize_once(df, text_col, [F.col(id_col).alias("__id")])
+    base = staged.select(
+        "__id", "toks", F.size("toks").cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    seeds = base.select(
+        "__id",
+        "n_tokens",
+        F.posexplode(
+            # sequence(1, 0) DESCENDS in Spark — short docs need the
+            # explicit empty-array branch, not a greatest() clamp
+            F.expr(
+                f"transform(if(size(toks) >= {L},"
+                f" sequence(1, size(toks) - {L} + 1),"
+                f" cast(array() as array<int>)),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {L}))))"
+            )
+        ).alias("__i0", "__h"),
+    ).select("__id", "n_tokens", (F.col("__i0") + 1).alias("pos"), "__h")
+    winners = seeds.groupBy("__h").agg(
+        F.min(F.struct(F.col("__id").alias("i"), F.col("pos").alias("p"))).alias("w")
+    )
+    marked = seeds.join(winners, "__h").select(
+        "__id",
+        "n_tokens",
+        "pos",
+        (
+            (F.col("__id") != F.col("w.i")) | (F.col("pos") != F.col("w.p"))
+        ).alias("__dup"),
+    )
+    dups = marked.filter(F.col("__dup"))
+    wd = Window.partitionBy("__id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(wd) <= L, F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = dups.select(
+        "__id", "pos", brk.alias("__brk")
+    ).select(
+        "__id",
+        "pos",
+        F.sum("__brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "__isl"
+        ),
+    )
+    cov = (
+        isl.groupBy("__id", "__isl")
+        .agg((F.max("pos") - F.min("pos") + L).cast("bigint").alias("__cov"))
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.sum("__cov").cast("bigint").alias("dup_tokens"),
+        )
+    )
+    per_doc = marked.groupBy("__id", "n_tokens").agg(
+        F.count("*").cast("bigint").alias("n_seeds"),
+        F.sum(F.col("__dup").cast("long")).cast("bigint").alias("n_dup_seeds"),
+    )
+    return (
+        base.select("__id", "n_tokens")
+        .join(per_doc.drop("n_tokens"), "__id", "left")
+        .join(cov, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_seeds", F.lit(0)).cast("bigint").alias("n_seeds"),
+            F.coalesce("n_dup_seeds", F.lit(0)).cast("bigint").alias("n_dup_seeds"),
+            F.coalesce("n_islands", F.lit(0)).cast("bigint").alias("n_islands"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            half_up_round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_token_ratio"),
+        )
+    )
+
+
+def compact_band_ledger(
+    ledger: DataFrame,
+    doc_groups: DataFrame,
+) -> DataFrame:
+    """Compact a :func:`minhash_band_ledger` given resolved duplicate
+    groups — the cross-run ledger-maintenance twin of D14's
+    expire-snapshots: the incremental near-dup ledger
+    (:func:`minhash_lsh_incremental`) grows ∝ total docs ever seen, but
+    once a group of docs is KNOWN duplicated, carrying every member's
+    band rows only multiplies future candidate pairs without adding
+    recall.
+
+    ``doc_groups`` maps ``id`` → ``leader`` (e.g. the min-id winner per
+    exact-dup text hash, or a near-dup cluster representative). A
+    non-leader's (band_idx, band_key) row is dropped IFF the leader
+    carries the SAME key for that band — any future doc that would have
+    matched the dropped row still matches the leader's identical row, so
+    leader-mapped candidate recall is provably unchanged (gate:
+    tests/test_round8_staged.py recall-preservation property). Rows
+    whose key differs from the leader's (near-dups with partially
+    different signatures) are KEPT — compaction never trades recall.
+    Docs absent from ``doc_groups`` are untouched.
+
+    100 TB shape: two band-keyed equi-joins (ledger × groups is
+    id-keyed; leader-keys × ledger is (band_idx, leader)-keyed), no
+    broadcast hints — group frames are corpus-proportional, AQE decides.
+    Output: the compacted ledger, same (band_idx, band_key, id) schema.
+    """
+    g = doc_groups.select(
+        F.col("id").alias("__gid"), F.col("leader").alias("__leader")
+    )
+    led = ledger.join(g, ledger["id"] == g["__gid"], "left").drop("__gid")
+    leader_keys = (
+        ledger.join(
+            g.select(F.col("__leader").alias("__lid")).distinct(),
+            ledger["id"] == F.col("__lid"),
+            "left_semi",
+        )
+        .select(
+            "band_idx",
+            F.col("band_key").alias("__lkey"),
+            F.col("id").alias("__lid"),
+        )
+    )
+    joined = led.join(
+        leader_keys,
+        (led["band_idx"] == leader_keys["band_idx"])
+        & (led["__leader"] == leader_keys["__lid"]),
+        "left",
+    )
+    keep = (
+        F.col("__leader").isNull()
+        | (led["id"] == F.col("__leader"))
+        | F.col("__lkey").isNull()
+        | (led["band_key"] != F.col("__lkey"))
+    )
+    return joined.filter(keep).select(
+        led["band_idx"], led["band_key"], led["id"]
+    )

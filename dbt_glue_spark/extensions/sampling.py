@@ -355,26 +355,50 @@ def weighted_sample(
     Corpora with ≤ k rows return every row with est_weight = weight
     (inclusion probability 1, no τ).
     """
+    # persist the k+1 survivors: tau and the output both consume this
+    # frame, and TakeOrderedAndProject is not an Exchange — unpersisted,
+    # each action would run the corpus-wide top-(k+1) scan twice
+    from dbt_glue_spark.extensions.dedup import _persist
+
+    pri = priority_frame(df, key_col, weight_col, seed)
+    top = _persist(
+        pri.orderBy(F.col("priority").asc(), F.col(key_col).asc()).limit(k + 1)
+    )
+    return priority_sample_finalize(top, key_col, k)
+
+
+def priority_frame(
+    df: DataFrame, key_col: str, weight_col: str, seed: str = "7"
+) -> DataFrame:
+    """(key, weight, priority) frame of :func:`weighted_sample`'s exact
+    integer priority space — shared by the one-shot sampler and the
+    streaming ledger sink (:func:`streaming.pipelines.
+    priority_sample_stream_sink`), which must rank identically for the
+    streamed sample to equal the batch one. See :func:`weighted_sample`
+    for the exactness discipline."""
     from dbt_glue_spark.extensions.sketches import hash_int
-    from dbt_glue_spark.functions.scalars import half_up_round
 
     h = hash_int(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
     w = F.greatest(F.coalesce(F.col(weight_col).cast("bigint"), F.lit(1)), F.lit(1))
-    pri = df.select(
+    return df.select(
         F.col(key_col),
         w.alias("weight"),
         ((h + F.lit(1)) * F.lit(1000)).alias("__num"),
     ).select(
         key_col, "weight", F.expr("__num DIV weight").cast("bigint").alias("priority")
     )
-    # persist the k+1 survivors: tau and the output both consume this
-    # frame, and TakeOrderedAndProject is not an Exchange — unpersisted,
-    # each action would run the corpus-wide top-(k+1) scan twice
-    from dbt_glue_spark.extensions.dedup import _persist
 
-    top = _persist(
-        pri.orderBy(F.col("priority").asc(), F.col(key_col).asc()).limit(k + 1)
-    )
+
+def priority_sample_finalize(
+    top: DataFrame, key_col: str, k: int
+) -> DataFrame:
+    """Turn a bottom-(k+1)-by-priority frame (the carried sample state —
+    bottom-k merge is associative, so a union-of-bottom-(k+1)s re-topped
+    is exactly the one-shot bottom-(k+1)) into the k-row sample with the
+    unbiased DLT estimator weight: τ = the (k+1)-th priority if present,
+    est_weight = max(w, PRIORITY_SPACE/τ). Fewer than k+1 rows ⇒ no τ ⇒
+    every row kept at est_weight = weight (inclusion probability 1)."""
+    from dbt_glue_spark.functions.scalars import half_up_round
 
     wnd = Window.orderBy(F.col("priority").asc(), F.col(key_col).asc())
     ranked = top.select("*", F.row_number().over(wnd).alias("__rn"))

@@ -1,0 +1,289 @@
+"""Round-8 STAGED queries — built and parity-proven during round 7,
+promoted at the round-7→8 boundary (standing rule from VERDICT r6: new
+operators stage mid-round so the driver's sampled correctness prefix
+stays closed over the live catalog, and promote only between rounds).
+
+Same :class:`QuerySpec` contract and exact-DuckDB gates as the round-7
+pool (tests/test_round8_staged.py, ×7 data profiles). Promotion = merge
+``STAGED8()`` into ``catalog._load_all`` exactly like round7_staged.
+
+The three operators close VERDICT r6 item 4 (the next staged tier):
+
+- ``ext_exact_substring_spans`` — stride-1 Lee-et-al. ExactSubstr
+  coverage (dedup.exact_substring_spans);
+- ``ext_ledger_compaction`` — cross-run near-dup ledger compaction
+  (dedup.compact_band_ledger), the expire-snapshots twin for the
+  incremental minhash ledger;
+- ``streaming_priority_sample`` — streaming twin of the batch
+  Duffield–Lund–Thorup priority sampler
+  (streaming/pipelines.priority_sample_stream_sink).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.extensions import dedup
+from dbt_glue_spark.plans.catalog import QuerySpec
+from dbt_glue_spark.sources.registry import load_table
+
+_STAGED8: dict[str, QuerySpec] = {}
+
+
+def register_staged(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _STAGED8[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def STAGED8() -> dict[str, QuerySpec]:
+    return dict(_STAGED8)
+
+
+_ESS_L = 16
+
+@register_staged(
+    "ext_exact_substring_spans",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks
+      FROM tok WHERE len(toks) >= 1
+    ),
+    pos_l AS (
+      SELECT doc_id, n_tokens, toks,
+             unnest([i for i in
+                     generate_series(1, GREATEST(len(toks) - {_ESS_L - 1}, 0))])
+               AS pos
+      FROM base
+    ),
+    seeds AS (
+      SELECT doc_id, n_tokens, pos,
+             MD5(array_to_string(toks[pos:pos+{_ESS_L - 1}], ' ')) AS h
+      FROM pos_l
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM seeds
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_seeds,
+             CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_seeds
+      FROM w GROUP BY doc_id
+    ),
+    d AS (SELECT doc_id, pos FROM w WHERE rn > 1),
+    b AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_ESS_L} THEN 0 ELSE 1 END AS brk
+      FROM d
+    ),
+    i2 AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM b
+    ),
+    cov AS (
+      SELECT doc_id, isl, MAX(pos) - MIN(pos) + {_ESS_L} AS c
+      FROM i2 GROUP BY doc_id, isl
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+             CAST(SUM(c) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT bb.doc_id, bb.n_tokens,
+           COALESCE(p.n_seeds, 0) AS n_seeds,
+           COALESCE(p.n_dup_seeds, 0) AS n_dup_seeds,
+           COALESCE(a.n_islands, 0) AS n_islands,
+           COALESCE(a.dup_tokens, 0) AS dup_tokens,
+           FLOOR(COALESCE(a.dup_tokens, 0) / CAST(bb.n_tokens AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS dup_token_ratio
+    FROM base bb
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Stride-1 exact-substring duplication coverage "
+    "(dedup.exact_substring_spans — the full Lee et al. 2022 ExactSubstr "
+    "shape, alignment-free): every 16-token window that recurs corpus-wide "
+    "marks its position; per-doc equal-length-interval union (one keyed "
+    "lag + running sum, no global window) yields the exact duplicated-"
+    "token set a suffix array would. Complements the boundary-aligned "
+    "span_dedup screen.",
+)
+def ext_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(docs, min_len=_ESS_L)
+
+
+def _compaction_oracle() -> str:
+    sig_cols = ",\n".join(
+        f"MIN(substring(MD5(shingle) || MD5('x:' || shingle), {1 + 8 * i}, 8)) AS h{i}"
+        for i in range(8)
+    )
+    return rf"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || ' zq' AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+      FROM aug
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in generate_series(1, len(toks) - 2)]
+             )) AS shingle
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id AS id,
+    {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT id, b, key FROM sig, LATERAL (VALUES
+        ('0', MD5(h0 || '|' || h1)), ('1', MD5(h2 || '|' || h3)),
+        ('2', MD5(h4 || '|' || h5)), ('3', MD5(h6 || '|' || h7))
+      ) AS v(b, key)
+    ),
+    gmap AS (
+      SELECT doc_id AS id,
+             CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+                  ELSE doc_id END AS leader
+      FROM aug
+    ),
+    lkeys AS (
+      SELECT b.b, b.key, b.id FROM bands b
+      JOIN (SELECT DISTINCT leader FROM gmap) s ON b.id = s.leader
+    ),
+    kept AS (
+      SELECT b.b, b.id FROM bands b
+      JOIN gmap g ON g.id = b.id
+      LEFT JOIN lkeys lk ON lk.b = b.b AND lk.id = g.leader
+      WHERE g.leader = b.id OR lk.key IS NULL OR b.key <> lk.key
+    ),
+    bef AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rows_before FROM bands GROUP BY b),
+    aft AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rows_after FROM kept GROUP BY b)
+    SELECT bef.b AS band_idx, rows_before, rows_after,
+           rows_before - rows_after AS rows_dropped
+    FROM bef JOIN aft USING (b)
+    """
+
+
+@register_staged(
+    "ext_ledger_compaction",
+    _compaction_oracle(),
+    doc="Cross-run near-dup ledger compaction (dedup.compact_band_ledger "
+    "— the expire-snapshots twin of the monotone minhash_lsh_incremental "
+    "ledger): docs duplicated at id%5==0 with a one-token perturbation "
+    "join the corpus with a known id→leader map; a non-leader band row is "
+    "dropped IFF the leader carries the identical key for that band, so "
+    "leader-mapped candidate recall is provably unchanged while known-dup "
+    "state shrinks. The perturbation makes some band keys differ, so the "
+    "keep-rule is exercised on real partially-matching signatures. "
+    "Per-band rows_before/rows_after/rows_dropped.",
+)
+def ext_ledger_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    aug = docs.unionByName(extra)
+    ledger = dedup.minhash_band_ledger(aug)
+    gmap = aug.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") >= 1000000, F.col("doc_id") - 1000000)
+        .otherwise(F.col("doc_id"))
+        .alias("leader"),
+    )
+    compacted = dedup.compact_band_ledger(ledger, gmap)
+    bef = ledger.groupBy("band_idx").agg(
+        F.count("*").cast("bigint").alias("rows_before")
+    )
+    aft = compacted.groupBy("band_idx").agg(
+        F.count("*").cast("bigint").alias("rows_after")
+    )
+    return bef.join(aft, "band_idx").select(
+        "band_idx",
+        "rows_before",
+        "rows_after",
+        (F.col("rows_before") - F.col("rows_after"))
+        .cast("bigint")
+        .alias("rows_dropped"),
+    )
+
+
+_PS_K = 256
+
+
+def _priority_sample_oracle() -> str:
+    # the streamed ledger must equal the ONE-SHOT batch sample exactly —
+    # reuse the promoted batch query's oracle verbatim (same k/seed/space)
+    from dbt_glue_spark.plans.round7_staged import STAGED
+
+    return STAGED()["ext_weighted_sample"].oracle
+
+
+@register_staged(
+    "streaming_priority_sample",
+    _priority_sample_oracle(),
+    doc="Streaming twin of ext_weighted_sample "
+    "(streaming/pipelines.priority_sample_stream_sink): documents staged "
+    "as a 3-file stream; each micro-batch's bottom-(k+1) rows by the "
+    "exact integer DLT priority set-union into a persistent (k+1)-row "
+    "ledger. Bottom-k merge is associative and the priority is a "
+    "deterministic function of the key, so the merge is a set operation "
+    "— order-insensitive and idempotent under at-least-once redelivery — "
+    "and the streamed sample equals the one-shot batch sample exactly "
+    "(the oracle IS the batch query's oracle). Constant O(k) state.",
+)
+def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dbt_glue_spark.extensions.sampling import priority_sample_finalize
+    from dbt_glue_spark.streaming.pipelines import (
+        priority_sample_stream_sink,
+        read_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stage = tempfile.mkdtemp(prefix="dgs_q_pssrc_")
+    docs.repartition(3).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    target = tempfile.mkdtemp(prefix="dgs_q_pstgt_")
+    q = priority_sample_stream_sink(
+        stream,
+        spark,
+        target,
+        os.path.join(target, "ckpt"),
+        "doc_id",
+        "n_chars",
+        k=_PS_K,
+        seed="7",
+    )
+    q.awaitTermination(300)
+    return priority_sample_finalize(read_ledger(spark, target), "doc_id", _PS_K)

@@ -1061,3 +1061,84 @@ def histogram_stream_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def priority_sample_stream_sink(
+    source_stream: DataFrame,
+    spark,
+    target_path: str,
+    checkpoint: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 256,
+    seed: str = "7",
+):
+    """Streaming priority-sampling maintenance — the streaming twin of
+    :func:`extensions.sampling.weighted_sample` (Duffield–Lund–Thorup):
+    each micro-batch's bottom-(k+1) rows by the exact integer priority
+    are set-unioned into a persistent ≤ (k+1)-row ledger, keeping the
+    k+1 smallest overall.
+
+    Bottom-k is ASSOCIATIVE (bottom-(k+1) of a union = bottom-(k+1) of
+    per-part bottom-(k+1)s: every global survivor survives its own
+    part), and the priority is a DETERMINISTIC function of the key —so
+    like the KMV sink (and unlike additive sketches) the merge is a set
+    operation, order-insensitive and idempotent under at-least-once
+    redelivery: a replayed row reproduces its exact (key, weight,
+    priority) triple and dies in ``distinct()``. The streamed ledger
+    therefore equals the one-shot batch bottom-(k+1) no matter how the
+    stream was batched, ordered, or retried — Kappa equivalence, gated
+    by the batch-oracle parity of the staged ``streaming_priority_sample``
+    query. Keys are assumed weight-stable (weight is a function of the
+    key, the documents/doc_id/n_chars shape); a re-keyed weight would be
+    two distinct rows, of which the lower-priority one simply competes.
+
+    The ledger carries k+1 rows (not k) so τ — the (k+1)-th priority,
+    which the unbiased subset-sum estimator needs — is always derivable
+    from carried state alone (:func:`extensions.sampling.
+    priority_sample_finalize`). Constant O(k) state for an unbounded
+    stream; per-batch cost is one TakeOrderedAndProject over the batch
+    plus a (2k+2)-row merge, never corpus-proportional.
+
+    Like KMV: ``reset_on_takeover=False`` — under a NEW checkpoint the
+    replay-skip is disabled (batch ids restarted), but re-unioning
+    re-delivered history is a no-op for a set merge, so no reset is
+    needed and the ledger survives checkpoint loss intact. Commits use
+    the versioned atomic ledger protocol (:func:`_ledger_commit`).
+    """
+    from dbt_glue_spark.extensions.sampling import priority_frame
+
+    # constructed here, resolved lazily inside the batch — the metadata
+    # file only exists once the stream starts (rules: _CkptToken doc)
+    token_of = _CkptToken(checkpoint)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        token = token_of()
+        cur_path, commit_gen, skip = _takeover_state(
+            target_path, token, batch_id,
+            reset_on_takeover=False, aliases=token_of.aliases(),
+        )
+        if skip:
+            return  # at-least-once replay of an already-merged batch
+        bp = (
+            priority_frame(batch_df, key_col, weight_col, seed)
+            .orderBy(F.col("priority").asc(), F.col(key_col).asc())
+            .limit(k + 1)
+        )
+        if cur_path is not None:
+            merged = spark.read.parquet(cur_path).unionByName(bp).distinct()
+        else:
+            merged = bp
+        topk = merged.orderBy(
+            F.col("priority").asc(), F.col(key_col).asc()
+        ).limit(k + 1)
+        _ledger_commit(topk, target_path, commit_gen, batch_id)
+
+    return (
+        source_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

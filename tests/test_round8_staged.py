@@ -1,0 +1,206 @@
+"""Round-8 staged operators: parity-proven now, catalog-registered at the
+round-7→8 boundary (plans/round8_staged.py docstring). These tests prove
+the staged specs with the same exact DuckDB compare the live sweep uses,
+and pin the stage-then-promote discipline: the live catalog stays at 230
+this round so the driver's sampled prefix covers exactly the 16 round-7
+promotions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.plans.round8_staged import STAGED8
+from tools.check_parity import duck_con, normalize, values_equal
+
+STAGED8_NAMES = sorted(STAGED8())
+
+
+def _exact_compare(spark, sf_dir, spec):
+    sdf = spec.fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duck_con(sf_dir)
+    try:
+        res = con.execute(spec.oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    sn, dn = normalize(srows, scols), normalize(drows, dcols)
+    assert len(sn) == len(dn), (len(sn), len(dn))
+    for r1, r2 in zip(sn, dn):
+        assert all(values_equal(a, b) for a, b in zip(r1, r2)), (r1, r2)
+
+
+@pytest.mark.parametrize("name", STAGED8_NAMES)
+def test_staged8_oracle_parity(spark, sf_dir, name):
+    _exact_compare(spark, sf_dir, STAGED8()[name])
+
+
+def test_catalog_holds_at_230_and_staged8_not_registered():
+    """Stage-then-promote: the round-8 pool must NOT be live this round —
+    registering mid-round would push never-checked entries into the
+    driver's 50-query prefix and crowd out the 16 round-7 promotions
+    earning their first hard rows."""
+    from dbt_glue_spark.plans.catalog import SPECS
+
+    specs = SPECS()
+    assert len(specs) == 230, len(specs)
+    overlap = set(STAGED8_NAMES) & set(specs)
+    assert not overlap, overlap
+
+
+def test_exact_substring_spans_brute_force(spark):
+    """Hand-verifiable corpus: coverage must equal the union of seed
+    intervals a naive O(n²·L) scan finds."""
+    from dbt_glue_spark.extensions.dedup import exact_substring_spans
+
+    L = 4
+    # doc 1 owns "a b c d e f" (first occurrence); doc 2 embeds the same
+    # 6-token run (two overlapping dup seeds -> one island covering 6
+    # tokens); doc 3 embeds two disjoint copies of 4-token runs from
+    # doc 1 -> two islands of 4; doc 4 is all-unique.
+    rows = [
+        (1, "a b c d e f x1 y1 z1"),
+        (2, "p q a b c d e f r s"),
+        (3, "a b c d k1 k2 c d e f"),
+        (4, "u1 u2 u3 u4 u5 u6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_seeds, r.n_dup_seeds, r.n_islands, r.dup_tokens)
+        for r in exact_substring_spans(df, min_len=L).collect()
+    }
+    # brute force in python
+    toks = {i: t.split() for i, t in rows}
+    seeds = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - L + 1):
+            seeds.setdefault(tuple(tk[p : p + L]), []).append((i, p + 1))
+    dup_pos = {i: set() for i in toks}
+    for occ in seeds.values():
+        for d, p in sorted(occ)[1:]:
+            dup_pos[d].add(p)
+    for i, tk in toks.items():
+        cover = set()
+        for p in dup_pos[i]:
+            cover.update(range(p, p + L))
+        # islands = maximal runs of positions with gap <= L
+        ps = sorted(dup_pos[i])
+        nisl = sum(
+            1 for j, p in enumerate(ps) if j == 0 or p - ps[j - 1] > L
+        )
+        n_seeds = max(len(tk) - L + 1, 0)
+        assert got[i] == (len(tk), n_seeds, len(ps), nisl, len(cover)), (
+            i,
+            got[i],
+            (len(tk), n_seeds, len(ps), nisl, len(cover)),
+        )
+
+
+def test_exact_substring_spans_layout_invariant(spark, sf_dir):
+    """Pure function of the data: identical report under any physical
+    partitioning (no partition-dependent winners)."""
+    from dbt_glue_spark.extensions.dedup import exact_substring_spans
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = sorted(tuple(r) for r in exact_substring_spans(docs).collect())
+    b = sorted(
+        tuple(r) for r in exact_substring_spans(docs.repartition(7)).collect()
+    )
+    assert a == b
+
+
+def test_compact_band_ledger_preserves_leader_mapped_recall(spark, sf_dir):
+    """The compaction contract: candidate pairs from a future batch
+    against the compacted ledger, with ids mapped to group leaders, must
+    equal the pairs against the FULL ledger mapped the same way — dropped
+    rows are exactly the redundant ones."""
+    from dbt_glue_spark.extensions.dedup import (
+        compact_band_ledger,
+        minhash_band_ledger,
+        minhash_lsh_incremental,
+    )
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # near-dup group members: one-token perturbation, known id->leader map
+    extra = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+    )
+    aug = docs.unionByName(extra)
+    ledger = minhash_band_ledger(aug)
+    gmap = aug.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") >= 1000000, F.col("doc_id") - 1000000)
+        .otherwise(F.col("doc_id"))
+        .alias("leader"),
+    )
+    compacted = compact_band_ledger(ledger, gmap)
+    n_full, n_comp = ledger.count(), compacted.count()
+    assert n_comp < n_full, (n_comp, n_full)  # it actually compacts
+
+    future = docs.limit(50).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+
+    def leader_pairs(led):
+        pairs, _ = minhash_lsh_incremental(future, led)
+        lead = gmap.withColumnRenamed("id", "xid")
+        m = (
+            pairs.join(lead, pairs["id_a"] == F.col("xid"), "left")
+            .select(F.coalesce("leader", "id_a").alias("a"), "id_b")
+            .join(lead, F.col("id_b") == F.col("xid"), "left")
+            .select("a", F.coalesce("leader", "id_b").alias("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+        return set(map(tuple, m.collect()))
+
+    assert leader_pairs(ledger) == leader_pairs(compacted)
+
+
+def test_compact_band_ledger_no_groups_is_identity(spark, sf_dir):
+    """Docs absent from doc_groups (or mapped to themselves) keep every
+    row — compaction never drops state it cannot prove redundant."""
+    from dbt_glue_spark.extensions.dedup import (
+        compact_band_ledger,
+        minhash_band_ledger,
+    )
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+    ledger = minhash_band_ledger(docs)
+    self_map = docs.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("leader")
+    )
+    empty_map = self_map.limit(0)
+    n = ledger.count()
+    assert compact_band_ledger(ledger, self_map).count() == n
+    assert compact_band_ledger(ledger, empty_map).count() == n
+
+
+def test_priority_sample_stream_replay_is_noop(spark, tmp_path):
+    """The set-merge property the sink's reset_on_takeover=False relies
+    on: re-merging an already-merged frame leaves the ledger unchanged
+    (at-least-once redelivery cannot perturb the sample)."""
+    from dbt_glue_spark.extensions.sampling import priority_frame
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("w")
+    )
+    k = 32
+    bp = (
+        priority_frame(df, "doc_id", "w", "7")
+        .orderBy("priority", "doc_id")
+        .limit(k + 1)
+    )
+    once = bp.unionByName(bp).distinct().orderBy("priority", "doc_id").limit(k + 1)
+    a = sorted(tuple(r) for r in bp.collect())
+    b = sorted(tuple(r) for r in once.collect())
+    assert a == b

@@ -248,6 +248,85 @@ def probe_staged(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
     return results, rows
 
 
+def probe_staged8(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
+    """Weak-scaling probe for the round-8 staged pool (same replication
+    scheme as :func:`build_scaled` — per-replica vocabularies keep the
+    dup rate constant and cross-replica overlap zero):
+
+    - exact_substring_spans: stride-1 seeds grow ∝ corpus tokens, the
+      md5-keyed winner groupBy is map-side-combining, both island
+      windows are doc-keyed → exponent ≈ 1 expected (the honest
+      O(tokens) of ExactSubstr);
+    - compact_band_ledger: ledger rows ∝ docs, two band/id-keyed
+      equi-joins → exponent ≈ 1.
+    """
+    scratch = tempfile.mkdtemp(prefix="dgs_staged8_probe_")
+    results: dict[str, dict[str, float]] = {}
+    rows: dict[str, int] = {}
+    try:
+        warm = load_table(spark, sf_dir, "documents").limit(500).select(
+            "doc_id", "text"
+        )
+        dedup.exact_substring_spans(warm).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        waug = warm.unionByName(
+            warm.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+            )
+        )
+        wmap = waug.select(
+            F.col("doc_id").alias("id"),
+            F.when(F.col("doc_id") >= 1_000_000, F.col("doc_id") - 1_000_000)
+            .otherwise(F.col("doc_id"))
+            .alias("leader"),
+        )
+        dedup.compact_band_ledger(
+            dedup.minhash_band_ledger(waug), wmap
+        ).write.format("noop").mode("overwrite").save()
+        dedup.release_caches()
+        for f_ in factors:
+            path = build_scaled(spark, sf_dir, f_, scratch)
+            docs = spark.read.parquet(path)
+            rows[str(f_)] = docs.count()
+
+            def run_ess():
+                dedup.exact_substring_spans(docs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_compact():
+                aug = docs.unionByName(
+                    docs.filter(F.col("doc_id") % 5 == 0).select(
+                        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+                    )
+                )
+                gmap = aug.select(
+                    F.col("doc_id").alias("id"),
+                    F.when(
+                        F.col("doc_id") >= 1_000_000_000,
+                        F.col("doc_id") - 1_000_000_000,
+                    )
+                    .otherwise(F.col("doc_id"))
+                    .alias("leader"),
+                )
+                dedup.compact_band_ledger(
+                    dedup.minhash_band_ledger(aug), gmap
+                ).write.format("noop").mode("overwrite").save()
+
+            for name, fn in [
+                ("exact_substring_spans", run_ess),
+                ("ledger_compaction", run_compact),
+            ]:
+                results.setdefault(name, {})[str(f_)] = timed(fn)
+                dedup.release_caches()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return results, rows
+
+
 def main() -> None:
     factors = [2, 8, 32]
     probe = "dedup"
@@ -265,6 +344,10 @@ def main() -> None:
         return
     if probe == "staged":
         results, rows = probe_staged(spark, sf_dir, factors)
+        _emit(factors, results, rows)
+        return
+    if probe == "staged8":
+        results, rows = probe_staged8(spark, sf_dir, factors)
         _emit(factors, results, rows)
         return
     scratch = tempfile.mkdtemp(prefix="dgs_scale_probe_")

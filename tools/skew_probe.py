@@ -49,6 +49,14 @@ PROBED = [
     "ext_quality_top_per_source",    # window per source (90% src7)
     "q5_local_supplier_volume",      # join chain incl. suppkey/custkey
     "events_hourly",                 # control: group key untouched
+    # round-7 promoted heavyweights with skew-sensitive shapes (VERDICT
+    # r6 item 6): hot l_partkey=7 turns the co-purchase graph into one
+    # hub — the exact stress Suri–Vassilvitskii degree-ordering and the
+    # C(basket,2) pair generation exist for; hot o_custkey=7 piles the
+    # interval-island keyed windows onto one key.
+    "ext_basket_lift",               # pair gen from hot-item baskets
+    "ext_triangle_parts",            # power-law hub triangle counting
+    "ext_interval_islands",          # keyed lag/sum windows by custkey
 ]
 
 
