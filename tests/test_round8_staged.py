@@ -204,3 +204,24 @@ def test_priority_sample_stream_replay_is_noop(spark, tmp_path):
     a = sorted(tuple(r) for r in bp.collect())
     b = sorted(tuple(r) for r in once.collect())
     assert a == b
+
+
+def test_staged8_parity_under_forced_spill(spark, sf_dir):
+    """The round-8 pool through the same forced-spill axis the live
+    catalog faces (VERDICT r6 item 6 applied to the new tier): window/
+    SMJ/session-window buffers pushed through their external-sorter
+    paths must not perturb any staged result."""
+    from tests.test_parity_sweep import SPILL_CONFS
+
+    old = {k: spark.conf.get(k, None) for k in SPILL_CONFS}
+    try:
+        for k, v in SPILL_CONFS.items():
+            spark.conf.set(k, v)
+        for name in STAGED8_NAMES:
+            _exact_compare(spark, sf_dir, STAGED8()[name])
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
