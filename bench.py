@@ -11,6 +11,11 @@ Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and reports the
 per-query MEDIAN plus the (max-min) spread: this box shows ±15-30 % noise
 under load (SCALE.md), and a single-shot number cannot distinguish a real
 regression from a scheduling hiccup. ``value`` is the sum of medians.
+Sub-second queries automatically extend to $SPARK_GRAFT_BENCH_SUBSEC_REPS
+reps (default 5) — at that scale the noise is the same order as the
+median, and the extra samples make spread-vs-delta adjudication
+mechanical straight from BENCH_DETAIL.json (``reps_used`` records the
+actual count per query).
 
 Output budget: the driver keeps only the last ~2.2 KB of stdout, and the
 round-4 record was lost when the full JSON (medians + spread + errors)
@@ -170,11 +175,23 @@ def main() -> None:
     from dbt_glue_spark.extensions.dedup import release_caches
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Sub-second rows get extra reps (default up to 5): at <1 s the box's
+    # scheduling noise is the same order as the median itself, and 3
+    # samples cannot mechanically separate a real drift from a hiccup —
+    # the r5/r6 spread-watch adjudications all landed on "noise" after
+    # isolated 11-rep runs. More samples per round makes that call
+    # directly from BENCH_DETAIL.json without a separate isolated run.
+    subsec_reps = max(
+        reps, int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5"))
+    )
     spread: dict[str, float] = {}
+    reps_used: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name in names:
         samples: list[float] = []
-        for _ in range(reps):
+        while len(samples) < reps or (
+            len(samples) < subsec_reps and statistics.median(samples) < 1.0
+        ):
             t0 = time.time()
             # Fault isolation: one broken query must not zero the whole
             # round's perf record — record the error, keep timing the rest.
@@ -191,6 +208,7 @@ def main() -> None:
         if samples:
             timings[name] = round(statistics.median(samples), 3)
             spread[name] = round(max(samples) - min(samples), 3)
+            reps_used[name] = len(samples)
     total = round(sum(timings.values()), 2)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # r1_n marks subset completeness: if a subset query errored, the
@@ -209,6 +227,7 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "reps": reps,
+        "reps_used": reps_used,
         "sf": sf_val,
     }
     if errors:
