@@ -470,3 +470,156 @@ def mad_outliers(
         half_up_round(F.col("__mad"), 4).alias("mad"),
         F.when(F.col("__mad") > 0, F.col("__out")).cast("bigint").alias("n_outliers"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    order_col,
+    tie_col: str,
+    value_col: str,
+    scale: int = 100,
+    thr_num: int = 500,
+    thr_den: int = 1,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-key one-sided CUSUM drift scan: for each ``key_col`` series
+    (ordered by ``order_col`` with ``tie_col`` as the unique tie-break),
+    the classic Page statistic S_i = max(0, S_{i-1} + (x_i − mean_k)),
+    its maximum (the drift magnitude), the EARLIEST position attaining
+    it (the change-point estimate), and how many positions exceed the
+    alarm threshold h = thr_num/thr_den value units. Complements
+    :func:`ks_distance` (is the distribution different?) with WHERE the
+    level shift happens — the monitoring question an ingest pipeline
+    asks per source/feed.
+
+    Exactness: everything up to the single reported division is int64 —
+    values half-up scaled by ``scale``; deviations staged as
+    y_i = v_i·n_k − total_k (mean-centering without a fractional mean);
+    the recursion eliminated by the prefix-sum identity
+    S_i = P_i − min(0, min_{j≤i} P_j) with P the running sum of y.
+    Alarms compare S_i·thr_den > thr_num·n_k·scale — exact rationals.
+    Overflow bound: 2·v_max·scale·n_k² < 2⁶³ (v_max ≈ 10³, scale 100 →
+    series up to ~2·10⁸ rows per key).
+
+    100 TB shape: NO per-key global window — the prefix sums and prefix
+    mins run two-level, the ks_distance scaffolding generalized to
+    running extrema: equi-width ``order`` buckets from a per-key 1-row
+    stats frame, within-(key,bucket) cumulative windows, and the only
+    cross-bucket windows ride the ≤ ``n_buckets``-row per-key bucket
+    frame (seed = exclusive prefix sum of bucket totals; prev-min =
+    exclusive prefix min of seed+bucket-min). A month-long hot key
+    cannot funnel its whole series into one window partition.
+
+    NULL contract: rows with NULL value or NULL order are excluded
+    (they carry no position in the series); keys with no surviving rows
+    do not appear.
+
+    Output per key: n (bigint), cusum_num (bigint, max S numerator),
+    cusum_max (double, 6 dp, value units), changepoint_at (bigint — the
+    ``order_col`` value at the earliest argmax), n_alarms (bigint).
+    """
+    from dbt_glue_spark.extensions.dedup import _persist
+    from dbt_glue_spark.extensions.skyline import equi_width_bucket
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    if scale < 1 or thr_den < 1 or thr_num < 0:
+        raise ValueError(
+            f"scale/thr_den must be >= 1, thr_num >= 0: {scale}, {thr_num}, {thr_den}"
+        )
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(order_col).cast("bigint").alias("__o"),
+        F.col(tie_col).cast("bigint").alias("__tie"),
+        F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5))
+        .cast("bigint")
+        .alias("__v"),
+    ).filter(F.col("__v").isNotNull() & F.col("__o").isNotNull())
+    st = base.groupBy("__k").agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum("__v").cast("bigint").alias("__tot"),
+        F.min("__o").alias("__mn"),
+        F.max("__o").alias("__mx"),
+    )
+    bk = equi_width_bucket(F.col("__o"), F.col("__mn"), F.col("__mx"), n_buckets)
+    y = base.join(st, "__k").select(
+        "__k",
+        "__n",
+        "__o",
+        "__tie",
+        (F.col("__v") * F.col("__n") - F.col("__tot")).alias("__y"),
+        bk.alias("__bk"),
+    )
+    wrow = (
+        Window.partitionBy("__k", "__bk")
+        .orderBy("__o", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # persisted: the within-bucket cumulative frame feeds both the bucket
+    # aggregate (totals + prefix mins) and the final per-row join
+    rows = _persist(
+        y.withColumn("__c", F.sum("__y").over(wrow)).withColumn(
+            "__mc", F.min("__c").over(wrow)
+        )
+    )
+    wb = Window.partitionBy("__k").orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    buckets = (
+        rows.groupBy("__k", "__bk")
+        .agg(F.sum("__y").alias("__T"), F.min("__c").alias("__Mb"))
+        .withColumn("__seed", F.coalesce(F.sum("__T").over(wb), F.lit(0)))
+        .withColumn(
+            "__prevmin",
+            F.coalesce(
+                F.min(F.col("__seed") + F.col("__Mb")).over(wb),
+                F.lit(2**62),
+            ),
+        )
+        .select("__k", "__bk", "__seed", "__prevmin")
+    )
+    s = rows.join(buckets, ["__k", "__bk"]).select(
+        "__k",
+        "__n",
+        "__o",
+        "__tie",
+        (
+            F.col("__seed")
+            + F.col("__c")
+            - F.least(
+                F.lit(0),
+                F.col("__prevmin"),
+                F.col("__seed") + F.col("__mc"),
+            )
+        ).alias("__S"),
+    )
+    agg = s.groupBy("__k", "__n").agg(
+        F.max("__S").alias("cusum_num"),
+        # earliest argmax: lexicographic max over (S, -order, -tie)
+        F.max(
+            F.struct(
+                F.col("__S").alias("s"),
+                (-F.col("__o")).alias("no"),
+                (-F.col("__tie")).alias("nt"),
+            )
+        ).alias("__am"),
+        F.sum(
+            F.when(
+                F.col("__S") * F.lit(thr_den)
+                > F.lit(thr_num) * F.col("__n") * F.lit(scale),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alarms"),
+    )
+    return agg.select(
+        F.col("__k").alias(key_col),
+        F.col("__n").alias("n"),
+        F.col("cusum_num").cast("bigint").alias("cusum_num"),
+        half_up_round(
+            F.col("cusum_num") / (F.col("__n") * F.lit(float(scale))), 6
+        ).alias("cusum_max"),
+        (-F.col("__am.no")).cast("bigint").alias("changepoint_at"),
+        "n_alarms",
+    )

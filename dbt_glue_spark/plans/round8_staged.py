@@ -287,3 +287,66 @@ def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return priority_sample_finalize(read_ledger(spark, target), "doc_id", _PS_K)
+
+
+@register_staged(
+    "ext_cusum_changepoints",
+    """
+    WITH base AS (
+      SELECT event_type AS k, epoch_us(ts) AS o, event_id AS tie,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    st AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS tot
+      FROM base GROUP BY k
+    ),
+    y AS (
+      SELECT b.k, n, o, tie, v * n - tot AS y
+      FROM base b JOIN st USING (k)
+    ),
+    p AS (
+      SELECT k, n, o, tie,
+             SUM(y) OVER (PARTITION BY k ORDER BY o, tie) AS pp
+      FROM y
+    ),
+    s AS (
+      SELECT k, n, o, tie,
+             pp - LEAST(0, MIN(pp) OVER (PARTITION BY k ORDER BY o, tie)) AS ss
+      FROM p
+    ),
+    m AS (
+      SELECT k, n, MAX(ss) AS cusum_num,
+             SUM(CASE WHEN ss * 1 > 500 * n * 100 THEN 1 ELSE 0 END) AS n_alarms
+      FROM s GROUP BY k, n
+    )
+    SELECT m.k AS event_type, m.n AS n,
+           CAST(m.cusum_num AS BIGINT) AS cusum_num,
+           floor(CAST(m.cusum_num AS BIGINT) / (m.n * 100.0) * 1e6 + 0.5) / 1e6
+             AS cusum_max,
+           (SELECT MIN(o) FROM s WHERE s.k = m.k AND s.ss = m.cusum_num)
+             AS changepoint_at,
+           CAST(m.n_alarms AS BIGINT) AS n_alarms
+    FROM m
+    """,
+    doc="Per-event-type CUSUM drift scan (audit.cusum_changepoints): "
+    "Page's one-sided statistic via the prefix-sum identity "
+    "S_i = P_i - min(0, min prefix P), all-int64 numerators, two-level "
+    "bucketed prefix sums/mins so no per-key global window exists; "
+    "reports drift magnitude, earliest change-point position, and "
+    "alarm count at h = 500 value units.",
+)
+def ext_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import cusum_changepoints
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ord_us"),
+        "event_id",
+        "value",
+    )
+    return cusum_changepoints(
+        ev, "event_type", "ord_us", "event_id", "value",
+        scale=100, thr_num=500, thr_den=1,
+    )

@@ -225,3 +225,46 @@ def test_staged8_parity_under_forced_spill(spark, sf_dir):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_cusum_changepoints_brute_force(spark):
+    """Hand corpus with a known level shift: the last 5 of 10 points sit
+    ~+10 above the first 5, so Page's statistic must peak at the series
+    end and the brute-force recursion S_i = max(0, S_{i-1} + (x_i - mean))
+    must agree with the bucketed prefix-sum identity exactly."""
+    from dbt_glue_spark.extensions.audit import cusum_changepoints
+
+    series = {
+        "a": [5.0, 6.0, 4.0, 5.0, 5.0, 15.0, 16.0, 14.0, 15.0, 15.0],
+        "b": [7.0] * 6,  # constant: S == 0 everywhere
+        "c": [3.0],  # single point: y = 0
+    }
+    rows = [
+        (k, i + 1, i + 100, v)
+        for k, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, tie long, x double")
+    got = {
+        r.k: (r.n, r.cusum_num, r.cusum_max, r.changepoint_at, r.n_alarms)
+        for r in cusum_changepoints(
+            df, "k", "o", "tie", "x", scale=100, thr_num=2, thr_den=1,
+            n_buckets=3,
+        ).collect()
+    }
+    for k, vals in series.items():
+        n = len(vals)
+        v = [int(x * 100 + 0.5) for x in vals]
+        tot = sum(v)
+        s, smax, arg, alarms = 0, 0, 1, 0
+        for i, vi in enumerate(v):
+            s = max(0, s + vi * n - tot)
+            if s > smax:
+                smax, arg = s, i + 1
+            if s > 2 * n * 100:
+                alarms += 1
+        exp_max = int(smax / (n * 100.0) * 1e6 + 0.5) / 1e6
+        assert got[k] == (n, smax, exp_max, arg if smax > 0 else None, alarms) or (
+            # all-zero series: argmax is the earliest position (o=1)
+            smax == 0 and got[k] == (n, 0, 0.0, 1, 0)
+        ), (k, got[k], (n, smax, exp_max, arg, alarms))
