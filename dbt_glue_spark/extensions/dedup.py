@@ -1225,3 +1225,87 @@ def compact_band_ledger(
     return joined.filter(keep).select(
         led["band_idx"], led["band_key"], led["id"]
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    sort_col: str,
+    window: int = 4,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood method (SNM) candidate pairs — the classic
+    entity-resolution blocking scheme (Hernández & Stolfo '95): sort all
+    rows by a composite key, slide a window of ``window`` rows, emit
+    every pair that co-occurs. Complements the set-similarity joins
+    (minhash/prefix-Jaccard) with the ER shape: near-identical PREFIXES
+    (names, titles, normalized openings) that token-set methods dilute
+    when the tail differs.
+
+    The key is (``group_col``, ``sort_col``, id) — NULLs coalesced to ''
+    so both engines agree on placement; ties broken by id so the order
+    (and hence the pair set) is a pure function of the data.
+
+    100 TB shape: the global rank needs NO global window — rows bucket
+    by (group, ``prefix_len``-char prefix of the sort key), which is
+    order-consistent with the full key; per-bucket counts roll into
+    exclusive prefix offsets on the small bucket frame (the only
+    cross-bucket window, ≤ |alphabet|^prefix_len · n_groups rows); rank
+    = offset + row_number within bucket. Pairing is a self-equi-join on
+    floor(rank/window) blocks (each left row probes its own and the
+    next block), so the candidate join is block-local — never a
+    cartesian band scan. A hot prefix (natural-language 'th…') only
+    widens its own bucket's row_number partition; raise ``prefix_len``
+    to split it.
+
+    Output: (id_a, id_b, rank_gap) with id_a's rank < id_b's,
+    0 < rank_gap < window.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2: {window}")
+    if prefix_len < 1:
+        raise ValueError(f"prefix_len must be >= 1: {prefix_len}")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("__g"),
+        F.coalesce(F.col(sort_col).cast("string"), F.lit("")).alias("__s"),
+    ).withColumn("__bk", F.substring(F.col("__s"), 1, prefix_len))
+    counts = base.groupBy("__g", "__bk").agg(F.count("*").alias("__cnt"))
+    # the ONLY cross-bucket window: exclusive prefix sum over the bucket
+    # frame (one row per (group, prefix) — alphabet-bounded, not
+    # corpus-proportional)
+    wb = Window.orderBy("__g", "__bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__g",
+        "__bk",
+        F.coalesce(F.sum("__cnt").over(wb), F.lit(0)).alias("__off"),
+    )
+    wr = Window.partitionBy("__g", "__bk").orderBy("__s", "__id")
+    ranked = _persist(
+        base.join(offsets, ["__g", "__bk"]).select(
+            "__id",
+            (F.row_number().over(wr) + F.col("__off")).alias("__r"),
+        )
+    )
+    left = ranked.select(
+        F.col("__id").alias("id_a"),
+        F.col("__r").alias("__ra"),
+        F.explode(
+            F.array(
+                F.floor(F.col("__r") / window),
+                F.floor(F.col("__r") / window) + 1,
+            )
+        ).alias("__blk"),
+    )
+    right = ranked.select(
+        F.col("__id").alias("id_b"),
+        F.col("__r").alias("__rb"),
+        F.floor(F.col("__r") / window).alias("__blk"),
+    )
+    gap = F.col("__rb") - F.col("__ra")
+    return (
+        left.join(right, "__blk")
+        .filter((gap > 0) & (gap < window))
+        .select("id_a", "id_b", gap.cast("bigint").alias("rank_gap"))
+    )

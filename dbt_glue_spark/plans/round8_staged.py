@@ -350,3 +350,40 @@ def ext_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", "ord_us", "event_id", "value",
         scale=100, thr_num=500, thr_den=1,
     )
+
+
+@register_staged(
+    "ext_sorted_neighborhood",
+    r"""
+    WITH base AS (
+      SELECT doc_id AS id, coalesce(lang, '') AS g,
+             coalesce(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '') AS s
+      FROM documents
+    ),
+    r AS (
+      SELECT id,
+             row_number() OVER (ORDER BY g, s, id NULLS FIRST) AS rnk
+      FROM base
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap
+    FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk < 4
+    """,
+    doc="Sorted-neighborhood ER candidate pairs "
+    "(dedup.sorted_neighborhood_pairs): documents sorted by "
+    "(lang, normalized text, id), every pair within a 4-row sliding "
+    "window. Global rank built WITHOUT a global window — "
+    "(group, 2-char-prefix) bucket counts roll into exclusive prefix "
+    "offsets on the alphabet-bounded bucket frame; pairing is a "
+    "block-local self-join on floor(rank/window).",
+)
+def ext_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", normalize_text(F.col("text")).alias("norm")
+    )
+    return dedup.sorted_neighborhood_pairs(
+        docs, "doc_id", "lang", "norm", window=4, prefix_len=2
+    )

@@ -268,3 +268,44 @@ def test_cusum_changepoints_brute_force(spark):
             # all-zero series: argmax is the earliest position (o=1)
             smax == 0 and got[k] == (n, 0, 0.0, 1, 0)
         ), (k, got[k], (n, smax, exp_max, arg, alarms))
+
+
+def test_sorted_neighborhood_brute_force(spark):
+    """The bucketed-rank pair set must equal naive sort-then-slide, and
+    be invariant to physical layout (rank is a pure function of the
+    data). Includes ties, shared prefixes, empty and NULL keys."""
+    from dbt_glue_spark.extensions.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "en", "alpha beta"),
+        (2, "en", "alpha beta gamma"),
+        (3, "en", "alpha"),
+        (4, "de", "alpha beta"),
+        (5, "en", "zulu"),
+        (6, "en", ""),
+        (7, None, "alpha beta"),
+        (8, "en", "alpha beta"),  # exact tie with 1 on (g, s)
+        (9, "en", None),
+        (10, "fr", "beta"),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, s string")
+    w = 3
+    got = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(df, "id", "g", "s", window=w).collect()
+    )
+    got_rep = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            df.repartition(7), "id", "g", "s", window=w
+        ).collect()
+    )
+    ordered = sorted(rows, key=lambda r: (r[1] or "", r[2] or "", r[0]))
+    exp = sorted(
+        (a[0], b[0], j - i)
+        for i, a in enumerate(ordered)
+        for j, b in enumerate(ordered)
+        if 0 < j - i < w
+    )
+    assert got == exp, (got, exp)
+    assert got_rep == exp
