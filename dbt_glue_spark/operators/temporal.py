@@ -408,3 +408,86 @@ def interval_islands(
         )
         .drop("__island")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str, str],
+    right_cols: tuple[str, str, str],
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Keyless interval-overlap join: every (left, right) pair of
+    CLOSED intervals with ``l_start <= r_end AND r_start <= l_end`` —
+    the temporal-join shape with NO equi-key (campaign windows ×
+    shipment spans, maintenance windows × sessions) that a plain SQL
+    inequality join executes as a nested-loop band scan.
+
+    ``left_cols``/``right_cols`` are (id, start, end) column names;
+    bounds must already be integers on a shared axis (epoch days/
+    seconds/micros). NULL-bounded rows are dropped; end < start clamps
+    to start (the interval_islands convention).
+
+    100 TB shape: each interval explodes to the ``bucket_width``-wide
+    epoch buckets it covers (ceil(len/width)+1 rows — size the width
+    near the MEDIAN interval length so the blow-up is a small constant),
+    the join is a bucket EQUI-join (hash, never nested-loop), and each
+    overlapping pair survives from exactly ONE bucket — the bucket of
+    the later start, which both sides provably cover — so no distinct
+    pass over the pair set is needed. Long outliers cost their own
+    bucket count only; a hot bucket splits under AQE like any hash key.
+
+    Exactness: bucket ids via floor(x / width) on doubles — exact for
+    |x| < 2⁵² (any epoch-day or epoch-second axis; for micros beyond
+    2⁵² pre-divide the axis), negative axes floor correctly.
+
+    Output: (<left id>, <right id>, overlap_start, overlap_end) — one
+    row per overlapping pair, bounds as bigint.
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1: {bucket_width}")
+    lid, ls, le = left_cols
+    rid, rs, re_ = right_cols
+
+    def clean(df: DataFrame, idc: str, sc: str, ec: str, tag: str) -> DataFrame:
+        s, e = F.col(sc).cast("bigint"), F.col(ec).cast("bigint")
+        return df.filter(s.isNotNull() & e.isNotNull()).select(
+            F.col(idc).alias(f"{tag}id"),
+            s.alias(f"{tag}s"),
+            F.greatest(s, e).alias(f"{tag}e"),
+        )
+
+    w = float(bucket_width)
+    L = clean(left, lid, ls, le, "__l").withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__ls") / w), F.floor(F.col("__le") / w)
+            )
+        ),
+    )
+    R = clean(right, rid, rs, re_, "__r").withColumn(
+        "__bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__rs") / w), F.floor(F.col("__re") / w)
+            )
+        ),
+    )
+    first_common = F.greatest(
+        F.floor(F.col("__ls") / w), F.floor(F.col("__rs") / w)
+    )
+    return (
+        L.join(R, "__bk")
+        .filter(
+            (F.col("__ls") <= F.col("__re"))
+            & (F.col("__rs") <= F.col("__le"))
+            & (F.col("__bk") == first_common)
+        )
+        .select(
+            F.col("__lid").alias(lid),
+            F.col("__rid").alias(rid),
+            F.greatest("__ls", "__rs").cast("bigint").alias("overlap_start"),
+            F.least("__le", "__re").cast("bigint").alias("overlap_end"),
+        )
+    )

@@ -387,3 +387,77 @@ def ext_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.sorted_neighborhood_pairs(
         docs, "doc_id", "lang", "norm", window=4, prefix_len=2
     )
+
+
+@register_staged(
+    "ext_interval_overlap_join",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS oid,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderdate IS NOT NULL
+    ),
+    b AS (
+      SELECT l_orderkey * 10 + l_linenumber AS lid,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS q
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND l_quantity >= 45
+        AND l_shipdate IS NOT NULL
+    ),
+    p AS (
+      SELECT greatest(a.s, b.s) AS os, least(a.s + 7, b.s + b.q) AS oe
+      FROM a JOIN b ON a.s <= b.s + b.q AND b.s <= a.s + 7
+    )
+    SELECT CAST(floor(os / 30.0) AS BIGINT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(oe - os + 1) AS BIGINT) AS overlap_days
+    FROM p GROUP BY 1
+    """,
+    doc="Keyless interval-overlap join (temporal.interval_overlap_join): "
+    "urgent-order 7-day windows x heavy returned-lineitem ship spans, "
+    "matched via exploded epoch-day buckets so the join is a bucket "
+    "EQUI-join (hash, AQE-splittable) instead of the nested-loop band "
+    "scan a plain inequality join plans; each pair survives from "
+    "exactly one bucket (the later start's), no distinct pass. "
+    "Aggregated to 30-day windows: pair count + total overlap days.",
+)
+def ext_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.operators.temporal import interval_overlap_join
+
+    epoch = F.to_date(F.lit("1970-01-01"))
+    a = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_orderkey").alias("oid"),
+            F.datediff(F.col("o_orderdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("s"),
+        )
+        .withColumn("e", F.col("s") + 7)
+    )
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45))
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lid"),
+            F.datediff(F.col("l_shipdate").cast("date"), epoch)
+            .cast("bigint")
+            .alias("s"),
+            F.floor(F.col("l_quantity")).cast("bigint").alias("q"),
+        )
+        .withColumn("e", F.col("s") + F.col("q"))
+    )
+    pairs = interval_overlap_join(
+        a, b, ("oid", "s", "e"), ("lid", "s", "e"), bucket_width=16
+    )
+    return pairs.groupBy(
+        F.floor(F.col("overlap_start") / 30.0).cast("bigint").alias("window_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("overlap_end") - F.col("overlap_start") + 1)
+        .cast("bigint")
+        .alias("overlap_days"),
+    )

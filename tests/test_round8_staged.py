@@ -309,3 +309,40 @@ def test_sorted_neighborhood_brute_force(spark):
     )
     assert got == exp, (got, exp)
     assert got_rep == exp
+
+
+def test_interval_overlap_join_brute_force(spark):
+    """Pair set == naive O(n^2) overlap scan, each pair EXACTLY once
+    (the first-common-bucket rule), on an axis crossing zero with
+    touching endpoints, containment, inverted and NULL bounds."""
+    import random
+
+    from dbt_glue_spark.operators.temporal import interval_overlap_join
+
+    rng = random.Random(11)
+    A = [(i, rng.randint(-40, 40), rng.randint(-40, 40)) for i in range(60)]
+    B = [(100 + i, rng.randint(-40, 40), rng.randint(-40, 40)) for i in range(60)]
+    A.append((98, None, 5))
+    B.append((199, 3, None))
+    la = spark.createDataFrame(A, "aid long, s long, e long")
+    rb = spark.createDataFrame(B, "bid long, s long, e long")
+    for width in (1, 7, 64):
+        got = sorted(
+            tuple(r)
+            for r in interval_overlap_join(
+                la, rb, ("aid", "s", "e"), ("bid", "s", "e"), bucket_width=width
+            ).collect()
+        )
+        exp = []
+        for aid, as_, ae in A:
+            if as_ is None or ae is None:
+                continue
+            ae = max(as_, ae)
+            for bid, bs, be in B:
+                if bs is None or be is None:
+                    continue
+                be = max(bs, be)
+                if as_ <= be and bs <= ae:
+                    exp.append((aid, bid, max(as_, bs), min(ae, be)))
+        assert got == sorted(exp), (width, len(got), len(exp))
+        assert len(got) == len(set(got))  # exactly-once, no dedup pass
