@@ -511,9 +511,14 @@ def cusum_changepoints(
     exclusive prefix min of seed+bucket-min). A month-long hot key
     cannot funnel its whole series into one window partition.
 
-    NULL contract: rows with NULL value or NULL order are excluded
-    (they carry no position in the series); keys with no surviving rows
-    do not appear.
+    NULL contract: rows with NULL value, NULL order, or NULL tie are
+    excluded (they carry no position in the series); keys with no
+    surviving rows do not appear. ``tie_col`` must be non-null and
+    unique per (key, order) among surviving rows — it decides the
+    within-key total order, and a NULL tie would make that order
+    engine-dependent (Spark sorts NULLS FIRST, DuckDB NULLS LAST),
+    silently drifting ``changepoint_at``. (A non-bigint-castable tie
+    string fails the cast loudly under ANSI mode — never silently.)
 
     Output per key: n (bigint), cusum_num (bigint, max S numerator),
     cusum_max (double, 6 dp, value units), changepoint_at (bigint — the
@@ -534,7 +539,11 @@ def cusum_changepoints(
         F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5))
         .cast("bigint")
         .alias("__v"),
-    ).filter(F.col("__v").isNotNull() & F.col("__o").isNotNull())
+    ).filter(
+        F.col("__v").isNotNull()
+        & F.col("__o").isNotNull()
+        & F.col("__tie").isNotNull()
+    )
     st = base.groupBy("__k").agg(
         F.count("*").cast("bigint").alias("__n"),
         F.sum("__v").cast("bigint").alias("__tot"),
@@ -623,3 +632,118 @@ def cusum_changepoints(
         (-F.col("__am.no")).cast("bigint").alias("changepoint_at"),
         "n_alarms",
     )
+
+
+def psi_js_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_cols: list[str] | str,
+    bucket_width: int = 64,
+    n_buckets: int = 32,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-feature PSI and Jensen–Shannon drift between two snapshots —
+    the log-based half of the standard data-drift kit, complementing
+    :func:`ks_distance` (max-CDF-gap) and :func:`distribution_drift`
+    (TV/chi-square terms): PSI is THE industry retrain-trigger score
+    (rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 act), JS is
+    its symmetric, always-finite cousin (∈ [0, ln 2], no epsilon
+    needed).
+
+    Per feature f: fixed-width histograms (``value_histogram``) on each
+    side, then over the joined buckets
+    ``PSI = Σ (pa' − pb')·ln(pa'/pb')`` with p' = max(p, eps) (the
+    standard zero-bucket clamp, ``eps`` documented in the output via the
+    formula only — the raw counts are also returned per call via
+    n_buckets_used), and
+    ``JS = ½·Σ pa·ln(2pa/(pa+pb)) + ½·Σ pb·ln(2pb/(pa+pb))`` with the
+    0·ln 0 = 0 convention.
+
+    Float determinism (why this is oracle-exact in practice despite the
+    logarithms): proportions are single IEEE divisions of exact bigint
+    counts; each bucket term is a short fixed chain of IEEE ops; and the
+    ≤ ``n_buckets`` terms are summed by folding a bucket-SORTED
+    collected array (``F.aggregate`` over ``sort_array``) — a
+    deterministic left-to-right fold both engines replay in the same
+    order, never a partition-order-dependent distributed float SUM. The
+    only residual risk is a last-ULP divergence of ln/exp libm calls,
+    absorbed by the half-up 6 dp rounding of the final statistic.
+
+    100 TB shape: per feature, each side collapses to ≤ n_buckets rows
+    via map-side partial aggregation at the scan; everything after is
+    constant-size (bucket join, 1-row totals broadcast, ≤ n_buckets-row
+    collected fold). Features are independent single-scan passes unioned
+    at the end — the union is |features| rows.
+
+    Output per feature: (feature, n_a, n_b, n_buckets_used, psi, js) —
+    psi/js half-up 6 dp; a side with zero rows yields NULL psi/js.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    if isinstance(value_cols, str):
+        value_cols = [value_cols]
+    if not value_cols:
+        raise ValueError("value_cols must name at least one feature")
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0: {eps}")
+
+    outs = []
+    for c in value_cols:
+        ha = value_histogram(a, c, bucket_width, n_buckets)
+        hb = value_histogram(b, c, bucket_width, n_buckets)
+        joined = (
+            ha.select("bucket", F.col("cnt").alias("ca"))
+            .join(
+                hb.select("bucket", F.col("cnt").alias("cb")),
+                "bucket",
+                "full_outer",
+            )
+            .select(
+                "bucket",
+                F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+                F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+            )
+            .join(F.broadcast(ha.agg(F.sum("cnt").cast("bigint").alias("n_a"))))
+            .join(F.broadcast(hb.agg(F.sum("cnt").cast("bigint").alias("n_b"))))
+        )
+        pa = F.col("ca").cast("double") / F.col("n_a").cast("double")
+        pb = F.col("cb").cast("double") / F.col("n_b").cast("double")
+        pa_c = F.greatest(pa, F.lit(float(eps)))
+        pb_c = F.greatest(pb, F.lit(float(eps)))
+        psi_term = (pa_c - pb_c) * F.log(pa_c / pb_c)
+        js_a = F.when(
+            F.col("ca") > 0, pa * F.log(F.lit(2.0) * pa / (pa + pb))
+        ).otherwise(F.lit(0.0))
+        js_b = F.when(
+            F.col("cb") > 0, pb * F.log(F.lit(2.0) * pb / (pa + pb))
+        ).otherwise(F.lit(0.0))
+        terms = joined.select(
+            "n_a",
+            "n_b",
+            F.struct(
+                F.col("bucket"),
+                psi_term.alias("psi_t"),
+                (F.lit(0.5) * (js_a + js_b)).alias("js_t"),
+            ).alias("t"),
+        )
+        folded = terms.groupBy("n_a", "n_b").agg(
+            F.count("*").cast("bigint").alias("n_buckets_used"),
+            F.sort_array(F.collect_list("t")).alias("ts"),
+        )
+        fold = lambda field: F.aggregate(  # noqa: E731
+            "ts", F.lit(0.0), lambda acc, s: acc + s[field]
+        )
+        outs.append(
+            folded.select(
+                F.lit(c).alias("feature"),
+                "n_a",
+                "n_b",
+                "n_buckets_used",
+                half_up_round(fold("psi_t"), 6).alias("psi"),
+                half_up_round(fold("js_t"), 6).alias("js"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

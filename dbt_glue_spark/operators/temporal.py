@@ -416,6 +416,7 @@ def interval_overlap_join(
     left_cols: tuple[str, str, str],
     right_cols: tuple[str, str, str],
     bucket_width: int = 16,
+    max_buckets_per_interval: int = 65536,
 ) -> DataFrame:
     """Keyless interval-overlap join: every (left, right) pair of
     CLOSED intervals with ``l_start <= r_end AND r_start <= l_end`` —
@@ -441,13 +442,36 @@ def interval_overlap_join(
     |x| < 2⁵² (any epoch-day or epoch-second axis; for micros beyond
     2⁵² pre-divide the axis), negative axes floor correctly.
 
+    Blow-up guard: one extreme-length interval (bad data, or an
+    epoch-micros axis joined with the default ``bucket_width=16``)
+    would otherwise explode to a multi-billion-element bucket sequence
+    and OOM its executor. Any row spanning more than
+    ``max_buckets_per_interval`` buckets fails the job with an explicit
+    error naming the offending span — raise the cap (or widen
+    ``bucket_width`` toward the median interval length) deliberately,
+    never silently.
+
+    The two id column names must differ (both appear in the output);
+    equal names would alias both sides to one name and break any
+    downstream select — rejected up front.
+
     Output: (<left id>, <right id>, overlap_start, overlap_end) — one
     row per overlapping pair, bounds as bigint.
     """
     if bucket_width < 1:
         raise ValueError(f"bucket_width must be >= 1: {bucket_width}")
+    if max_buckets_per_interval < 1:
+        raise ValueError(
+            f"max_buckets_per_interval must be >= 1: {max_buckets_per_interval}"
+        )
     lid, ls, le = left_cols
     rid, rs, re_ = right_cols
+    if lid == rid:
+        raise ValueError(
+            "left and right id columns are both named "
+            f"{lid!r}: the output carries both — rename one side "
+            "(e.g. .withColumnRenamed) so the pair columns stay selectable"
+        )
 
     def clean(df: DataFrame, idc: str, sc: str, ec: str, tag: str) -> DataFrame:
         s, e = F.col(sc).cast("bigint"), F.col(ec).cast("bigint")
@@ -458,21 +482,34 @@ def interval_overlap_join(
         )
 
     w = float(bucket_width)
+
+    def buckets(sc: str, ec: str):
+        # executor-side blow-up guard: the sequence end routes through a
+        # raise_error branch so Catalyst cannot prune the check, and a
+        # pathological span fails loudly instead of materializing
+        # billions of bucket rows
+        b0, b1 = F.floor(F.col(sc) / w), F.floor(F.col(ec) / w)
+        checked_end = F.when(
+            b1 - b0 >= F.lit(int(max_buckets_per_interval)),
+            F.raise_error(
+                F.format_string(
+                    "interval_overlap_join: interval [%s, %s] spans more "
+                    "than max_buckets_per_interval=%s buckets of width %s"
+                    " — widen bucket_width or raise the cap explicitly",
+                    F.col(sc),
+                    F.col(ec),
+                    F.lit(str(max_buckets_per_interval)),
+                    F.lit(str(bucket_width)),
+                )
+            ).cast("bigint"),
+        ).otherwise(b1)
+        return F.explode(F.sequence(b0, checked_end))
+
     L = clean(left, lid, ls, le, "__l").withColumn(
-        "__bk",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("__ls") / w), F.floor(F.col("__le") / w)
-            )
-        ),
+        "__bk", buckets("__ls", "__le")
     )
     R = clean(right, rid, rs, re_, "__r").withColumn(
-        "__bk",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("__rs") / w), F.floor(F.col("__re") / w)
-            )
-        ),
+        "__bk", buckets("__rs", "__re")
     )
     first_common = F.greatest(
         F.floor(F.col("__ls") / w), F.floor(F.col("__rs") / w)

@@ -64,6 +64,12 @@ def _load_all() -> None:
 
     _REGISTRY.update(round7_staged.STAGED())
 
+    # Round-8 promotion: the 6 operators staged (and ×7-profile
+    # parity-proven) during round 7 join the live catalog (230 → 236).
+    from dbt_glue_spark.plans import round8_staged
+
+    _REGISTRY.update(round8_staged.STAGED8())
+
 
 def _family(name: str) -> str:
     """Coarse operator family, by naming convention."""
@@ -75,7 +81,7 @@ def _family(name: str) -> str:
     return "relational"
 
 
-def _previously_checked() -> set[str]:
+def _previously_checked(root: str | None = None) -> set[str]:
     """Query names with a fully GREEN driver CORRECTNESS_r*.json row.
 
     The external correctness gate samples a prefix of this catalog each
@@ -96,7 +102,10 @@ def _previously_checked() -> set[str]:
     no ``err``) still count — re-sampling them would never produce a
     stronger signal.
     """
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
     latest_green: dict[str, bool] = {}
 
     def _round_no(path: str) -> int:

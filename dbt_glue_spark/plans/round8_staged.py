@@ -296,7 +296,7 @@ def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS k, epoch_us(ts) AS o, event_id AS tie,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
       FROM events
-      WHERE value IS NOT NULL AND ts IS NOT NULL
+      WHERE value IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
     ),
     st AS (
       SELECT k, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS tot

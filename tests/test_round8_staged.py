@@ -40,17 +40,23 @@ def test_staged8_oracle_parity(spark, sf_dir, name):
     _exact_compare(spark, sf_dir, STAGED8()[name])
 
 
-def test_catalog_holds_at_230_and_staged8_not_registered():
-    """Stage-then-promote: the round-8 pool must NOT be live this round —
-    registering mid-round would push never-checked entries into the
-    driver's 50-query prefix and crowd out the 16 round-7 promotions
-    earning their first hard rows."""
-    from dbt_glue_spark.plans.catalog import SPECS
+def test_staged8_promoted_and_sampled_first():
+    """Round-8 promotion contract (rotation-invariant form, per the r7
+    verdict's time-bomb lesson): the 6 staged operators are live in the
+    catalog (230 + 6 = 236), and any of them WITHOUT a green latest
+    driver CORRECTNESS row sits in the driver's 50-query sampled prefix
+    — true before the driver run (all 6 in the never-checked tier) and
+    after it (green rows rotate out, red rows must re-enter)."""
+    from dbt_glue_spark.plans.catalog import SPECS, _previously_checked
 
     specs = SPECS()
-    assert len(specs) == 230, len(specs)
-    overlap = set(STAGED8_NAMES) & set(specs)
-    assert not overlap, overlap
+    assert len(specs) == 236, len(specs)
+    missing = set(STAGED8_NAMES) - set(specs)
+    assert not missing, missing
+    prefix = set(list(specs)[:50])
+    unchecked = set(STAGED8_NAMES) - _previously_checked()
+    not_in_prefix = unchecked - prefix
+    assert not not_in_prefix, not_in_prefix
 
 
 def test_exact_substring_spans_brute_force(spark):
@@ -346,3 +352,63 @@ def test_interval_overlap_join_brute_force(spark):
                     exp.append((aid, bid, max(as_, bs), min(ae, be)))
         assert got == sorted(exp), (width, len(got), len(exp))
         assert len(got) == len(set(got))  # exactly-once, no dedup pass
+
+
+def test_interval_overlap_join_bucket_blowup_guard(spark):
+    """An extreme-length interval (epoch-micros-scale span against the
+    default width) must FAIL the job with the explicit guard message —
+    never silently materialize a multi-billion-row bucket sequence —
+    while the same data passes once the cap is raised to cover it."""
+    from dbt_glue_spark.operators.temporal import interval_overlap_join
+
+    la = spark.createDataFrame(
+        [(1, 0, 10_000_000)], "aid long, s long, e long"
+    )
+    rb = spark.createDataFrame([(2, 5, 9)], "bid long, s long, e long")
+    bad = interval_overlap_join(
+        la, rb, ("aid", "s", "e"), ("bid", "s", "e"),
+        bucket_width=16, max_buckets_per_interval=1000,
+    )
+    with pytest.raises(Exception, match="max_buckets_per_interval"):
+        bad.collect()
+    ok = interval_overlap_join(
+        la, rb, ("aid", "s", "e"), ("bid", "s", "e"),
+        bucket_width=16, max_buckets_per_interval=1_000_000,
+    ).collect()
+    assert [tuple(r) for r in ok] == [(1, 2, 5, 9)]
+    with pytest.raises(ValueError, match="max_buckets_per_interval"):
+        interval_overlap_join(
+            la, rb, ("aid", "s", "e"), ("bid", "s", "e"),
+            max_buckets_per_interval=0,
+        )
+
+
+def test_interval_overlap_join_rejects_colliding_id_names(spark):
+    """Both sides' id columns appear in the output: equal names would
+    alias two different columns to one and break downstream selects —
+    rejected up front with a rename hint."""
+    from dbt_glue_spark.operators.temporal import interval_overlap_join
+
+    df = spark.createDataFrame([(1, 0, 5)], "id long, s long, e long")
+    with pytest.raises(ValueError, match="rename"):
+        interval_overlap_join(df, df, ("id", "s", "e"), ("id", "s", "e"))
+
+
+def test_cusum_null_tie_rows_dropped(spark):
+    """NULL tie rows are excluded like NULL value/order rows: within-key
+    ordering stays engine-deterministic instead of drifting on
+    Spark-NULLS-FIRST vs DuckDB-NULLS-LAST."""
+    from dbt_glue_spark.extensions.audit import cusum_changepoints
+
+    rows = [
+        ("k", 1, "1", 10.0),
+        ("k", 2, None, 99.0),   # NULL tie -> dropped
+        ("k", 2, "2", 20.0),
+        ("k", 3, "3", 30.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, o long, tie string, v double")
+    kept = df.filter(F.col("tie").isNotNull())
+    got = cusum_changepoints(df, "k", "o", "tie", "v").collect()
+    exp = cusum_changepoints(kept, "k", "o", "tie", "v").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    assert got[0].n == 3

@@ -42,7 +42,19 @@ A fifth axis, ``--variant=long``, makes ~1/3 of documents 64× longer
 (repetitions of their own text with per-repetition markers) — the
 per-row blowup shape for tokenize/shingle/chunk operators.
 
-Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot|long]
+A sixth axis, ``--variant=textskew``, is the TEXT-side analogue of the
+hot-key axis (which mutates FK/group keys and so cannot stress
+operators keyed on document CONTENT): 90 % of documents gain one shared
+repeated boilerplate prefix (63 tokens — well past the 16-token
+ExactSubstr seed length, so every prefix seed is corpus-hot), and ~1 %
+become mega-documents of almost pure boilerplate (64 repetitions).
+This is the shape that stresses exact_substring_spans' seed-row
+exchange (one hash owns ~90 % of seed occurrences), the
+sorted-neighborhood hot prefix bucket (most docs sort into one 2-char
+prefix block), and prefix-Jaccard's stop-shingle postings (boilerplate
+shingles have df ≈ corpus size).
+
+Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot|long|textskew]
 """
 
 from __future__ import annotations
@@ -221,6 +233,40 @@ def mutate_long(df, rows: int = 300):
     return out
 
 
+# 21 tokens × 3 repetitions = 63 shared prefix tokens: longer than the
+# 16-token ExactSubstr seed, wide enough that every 3-token shingle in
+# the prefix is a stop-shingle (df ≈ 0.9 · corpus)
+_BOILER = " ".join(
+    ["terms of service privacy policy all rights reserved contact us"
+     " subscribe newsletter cookie consent copyright footer navigation"
+     " home about sitemap legal"] * 3
+)
+
+
+def mutate_textskew(df, rows: int | None = 300):
+    """Text-skew variant: 90 % of documents share one repeated
+    boilerplate PREFIX and ~1 % become mega-documents of almost pure
+    boilerplate — the content-side hot-key shape (the ``hot`` variant
+    mutates FK/group keys, which text operators never key on).
+    ``n_chars`` is recomputed so length-derived features stay
+    consistent."""
+    base = df if rows is None else df.limit(rows)
+    if "text" not in df.columns:
+        return base
+    h = F.abs(F.hash(F.col(df.columns[0]).cast("string"), F.lit("textskew")))
+    mega = F.concat_ws(" ", F.array_repeat(F.lit(_BOILER), 64))
+    out = base.withColumn(
+        "text",
+        F.when(h % 97 == 0, mega)
+        .when(h % 10 != 0, F.concat_ws(" ", F.lit(_BOILER), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    if "n_chars" in df.columns:
+        dt = dict(df.dtypes)["n_chars"]
+        out = out.withColumn("n_chars", F.length("text").cast(dt))
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     variant = "dirty"
@@ -234,6 +280,7 @@ def main() -> None:
         "ts": "/tmp/sf_ts",
         "hot": "/tmp/sf_hot",
         "long": "/tmp/sf_long",
+        "textskew": "/tmp/sf_textskew",
     }
     out = args[1] if len(args) > 1 else defaults[variant]
     fn = {
@@ -242,6 +289,7 @@ def main() -> None:
         "ts": mutate_ts,
         "hot": mutate_hot,
         "long": mutate_long,
+        "textskew": mutate_textskew,
     }[variant]
     spark = get_spark("pathological_gen")
     spark.sparkContext.setLogLevel("ERROR")

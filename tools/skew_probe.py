@@ -13,7 +13,17 @@ large ratio flags a single-partition hot spot that would become a
 straggler at 100 TB. Results and adjudications live in SCALE.md
 ("Round-6 skew-degradation probe").
 
-Usage: python tools/skew_probe.py [sf_dir] [--reps=3]
+A second axis, ``--axis=textskew``, probes the CONTENT-side hot shape
+(gen_pathological --variant=textskew: 90 % shared boilerplate prefix +
+~1 % mega-documents) against the text heavyweights the key-hot axis is
+insensitive to by construction — exact-substring seed exchange,
+sorted-neighborhood prefix blocks, prefix-Jaccard stop-shingle
+postings, minhash banding. Note the textskew mutation ADDS tokens
+(~63/doc + 64×-boilerplate mega-docs), so ratios fold real extra work
+in with skew sensitivity — adjudicate against the corpus token count
+(reported as ``token_ratio``), not 1.0.
+
+Usage: python tools/skew_probe.py [sf_dir] [--reps=3] [--axis=hot|textskew]
 Prints one JSON line: {query: {"clean": s, "hot": s, "ratio": r}}.
 """
 
@@ -30,7 +40,7 @@ _TOOLS = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_TOOLS))
 sys.path.insert(0, _TOOLS)
 
-from gen_pathological import mutate_hot  # noqa: E402
+from gen_pathological import mutate_hot, mutate_textskew  # noqa: E402
 
 from dbt_glue_spark.plans.catalog import SPECS  # noqa: E402
 from dbt_glue_spark.session import get_spark  # noqa: E402
@@ -59,6 +69,19 @@ PROBED = [
     "ext_interval_islands",          # keyed lag/sum windows by custkey
 ]
 
+# Text heavyweights probed on the content-side textskew axis (VERDICT r7
+# item 5): the key-hot axis mutates FK/group keys, which these are
+# insensitive to by construction.
+PROBED_TEXT = [
+    "ext_exact_substring_spans",     # hot seed hash owns ~90% of seeds
+    "ext_sorted_neighborhood",       # one 2-char prefix block dominates
+    "ext_prefix_jaccard_join",       # stop-shingle postings, df ~ corpus
+    "ext_minhash_lsh_pairs",         # banded signatures over near-dup mass
+    "ext_span_dedup",                # shared-prefix span collapse
+    "ext_ngram_dup_fraction",        # n-gram repeat audit on boilerplate
+    "ext_text_stats",                # control: per-doc map-only stats
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -79,18 +102,37 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     reps = 3
+    axis = "hot"
     for a in sys.argv[1:]:
         if a.startswith("--reps"):
             reps = int(a.split("=", 1)[1])
+        if a.startswith("--axis"):
+            axis = a.split("=", 1)[1]
+    mutator = {"hot": mutate_hot, "textskew": mutate_textskew}[axis]
+    probed = {"hot": PROBED, "textskew": PROBED_TEXT}[axis]
     spark = get_spark("skew_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     hot_dir = tempfile.mkdtemp(prefix="dgs_skew_probe_")
     try:
+        token_ratio = None
         for t in TABLES:
-            mutate_hot(load_table(spark, sf_dir, t), rows=None).write.mode(
+            mutator(load_table(spark, sf_dir, t), rows=None).write.mode(
                 "overwrite"
             ).parquet(os.path.join(hot_dir, f"{t}.parquet"))
+        if axis == "textskew":
+            # the mutation adds real tokens: report the corpus blow-up so
+            # runtime ratios are adjudicated against it, not against 1.0
+            def _toks(d):
+                from pyspark.sql import functions as F
+
+                return (
+                    load_table(spark, d, "documents")
+                    .agg(F.sum(F.size(F.split("text", r"\s+"))))
+                    .collect()[0][0]
+                )
+
+            token_ratio = round(_toks(hot_dir) / _toks(sf_dir), 2)
 
         specs = SPECS()
         results: dict[str, dict] = {}
@@ -98,10 +140,10 @@ def main() -> None:
         # each plan compiles its own WholeStageCodegen, so warming only
         # one query would leave the others' first rep paying compile
         # time (visible at --reps=1 on sub-second queries)
-        for name in PROBED:
+        for name in probed:
             _force(specs[name].fn(spark, sf_dir))
             _force(specs[name].fn(spark, hot_dir))
-        for name in PROBED:
+        for name in probed:
             clean = _time(lambda: _force(specs[name].fn(spark, sf_dir)), reps)
             hot = _time(lambda: _force(specs[name].fn(spark, hot_dir)), reps)
             results[name] = {
@@ -110,7 +152,10 @@ def main() -> None:
                 "ratio": round(hot / clean, 2) if clean else None,
             }
             print(name, results[name], file=sys.stderr)
-        print(json.dumps({"sf_dir": sf_dir, "reps": reps, "results": results}))
+        out = {"sf_dir": sf_dir, "reps": reps, "axis": axis, "results": results}
+        if token_ratio is not None:
+            out["token_ratio"] = token_ratio
+        print(json.dumps(out))
     finally:
         shutil.rmtree(hot_dir, ignore_errors=True)
 
