@@ -739,8 +739,24 @@ def psi_js_drift(
                 "n_a",
                 "n_b",
                 "n_buckets_used",
-                half_up_round(fold("psi_t"), 6).alias("psi"),
-                half_up_round(fold("js_t"), 6).alias("js"),
+                # an empty side means no distribution to compare: NULL
+                # statistic, explicitly — Spark's greatest() IGNORES
+                # NULLs, so without this gate the eps clamp would
+                # swallow the NULL proportion and emit a finite psi
+                half_up_round(
+                    F.when(
+                        F.col("n_a").isNotNull() & F.col("n_b").isNotNull(),
+                        fold("psi_t"),
+                    ),
+                    6,
+                ).alias("psi"),
+                half_up_round(
+                    F.when(
+                        F.col("n_a").isNotNull() & F.col("n_b").isNotNull(),
+                        fold("js_t"),
+                    ),
+                    6,
+                ).alias("js"),
             )
         )
     out = outs[0]

@@ -1309,3 +1309,82 @@ def sorted_neighborhood_pairs(
         .filter((gap > 0) & (gap < window))
         .select("id_a", "id_b", gap.cast("bigint").alias("rank_gap"))
     )
+
+
+def contamination_ledger(
+    eval_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Build (or extend, via :func:`extend_contamination_ledger`) the
+    persisted eval-side state for CROSS-RUN decontamination: the
+    distinct (shingle, b_id) posting list of the benchmark/eval corpus.
+
+    :func:`contamination_pairs` is one-shot — every training run
+    re-scans the eval sets. Production pipelines instead carry this
+    ledger (the ``minhash_band_ledger`` pattern applied to exact
+    n-gram postings): build once per eval-suite release, check each
+    arriving training batch against it, and never touch the eval text
+    again. Eval suites are tiny (thousands of docs), so the ledger is
+    MBs — broadcastable at any training-corpus scale.
+
+    Postings carry the md5 of the shingle, not the text: the ledger
+    row is (16-byte hash, id), and the batch side hashes identically —
+    collision probability over an eval suite's shingles is negligible
+    and two-sided (both engines hash the same way).
+    """
+    return (
+        _shingle_postings(eval_corpus, text_col, id_col, n, None)
+        .select(F.md5("shingle").alias("sh"), F.col("id").alias("b_id"))
+        .distinct()
+    )
+
+
+def extend_contamination_ledger(
+    ledger: DataFrame,
+    new_evals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Fold a newly released eval set into the ledger (same ``n`` as the
+    build — mixing shingle widths would silently under-match). Pure
+    union + distinct: the ledger stays the exact posting list of the
+    union of eval corpora."""
+    return ledger.unionByName(
+        contamination_ledger(new_evals, text_col, id_col, n)
+    ).distinct()
+
+
+def contamination_check_incremental(
+    train_batch: DataFrame,
+    ledger: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_common: int = 5,
+) -> DataFrame:
+    """Check ONE training batch against the carried eval ledger:
+    (a_id, b_id, n_common) for batch×eval pairs sharing ≥ ``min_common``
+    distinct word n-grams — exactly :func:`contamination_pairs`'
+    semantics (the union of per-batch results over a partition of the
+    training corpus equals the one-shot pairs, since postings join
+    row-independently and n_common counts distinct shingles of a fixed
+    (a_id, b_id) pair — no cross-batch state exists).
+
+    100 TB shape: per-batch cost ∝ batch postings × matching ledger
+    postings; the ledger (eval-sized, MBs) is the natural broadcast
+    side, so each batch is one scan + one broadcast-hash-join +
+    a (a_id, b_id)-keyed partial-agg count — never a corpus-wide pass,
+    never eval-text re-reads.
+    """
+    sh_a = _shingle_postings(train_batch, text_col, id_col, n, None).select(
+        F.md5("shingle").alias("sh"), F.col("id").alias("a_id")
+    )
+    return (
+        sh_a.join(ledger, "sh")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -488,3 +488,89 @@ def weighted_sample_by_group(
         half_up_round(est, 4).alias("est_weight"),
         "__rn",
     ).filter(F.col("__rn") <= k).drop("__rn")
+
+
+#: 16^13 = 2^52: (h+1)/2^52 with h+1 <= 2^52 is an EXACT binary division —
+#: the A-ExpJ uniform is the same IEEE double in any engine.
+_U_DEN = float(16**13)
+
+
+def ppswor_sample_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 64,
+    seed: str = "7",
+) -> DataFrame:
+    """Per-group weighted sampling WITHOUT replacement via A-ExpJ
+    (Efraimidis–Spirakis 2006) exponential priorities — the PPSWOR
+    (probability-proportional-to-size, without replacement) quota
+    sampler. Complements :func:`weighted_sample_by_group`: that is the
+    Duffield–Lund–Thorup PRIORITY sample (max(w, τ) estimator, its own
+    inclusion law); this draws the classic sequential-weighted-sampling
+    distribution — row i survives round r with probability
+    w_i / Σ_remaining w — which is what quota specs ("64 docs per
+    source, ∝ length, no repeats") usually mean.
+
+    Model: each row draws the deterministic uniform
+    u = (md5₅₂(seed:key)+1)/2⁵² (an EXACT double — the numerator has
+    ≤ 52 bits, the denominator is a power of two) and the exponential
+    race variate e = −ln(u)/w ~ Exp(w); the k smallest e per group win.
+    Bottom-k-by-Exp(w) is distributionally identical to k sequential
+    weighted draws (the Gumbel/exponential-race argument in
+    Efraimidis–Spirakis; Cohen's bottom-k sketches).
+
+    Estimator: with τ_g = the (k+1)-th smallest e in group g, the
+    Horvitz–Thompson-style subset-sum weight conditioned on τ is
+    est = w / (1 − exp(−w·τ)) (inclusion probability of i given τ is
+    P[Exp(w_i) < τ]); groups with ≤ k rows keep every row at est = w.
+
+    Float determinism: u is exact; e is two IEEE ops on exact inputs
+    (one libm ln, one division) — engine-identical in practice, with a
+    last-ULP tie flipping sample membership only if two keys land
+    within ~1e-16 relative (P ≈ n²/2·10⁻¹⁶ — and deterministic per
+    fixed corpus, so the ×-profile parity gates would catch it);
+    est_weight's exp/division round half-up 4 dp. Ties break on key.
+
+    100 TB shape: mirrors weighted_sample_by_group — the only window is
+    rank PARTITIONED BY GROUP (parallel across strata, state bounded by
+    the group), τ is a conditional max inside the same partition,
+    nothing broadcasts, nothing collects.
+
+    Output: group, key, weight (bigint), est_weight (double 4 dp).
+    """
+    from dbt_glue_spark.extensions.sketches import hash_int
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    h = hash_int(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    w = F.greatest(F.coalesce(F.col(weight_col).cast("bigint"), F.lit(1)), F.lit(1))
+    e = -F.log((h + F.lit(1)).cast("double") / F.lit(_U_DEN)) / w.cast("double")
+    pri = df.select(
+        F.col(group_col), F.col(key_col), w.alias("weight"), e.alias("__e")
+    )
+    wnd = Window.partitionBy(group_col).orderBy(
+        F.col("__e").asc(), F.col(key_col).asc()
+    )
+    ranked = pri.select("*", F.row_number().over(wnd).alias("__rn")).filter(
+        F.col("__rn") <= k + 1
+    )
+    tw = Window.partitionBy(group_col)
+    tau = F.max(F.when(F.col("__rn") == k + 1, F.col("__e"))).over(tw)
+    est = F.when(tau.isNull(), F.col("weight").cast("double")).otherwise(
+        F.col("weight").cast("double")
+        / (F.lit(1.0) - F.exp(-F.col("weight").cast("double") * tau))
+    )
+    return (
+        ranked.select(
+            group_col,
+            key_col,
+            "weight",
+            half_up_round(est, 4).alias("est_weight"),
+            "__rn",
+        )
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

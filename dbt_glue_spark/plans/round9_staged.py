@@ -1,0 +1,279 @@
+"""Round-9 STAGED queries — built and parity-proven during round 8,
+to be promoted at the round-8→9 boundary (standing rule: new operators
+stage mid-round so the driver's sampled correctness prefix stays closed
+over the live catalog, and promote only between rounds).
+
+Same :class:`QuerySpec` contract and exact-DuckDB gates as the earlier
+pools (tests/test_round9_staged.py, every pathological data profile).
+Promotion = merge ``STAGED9()`` into ``catalog._load_all`` exactly like
+round7_staged/round8_staged.
+
+The three operators close VERDICT r7 item 4 (the next staged tier):
+
+- ``ext_psi_js_drift`` — per-feature PSI + Jensen–Shannon drift
+  (audit.psi_js_drift), the log-based half of the drift kit next to
+  ks_distance and the TV/chi-square distribution_drift;
+- ``ext_ppswor_sample`` — per-group weighted sampling WITHOUT
+  replacement via A-ExpJ exponential priorities
+  (sampling.ppswor_sample_by_group), the PPSWOR twin of the
+  Duffield–Lund–Thorup priority sampler;
+- ``ext_contamination_ledger`` — cross-run train/eval decontamination
+  against a carried posting ledger
+  (dedup.contamination_ledger / contamination_check_incremental),
+  the incremental-ledger pattern applied to contamination_pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.extensions.sketches import _duck_hash_int
+from dbt_glue_spark.plans.catalog import QuerySpec
+from dbt_glue_spark.sources.registry import load_table
+
+_STAGED9: dict[str, QuerySpec] = {}
+
+
+def register_staged(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _STAGED9[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def STAGED9() -> dict[str, QuerySpec]:
+    return dict(_STAGED9)
+
+
+# ---------------------------------------------------------------------------
+# ext_psi_js_drift
+# ---------------------------------------------------------------------------
+
+# Snapshot B is the deterministic mutation ext_corpus_diff /
+# ext_distribution_drift replay: ~1/17 of docs removed, ~1/13 edited,
+# ~1/23 added — so the three drift queries read as one monitoring
+# pipeline over the same synthetic ingest event.
+_B_SNAP = """
+    b_snap AS (
+      SELECT text || CASE WHEN doc_id % 13 = 0 THEN ' [edited]'
+                          ELSE '' END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT 'new document ' || doc_id AS text
+      FROM documents WHERE doc_id % 23 = 0
+    )
+"""
+
+_PSI_W = 64
+_PSI_NB = 32
+_PSI_EPS = 1e-6
+
+
+def _psi_feature_sql(feature: str, expr: str) -> str:
+    """Per-feature PSI/JS SQL block (histogram → join → term → fold),
+    mirroring audit.psi_js_drift bucket-for-bucket."""
+    return f"""
+    SELECT '{feature}' AS feature, n_a, n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           FLOOR(SUM(psi_t) * 1000000.0 + 0.5) / 1000000.0 AS psi,
+           FLOOR(SUM(js_t) * 1000000.0 + 0.5) / 1000000.0 AS js
+    FROM (
+      SELECT bucket, n_a, n_b,
+             (GREATEST(pa, {_PSI_EPS!r}) - GREATEST(pb, {_PSI_EPS!r}))
+               * ln(GREATEST(pa, {_PSI_EPS!r}) / GREATEST(pb, {_PSI_EPS!r}))
+               AS psi_t,
+             0.5 * (CASE WHEN ca > 0
+                         THEN pa * ln(2.0 * pa / (pa + pb)) ELSE 0.0 END
+                    + CASE WHEN cb > 0
+                           THEN pb * ln(2.0 * pb / (pa + pb)) ELSE 0.0 END)
+               AS js_t
+      FROM (
+        SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+               CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
+               CAST(COALESCE(cb, 0) AS BIGINT) AS cb,
+               n_a, n_b,
+               CAST(COALESCE(ca, 0) AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+               CAST(COALESCE(cb, 0) AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb
+        FROM (
+          SELECT CAST(LEAST(FLOOR(({expr}) / {_PSI_W}), {_PSI_NB - 1}) AS INT)
+                   AS bucket, CAST(COUNT(*) AS BIGINT) AS ca
+          FROM documents GROUP BY 1
+        ) ha
+        FULL OUTER JOIN (
+          SELECT CAST(LEAST(FLOOR(({expr}) / {_PSI_W}), {_PSI_NB - 1}) AS INT)
+                   AS bucket, CAST(COUNT(*) AS BIGINT) AS cb
+          FROM b_snap GROUP BY 1
+        ) hb ON ha.bucket = hb.bucket,
+        (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_a,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM b_snap) AS n_b) t
+      )
+    )
+    GROUP BY n_a, n_b
+    """
+
+
+_N_TOKENS_SQL = r"len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))"
+
+
+@register_staged(
+    "ext_psi_js_drift",
+    "WITH "
+    + _B_SNAP
+    + _psi_feature_sql("len_chars", "LENGTH(text)")
+    + " UNION ALL "
+    + _psi_feature_sql("n_tokens", _N_TOKENS_SQL),
+    doc="Per-feature PSI + Jensen-Shannon drift between two corpus "
+    "snapshots (audit.psi_js_drift) over document length in chars and "
+    "tokens — the log-based half of the standard drift kit next to "
+    "ks_distance (max CDF gap) and distribution_drift (TV/chi-square). "
+    "Exact-count proportions, eps-clamped PSI, 0*ln0=0 JS; the <=32 "
+    "bucket terms fold over a bucket-sorted collected array so no "
+    "partition-order float sum exists; each side collapses to <=32 rows "
+    "at the scan via map-side partial agg.",
+)
+def ext_psi_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import psi_js_drift
+    from dbt_glue_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    edited = docs.filter(F.col("doc_id") % 17 != 0).select(
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    added = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.concat(F.lit("new document "), F.col("doc_id").cast("string")).alias(
+            "text"
+        )
+    )
+    b = edited.unionByName(added)
+
+    def feats(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.length("text").cast("bigint").alias("len_chars"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+
+    return psi_js_drift(
+        feats(docs),
+        feats(b),
+        ["len_chars", "n_tokens"],
+        bucket_width=_PSI_W,
+        n_buckets=_PSI_NB,
+        eps=_PSI_EPS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_ppswor_sample
+# ---------------------------------------------------------------------------
+
+_PW_K = 32
+_PW_W = "GREATEST(COALESCE(CAST(n_chars AS BIGINT), 1), 1)"
+_U_DEN = float(16**13)  # 2^52: (h+1)/2^52 is an exact IEEE division
+
+
+@register_staged(
+    "ext_ppswor_sample",
+    f"""
+    WITH pri AS (
+      SELECT source, doc_id,
+             {_PW_W} AS weight,
+             -ln(CAST({_duck_hash_int("'7:' || CAST(doc_id AS VARCHAR)")} + 1
+                      AS DOUBLE) / {_U_DEN!r})
+               / CAST({_PW_W} AS DOUBLE) AS e
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY e, doc_id)
+               AS rn
+      FROM pri
+    ),
+    -- tau rides a window over the SAME partition (never a join on the
+    -- group key: an equi-join would silently drop a NULL group, while
+    -- window partitioning treats NULL as a normal group in both engines)
+    wt AS (
+      SELECT *, MAX(CASE WHEN rn = {_PW_K + 1} THEN e END)
+                  OVER (PARTITION BY source) AS t
+      FROM ranked
+    )
+    SELECT source, doc_id, weight,
+           FLOOR((CASE WHEN t IS NULL THEN CAST(weight AS DOUBLE)
+                       ELSE CAST(weight AS DOUBLE)
+                            / (1.0 - exp(-CAST(weight AS DOUBLE) * t))
+                  END) * 10000.0 + 0.5) / 10000.0 AS est_weight
+    FROM wt
+    WHERE rn <= {_PW_K}
+    """,
+    doc="Per-source weighted sampling WITHOUT replacement via A-ExpJ "
+    "exponential priorities (sampling.ppswor_sample_by_group, "
+    "Efraimidis-Spirakis 2006): 32 docs per source drawn PPSWOR by "
+    "n_chars, with the bottom-k/Horvitz-Thompson estimator "
+    "w/(1-exp(-w*tau)). Exact 2^52 hash uniforms; the only window is "
+    "rank partitioned by group — parallel across strata, nothing "
+    "broadcast, nothing collected.",
+)
+def ext_ppswor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.sampling import ppswor_sample_by_group
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return ppswor_sample_by_group(
+        docs, "source", "doc_id", "n_chars", k=_PW_K, seed="7"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_contamination_ledger
+# ---------------------------------------------------------------------------
+
+# The union of per-batch incremental checks over a partition of the
+# training corpus equals the one-shot pairs (postings join
+# row-independently; each a_id lives in exactly one batch), so the
+# oracle IS ext_contamination_pairs' SQL — imported, not duplicated.
+from dbt_glue_spark.plans import extension_queries  # noqa: E402,F401
+from dbt_glue_spark.plans.catalog import _REGISTRY as _CAT  # noqa: E402
+
+_CONTAM_ORACLE = _CAT["ext_contamination_pairs"].oracle
+
+
+@register_staged(
+    "ext_contamination_ledger",
+    _CONTAM_ORACLE,
+    doc="Cross-run train/eval decontamination (dedup.contamination_ledger "
+    "+ contamination_check_incremental): the eval suite (source=src0) is "
+    "indexed ONCE into a (shingle-md5, b_id) posting ledger; each "
+    "training batch (here: two doc_id%2 batches of source<>src0) joins "
+    "the carried ledger instead of re-scanning eval text. Union of "
+    "batch checks == one-shot contamination_pairs (the oracle) because "
+    "postings join row-independently and each a_id lives in one batch. "
+    "Per-batch cost ∝ batch postings × matching ledger postings; the "
+    "MB-scale ledger is the broadcast side at any training scale.",
+)
+def ext_contamination_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.dedup import (
+        contamination_check_incremental,
+        contamination_ledger,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_ = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    ledger = contamination_ledger(eval_)
+    out = None
+    for batch_no in (0, 1):
+        batch = train.filter(F.col("doc_id") % 2 == batch_no)
+        pairs = contamination_check_incremental(
+            batch, ledger, min_common=5
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.select(
+        "a_id", "b_id", F.col("n_common").cast("bigint").alias("n_common")
+    )

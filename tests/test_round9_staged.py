@@ -1,0 +1,467 @@
+"""Round-9 staged operators: parity-proven now, catalog-registered at the
+round-8→9 boundary (plans/round9_staged.py docstring). These tests prove
+the staged specs with the same exact DuckDB compare the live sweep uses,
+pin the stage-then-promote discipline (the live catalog stays at 236
+this round), and brute-force / property-check each operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.plans.round9_staged import STAGED9
+from tools.check_parity import duck_con, normalize, values_equal
+
+STAGED9_NAMES = sorted(STAGED9())
+
+
+def _exact_compare(spark, sf_dir, spec):
+    sdf = spec.fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duck_con(sf_dir)
+    try:
+        res = con.execute(spec.oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    sn, dn = normalize(srows, scols), normalize(drows, dcols)
+    assert len(sn) == len(dn), (len(sn), len(dn))
+    for r1, r2 in zip(sn, dn):
+        assert all(values_equal(a, b) for a, b in zip(r1, r2)), (r1, r2)
+
+
+@pytest.mark.parametrize("name", STAGED9_NAMES)
+def test_staged9_oracle_parity(spark, sf_dir, name):
+    _exact_compare(spark, sf_dir, STAGED9()[name])
+
+
+def test_catalog_holds_at_236_and_staged9_not_registered():
+    """Stage-then-promote: the round-9 pool must NOT be live this round —
+    registering mid-round would push never-checked entries into the
+    driver's 50-query prefix and crowd out the 6 round-8 promotions
+    earning their first hard rows."""
+    from dbt_glue_spark.plans.catalog import SPECS
+
+    specs = SPECS()
+    assert len(specs) == 236, len(specs)
+    overlap = set(STAGED9_NAMES) & set(specs)
+    assert not overlap, overlap
+
+
+# ---------------------------------------------------------------------------
+# psi_js_drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_js_hand_computed(spark):
+    """Two tiny snapshots with hand-enumerable histograms: psi and js
+    must equal the Python reference (eps clamp, 0*ln0 convention)."""
+    from dbt_glue_spark.extensions.audit import psi_js_drift
+
+    a_vals = [0, 0, 0, 10, 10, 25]  # buckets (w=10, nb=3): 0,0,0,1,1,2
+    b_vals = [0, 10, 10, 10, 25, 25, 25, 25]  # 0,1,1,1,2,2,2,2
+    a = spark.createDataFrame([(v,) for v in a_vals], "v bigint")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v bigint")
+    got = psi_js_drift(a, b, "v", bucket_width=10, n_buckets=3).collect()[0]
+
+    eps = 1e-6
+    ca = {0: 3, 1: 2, 2: 1}
+    cb = {0: 1, 1: 3, 2: 4}
+    na, nb = 6, 8
+    psi = js = 0.0
+    for k in sorted(ca):
+        pa, pb = ca[k] / na, cb[k] / nb
+        pac, pbc = max(pa, eps), max(pb, eps)
+        psi += (pac - pbc) * math.log(pac / pbc)
+        js += 0.5 * (
+            (pa * math.log(2 * pa / (pa + pb)) if ca[k] else 0.0)
+            + (pb * math.log(2 * pb / (pa + pb)) if cb[k] else 0.0)
+        )
+    assert got.feature == "v" and got.n_a == na and got.n_b == nb
+    assert got.n_buckets_used == 3
+    assert got.psi == math.floor(psi * 1e6 + 0.5) / 1e6
+    assert got.js == math.floor(js * 1e6 + 0.5) / 1e6
+
+
+def test_psi_js_identical_snapshots_zero(spark, sf_dir):
+    """A == B ⇒ psi = js = 0 exactly (every term is ln(1) = 0)."""
+    from dbt_glue_spark.extensions.audit import psi_js_drift
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.length("text").alias("v")
+    )
+    got = psi_js_drift(docs, docs, "v").collect()[0]
+    assert got.psi == 0.0 and got.js == 0.0
+
+
+def test_psi_js_bounds_and_disjoint(spark):
+    """JS ∈ [0, ln 2]; fully disjoint supports hit the JS ceiling and a
+    large positive PSI."""
+    from dbt_glue_spark.extensions.audit import psi_js_drift
+
+    a = spark.createDataFrame([(5,)] * 4, "v bigint")
+    b = spark.createDataFrame([(500,)] * 4, "v bigint")
+    got = psi_js_drift(a, b, "v", bucket_width=10, n_buckets=32).collect()[0]
+    assert got.js == math.floor(math.log(2.0) * 1e6 + 0.5) / 1e6
+    assert got.psi > 10.0  # two eps-clamped buckets, each ~1*ln(1/eps)
+
+
+def test_psi_js_empty_side_null(spark):
+    """A zero-row side yields NULL psi/js (no ANSI divide error), and
+    two empty sides yield an empty frame."""
+    from dbt_glue_spark.extensions.audit import psi_js_drift
+
+    a = spark.createDataFrame([(5,), (10,)], "v bigint")
+    empty = a.limit(0)
+    got = psi_js_drift(a, empty, "v").collect()
+    assert len(got) == 1 and got[0].psi is None and got[0].js is None
+    assert psi_js_drift(empty, empty, "v").collect() == []
+
+
+def test_psi_js_multi_feature_and_validation(spark):
+    from dbt_glue_spark.extensions.audit import psi_js_drift
+
+    df = spark.createDataFrame([(1, 100), (2, 200)], "x bigint, y bigint")
+    rows = psi_js_drift(df, df, ["x", "y"]).collect()
+    assert sorted(r.feature for r in rows) == ["x", "y"]
+    with pytest.raises(ValueError, match="value_cols"):
+        psi_js_drift(df, df, [])
+    with pytest.raises(ValueError, match="eps"):
+        psi_js_drift(df, df, "x", eps=0.0)
+
+
+# ---------------------------------------------------------------------------
+# ppswor_sample_by_group
+# ---------------------------------------------------------------------------
+
+
+def test_ppswor_layout_invariant(spark, sf_dir):
+    """Pure function of the data: identical sample and estimator under
+    any physical partitioning."""
+    from dbt_glue_spark.extensions.sampling import ppswor_sample_by_group
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    a = sorted(
+        tuple(r)
+        for r in ppswor_sample_by_group(
+            docs, "source", "doc_id", "n_chars", k=16
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ppswor_sample_by_group(
+            docs.repartition(7), "source", "doc_id", "n_chars", k=16
+        ).collect()
+    )
+    assert a == b
+
+
+def test_ppswor_estimator_contracts(spark, sf_dir):
+    """Per-group size min(k, n); est_weight ≥ weight (1−exp(−wτ) ≤ 1);
+    per-group subset-sum estimate near the group's true mass (fixed
+    corpus + fixed seed ⇒ deterministic regression band)."""
+    from dbt_glue_spark.extensions.sampling import ppswor_sample_by_group
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    k = 32
+    rows = ppswor_sample_by_group(
+        docs, "source", "doc_id", "n_chars", k=k
+    ).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.source, []).append(r)
+        assert r.est_weight >= r.weight
+    true_sizes = {
+        r.source: (r.n, r.mass)
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.greatest(F.col("n_chars").cast("bigint"), F.lit(1))
+            ).alias("mass"),
+        )
+        .collect()
+    }
+    assert set(by_group) == set(true_sizes)
+    for g, sample in by_group.items():
+        n, mass = true_sizes[g]
+        assert len(sample) == min(k, n)
+        est = sum(r.est_weight for r in sample)
+        assert abs(est - mass) / mass < 0.45, (g, est, mass)
+
+
+def test_ppswor_small_group_no_tau(spark):
+    """Groups with ≤ k rows: every row returned, est_weight == weight."""
+    from dbt_glue_spark.extensions.sampling import ppswor_sample_by_group
+
+    df = spark.createDataFrame(
+        [("g", i, 10 * (i + 1)) for i in range(5)],
+        "g string, id bigint, w bigint",
+    )
+    rows = ppswor_sample_by_group(df, "g", "id", "w", k=64).collect()
+    assert len(rows) == 5
+    assert all(r.est_weight == float(r.weight) for r in rows)
+    with pytest.raises(ValueError, match="k must be"):
+        ppswor_sample_by_group(df, "g", "id", "w", k=0)
+
+
+def test_ppswor_weight_sensitivity(spark):
+    """A row with overwhelming weight must (deterministically, for this
+    seed) be in the sample; the inclusion frequency of heavy rows across
+    disjoint key populations exceeds that of light rows."""
+    from dbt_glue_spark.extensions.sampling import ppswor_sample_by_group
+
+    # one group, 200 light rows (w=1) + 1 heavy row (w=10^9), k=10
+    rows = [("g", i, 1) for i in range(200)] + [("g", 999, 10**9)]
+    df = spark.createDataFrame(rows, "g string, id bigint, w bigint")
+    got = {r.id for r in ppswor_sample_by_group(df, "g", "id", "w", k=10).collect()}
+    assert 999 in got  # e = -ln(u)/1e9 ~ 1e-9 max — always wins
+
+
+def test_ppswor_matches_python_reference(spark):
+    """Exact replay: the Spark sample equals a Python implementation of
+    the same md5-hash uniforms and exponential keys."""
+    import hashlib
+
+    from dbt_glue_spark.extensions.sampling import ppswor_sample_by_group
+
+    rows = [("g", i, (i * 37) % 100 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, id bigint, w bigint")
+    k = 8
+    got = sorted(
+        (r.id, r.weight, r.est_weight)
+        for r in ppswor_sample_by_group(df, "g", "id", "w", k=k).collect()
+    )
+
+    def e_key(i, w):
+        h = int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:13], 16)
+        return -math.log((h + 1) / 16**13) / w
+
+    ranked = sorted((e_key(i, w), i, w) for _, i, w in rows)
+    tau = ranked[k][0]
+    exp = sorted(
+        (i, w, math.floor(w / (1 - math.exp(-w * tau)) * 1e4 + 0.5) / 1e4)
+        for e, i, w in ranked[:k]
+    )
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# contamination ledger
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_ledger_equals_one_shot(spark, sf_dir):
+    """Union of per-batch incremental checks over a 3-way partition of
+    the training corpus == the one-shot contamination_pairs, pair for
+    pair and count for count."""
+    from dbt_glue_spark.extensions.dedup import (
+        contamination_check_incremental,
+        contamination_ledger,
+        contamination_pairs,
+    )
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_ = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    one_shot = {
+        (r.a_id, r.b_id): r.n_common
+        for r in contamination_pairs(train, eval_, min_common=2).collect()
+    }
+    ledger = contamination_ledger(eval_)
+    got = {}
+    for m in range(3):
+        batch = train.filter(F.col("doc_id") % 3 == m)
+        for r in contamination_check_incremental(
+            batch, ledger, min_common=2
+        ).collect():
+            assert (r.a_id, r.b_id) not in got  # batches partition a_ids
+            got[(r.a_id, r.b_id)] = r.n_common
+    assert got == one_shot
+
+
+def test_contamination_ledger_extension(spark, sf_dir):
+    """Extending the ledger with a second eval release == building it
+    from the union of releases; checks against the extended ledger catch
+    contamination against BOTH releases."""
+    from dbt_glue_spark.extensions.dedup import (
+        contamination_check_incremental,
+        contamination_ledger,
+        extend_contamination_ledger,
+    )
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev1 = docs.filter(F.col("source") == "src0")
+    ev2 = docs.filter(F.col("source") == "src1")
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    extended = extend_contamination_ledger(contamination_ledger(ev1), ev2)
+    union_built = contamination_ledger(ev1.unionByName(ev2))
+    assert sorted(map(tuple, extended.collect())) == sorted(
+        map(tuple, union_built.collect())
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in contamination_check_incremental(
+            train, extended, min_common=2
+        ).collect()
+    }
+    ev1_ids = {r.doc_id for r in ev1.select("doc_id").collect()}
+    ev2_ids = {r.doc_id for r in ev2.select("doc_id").collect()}
+    # pairs reference docs of both releases (data-dependent but true on
+    # the fixed sf0.001 corpus at min_common=2)
+    assert any(b in ev1_ids for _, b in got)
+    assert any(b in ev2_ids for _, b in got)
+    assert all(b in ev1_ids | ev2_ids for _, b in got)
+
+
+def test_contamination_ledger_hand_case(spark):
+    """A verbatim 5-gram leak is caught; 4 shared distinct 3-grams at
+    min_common=5 is not; duplicate shingles inside one doc count once."""
+    from dbt_glue_spark.extensions.dedup import (
+        contamination_check_incremental,
+        contamination_ledger,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over lazy dogs")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains "quick brown fox jumps over" -> 3-grams: qbf bfj fjo
+            # plus "the quick brown" "brown fox jumps"... count >= 5
+            (1, "prefix the quick brown fox jumps over lazy words"),
+            # shares only "the quick brown" + "quick brown fox" (2 < 5)
+            (2, "the quick brown fox sat still x y z"),
+            # repeated leak: distinct shingles still counted once
+            (3, "the quick brown fox jumps the quick brown fox jumps over"),
+        ],
+        "doc_id bigint, text string",
+    )
+    led = contamination_ledger(ev)
+    got = {
+        r.a_id: r.n_common
+        for r in contamination_check_incremental(
+            train, led, min_common=5
+        ).collect()
+    }
+    # doc1 shares: "the quick brown","quick brown fox","brown fox jumps",
+    # "fox jumps over","jumps over lazy" = 5 -> caught
+    assert got.get(1) == 5
+    assert 2 not in got
+    # doc3 shares the first 4 of those 5 -> below threshold
+    assert 3 not in got
+
+
+# ---------------------------------------------------------------------------
+# cross-cutting gates (the round-7/8 pool discipline)
+# ---------------------------------------------------------------------------
+
+
+def test_staged9_survive_empty_input(spark, sf_dir, tmp_path_factory):
+    """Zero-row tables: every staged spec returns an empty or
+    NULL-aggregate frame with its normal schema, never raises."""
+    import os
+
+    from dbt_glue_spark.sources.registry import TABLES, load_table
+
+    out = str(tmp_path_factory.mktemp("sf_empty_staged9"))
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    for name, spec in sorted(STAGED9().items()):
+        rows = spec.fn(spark, out).collect()
+        assert isinstance(rows, list), name
+
+
+def test_staged9_driver_contract(spark, sf_dir):
+    """Flat orderable scalar columns + pandas sort round-trip — the
+    driver's canonicalization precondition."""
+    from tests.test_driver_contract import NESTED, _driver_canon
+
+    for name, spec in sorted(STAGED9().items()):
+        df = spec.fn(spark, sf_dir)
+        nested = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, NESTED)
+        ]
+        assert not nested, (name, nested)
+        _driver_canon(df.toPandas())
+
+
+def test_staged9_plan_shapes(spark, sf_dir):
+    """Scale-shape gates: ppswor plans a partitioned-window rank (no
+    global sort of the corpus, no TakeOrdered on the full data), and the
+    authored sources force-broadcast only constant-size frames (the
+    psi/js 1-row totals); the contamination batch side never broadcasts
+    the TRAIN corpus (the ledger is the documented broadcast side)."""
+    import inspect
+
+    from dbt_glue_spark.extensions import audit, dedup, sampling
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pw_plan = (
+        sampling.ppswor_sample_by_group(
+            docs.select("source", "doc_id", "n_chars"),
+            "source",
+            "doc_id",
+            "n_chars",
+            k=32,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in pw_plan
+    for fn in (
+        sampling.ppswor_sample_by_group,
+        audit.psi_js_drift,
+        dedup.contamination_ledger,
+        dedup.contamination_check_incremental,
+    ):
+        hints = [
+            ln
+            for ln in inspect.getsource(fn).splitlines()
+            if "F.broadcast(" in ln
+        ]
+        ok = ("totals", "n_a", "n_b")
+        assert all(any(t in ln for t in ok) for ln in hints), (
+            fn.__name__,
+            hints,
+        )
+
+
+def test_staged9_parity_under_forced_spill(spark, sf_dir):
+    """The round-9 pool through the same forced-spill axis the live
+    catalog faces: window/SMJ/session-window buffers pushed through
+    their external-sorter paths must not perturb any staged result."""
+    from tests.test_parity_sweep import SPILL_CONFS
+
+    old = {k: spark.conf.get(k, None) for k in SPILL_CONFS}
+    try:
+        for k, v in SPILL_CONFS.items():
+            spark.conf.set(k, v)
+        for name in STAGED9_NAMES:
+            _exact_compare(spark, sf_dir, STAGED9()[name])
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

@@ -16,7 +16,7 @@ similarity is zero — replication adds no artificial near-dup mass; and
 stay realistic. Each scaled corpus is materialized to parquet scratch so
 every timed run pays a real scan, not a cached lineage.
 
-Usage: python tools/scale_probe.py [--factors=2,8,32] [--probe=dedup|mmr]
+Usage: python tools/scale_probe.py [--factors=2,8,32] [--probe=dedup|mmr|staged|staged8|staged9]
 Prints one JSON line: per-op seconds per factor + fitted exponents.
 A near-linear operator shows exponent ≈ 1 (ratio bound 1.5x of linear
 per SCALE.md policy); quadratic blowup would show ≈ 2.
@@ -327,6 +327,96 @@ def probe_staged8(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
     return results, rows
 
 
+def probe_staged9(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
+    """Weak-scaling probe for the round-9 staged pool (same replication
+    scheme — per-replica vocabularies, constant dup structure):
+
+    - psi_js_drift: two histogram scans collapsing to ≤32 rows at the
+      map side; everything after is constant-size → exponent ≈ 1 (pure
+      scan cost);
+    - ppswor_sample_by_group: one scan + rank window PARTITIONED BY
+      GROUP (groups scale with the corpus here, per-group state is
+      bounded) → exponent ≈ 1;
+    - contamination_check_incremental: train postings grow ∝ corpus,
+      the eval ledger is built from the fixed base replica only (the
+      production shape: eval suites don't grow with training data) →
+      exponent ≈ 1 on the batch side.
+    """
+    from dbt_glue_spark.extensions import audit, sampling
+
+    scratch = tempfile.mkdtemp(prefix="dgs_staged9_probe_")
+    results: dict[str, dict[str, float]] = {}
+    rows: dict[str, int] = {}
+
+    def enrich(docs):
+        return docs.select(
+            "doc_id",
+            "text",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 10).cast("string")).alias(
+                "source"
+            ),
+        )
+
+    try:
+        warm = enrich(
+            load_table(spark, sf_dir, "documents").limit(500).select(
+                "doc_id", "text"
+            )
+        )
+        ev_w = warm.filter(F.col("doc_id") % 19 == 0)
+        audit.psi_js_drift(
+            warm.select(F.col("n_chars").alias("v")),
+            warm.select((F.col("n_chars") + 7).alias("v")),
+            "v",
+        ).write.format("noop").mode("overwrite").save()
+        sampling.ppswor_sample_by_group(
+            warm, "source", "doc_id", "n_chars", k=32
+        ).write.format("noop").mode("overwrite").save()
+        dedup.contamination_check_incremental(
+            warm, dedup.contamination_ledger(ev_w), min_common=2
+        ).write.format("noop").mode("overwrite").save()
+        dedup.release_caches()
+        for f_ in factors:
+            path = build_scaled(spark, sf_dir, f_, scratch)
+            docs = enrich(spark.read.parquet(path))
+            rows[str(f_)] = docs.count()
+            # fixed eval suite: the BASE replica's src0-style slice only
+            ledger = dedup.contamination_ledger(
+                docs.filter(
+                    (F.col("doc_id") < 10_000_000) & (F.col("doc_id") % 19 == 0)
+                )
+            )
+
+            def run_psi():
+                audit.psi_js_drift(
+                    docs.select(F.col("n_chars").alias("v")),
+                    docs.select((F.col("n_chars") + 7).alias("v")),
+                    "v",
+                ).write.format("noop").mode("overwrite").save()
+
+            def run_ppswor():
+                sampling.ppswor_sample_by_group(
+                    docs, "source", "doc_id", "n_chars", k=32
+                ).write.format("noop").mode("overwrite").save()
+
+            def run_contam():
+                dedup.contamination_check_incremental(
+                    docs, ledger, min_common=2
+                ).write.format("noop").mode("overwrite").save()
+
+            for name, fn in [
+                ("psi_js_drift", run_psi),
+                ("ppswor_sample", run_ppswor),
+                ("contamination_ledger", run_contam),
+            ]:
+                results.setdefault(name, {})[str(f_)] = timed(fn)
+                dedup.release_caches()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return results, rows
+
+
 def main() -> None:
     factors = [2, 8, 32]
     probe = "dedup"
@@ -348,6 +438,10 @@ def main() -> None:
         return
     if probe == "staged8":
         results, rows = probe_staged8(spark, sf_dir, factors)
+        _emit(factors, results, rows)
+        return
+    if probe == "staged9":
+        results, rows = probe_staged9(spark, sf_dir, factors)
         _emit(factors, results, rows)
         return
     scratch = tempfile.mkdtemp(prefix="dgs_scale_probe_")
