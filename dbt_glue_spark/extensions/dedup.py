@@ -210,6 +210,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs, verified by exact Jaccard.
 
@@ -218,6 +219,17 @@ def minhash_lsh_pairs(
     verification ≥ threshold. The band groupBy is the only wide shuffle over
     candidates; banding bounds candidate count regardless of corpus size —
     this is the 100 TB path (vs ngram_jaccard_pairs' exact index join).
+
+    ``max_band_bucket`` is the mega-bucket defense the textskew probe
+    exists for (SCALE.md round-8: a 90 %-shared boilerplate prefix put
+    whole-corpus fractions into single band buckets — 10.1× runtime at
+    2.9× tokens, i.e. the bucket self-join went quadratic): band buckets
+    holding more than the cap are SKIPPED at candidate generation. A
+    bucket that big is a template/boilerplate family — its pair set is
+    quadratic, carries no per-pair signal, and is exactly the mass
+    exact/span dedup and dup_clusters handle linearly; refusing it keeps
+    the bucket join's cost ≤ cap² per bucket at any corpus size. None
+    (default) preserves exact full-recall semantics.
 
     Returns (id_a, id_b, jaccard), id_a < id_b.
     """
@@ -244,6 +256,19 @@ def minhash_lsh_pairs(
             bands, ", ".join(f"'{b}', band{b}" for b in range(bands))
         ),
     )
+    if max_band_bucket is not None:
+        if max_band_bucket < 1:
+            raise ValueError(f"max_band_bucket must be >= 1: {max_band_bucket}")
+        # one cheap groupBy over the bands×docs frame; oversized buckets
+        # are dropped BEFORE the self-join so their quadratic pair set is
+        # never materialized
+        keep = (
+            stacked.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("__bn"))
+            .filter(F.col("__bn") <= max_band_bucket)
+            .select("band_idx", "band_key")
+        )
+        stacked = stacked.join(keep, ["band_idx", "band_key"], "left_semi")
     a = stacked.alias("a")
     b = stacked.alias("b")
     # cand feeds the intersection join AND the candidate-id semi-join

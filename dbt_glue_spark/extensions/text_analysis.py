@@ -10,7 +10,7 @@ pipeline at 5-7 reference sites multiplies the per-row cost — measured
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_glue_spark.functions.scalars import half_up_round
@@ -1240,5 +1240,169 @@ def token_gini(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
             F.expr("1000000 - (__ss * 1000000) DIV (n_tokens * n_tokens)")
             .cast("bigint")
             .alias("gini_q6"),
+        )
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: documents are laid out in
+    corpus order (``id_col`` ascending — the crawl/ingest order), split
+    into ``n_buckets`` equi-width id ranges, and per bucket the audit
+    reports token occurrences, NEW types (tokens whose first-occurrence
+    doc falls in the bucket), and the cumulative vocabulary. Heaps'
+    V(N) ≈ K·N^β says cum_types should grow sublinearly in cum_tokens;
+    a corpus whose curve goes flat is template-saturated (dedup it), one
+    that grows linearly is noise/encoding junk (the vocabulary never
+    converges). Complements :func:`zipf_rank_buckets` (the static
+    spectrum) with the GROWTH view an ingest pipeline monitors per
+    crawl. All-integer output — no log/float on the oracle boundary;
+    downstream fits the log-log slope.
+
+    100 TB shape: one tokenize pass; each token type collapses to its
+    min(id) via a map-side-combining groupBy (the exact-dedup shape);
+    bucket ids are the shared equi-width formula from a 1-row min/max
+    frame; the only windows (cumulative types/tokens) ride the
+    ≤ n_buckets-row bucket frame. Nothing after the two groupBys scales
+    with the corpus.
+
+    NULL contract: NULL ids are dropped (no position in corpus order);
+    token-free docs contribute n_docs only.
+    """
+    from dbt_glue_spark.extensions.skyline import equi_width_bucket
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("__id"), words.alias("__toks")
+    ).filter(F.col("__id").isNotNull())
+    st = base.agg(
+        F.min("__id").alias("__mn"), F.max("__id").alias("__mx")
+    )
+    bk = equi_width_bucket(
+        F.col("__id").cast("double"),
+        F.col("__mn").cast("double"),
+        F.col("__mx").cast("double"),
+        n_buckets,
+    )
+    staged = base.join(F.broadcast(st)).select(
+        "__id", "__toks", bk.alias("bucket")
+    )
+    per_bucket = staged.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size("__toks")).cast("bigint").alias("n_tokens"),
+    )
+    # token type -> first-occurrence bucket (min id wins, then its bucket)
+    firsts = (
+        staged.select("bucket", F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_new_types"))
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_bucket.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("n_new_types", F.lit(0)).cast("bigint").alias(
+                "n_new_types"
+            ),
+        )
+        # the cumulative windows run over the <= n_buckets-row frame
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            "n_new_types",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum("n_new_types").over(w).cast("bigint").alias("cum_types"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Redundancy-growth audit: in corpus order (equi-width ``id_col``
+    buckets, as :func:`vocab_growth`), per bucket — distinct word
+    n-gram occurrences, and how many of them are REPEATS of an n-gram
+    first seen in an EARLIER bucket. A rising repeat fraction is the
+    direct measurement of how much a growing crawl re-crawls itself —
+    the number that decides whether another dedup pass pays for itself
+    before training. Occurrences count each (doc, distinct shingle)
+    once (the contamination/Jaccard convention); within-bucket repeats
+    count as novel — the bucket is the dedup-decision granularity.
+
+    100 TB shape: postings collapse to (shingle-md5, bucket) with a
+    map-side-combining min-bucket groupBy; the per-bucket join is
+    hash-keyed; repeat_q6 is one exact integer division; the only
+    window is the cumulative over the ≤ n_buckets-row frame.
+    """
+    from dbt_glue_spark.extensions.dedup import _shingle_postings
+    from dbt_glue_spark.extensions.skyline import equi_width_bucket
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    ids = df.select(F.col(id_col).cast("bigint").alias("__id")).filter(
+        F.col("__id").isNotNull()
+    )
+    st = ids.agg(F.min("__id").alias("__mn"), F.max("__id").alias("__mx"))
+    sh = (
+        _shingle_postings(
+            df.filter(F.col(id_col).isNotNull()), text_col, id_col, n, None
+        )
+        .select(
+            F.col("id").cast("bigint").alias("__id"),
+            F.md5("shingle").alias("sh"),
+        )
+        .join(F.broadcast(st))
+    )
+    bk = equi_width_bucket(
+        F.col("__id").cast("double"),
+        F.col("__mn").cast("double"),
+        F.col("__mx").cast("double"),
+        n_buckets,
+    )
+    occ = sh.select(bk.alias("bucket"), "sh")
+    per_bucket = occ.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    first = occ.groupBy("sh").agg(F.min("bucket").alias("first_bucket"))
+    repeats = (
+        occ.join(first, "sh")
+        .filter(F.col("bucket") > F.col("first_bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_repeats"))
+    )
+    return (
+        per_bucket.join(repeats, "bucket", "left")
+        .select(
+            "bucket",
+            "n_occurrences",
+            F.coalesce("n_repeats", F.lit(0)).cast("bigint").alias("n_repeats"),
+        )
+        .select(
+            "bucket",
+            "n_occurrences",
+            "n_repeats",
+            # exact integer ppm — no float on the oracle boundary
+            F.expr("(n_repeats * 1000000) DIV n_occurrences")
+            .cast("bigint")
+            .alias("repeat_q6"),
         )
     )

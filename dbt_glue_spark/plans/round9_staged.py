@@ -8,7 +8,9 @@ pools (tests/test_round9_staged.py, every pathological data profile).
 Promotion = merge ``STAGED9()`` into ``catalog._load_all`` exactly like
 round7_staged/round8_staged.
 
-The three operators close VERDICT r7 item 4 (the next staged tier):
+The first three operators close VERDICT r7 item 4 (the next staged
+tier); the last two extend the corpus-audit family with the GROWTH
+view (the static spectrum lives in zipf_rank_buckets):
 
 - ``ext_psi_js_drift`` — per-feature PSI + Jensen–Shannon drift
   (audit.psi_js_drift), the log-based half of the drift kit next to
@@ -20,7 +22,11 @@ The three operators close VERDICT r7 item 4 (the next staged tier):
 - ``ext_contamination_ledger`` — cross-run train/eval decontamination
   against a carried posting ledger
   (dedup.contamination_ledger / contamination_check_incremental),
-  the incremental-ledger pattern applied to contamination_pairs.
+  the incremental-ledger pattern applied to contamination_pairs;
+- ``ext_vocab_growth`` — Heaps-law vocabulary-growth curve in corpus
+  order (text_analysis.vocab_growth);
+- ``ext_ngram_novelty`` — per-bucket repeated-n-gram fraction, the
+  crawl-re-crawls-itself measurement (text_analysis.ngram_novelty).
 """
 
 from __future__ import annotations
@@ -276,4 +282,193 @@ def ext_contamination_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = pairs if out is None else out.unionByName(pairs)
     return out.select(
         "a_id", "b_id", F.col("n_common").cast("bigint").alias("n_common")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_vocab_growth / ext_ngram_novelty — corpus-order growth audits
+# ---------------------------------------------------------------------------
+
+_VG_NB = 20
+# exact equi-width bucket mirror of skyline.equi_width_bucket: identical
+# IEEE subtract/divide/multiply/floor chain on both engines
+_VG_BUCKET = f"""CASE WHEN mx = mn THEN 0
+         ELSE CAST(LEAST(FLOOR((CAST(doc_id AS DOUBLE) - mn) / (mx - mn)
+                               * {float(_VG_NB)!r}),
+                         {_VG_NB - 1}) AS INT) END"""
+
+
+@register_staged(
+    "ext_vocab_growth",
+    f"""
+    WITH st AS (
+      SELECT CAST(MIN(doc_id) AS DOUBLE) AS mn,
+             CAST(MAX(doc_id) AS DOUBLE) AS mx
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    b AS (
+      SELECT {_VG_BUCKET} AS bucket, toks
+      FROM tok, st
+    ),
+    pb AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS n_tokens
+      FROM b GROUP BY bucket
+    ),
+    fx AS (
+      SELECT tok, MIN(bucket) AS bucket
+      FROM (SELECT bucket, unnest(toks) AS tok FROM b)
+      GROUP BY tok
+    ),
+    nf AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new_types
+      FROM fx GROUP BY bucket
+    )
+    SELECT bucket, n_docs, n_tokens,
+           CAST(COALESCE(n_new_types, 0) AS BIGINT) AS n_new_types,
+           CAST(SUM(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(n_new_types, 0)) OVER (ORDER BY bucket)
+                AS BIGINT) AS cum_types
+    FROM pb LEFT JOIN nf USING (bucket)
+    """,
+    doc="Heaps-law vocabulary-growth curve (text_analysis.vocab_growth): "
+    "documents in corpus order split into 20 equi-width id buckets; per "
+    "bucket — docs, token occurrences, NEW types (first-occurrence "
+    "bucket via min-bucket groupBy) and cumulative totals. All-integer "
+    "output, one tokenize pass, map-side-combining groupBys, cumulative "
+    "windows only over the 20-row bucket frame.",
+)
+def ext_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.text_analysis import vocab_growth
+
+    return vocab_growth(
+        load_table(spark, sf_dir, "documents"), n_buckets=_VG_NB
+    )
+
+
+@register_staged(
+    "ext_ngram_novelty",
+    rf"""
+    WITH st AS (
+      SELECT CAST(MIN(doc_id) AS DOUBLE) AS mn,
+             CAST(MAX(doc_id) AS DOUBLE) AS mx
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+               AS toks
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    shl AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in generate_series(1, len(toks) - 2)]
+             )) AS shingle
+      FROM tok
+    ),
+    b AS (
+      SELECT {_VG_BUCKET} AS bucket, md5(shingle) AS sh
+      FROM shl, st
+    ),
+    pb AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM b GROUP BY bucket
+    ),
+    first AS (
+      SELECT sh, MIN(bucket) AS fb FROM b GROUP BY sh
+    ),
+    rep AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_repeats
+      FROM b JOIN first USING (sh)
+      WHERE bucket > fb
+      GROUP BY bucket
+    )
+    SELECT bucket, n_occurrences,
+           CAST(COALESCE(n_repeats, 0) AS BIGINT) AS n_repeats,
+           CAST((COALESCE(n_repeats, 0) * 1000000) // n_occurrences
+                AS BIGINT) AS repeat_q6
+    FROM pb LEFT JOIN rep USING (bucket)
+    """,
+    doc="Redundancy-growth audit (text_analysis.ngram_novelty): per "
+    "corpus-order bucket, distinct-3-gram occurrences and how many "
+    "repeat an n-gram first seen in an EARLIER bucket — the direct "
+    "measurement of a crawl re-crawling itself, deciding whether the "
+    "next dedup pass pays for itself. Postings collapse to "
+    "(shingle-md5, bucket) min-bucket state; exact integer ppm "
+    "repeat fraction; no corpus-scale window anywhere.",
+)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.text_analysis import ngram_novelty
+
+    return ngram_novelty(
+        load_table(spark, sf_dir, "documents"), n_buckets=_VG_NB
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_minhash_lsh_capped — the textskew probe's finding, fixed and graded
+# ---------------------------------------------------------------------------
+
+from dbt_glue_spark.plans.extension_queries import (  # noqa: E402
+    _JACCARD_TAIL,
+    _MINHASH_SIG,
+)
+
+_LSH_CAP = 64
+
+
+@register_staged(
+    "ext_minhash_lsh_capped",
+    "WITH "
+    + _MINHASH_SIG
+    + f""",
+    bands AS (
+      SELECT id, b, key FROM sig, LATERAL (VALUES
+        (0, MD5(h0 || '|' || h1)), (1, MD5(h2 || '|' || h3)),
+        (2, MD5(h4 || '|' || h5)), (3, MD5(h6 || '|' || h7))
+      ) AS v(b, key)
+    ),
+    keepb AS (
+      SELECT b, key FROM bands GROUP BY b, key HAVING COUNT(*) <= {_LSH_CAP}
+    ),
+    bandsc AS (
+      SELECT bands.id, bands.b, bands.key
+      FROM bands JOIN keepb USING (b, key)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM bandsc a JOIN bandsc b2
+        ON a.key = b2.key AND a.b = b2.b AND a.id < b2.id
+    ),
+"""
+    + _JACCARD_TAIL.replace("    sizes AS", "sizes AS", 1)
+    + """
+    SELECT c.id_a, c.id_b, j.jaccard
+    FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= 0.5
+    """,
+    doc="MinHash+LSH with the mega-bucket cap engaged (band buckets "
+    "holding > 64 docs skipped before the self-join) — the skew defense "
+    "the round-8 textskew probe demanded: a 90%-shared boilerplate "
+    "prefix drove the uncapped bucket join to 10.1x runtime at 2.9x "
+    "tokens (quadratic hot buckets). A bucket that size is a "
+    "template family whose pair set carries no per-pair signal; "
+    "exact/span dedup and dup_clusters own that mass linearly. The "
+    "uncapped exact-recall variant stays live as ext_minhash_lsh_pairs "
+    "— this entry grades the bounded-cost path, mirroring the "
+    "ext_ngram_jaccard_cutoff pattern.",
+)
+def ext_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import dedup
+
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5,
+        max_band_bucket=_LSH_CAP,
     )

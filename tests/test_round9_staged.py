@@ -465,3 +465,150 @@ def test_staged9_parity_under_forced_spill(spark, sf_dir):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+# ---------------------------------------------------------------------------
+# vocab_growth / ngram_novelty
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_growth_hand_case(spark):
+    """2-bucket corpus with known first occurrences: ids 0..4 -> bucket
+    0, 5..9 -> bucket 1 (equi-width over [0,9]); types first seen in
+    bucket 1 are exactly the ones absent from bucket 0."""
+    from dbt_glue_spark.extensions.text_analysis import vocab_growth
+
+    rows = (
+        [(i, "alpha beta") for i in range(5)]
+        + [(5, "alpha gamma"), (6, "delta"), (7, ""), (8, "beta"), (9, "Gamma!")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.bucket: r for r in vocab_growth(df, n_buckets=2).collect()}
+    assert set(got) == {0, 1}
+    b0, b1 = got[0], got[1]
+    assert (b0.n_docs, b0.n_tokens, b0.n_new_types) == (5, 10, 2)  # alpha beta
+    # bucket 1 tokens: alpha gamma | delta | (empty) | beta | gamma = 5
+    assert (b1.n_docs, b1.n_tokens, b1.n_new_types) == (5, 5, 2)  # gamma delta
+    assert (b0.cum_tokens, b0.cum_types) == (10, 2)
+    assert (b1.cum_tokens, b1.cum_types) == (15, 4)
+
+
+def test_vocab_growth_reconciles(spark, sf_dir):
+    """Bucket rows partition the corpus exactly: new-type masses sum to
+    the vocabulary, token masses to the corpus total, cumulatives are
+    monotone and end at the totals; layout-invariant."""
+    from dbt_glue_spark.extensions.text_analysis import vocab_growth
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        (tuple(r) for r in vocab_growth(docs).collect()), key=lambda t: t[0]
+    )
+    toks = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok")
+    )
+    vocab = toks.select("tok").distinct().count()
+    total = toks.count()
+    assert sum(r[3] for r in rows) == vocab
+    assert sum(r[2] for r in rows) == total
+    assert rows[-1][4] == total and rows[-1][5] == vocab
+    for a, b in zip(rows, rows[1:]):
+        assert b[4] >= a[4] and b[5] >= a[5]
+    again = sorted(
+        (tuple(r) for r in vocab_growth(docs.repartition(7)).collect()),
+        key=lambda t: t[0],
+    )
+    assert rows == again
+    with pytest.raises(ValueError, match="n_buckets"):
+        vocab_growth(docs, n_buckets=0)
+
+
+def test_ngram_novelty_hand_case(spark):
+    """Shingle repeated across buckets counts as a repeat; repeats
+    WITHIN a bucket (or within one doc) do not; bucket 0 never has
+    repeats."""
+    from dbt_glue_spark.extensions.text_analysis import ngram_novelty
+
+    rows = [
+        (0, "a b c d"),          # bucket 0: shingles {abc, bcd}
+        (4, "a b c x"),          # bucket 0: {abc, bcx} — intra-bucket dup
+        (5, "a b c a b c"),      # bucket 1: distinct {abc, bca, cab} — abc repeat
+        (9, "b c d q"),          # bucket 1: {bcd, cdq} — bcd repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.bucket: r for r in ngram_novelty(df, n_buckets=2).collect()}
+    b0, b1 = got[0], got[1]
+    assert (b0.n_occurrences, b0.n_repeats, b0.repeat_q6) == (4, 0, 0)
+    # bucket 1 occurrences: abc bca cab bcd cdq = 5; repeats: abc, bcd
+    assert (b1.n_occurrences, b1.n_repeats) == (5, 2)
+    assert b1.repeat_q6 == (2 * 1000000) // 5
+
+
+def test_ngram_novelty_reconciles(spark, sf_dir):
+    """Occurrence masses sum to the per-doc distinct shingle total;
+    repeats never exceed occurrences; bucket 0 has zero repeats."""
+    from dbt_glue_spark.extensions.dedup import _shingle_postings
+    from dbt_glue_spark.extensions.text_analysis import ngram_novelty
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        (tuple(r) for r in ngram_novelty(docs).collect()), key=lambda t: t[0]
+    )
+    total = _shingle_postings(docs, "text", "doc_id", 3, None).count()
+    assert sum(r[1] for r in rows) == total
+    assert all(0 <= r[2] <= r[1] for r in rows)
+    assert rows[0][2] == 0
+
+
+def test_minhash_capped_identity_on_clean_corpus(spark, sf_dir):
+    """With no mega-buckets (the clean corpus), the cap is a no-op: the
+    capped output equals the exact-recall uncapped output."""
+    from dbt_glue_spark.extensions.dedup import minhash_lsh_pairs
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    uncapped = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.5).collect()))
+    capped = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(docs, threshold=0.5, max_band_bucket=64).collect(),
+        )
+    )
+    assert capped == uncapped
+
+
+def test_minhash_cap_drops_only_megabucket_pairs(spark):
+    """Boilerplate corpus: every doc shares a long template prefix, so
+    all docs land in shared band buckets. The cap must (a) produce a
+    SUBSET of the uncapped pairs, (b) drop the template-family pairs
+    (the quadratic mass), and (c) keep pairs whose similarity is carried
+    by their own content (distinct real dup pairs still found when their
+    bucket is small)."""
+    from dbt_glue_spark.extensions.dedup import minhash_lsh_pairs
+
+    boiler = " ".join(f"tpl{i}" for i in range(40))
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c") for i in range(30)]
+    # one genuine near-dup pair with its own distinctive content
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, threshold=0.5, max_band_bucket=8).collect()
+    }
+    assert capped <= uncapped
+    assert (100, 101) in capped  # own-content pair survives
+    # the 30-doc template family (J ~ 38/44 > 0.5 pairwise) is the
+    # quadratic mass the cap refuses
+    assert any(a < 100 and b < 100 for a, b in uncapped)
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    with pytest.raises(ValueError, match="max_band_bucket"):
+        minhash_lsh_pairs(df, max_band_bucket=0)

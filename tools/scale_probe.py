@@ -340,9 +340,16 @@ def probe_staged9(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
     - contamination_check_incremental: train postings grow ∝ corpus,
       the eval ledger is built from the fixed base replica only (the
       production shape: eval suites don't grow with training data) →
-      exponent ≈ 1 on the batch side.
+      exponent ≈ 1 on the batch side;
+    - vocab_growth / ngram_novelty: one tokenize/shingle pass + min-
+      bucket groupBys; cumulative windows ride the 20-row bucket frame
+      → exponent ≈ 1;
+    - minhash_lsh_capped: the mega-bucket cap bounds every bucket
+      self-join at cap² — per-replica vocabularies keep buckets small
+      here, so this matches the uncapped exponent (the cap's value
+      shows on the textskew axis, not this one).
     """
-    from dbt_glue_spark.extensions import audit, sampling
+    from dbt_glue_spark.extensions import audit, sampling, text_analysis as ta
 
     scratch = tempfile.mkdtemp(prefix="dgs_staged9_probe_")
     results: dict[str, dict[str, float]] = {}
@@ -376,6 +383,11 @@ def probe_staged9(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
         dedup.contamination_check_incremental(
             warm, dedup.contamination_ledger(ev_w), min_common=2
         ).write.format("noop").mode("overwrite").save()
+        ta.vocab_growth(warm).write.format("noop").mode("overwrite").save()
+        ta.ngram_novelty(warm).write.format("noop").mode("overwrite").save()
+        dedup.minhash_lsh_pairs(warm, max_band_bucket=64).write.format(
+            "noop"
+        ).mode("overwrite").save()
         dedup.release_caches()
         for f_ in factors:
             path = build_scaled(spark, sf_dir, f_, scratch)
@@ -405,10 +417,28 @@ def probe_staged9(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                     docs, ledger, min_common=2
                 ).write.format("noop").mode("overwrite").save()
 
+            def run_vg():
+                ta.vocab_growth(docs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_nn():
+                ta.ngram_novelty(docs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_capped():
+                dedup.minhash_lsh_pairs(
+                    docs, max_band_bucket=64
+                ).write.format("noop").mode("overwrite").save()
+
             for name, fn in [
                 ("psi_js_drift", run_psi),
                 ("ppswor_sample", run_ppswor),
                 ("contamination_ledger", run_contam),
+                ("vocab_growth", run_vg),
+                ("ngram_novelty", run_nn),
+                ("minhash_lsh_capped", run_capped),
             ]:
                 results.setdefault(name, {})[str(f_)] = timed(fn)
                 dedup.release_caches()

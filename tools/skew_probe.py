@@ -77,6 +77,7 @@ PROBED_TEXT = [
     "ext_sorted_neighborhood",       # one 2-char prefix block dominates
     "ext_prefix_jaccard_join",       # stop-shingle postings, df ~ corpus
     "ext_minhash_lsh_pairs",         # banded signatures over near-dup mass
+    "ext_minhash_lsh_capped",        # same, mega-bucket cap engaged (r9 staged)
     "ext_span_dedup",                # shared-prefix span collapse
     "ext_ngram_dup_fraction",        # n-gram repeat audit on boilerplate
     "ext_text_stats",                # control: per-doc map-only stats
@@ -134,7 +135,11 @@ def main() -> None:
 
             token_ratio = round(_toks(hot_dir) / _toks(sf_dir), 2)
 
-        specs = SPECS()
+        # staged-pool operators are probe-visible before promotion (live
+        # catalog entries win on name collision)
+        from dbt_glue_spark.plans.round9_staged import STAGED9
+
+        specs = {**STAGED9(), **SPECS()}
         results: dict[str, dict] = {}
         # warm up EVERY probed query's codegen on both directories —
         # each plan compiles its own WholeStageCodegen, so warming only
