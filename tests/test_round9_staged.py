@@ -612,3 +612,19 @@ def test_minhash_cap_drops_only_megabucket_pairs(spark):
     assert not any(a < 100 and b < 100 for a, b in capped)
     with pytest.raises(ValueError, match="max_band_bucket"):
         minhash_lsh_pairs(df, max_band_bucket=0)
+
+
+def test_minhash_capped_plan_is_bucketed(spark, sf_dir):
+    """The capped variant must keep the bucketed band join — never a
+    cartesian/broadcast-nested-loop pair generation (the gate
+    test_plan_quality pins for the live pair generators, applied to the
+    staged entry ahead of its promotion)."""
+    from dbt_glue_spark.sources.registry import load_table
+    from dbt_glue_spark.extensions.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_band_bucket=64
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
