@@ -1413,3 +1413,70 @@ def contamination_check_incremental(
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    min_shingles: int = 3,
+    df_freq_cutoff: int | None = None,
+) -> DataFrame:
+    """Directional containment join (Broder's resemblance/containment
+    pair): (id_a, id_b, n_common, n_a, n_b) for ordered pairs where
+    C(a→b) = |Sₐ ∩ S_b| / |Sₐ| ≥ threshold — document a's shingles are
+    mostly INSIDE b. The sub-document duplication detector Jaccard
+    misses by construction: a 50-token quote fully contained in a
+    10k-token article has near-zero Jaccard but containment ≈ 1, which
+    is what excerpt/quotation dedup and sub-document eval contamination
+    care about. Complements exact_substring_spans (verbatim runs) with
+    the set-level, order-insensitive view.
+
+    Exactness: the threshold compares n_common·den ≥ n_a·num — integer
+    cross-multiplication, no float on the oracle boundary. Docs with
+    fewer than ``min_shingles`` distinct shingles are excluded as the
+    contained side (a 1-shingle doc is "contained" in anything that
+    shares it — pure noise). Both directions are emitted when both
+    qualify (the pair is ordered; id_a is the contained side).
+
+    100 TB shape: the same inverted-index candidate join as
+    ngram_jaccard_pairs — only docs sharing ≥ 1 shingle ever meet; a
+    shingle with document frequency f costs f² join rows, so
+    ``df_freq_cutoff`` (drop shingles with df > cutoff BEFORE the
+    self-join) is the skew defense on boilerplate-heavy corpora, same
+    trade as documented on ngram_jaccard_pairs/minhash's cap: frequent
+    shingles carry no containment signal of their own.
+    """
+    if threshold_num < 0 or threshold_den < 1:
+        raise ValueError(
+            f"threshold must be num>=0, den>=1: {threshold_num}/{threshold_den}"
+        )
+    if min_shingles < 1:
+        raise ValueError(f"min_shingles must be >= 1: {min_shingles}")
+    sh = _persist(_shingle_postings(df, text_col, id_col, n, df_freq_cutoff))
+    sizes = sh.groupBy("id").agg(F.count("*").cast("bigint").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a"
+        )
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .filter(
+            (F.col("n_a") >= min_shingles)
+            & (
+                F.col("n_common") * F.lit(threshold_den)
+                >= F.col("n_a") * F.lit(threshold_num)
+            )
+        )
+        .select("id_a", "id_b", "n_common", "n_a", "n_b")
+    )

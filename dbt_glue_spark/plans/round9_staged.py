@@ -472,3 +472,62 @@ def ext_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         max_band_bucket=_LSH_CAP,
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_containment_pairs — directional sub-document duplication
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "ext_containment_pairs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '')
+               AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in generate_series(1, len(toks) - 2)]
+             )) AS shingle
+      FROM tok
+    ),
+    keepsh AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keepsh USING (shingle)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM shc a JOIN shc b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE sa.n_sh >= 3 AND n_common * 5 >= sa.n_sh * 4
+    """,
+    doc="Directional containment join (dedup.containment_pairs, Broder): "
+    "ordered pairs where >= 4/5 of doc a's distinct 3-grams sit inside "
+    "doc b — the sub-document duplication Jaccard misses (a quote fully "
+    "contained in a long article has near-zero Jaccard, containment ~1). "
+    "Integer cross-multiplied threshold, inverted-index candidates only, "
+    "df>20 stop-shingles dropped before the self-join (the boilerplate "
+    "skew defense, same trade as ngram_jaccard_cutoff).",
+)
+def ext_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        threshold_num=4,
+        threshold_den=5,
+        min_shingles=3,
+        df_freq_cutoff=20,
+    )

@@ -628,3 +628,67 @@ def test_minhash_capped_plan_is_bucketed(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_hand_case(spark):
+    """A short doc fully inside a long one qualifies a->b but not b->a;
+    a partial overlap below 4/5 does not; min_shingles excludes trivial
+    contained sides; duplicate shingles count once."""
+    from dbt_glue_spark.extensions.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(40))  # 38 shingles
+    quote = " ".join(f"w{i}" for i in range(10, 20))  # 8 shingles, all inside
+    partial = " ".join(f"w{i}" for i in range(36, 44))  # straddles the end
+    tiny = "w5 w6 w7 w8"  # 2 shingles -> below min_shingles
+    df = spark.createDataFrame(
+        [(1, long_text), (2, quote), (3, partial), (4, tiny), (5, quote + " " + quote)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b)
+        for r in containment_pairs(df).collect()
+    }
+    assert (2, 1) in got and got[(2, 1)][0] == 8  # fully contained
+    assert (1, 2) not in got  # long side not contained in the quote
+    assert (3, 1) not in got  # only 2 of 6 shingles shared < 4/5
+    assert all(a != 4 for a, _ in got)  # tiny contained side excluded
+    # doc5 repeats the quote: distinct shingles still 8 + the 1 bridge
+    # shingles crossing the junction; containment in doc1 fails only if
+    # bridge shingles push |S5| above the 4/5 bound — check consistency
+    for (a, b), (c, na, nb) in got.items():
+        assert c * 5 >= na * 4 and na >= 3
+
+
+def test_containment_symmetric_identicals_both_directions(spark, sf_dir):
+    """Identical docs qualify in BOTH directions; the pair set agrees
+    with a brute-force Python evaluation on the real corpus subset."""
+    from dbt_glue_spark.extensions.dedup import containment_pairs
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(150)
+    rows = docs.collect()
+    sets = {}
+    for r in rows:
+        toks = [t for t in (r.text or "").split() if t]
+        sets[r.doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    expected = set()
+    for a, sa in sets.items():
+        if len(sa) < 3:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            c = len(sa & sb)
+            if c and c * 5 >= len(sa) * 4:
+                expected.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(docs, df_freq_cutoff=None).collect()
+    }
+    assert got == expected
+    with pytest.raises(ValueError, match="min_shingles"):
+        containment_pairs(docs, min_shingles=0)
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(docs, threshold_den=0)

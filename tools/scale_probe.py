@@ -388,6 +388,9 @@ def probe_staged9(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
         dedup.minhash_lsh_pairs(warm, max_band_bucket=64).write.format(
             "noop"
         ).mode("overwrite").save()
+        dedup.containment_pairs(warm, df_freq_cutoff=20).write.format(
+            "noop"
+        ).mode("overwrite").save()
         dedup.release_caches()
         for f_ in factors:
             path = build_scaled(spark, sf_dir, f_, scratch)
@@ -432,6 +435,11 @@ def probe_staged9(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                     docs, max_band_bucket=64
                 ).write.format("noop").mode("overwrite").save()
 
+            def run_containment():
+                dedup.containment_pairs(
+                    docs, df_freq_cutoff=20
+                ).write.format("noop").mode("overwrite").save()
+
             for name, fn in [
                 ("psi_js_drift", run_psi),
                 ("ppswor_sample", run_ppswor),
@@ -439,6 +447,7 @@ def probe_staged9(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                 ("vocab_growth", run_vg),
                 ("ngram_novelty", run_nn),
                 ("minhash_lsh_capped", run_capped),
+                ("containment_pairs", run_containment),
             ]:
                 results.setdefault(name, {})[str(f_)] = timed(fn)
                 dedup.release_caches()
