@@ -170,7 +170,9 @@ STREAMING_SET = [
 
 
 @pytest.mark.parity
-@pytest.mark.parametrize("variant", ["dirty", "const", "ts", "hot", "empty", "long"])
+@pytest.mark.parametrize(
+    "variant", ["dirty", "const", "ts", "hot", "empty", "long", "textskew"]
+)
 def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
     """Pathological-axis × streaming cross-product (round-6, opt-in).
 
@@ -183,7 +185,13 @@ def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
     on empty tables (watermarks with no data, ledgers with no batches).
     """
     from check_parity import run_parity
-    from gen_pathological import mutate_const, mutate_hot, mutate_long, mutate_ts
+    from gen_pathological import (
+        mutate_const,
+        mutate_hot,
+        mutate_long,
+        mutate_textskew,
+        mutate_ts,
+    )
 
     fn = {
         "dirty": mutate,
@@ -192,6 +200,7 @@ def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
         "hot": mutate_hot,
         "empty": lambda df: df.limit(0),
         "long": mutate_long,
+        "textskew": mutate_textskew,
     }[variant]
     out = str(tmp_path_factory.mktemp(f"sf_stream_{variant}"))
     for t in TABLES:
