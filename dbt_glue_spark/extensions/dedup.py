@@ -1480,3 +1480,62 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "n_common", "n_a", "n_b")
     )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """Recall audit of the banded MinHash-LSH candidate generation
+    against the EXACT inverted-index ground truth at the same
+    threshold — the number bands/hashes are tuned with (the dedup twin
+    of similarity's ann recall audit): a corpus whose near-dup mass
+    sits just above threshold loses recall first, and this measures it
+    instead of trusting the 1-(1-s^r)^b curve.
+
+    Because LSH pairs are exact-Jaccard VERIFIED, LSH ⊆ truth and
+    precision is 1 by construction; the audit therefore reports
+    n_true, n_found, n_missed and recall (exact integer ppm). With
+    ``max_band_bucket`` set, the missing mass additionally includes
+    the refused mega-bucket pairs — run both settings to see what the
+    cap actually costs on YOUR corpus.
+
+    100 TB shape: the truth side is the exact inverted join — this is
+    an AUDIT you run on a sampled slice, not the production path (the
+    production path is the LSH itself); both sides collapse to three
+    counters before the 1-row result.
+    """
+    truth = ngram_jaccard_pairs(df, text_col, id_col, n, threshold).select(
+        "id_a", "id_b"
+    )
+    found = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        n,
+        num_hashes,
+        bands,
+        threshold,
+        max_band_bucket=max_band_bucket,
+    ).select("id_a", "id_b")
+    hit = truth.join(found, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    h = hit.agg(F.count("*").cast("bigint").alias("n_found"))
+    # two 1-row aggregates cross-joined — fully lazy, nothing driver-side
+    return t.crossJoin(h).select(
+        "n_true",
+        "n_found",
+        (F.col("n_true") - F.col("n_found")).cast("bigint").alias("n_missed"),
+        F.when(
+            F.col("n_true") > 0,
+            F.expr("(n_found * 1000000) DIV n_true"),
+        )
+        .cast("bigint")
+        .alias("recall_q6"),
+    )

@@ -531,3 +531,67 @@ def ext_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shingles=3,
         df_freq_cutoff=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_lsh_recall_audit — measured recall of the banded scheme
+# ---------------------------------------------------------------------------
+
+from dbt_glue_spark.plans.extension_queries import _SH  # noqa: E402
+
+# sig CTE without its embedded _SH prefix (the audit shares one sh CTE
+# between the truth and LSH sides)
+_SIG_ONLY = _MINHASH_SIG.removeprefix(_SH)
+
+
+@register_staged(
+    "ext_lsh_recall_audit",
+    "WITH "
+    + _SH
+    + ","
+    + _JACCARD_TAIL.lstrip().rstrip()
+    + ",\n    truth AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5)"
+    + _SIG_ONLY.rstrip().rstrip(")").rstrip()  # reopen: _SIG_ONLY is ",\n sig AS (...)\n"
+    + """
+    ),
+    bands AS (
+      SELECT id, b, key FROM sig, LATERAL (VALUES
+        (0, MD5(h0 || '|' || h1)), (1, MD5(h2 || '|' || h3)),
+        (2, MD5(h4 || '|' || h5)), (3, MD5(h6 || '|' || h7))
+      ) AS v(b, key)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM bands a JOIN bands b2
+        ON a.key = b2.key AND a.b = b2.b AND a.id < b2.id
+    ),
+    found AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+      WHERE j.jaccard >= 0.5
+    ),
+    hit AS (SELECT * FROM truth INTERSECT SELECT * FROM found)
+    SELECT CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_found AS BIGINT) AS n_found,
+           CAST(n_true - n_found AS BIGINT) AS n_missed,
+           CAST(CASE WHEN n_true > 0 THEN (n_found * 1000000) // n_true
+                END AS BIGINT) AS recall_q6
+    FROM (SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+                 (SELECT COUNT(*) FROM hit) AS n_found)
+    """,
+    doc="Measured recall of banded MinHash-LSH against the exact "
+    "inverted-index Jaccard truth at the same threshold "
+    "(dedup.lsh_recall_audit) — the number bands/hashes are tuned "
+    "with, instead of trusting the 1-(1-s^r)^b curve; LSH pairs are "
+    "exact-verified so precision is 1 and the audit reports the "
+    "candidate-generation miss mass (exact integer ppm). The audit "
+    "runs on a sampled slice at scale; both sides collapse to 1-row "
+    "counters.",
+)
+def ext_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.dedup import lsh_recall_audit
+
+    return lsh_recall_audit(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        threshold=0.5,
+    )

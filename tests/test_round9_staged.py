@@ -692,3 +692,26 @@ def test_containment_symmetric_identicals_both_directions(spark, sf_dir):
         containment_pairs(docs, min_shingles=0)
     with pytest.raises(ValueError, match="threshold"):
         containment_pairs(docs, threshold_den=0)
+
+
+def test_lsh_recall_audit_consistency(spark, sf_dir):
+    """n_found <= n_true (LSH pairs are exact-verified, so LSH ⊆ truth),
+    counters reconcile with the operators they audit, and the capped
+    variant's recall is <= the uncapped recall."""
+    from dbt_glue_spark.extensions.dedup import (
+        lsh_recall_audit,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    r = lsh_recall_audit(docs, threshold=0.5).collect()[0]
+    assert r.n_found <= r.n_true and r.n_missed == r.n_true - r.n_found
+    assert r.n_true == ngram_jaccard_pairs(docs, threshold=0.5).count()
+    assert r.n_found == minhash_lsh_pairs(docs, threshold=0.5).count()
+    if r.n_true:
+        assert r.recall_q6 == (r.n_found * 1000000) // r.n_true
+    capped = lsh_recall_audit(docs, threshold=0.5, max_band_bucket=2).collect()[0]
+    assert capped.n_found <= r.n_found
+    assert capped.n_true == r.n_true  # the truth side never changes
