@@ -260,10 +260,13 @@ def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from dbt_glue_spark.extensions.sampling import priority_sample_finalize
+    from dbt_glue_spark.extensions.sampling import (
+        priority_frame,
+        priority_sample_finalize,
+    )
     from dbt_glue_spark.streaming.pipelines import (
         priority_sample_stream_sink,
-        read_ledger,
+        read_ledger_or,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -286,7 +289,12 @@ def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed="7",
     )
     q.awaitTermination(300)
-    return priority_sample_finalize(read_ledger(spark, target), "doc_id", _PS_K)
+    # empty-stream contract (read_ledger_or): an empty corpus commits no
+    # ledger; the sample of nothing is the empty typed priority frame
+    empty_ledger = priority_frame(docs.limit(0), "doc_id", "n_chars")
+    return priority_sample_finalize(
+        read_ledger_or(spark, target, empty_ledger), "doc_id", _PS_K
+    )
 
 
 @register_staged(

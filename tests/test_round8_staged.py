@@ -412,3 +412,24 @@ def test_cusum_null_tie_rows_dropped(spark):
     exp = cusum_changepoints(kept, "k", "o", "tie", "v").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
     assert got[0].n == 3
+
+
+def test_staged8_survive_empty_input(spark, sf_dir, tmp_path_factory):
+    """Zero-row tables: every round-8 spec returns an empty or
+    NULL-aggregate frame with its normal schema, never raises. (Added
+    round 8: the pool shipped WITHOUT this gate and
+    streaming_priority_sample raised FileNotFoundError on an empty
+    corpus — no batches ⇒ no committed ledger — caught by the full
+    empty-input sweep and fixed via the read_ledger_or contract.)"""
+    import os
+
+    from dbt_glue_spark.sources.registry import TABLES, load_table
+
+    out = str(tmp_path_factory.mktemp("sf_empty_staged8"))
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    for name, spec in sorted(STAGED8().items()):
+        rows = spec.fn(spark, out)
+        assert isinstance(rows.collect(), list), name
