@@ -691,75 +691,92 @@ def psi_js_drift(
     for c in value_cols:
         ha = value_histogram(a, c, bucket_width, n_buckets)
         hb = value_histogram(b, c, bucket_width, n_buckets)
-        joined = (
-            ha.select("bucket", F.col("cnt").alias("ca"))
-            .join(
-                hb.select("bucket", F.col("cnt").alias("cb")),
-                "bucket",
-                "full_outer",
-            )
-            .select(
-                "bucket",
-                F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
-                F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
-            )
-            .join(F.broadcast(ha.agg(F.sum("cnt").cast("bigint").alias("n_a"))))
-            .join(F.broadcast(hb.agg(F.sum("cnt").cast("bigint").alias("n_b"))))
-        )
-        pa = F.col("ca").cast("double") / F.col("n_a").cast("double")
-        pb = F.col("cb").cast("double") / F.col("n_b").cast("double")
-        pa_c = F.greatest(pa, F.lit(float(eps)))
-        pb_c = F.greatest(pb, F.lit(float(eps)))
-        psi_term = (pa_c - pb_c) * F.log(pa_c / pb_c)
-        js_a = F.when(
-            F.col("ca") > 0, pa * F.log(F.lit(2.0) * pa / (pa + pb))
-        ).otherwise(F.lit(0.0))
-        js_b = F.when(
-            F.col("cb") > 0, pb * F.log(F.lit(2.0) * pb / (pa + pb))
-        ).otherwise(F.lit(0.0))
-        terms = joined.select(
-            "n_a",
-            "n_b",
-            F.struct(
-                F.col("bucket"),
-                psi_term.alias("psi_t"),
-                (F.lit(0.5) * (js_a + js_b)).alias("js_t"),
-            ).alias("t"),
-        )
-        folded = terms.groupBy("n_a", "n_b").agg(
-            F.count("*").cast("bigint").alias("n_buckets_used"),
-            F.sort_array(F.collect_list("t")).alias("ts"),
-        )
-        fold = lambda field: F.aggregate(  # noqa: E731
-            "ts", F.lit(0.0), lambda acc, s: acc + s[field]
-        )
-        outs.append(
-            folded.select(
-                F.lit(c).alias("feature"),
-                "n_a",
-                "n_b",
-                "n_buckets_used",
-                # an empty side means no distribution to compare: NULL
-                # statistic, explicitly — Spark's greatest() IGNORES
-                # NULLs, so without this gate the eps clamp would
-                # swallow the NULL proportion and emit a finite psi
-                half_up_round(
-                    F.when(
-                        F.col("n_a").isNotNull() & F.col("n_b").isNotNull(),
-                        fold("psi_t"),
-                    ),
-                    6,
-                ).alias("psi"),
-                half_up_round(
-                    F.when(
-                        F.col("n_a").isNotNull() & F.col("n_b").isNotNull(),
-                        fold("js_t"),
-                    ),
-                    6,
-                ).alias("js"),
-            )
-        )
+        outs.append(psi_js_from_histograms(ha, hb, c, eps))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def psi_js_from_histograms(
+    ha: DataFrame, hb: DataFrame, feature: str, eps: float = 1e-6
+) -> DataFrame:
+    """PSI + JS from two pre-built (bucket, cnt) histograms — the
+    mergeable-summary form of :func:`psi_js_drift` (see that docstring
+    for the semantics and the float-determinism argument). Separated,
+    like :func:`drift_from_histograms`, so a STREAMED histogram ledger
+    (streaming/pipelines.histogram_stream_sink — constant ≤ n_buckets-
+    row state) can be scored against a batch reference with the
+    identical arithmetic: the streamed-vs-batch PSI is then exactly the
+    batch-vs-batch PSI because histogram counting is linear."""
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0: {eps}")
+    joined = (
+        ha.select("bucket", F.col("cnt").alias("ca"))
+        .join(
+            hb.select("bucket", F.col("cnt").alias("cb")),
+            "bucket",
+            "full_outer",
+        )
+        .select(
+            "bucket",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+        .join(F.broadcast(ha.agg(F.sum("cnt").cast("bigint").alias("n_a"))))
+        .join(F.broadcast(hb.agg(F.sum("cnt").cast("bigint").alias("n_b"))))
+    )
+    pa = F.col("ca").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("cb").cast("double") / F.col("n_b").cast("double")
+    pa_c = F.greatest(pa, F.lit(float(eps)))
+    pb_c = F.greatest(pb, F.lit(float(eps)))
+    psi_term = (pa_c - pb_c) * F.log(pa_c / pb_c)
+    js_a = F.when(
+        F.col("ca") > 0, pa * F.log(F.lit(2.0) * pa / (pa + pb))
+    ).otherwise(F.lit(0.0))
+    js_b = F.when(
+        F.col("cb") > 0, pb * F.log(F.lit(2.0) * pb / (pa + pb))
+    ).otherwise(F.lit(0.0))
+    terms = joined.select(
+        "n_a",
+        "n_b",
+        F.struct(
+            F.col("bucket"),
+            psi_term.alias("psi_t"),
+            (F.lit(0.5) * (js_a + js_b)).alias("js_t"),
+        ).alias("t"),
+    )
+    folded = terms.groupBy("n_a", "n_b").agg(
+        F.count("*").cast("bigint").alias("n_buckets_used"),
+        F.sort_array(F.collect_list("t")).alias("ts"),
+    )
+    fold = lambda field: F.aggregate(  # noqa: E731
+        "ts", F.lit(0.0), lambda acc, s: acc + s[field]
+    )
+    return folded.select(
+            F.lit(feature).alias("feature"),
+            "n_a",
+            "n_b",
+            "n_buckets_used",
+            # an empty side means no distribution to compare: NULL
+            # statistic, explicitly — Spark's greatest() IGNORES
+            # NULLs, so without this gate the eps clamp would
+            # swallow the NULL proportion and emit a finite psi
+            half_up_round(
+                F.when(
+                    F.col("n_a").isNotNull() & F.col("n_b").isNotNull(),
+                    fold("psi_t"),
+                ),
+                6,
+            ).alias("psi"),
+            half_up_round(
+                F.when(
+                    F.col("n_a").isNotNull() & F.col("n_b").isNotNull(),
+                    fold("js_t"),
+                ),
+                6,
+            ).alias("js"),
+        )
+

@@ -595,3 +595,95 @@ def ext_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         threshold=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_psi_drift — the retrain trigger computed live
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "streaming_psi_drift",
+    f"""
+    WITH ha AS (
+      SELECT CAST(LEAST(FLOOR(value / 16), 31) AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS ca
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1
+    ),
+    hb AS (
+      SELECT CAST(LEAST(FLOOR(value / 16), 31) AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cb
+      FROM events GROUP BY 1
+    )
+    SELECT 'value' AS feature, n_a, n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           FLOOR(SUM(psi_t) * 1000000.0 + 0.5) / 1000000.0 AS psi,
+           FLOOR(SUM(js_t) * 1000000.0 + 0.5) / 1000000.0 AS js
+    FROM (
+      SELECT bucket, n_a, n_b,
+             (GREATEST(pa, {_PSI_EPS!r}) - GREATEST(pb, {_PSI_EPS!r}))
+               * ln(GREATEST(pa, {_PSI_EPS!r}) / GREATEST(pb, {_PSI_EPS!r}))
+               AS psi_t,
+             0.5 * (CASE WHEN ca > 0
+                         THEN pa * ln(2.0 * pa / (pa + pb)) ELSE 0.0 END
+                    + CASE WHEN cb > 0
+                           THEN pb * ln(2.0 * pb / (pa + pb)) ELSE 0.0 END)
+               AS js_t
+      FROM (
+        SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+               CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
+               CAST(COALESCE(cb, 0) AS BIGINT) AS cb,
+               n_a, n_b,
+               CAST(COALESCE(ca, 0) AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+               CAST(COALESCE(cb, 0) AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb
+        FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket,
+        (SELECT (SELECT CAST(SUM(ca) AS BIGINT) FROM ha) AS n_a,
+                (SELECT CAST(SUM(cb) AS BIGINT) FROM hb) AS n_b) t
+      )
+    )
+    GROUP BY n_a, n_b
+    """,
+    doc="Streaming PSI/JS retrain trigger end-to-end "
+    "(streaming/pipelines.histogram_stream_sink + "
+    "audit.psi_js_from_histograms): the event value stream maintains a "
+    "<=32-row histogram ledger cell-wise via foreachBatch (histogram "
+    "counting is linear => streamed == batch exactly, any batching), "
+    "then the live ledger is PSI/JS-scored against a batch reference "
+    "slice (event_id % 2 = 0) with the ext_psi_js_drift arithmetic - "
+    "the log-based companion to streaming_drift_monitor's TV/chi2 "
+    "terms. Constant state per stream; the oracle recomputes both "
+    "histograms from scratch, proving the ledger lost nothing.",
+)
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dbt_glue_spark.extensions.audit import (
+        psi_js_from_histograms,
+        value_histogram,
+    )
+    from dbt_glue_spark.streaming.pipelines import (
+        histogram_stream_sink,
+        read_ledger_or,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    stage = tempfile.mkdtemp(prefix="dgs_q_psisrc_")
+    events.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    target = tempfile.mkdtemp(prefix="dgs_q_psitgt_")
+    q = histogram_stream_sink(
+        stream, spark, target, os.path.join(target, "ckpt"), "value", 16
+    )
+    q.awaitTermination(300)
+    live = read_ledger_or(
+        spark, target, value_histogram(events.limit(0), "value", 16)
+    )
+    ref = value_histogram(
+        events.filter(F.col("event_id") % 2 == 0), "value", 16
+    )
+    return psi_js_from_histograms(ref, live, "value", eps=_PSI_EPS)
