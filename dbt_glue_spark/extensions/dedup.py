@@ -306,11 +306,19 @@ def minhash_lsh_pairs(
         .groupBy("id")
         .agg(F.count("*").alias("n_sh"))
     )
-    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    # the intersection join carries md5(shingle) (16-byte binary), not the
+    # shingle text: it is computed map-side from the cached postings, the
+    # count semantics are identical (collision mass negligible — the
+    # contamination ledger uses the same argument), and the shuffle bytes
+    # of the widest exchange in the pipeline roughly halve — measured at
+    # the 64× local memory boundary where this operator's spill regime
+    # begins (SCALE.md round-8)
+    shingle_h = F.md5("shingle").alias("__shh")
+    sh_a = sh.select(F.col("id").alias("id_a"), shingle_h)
+    sh_b = sh.select(F.col("id").alias("id_b"), shingle_h)
     inter = (
         cand.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
+        .join(sh_b, ["id_b", "__shh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
