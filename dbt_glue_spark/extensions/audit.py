@@ -780,3 +780,104 @@ def psi_js_from_histograms(
             ).alias("js"),
         )
 
+
+
+def psi_js_drift_by_group(
+    a: DataFrame,
+    b: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: int = 64,
+    n_buckets: int = 32,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-GROUP PSI/JS drift — :func:`psi_js_drift` stratified by
+    ``group_col`` (source, language, shard): one (group, psi, js) row
+    per group present in either snapshot. This is the form a production
+    monitor actually runs — corpus-level drift hides a single source
+    going bad behind the stable majority; per-source PSI names the
+    offender.
+
+    Same arithmetic and float-determinism discipline as the global
+    operator (exact-count proportions, eps clamp, 0·ln0 = 0, bucket-
+    sorted fold — here per group, over each group's ≤ n_buckets-row
+    collected frame). A group present on only ONE side has no
+    distribution to compare on the other: NULL psi/js (the empty-side
+    contract), with its n_a/n_b showing which side is missing.
+
+    100 TB shape: both sides collapse to ≤ groups×n_buckets rows via
+    map-side partial aggregation at the scan; joins are (group, bucket)
+    and (group) equi-joins over those collapsed frames; the folds ride
+    per-group bounded frames. Nothing after the scans depends on corpus
+    size — only on |groups|.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0: {eps}")
+
+    def hist(df: DataFrame, cnt: str) -> DataFrame:
+        bucket = F.least(
+            F.floor(F.col(value_col) / F.lit(bucket_width)),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+        return (
+            df.select(F.col(group_col).alias("g"), bucket.alias("bucket"))
+            .groupBy("g", "bucket")
+            .agg(F.count("*").cast("bigint").alias(cnt))
+        )
+
+    ha, hb = hist(a, "ca"), hist(b, "cb")
+    ta = ha.groupBy("g").agg(F.sum("ca").cast("bigint").alias("n_a"))
+    tb = hb.groupBy("g").agg(F.sum("cb").cast("bigint").alias("n_b"))
+    joined = (
+        ha.join(hb, ["g", "bucket"], "full_outer")
+        .select(
+            "g",
+            "bucket",
+            F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+        )
+        .join(ta, "g", "left")
+        .join(tb, "g", "left")
+    )
+    pa = F.col("ca").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("cb").cast("double") / F.col("n_b").cast("double")
+    pa_c = F.greatest(pa, F.lit(float(eps)))
+    pb_c = F.greatest(pb, F.lit(float(eps)))
+    psi_term = (pa_c - pb_c) * F.log(pa_c / pb_c)
+    js_a = F.when(
+        F.col("ca") > 0, pa * F.log(F.lit(2.0) * pa / (pa + pb))
+    ).otherwise(F.lit(0.0))
+    js_b = F.when(
+        F.col("cb") > 0, pb * F.log(F.lit(2.0) * pb / (pa + pb))
+    ).otherwise(F.lit(0.0))
+    folded = (
+        joined.select(
+            "g",
+            "n_a",
+            "n_b",
+            F.struct(
+                F.col("bucket"),
+                psi_term.alias("psi_t"),
+                (F.lit(0.5) * (js_a + js_b)).alias("js_t"),
+            ).alias("t"),
+        )
+        .groupBy("g", "n_a", "n_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets_used"),
+            F.sort_array(F.collect_list("t")).alias("ts"),
+        )
+    )
+    fold = lambda field: F.aggregate(  # noqa: E731
+        "ts", F.lit(0.0), lambda acc, s: acc + s[field]
+    )
+    both = F.col("n_a").isNotNull() & F.col("n_b").isNotNull()
+    return folded.select(
+        F.col("g").alias(group_col),
+        "n_a",
+        "n_b",
+        "n_buckets_used",
+        half_up_round(F.when(both, fold("psi_t")), 6).alias("psi"),
+        half_up_round(F.when(both, fold("js_t")), 6).alias("js"),
+    )

@@ -687,3 +687,113 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_id") % 2 == 0), "value", 16
     )
     return psi_js_from_histograms(ref, live, "value", eps=_PSI_EPS)
+
+
+# ---------------------------------------------------------------------------
+# ext_psi_drift_by_source — stratified drift (names the offending source)
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "ext_psi_drift_by_source",
+    f"""
+    WITH b_snap AS (
+      SELECT source,
+             text || CASE WHEN doc_id % 13 = 0 THEN ' [edited]'
+                          ELSE '' END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT 'srcNEW' AS source, 'new document ' || doc_id AS text
+      FROM documents WHERE doc_id % 23 = 0
+    ),
+    ha AS (
+      SELECT source AS g,
+             CAST(LEAST(FLOOR(LENGTH(text) / {_PSI_W}), {_PSI_NB - 1}) AS INT)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS ca
+      FROM documents GROUP BY 1, 2
+    ),
+    hb AS (
+      SELECT source AS g,
+             CAST(LEAST(FLOOR(LENGTH(text) / {_PSI_W}), {_PSI_NB - 1}) AS INT)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cb
+      FROM b_snap GROUP BY 1, 2
+    ),
+    ta AS (SELECT g, CAST(SUM(ca) AS BIGINT) AS n_a FROM ha GROUP BY g),
+    tb AS (SELECT g, CAST(SUM(cb) AS BIGINT) AS n_b FROM hb GROUP BY g),
+    j AS (
+      SELECT COALESCE(ha.g, hb.g) AS g,
+             COALESCE(ha.bucket, hb.bucket) AS bucket,
+             CAST(COALESCE(ca, 0) AS BIGINT) AS ca,
+             CAST(COALESCE(cb, 0) AS BIGINT) AS cb
+      FROM ha FULL OUTER JOIN hb
+        ON ha.g = hb.g AND ha.bucket = hb.bucket
+    ),
+    jt AS (
+      SELECT j.g, j.bucket, j.ca, j.cb, ta.n_a, tb.n_b,
+             CAST(j.ca AS DOUBLE) / CAST(ta.n_a AS DOUBLE) AS pa,
+             CAST(j.cb AS DOUBLE) / CAST(tb.n_b AS DOUBLE) AS pb
+      FROM j LEFT JOIN ta ON ta.g = j.g LEFT JOIN tb ON tb.g = j.g
+    ),
+    terms AS (
+      SELECT g, n_a, n_b,
+             (GREATEST(pa, {_PSI_EPS!r}) - GREATEST(pb, {_PSI_EPS!r}))
+               * ln(GREATEST(pa, {_PSI_EPS!r}) / GREATEST(pb, {_PSI_EPS!r}))
+               AS psi_t,
+             0.5 * (CASE WHEN ca > 0
+                         THEN pa * ln(2.0 * pa / (pa + pb)) ELSE 0.0 END
+                    + CASE WHEN cb > 0
+                           THEN pb * ln(2.0 * pb / (pa + pb)) ELSE 0.0 END)
+               AS js_t
+      FROM jt
+    )
+    SELECT g AS source, n_a, n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+                THEN FLOOR(SUM(psi_t) * 1000000.0 + 0.5) / 1000000.0
+           END AS psi,
+           CASE WHEN n_a IS NOT NULL AND n_b IS NOT NULL
+                THEN FLOOR(SUM(js_t) * 1000000.0 + 0.5) / 1000000.0
+           END AS js
+    FROM terms
+    GROUP BY g, n_a, n_b
+    """,
+    doc="Per-source PSI/JS drift (audit.psi_js_drift_by_group) over "
+    "document length between two snapshots — corpus-level drift hides a "
+    "single source going bad behind the stable majority; the stratified "
+    "form names the offender. The added-docs slice lands in a NEW "
+    "source absent from snapshot A, exercising the one-sided-group "
+    "contract (NULL psi/js, n_a missing). Same exact-count/eps/0-ln-0 "
+    "discipline as ext_psi_js_drift; both sides collapse to "
+    "groups x 32 rows at the scan, folds ride per-group bounded frames.",
+)
+def ext_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import psi_js_drift_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select("source", F.length("text").cast("bigint").alias("len"))
+    edited = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "source",
+        F.length(
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" [edited]")),
+            ).otherwise(F.col("text"))
+        )
+        .cast("bigint")
+        .alias("len"),
+    )
+    added = docs.filter(F.col("doc_id") % 23 == 0).select(
+        F.lit("srcNEW").alias("source"),
+        F.length(
+            F.concat(F.lit("new document "), F.col("doc_id").cast("string"))
+        )
+        .cast("bigint")
+        .alias("len"),
+    )
+    b = edited.unionByName(added)
+    return psi_js_drift_by_group(
+        a, b, "source", "len", bucket_width=_PSI_W, n_buckets=_PSI_NB,
+        eps=_PSI_EPS,
+    )

@@ -715,3 +715,45 @@ def test_lsh_recall_audit_consistency(spark, sf_dir):
     capped = lsh_recall_audit(docs, threshold=0.5, max_band_bucket=2).collect()[0]
     assert capped.n_found <= r.n_found
     assert capped.n_true == r.n_true  # the truth side never changes
+
+
+def test_psi_by_group_matches_global_per_group(spark, sf_dir):
+    """Each group's stratified PSI/JS equals the GLOBAL operator run on
+    that group's slice alone — stratification is exact partitioning,
+    nothing leaks across groups."""
+    from dbt_glue_spark.extensions.audit import (
+        psi_js_drift,
+        psi_js_drift_by_group,
+    )
+    from dbt_glue_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.length("text").cast("bigint").alias("len")
+    )
+    b = docs.withColumn("len", F.col("len") + 40)  # uniform shift drift
+    got = {
+        r.source: (r.n_a, r.n_b, r.n_buckets_used, r.psi, r.js)
+        for r in psi_js_drift_by_group(docs, b, "source", "len").collect()
+    }
+    for g in list(got)[:3]:  # three groups suffice; each is a full run
+        sa = docs.filter(F.col("source") == g).select("len")
+        sb = b.filter(F.col("source") == g).select("len")
+        ref = psi_js_drift(sa, sb, "len").collect()[0]
+        assert got[g] == (ref.n_a, ref.n_b, ref.n_buckets_used, ref.psi, ref.js), g
+
+
+def test_psi_by_group_one_sided_group_null(spark):
+    """A group present on only one side has NULL psi/js with the
+    missing side's total NULL — never an eps-fabricated finite score."""
+    from dbt_glue_spark.extensions.audit import psi_js_drift_by_group
+
+    a = spark.createDataFrame([("g1", 5), ("g1", 15)], "g string, v bigint")
+    b = spark.createDataFrame(
+        [("g1", 5), ("g1", 15), ("g2", 25)], "g string, v bigint"
+    )
+    rows = {r.g: r for r in psi_js_drift_by_group(a, b, "g", "v").collect()}
+    assert rows["g1"].psi == 0.0 and rows["g1"].js == 0.0
+    assert rows["g2"].n_a is None
+    assert rows["g2"].psi is None and rows["g2"].js is None
+    with pytest.raises(ValueError, match="eps"):
+        psi_js_drift_by_group(a, b, "g", "v", eps=0)
