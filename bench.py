@@ -26,6 +26,14 @@ errors, reps) goes to the BENCH_DETAIL.json sidecar next to this script.
 ``value_r1_subset`` is the subtotal over the fixed 31-query set benched in
 round 1, so every future BENCH_rN.json carries the baseline ratio directly
 (r1 total for this subset: 41.059 s at sf0.1).
+
+Box-drift immunity (round 9): a fixed pure-CPU calibration probe runs
+first and is recorded as ``calibration_s``; ``value_r1_subset_normalized``
+divides the raw subtotal by (calibration_s / CALIBRATION_REF_S) so
+cross-round comparisons read through ambient machine state. The sidecar is
+round-stamped (``BENCH_DETAIL_r{N}.json`` when $SPARK_GRAFT_ROUND is set,
+unstamped otherwise) so official, advisory and spot-check runs stop
+overwriting one another.
 """
 
 from __future__ import annotations
@@ -146,6 +154,32 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Pinned reference for the pure-CPU calibration probe, measured on an idle
+# box at round-9 HEAD (median of 5 isolated reps). Cross-round ratios were
+# getting confounded by ambient machine state at the ±0.05× level (the r8
+# verdict burned a full adjudication cycle proving a 0.70×→0.78× drift was
+# box state: unchanged control queries drifted +37–78 % across three
+# same-HEAD sessions). value_r1_subset_normalized divides the raw subtotal
+# by (calibration_s / CALIBRATION_REF_S), so a 20 %-slow box reads the same
+# normalized ratio as an idle one. The probe is deterministic, in-memory,
+# shuffle-free and I/O-free (xxhash64 over spark.range in whole-stage
+# codegen across all cores) — it measures the box, not the code under test.
+CALIBRATION_REF_S = 1.01
+CALIBRATION_ROWS = 2_000_000_000
+
+
+def calibration(spark, reps: int = 3) -> float:
+    """Median wall-seconds of the fixed pure-CPU probe on this box."""
+    samples = []
+    for _ in range(reps):
+        t0 = time.time()
+        spark.range(0, CALIBRATION_ROWS, 1, 32).selectExpr(
+            "sum(xxhash64(id, id * 2654435761) % 1000003) AS s"
+        ).collect()
+        samples.append(time.time() - t0)
+    return statistics.median(samples)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -174,6 +208,11 @@ def main() -> None:
     force(specs["flagship_revenue_by_nation"].fn(spark, sf_dir))
     force(specs["ext_text_stats"].fn(spark, sf_dir))
     force(specs["ext_knn_bruteforce"].fn(spark, sf_dir))
+    # Box-state calibration: timed AFTER warmup (so it reflects the JVM
+    # state the queries run in), BEFORE the queries (so their memory
+    # pressure doesn't contaminate it).
+    calibration_s = round(calibration(spark), 3)
+    cal_ratio = round(calibration_s / CALIBRATION_REF_S, 3)
     timings: dict[str, float] = {}
     from dbt_glue_spark.extensions.dedup import release_caches
 
@@ -226,12 +265,19 @@ def main() -> None:
     # 41.059 s r1 baseline — consumers must check r1_n == 31.
     r1_present = [n for n in R1_SUBSET if n in timings]
     r1_subtotal = round(sum(timings[n] for n in r1_present), 2)
+    # Box-drift-immune subtotal: divide by how slow the box reads relative
+    # to the pinned calibration reference. A 20 %-slow box (cal_ratio 1.2)
+    # normalizes back to idle-box terms; code regressions still show.
+    r1_normalized = round(r1_subtotal / cal_ratio, 2) if cal_ratio > 0 else None
     # Full-fidelity record → sidecar (spread/errors would blow the stdout
     # tail budget; see module docstring).
     detail = {
         "metric": "headline_queries_total_seconds",
         "value": total,
         "value_r1_subset": r1_subtotal,
+        "value_r1_subset_normalized": r1_normalized,
+        "calibration_s": calibration_s,
+        "calibration_ratio": cal_ratio,
         "r1_n": len(r1_present),
         "unit": "sec",
         "queries": timings,
@@ -242,9 +288,18 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    # Round-stamped sidecar (r8 verdict "What's wrong #2"): official driver
+    # runs export SPARK_GRAFT_ROUND=N → BENCH_DETAIL_r{N}.json; advisory /
+    # spot-check runs without the env var write the unstamped file. Runs
+    # from different rounds (or advisory vs official) can no longer
+    # clobber each other's spread records.
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "").strip()
+    sidecar_name = (
+        f"BENCH_DETAIL_r{int(round_tag):02d}.json"
+        if round_tag.isdigit()
+        else "BENCH_DETAIL.json"
     )
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), sidecar_name)
     sidecar_ok = True
     try:
         with open(sidecar, "w") as fh:
@@ -256,6 +311,8 @@ def main() -> None:
         "metric": "headline_queries_total_seconds",
         "value": total,
         "value_r1_subset": r1_subtotal,
+        "value_r1_subset_normalized": r1_normalized,
+        "calibration_s": calibration_s,
         "r1_n": len(r1_present),
         "unit": "sec",
         "queries": {n: round(t, 2) for n, t in timings.items()},

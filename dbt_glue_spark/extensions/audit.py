@@ -235,13 +235,21 @@ def value_histogram(
 ) -> DataFrame:
     """Fixed-width bucket counts of a numeric column: (bucket, cnt), the
     mergeable (cell-wise +) summary drift comparisons run on. Collapses
-    to ≤ n_buckets rows via map-side partial aggregation."""
+    to ≤ n_buckets rows via map-side partial aggregation.
+
+    NULL contract: NULL values are EXCLUDED before bucketing (r8 ADVICE:
+    ``least()`` ignores NULLs in both engines, so a NULL value used to
+    land silently in the TOP bucket — a NULL-rate change then
+    masqueraded as tail drift in every consumer). NULL-rate monitoring
+    is `profile.profile_columns`' job (ext_column_profile); the
+    histogram measures the distribution of the values that exist."""
     bucket = F.least(
         F.floor(F.col(value_col) / F.lit(bucket_width)),
         F.lit(n_buckets - 1),
     ).cast("int")
     return (
-        df.select(bucket.alias("bucket"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
@@ -805,6 +813,13 @@ def psi_js_drift_by_group(
     distribution to compare on the other: NULL psi/js (the empty-side
     contract), with its n_a/n_b showing which side is missing.
 
+    NULL contract (r8 ADVICE): rows with a NULL group are EXCLUDED —
+    NULL never matches itself in the (g, bucket) full-outer join or the
+    totals joins, so a NULL group present in BOTH snapshots used to
+    yield two contradictory one-sided rows. NULL values are likewise
+    excluded before bucketing (see :func:`value_histogram`); per-group
+    NULL rates belong to a profile audit, not the drift statistic.
+
     100 TB shape: both sides collapse to ≤ groups×n_buckets rows via
     map-side partial aggregation at the scan; joins are (group, bucket)
     and (group) equi-joins over those collapsed frames; the folds ride
@@ -822,7 +837,10 @@ def psi_js_drift_by_group(
             F.lit(n_buckets - 1),
         ).cast("int")
         return (
-            df.select(F.col(group_col).alias("g"), bucket.alias("bucket"))
+            df.filter(
+                F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+            )
+            .select(F.col(group_col).alias("g"), bucket.alias("bucket"))
             .groupBy("g", "bucket")
             .agg(F.count("*").cast("bigint").alias(cnt))
         )

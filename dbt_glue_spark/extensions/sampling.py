@@ -538,6 +538,14 @@ def ppswor_sample_by_group(
     the group), τ is a conditional max inside the same partition,
     nothing broadcasts, nothing collects.
 
+    NULL contract (r8 ADVICE): rows with a NULL ``key_col`` are EXCLUDED
+    before ranking — a NULL key has no deterministic uniform (md5 of
+    NULL → NULL → NULL __e), and Spark's ASC NULLS FIRST would rank it
+    rn=1 so it always stole a sample slot with NULL est math, while SQL
+    engines defaulting to NULLS LAST never picked it. Matches the NULL
+    contracts used across the sampling family (hash/stratified samplers
+    key on non-NULL ids).
+
     Output: group, key, weight (bigint), est_weight (double 4 dp).
     """
     from dbt_glue_spark.extensions.sketches import hash_int
@@ -545,6 +553,7 @@ def ppswor_sample_by_group(
 
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    df = df.filter(F.col(key_col).isNotNull())
     h = hash_int(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
     w = F.greatest(F.coalesce(F.col(weight_col).cast("bigint"), F.lit(1)), F.lit(1))
     e = -F.log((h + F.lit(1)).cast("double") / F.lit(_U_DEN)) / w.cast("double")

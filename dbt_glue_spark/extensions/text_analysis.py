@@ -1295,7 +1295,13 @@ def vocab_growth(
     )
     per_bucket = staged.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.size("__toks")).cast("bigint").alias("n_tokens"),
+        # coalesce: a bucket whose docs ALL have NULL text sums to NULL,
+        # but the oracle's COALESCE(SUM(len(toks)),0) emits 0 — match it
+        # (r8 ADVICE: divergence empirically verified on all-NULL-text
+        # bucket slices of the dirty profile)
+        F.coalesce(F.sum(F.size("__toks")), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
     # token type -> first-occurrence bucket (min id wins, then its bucket)
     firsts = (

@@ -70,6 +70,12 @@ def _load_all() -> None:
 
     _REGISTRY.update(round8_staged.STAGED8())
 
+    # Round-9 promotion: the 10 operators staged (and ×8-profile
+    # parity-proven) during round 8 join the live catalog (236 → 246).
+    from dbt_glue_spark.plans import round9_staged
+
+    _REGISTRY.update(round9_staged.STAGED9())
+
 
 def _family(name: str) -> str:
     """Coarse operator family, by naming convention."""

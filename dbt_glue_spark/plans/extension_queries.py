@@ -210,11 +210,17 @@ def ext_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
     WHERE j.jaccard >= 0.5
     """,
-    doc="MinHash+LSH: band-key bucket join generates candidates (bounded "
-    "work at any corpus size), exact Jaccard verifies. The 100 TB dedup path.",
+    doc="MinHash+LSH, EXACT-RECALL mode (max_band_bucket=None, explicit "
+    "opt-in since the round-9 default flip): band-key bucket join "
+    "generates candidates, exact Jaccard verifies. Full recall, but the "
+    "bucket self-join is quadratic in the largest band bucket — "
+    "small/curated corpora only. The 100 TB path is the capped default "
+    "graded as ext_minhash_lsh_capped.",
 )
 def ext_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, max_band_bucket=None
+    )
 
 
 @register(
@@ -1407,9 +1413,17 @@ def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2, MD5(h4 || '|' || h5)), (3, MD5(h6 || '|' || h7))
       ) AS v(b, key)
     ),
+    keepb AS (
+      SELECT b, key FROM bands GROUP BY b, key HAVING COUNT(*) <= 64
+    ),
+    bandsc AS (
+      SELECT bands.id, bands.b, bands.key
+      FROM bands JOIN keepb USING (b, key)
+    ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b2.id AS id_b
-      FROM bands a JOIN bands b2 ON a.key = b2.key AND a.b = b2.b AND a.id < b2.id
+      FROM bandsc a JOIN bandsc b2
+        ON a.key = b2.key AND a.b = b2.b AND a.id < b2.id
     ),
     """
     + _JACCARD_TAIL.replace("    sizes AS", "sizes AS", 1)
@@ -1423,9 +1437,10 @@ def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE doc_id NOT IN (SELECT drop_id FROM dupes)
     """,
     doc="End-to-end dedup application: near-dup pairs from MinHash-LSH "
-    "(jaccard ≥ 0.5), drop the higher doc_id of each pair (greedy keep-"
-    "first), return the surviving corpus — the full training-data dedup "
-    "pipeline as one plan.",
+    "at the library default (mega-bucket cap 64 — the 100 TB "
+    "configuration, flipped round 9), drop the higher doc_id of each "
+    "pair (greedy keep-first), return the surviving corpus — the full "
+    "training-data dedup pipeline as one plan.",
 )
 def ext_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -4588,12 +4603,12 @@ def ext_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ha AS (
       SELECT CAST(LEAST(FLOOR(LENGTH(text) / 32), 31) AS INT) AS bucket,
              COUNT(*) AS ca
-      FROM documents GROUP BY 1
+      FROM documents WHERE text IS NOT NULL GROUP BY 1
     ),
     hb AS (
       SELECT CAST(LEAST(FLOOR(LENGTH(text) / 32), 31) AS INT) AS bucket,
              COUNT(*) AS cb
-      FROM b GROUP BY 1
+      FROM b WHERE text IS NOT NULL GROUP BY 1
     ),
     j AS (
       SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
@@ -4602,8 +4617,10 @@ def ext_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
     ),
     t AS (
-      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_a,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+              WHERE text IS NOT NULL) AS n_a,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM b
+              WHERE text IS NOT NULL) AS n_b
     )
     SELECT bucket, count_a, count_b,
            FLOOR(CAST(count_a AS DOUBLE) / CAST(n_a AS DOUBLE)
@@ -4697,12 +4714,12 @@ def ext_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ref AS (
       SELECT CAST(LEAST(FLOOR(value / 16), 31) AS INT) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM events WHERE event_id % 2 = 0 GROUP BY 1
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
     ),
     live AS (
       SELECT CAST(LEAST(FLOOR(value / 16), 31) AS INT) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM events GROUP BY 1
+      FROM events WHERE value IS NOT NULL GROUP BY 1
     ),
     j AS (
       SELECT COALESCE(ref.bucket, live.bucket) AS bucket,

@@ -1,11 +1,12 @@
-"""Round-9 STAGED queries — built and parity-proven during round 8,
-to be promoted at the round-8→9 boundary (standing rule: new operators
-stage mid-round so the driver's sampled correctness prefix stays closed
-over the live catalog, and promote only between rounds).
+"""Round-9 pool — built and parity-proven during round 8, PROMOTED into
+the live catalog at the round-8→9 boundary (catalog 236 → 246; standing
+rule: new operators stage mid-round so the driver's sampled correctness
+prefix stays closed over the live catalog, and promote only between
+rounds).
 
 Same :class:`QuerySpec` contract and exact-DuckDB gates as the earlier
 pools (tests/test_round9_staged.py, every pathological data profile).
-Promotion = merge ``STAGED9()`` into ``catalog._load_all`` exactly like
+``STAGED9()`` is merged into ``catalog._load_all`` exactly like
 round7_staged/round8_staged.
 
 The first three operators close VERDICT r7 item 4 (the next staged
@@ -107,15 +108,17 @@ def _psi_feature_sql(feature: str, expr: str) -> str:
         FROM (
           SELECT CAST(LEAST(FLOOR(({expr}) / {_PSI_W}), {_PSI_NB - 1}) AS INT)
                    AS bucket, CAST(COUNT(*) AS BIGINT) AS ca
-          FROM documents GROUP BY 1
+          FROM documents WHERE ({expr}) IS NOT NULL GROUP BY 1
         ) ha
         FULL OUTER JOIN (
           SELECT CAST(LEAST(FLOOR(({expr}) / {_PSI_W}), {_PSI_NB - 1}) AS INT)
                    AS bucket, CAST(COUNT(*) AS BIGINT) AS cb
-          FROM b_snap GROUP BY 1
+          FROM b_snap WHERE ({expr}) IS NOT NULL GROUP BY 1
         ) hb ON ha.bucket = hb.bucket,
-        (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_a,
-                (SELECT CAST(COUNT(*) AS BIGINT) FROM b_snap) AS n_b) t
+        (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                 WHERE ({expr}) IS NOT NULL) AS n_a,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM b_snap
+                 WHERE ({expr}) IS NOT NULL) AS n_b) t
       )
     )
     GROUP BY n_a, n_b
@@ -195,6 +198,9 @@ _U_DEN = float(16**13)  # 2^52: (h+1)/2^52 is an exact IEEE division
                       AS DOUBLE) / {_U_DEN!r})
                / CAST({_PW_W} AS DOUBLE) AS e
       FROM documents
+      -- NULL keys carry no deterministic uniform: excluded (r8 ADVICE),
+      -- mirroring the operator's key IS NOT NULL filter
+      WHERE doc_id IS NOT NULL
     ),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY source ORDER BY e, doc_id)
@@ -608,12 +614,12 @@ def ext_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ha AS (
       SELECT CAST(LEAST(FLOOR(value / 16), 31) AS INT) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS ca
-      FROM events WHERE event_id % 2 = 0 GROUP BY 1
+      FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
     ),
     hb AS (
       SELECT CAST(LEAST(FLOOR(value / 16), 31) AS INT) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cb
-      FROM events GROUP BY 1
+      FROM events WHERE value IS NOT NULL GROUP BY 1
     )
     SELECT 'value' AS feature, n_a, n_b,
            CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
@@ -711,14 +717,16 @@ def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(LEAST(FLOOR(LENGTH(text) / {_PSI_W}), {_PSI_NB - 1}) AS INT)
                AS bucket,
              CAST(COUNT(*) AS BIGINT) AS ca
-      FROM documents GROUP BY 1, 2
+      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+      GROUP BY 1, 2
     ),
     hb AS (
       SELECT source AS g,
              CAST(LEAST(FLOOR(LENGTH(text) / {_PSI_W}), {_PSI_NB - 1}) AS INT)
                AS bucket,
              CAST(COUNT(*) AS BIGINT) AS cb
-      FROM b_snap GROUP BY 1, 2
+      FROM b_snap WHERE source IS NOT NULL AND text IS NOT NULL
+      GROUP BY 1, 2
     ),
     ta AS (SELECT g, CAST(SUM(ca) AS BIGINT) AS n_a FROM ha GROUP BY g),
     tb AS (SELECT g, CAST(SUM(cb) AS BIGINT) AS n_b FROM hb GROUP BY g),

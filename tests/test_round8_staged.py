@@ -50,7 +50,7 @@ def test_staged8_promoted_and_sampled_first():
     from dbt_glue_spark.plans.catalog import SPECS, _previously_checked
 
     specs = SPECS()
-    assert len(specs) == 236, len(specs)
+    assert len(specs) >= 236, len(specs)  # 236 at r8; later rounds promote more
     missing = set(STAGED8_NAMES) - set(specs)
     assert not missing, missing
     prefix = set(list(specs)[:50])

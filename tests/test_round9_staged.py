@@ -1,8 +1,8 @@
-"""Round-9 staged operators: parity-proven now, catalog-registered at the
-round-8→9 boundary (plans/round9_staged.py docstring). These tests prove
-the staged specs with the same exact DuckDB compare the live sweep uses,
-pin the stage-then-promote discipline (the live catalog stays at 236
-this round), and brute-force / property-check each operator.
+"""Round-9 pool: staged and parity-proven during round 8, PROMOTED at the
+round-8→9 boundary (catalog 236 → 246; plans/round9_staged.py docstring).
+These tests prove the specs with the same exact DuckDB compare the live
+sweep uses, pin the promotion contract rotation-invariantly, and
+brute-force / property-check each operator.
 """
 
 from __future__ import annotations
@@ -41,17 +41,23 @@ def test_staged9_oracle_parity(spark, sf_dir, name):
     _exact_compare(spark, sf_dir, STAGED9()[name])
 
 
-def test_catalog_holds_at_236_and_staged9_not_registered():
-    """Stage-then-promote: the round-9 pool must NOT be live this round —
-    registering mid-round would push never-checked entries into the
-    driver's 50-query prefix and crowd out the 6 round-8 promotions
-    earning their first hard rows."""
-    from dbt_glue_spark.plans.catalog import SPECS
+def test_staged9_promoted_and_sampled_first():
+    """Round-9 promotion contract (rotation-invariant form, per the r7
+    verdict's time-bomb lesson): the 10 staged operators are live in the
+    catalog (236 + 10 = 246), and any of them WITHOUT a green latest
+    driver CORRECTNESS row sits in the driver's 50-query sampled prefix
+    — true before the driver run (all 10 in the never-checked tier) and
+    after it (green rows rotate out, red rows must re-enter)."""
+    from dbt_glue_spark.plans.catalog import SPECS, _previously_checked
 
     specs = SPECS()
-    assert len(specs) == 236, len(specs)
-    overlap = set(STAGED9_NAMES) & set(specs)
-    assert not overlap, overlap
+    assert len(specs) == 246, len(specs)
+    missing = set(STAGED9_NAMES) - set(specs)
+    assert not missing, missing
+    prefix = set(list(specs)[:50])
+    unchecked = set(STAGED9_NAMES) - _previously_checked()
+    not_in_prefix = unchecked - prefix
+    assert not not_in_prefix, not_in_prefix
 
 
 # ---------------------------------------------------------------------------
@@ -570,7 +576,12 @@ def test_minhash_capped_identity_on_clean_corpus(spark, sf_dir):
     from dbt_glue_spark.sources.registry import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    uncapped = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.5).collect()))
+    uncapped = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(docs, threshold=0.5, max_band_bucket=None).collect(),
+        )
+    )
     capped = sorted(
         map(
             tuple,
@@ -598,7 +609,8 @@ def test_minhash_cap_drops_only_megabucket_pairs(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     uncapped = {
-        (r.id_a, r.id_b) for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, threshold=0.5, max_band_bucket=None).collect()
     }
     capped = {
         (r.id_a, r.id_b)
@@ -709,7 +721,11 @@ def test_lsh_recall_audit_consistency(spark, sf_dir):
     r = lsh_recall_audit(docs, threshold=0.5).collect()[0]
     assert r.n_found <= r.n_true and r.n_missed == r.n_true - r.n_found
     assert r.n_true == ngram_jaccard_pairs(docs, threshold=0.5).count()
-    assert r.n_found == minhash_lsh_pairs(docs, threshold=0.5).count()
+    # the audit's default mirrors the exact-recall opt-in (cap=None)
+    assert (
+        r.n_found
+        == minhash_lsh_pairs(docs, threshold=0.5, max_band_bucket=None).count()
+    )
     if r.n_true:
         assert r.recall_q6 == (r.n_found * 1000000) // r.n_true
     capped = lsh_recall_audit(docs, threshold=0.5, max_band_bucket=2).collect()[0]
