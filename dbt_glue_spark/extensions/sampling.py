@@ -583,3 +583,163 @@ def ppswor_sample_by_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    quality_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-source token-budget allocator: turn per-source quality scores
+    and a GLOBAL token budget into per-source token allocations and
+    sampling rates with EXACT integer accounting — the operator that
+    converts DSIR/quality-classifier scores into an actual training
+    mixture (VERDICT r8 staged-tier brief; composes with
+    :func:`ppswor_sample_by_group`, which then draws each source's
+    allocation without replacement).
+
+    Inputs are row-level: ``tokens_col`` (tokens this row contributes,
+    bigint) and ``quality_col`` (non-negative integer source weight,
+    e.g. a classifier score in ppm — integer by contract so every share
+    below is EXACT bigint arithmetic; a float score is pre-scaled by
+    the caller). Rows with a NULL group are excluded (the stratified
+    NULL contract); NULL tokens/quality count as 0.
+
+    Allocation law (deterministic, closed-form, no iteration):
+
+    1. per source i: n_i = Σ tokens, w_i = max of the row weights
+       (a source has ONE quality score; max tolerates dirty rows);
+       W = Σ w_i over sources with headroom, weighted shares use
+       d_i = w_i · n_i (quality × size — a tiny brilliant source
+       cannot absorb the whole budget, a huge junk source cannot
+       either);
+    2. round 1: a_i = min(n_i, ⌊B · d_i / D⌋) — exact bigint floor
+       division, D = Σ d_i;
+    3. round 2 (single proportional redistribution, documented — NOT
+       iterated waterfilling): leftover L = B − Σ a_i goes to sources
+       with headroom h_i = n_i − a_i by the same share law over
+       D' = Σ d_i restricted to h_i > 0: b_i = min(h_i, ⌊L · d_i / D'⌋);
+    4. exact crumb fill: the still-unallocated R = L − Σ b_i is poured
+       greedily into remaining headroom h'_i = h_i − b_i in
+       (round-2 remainder L·d_i mod D' DESC, group key ASC) order —
+       c_i = clamp(R − Σ_{j before i} h'_j, 0, h'_i), a clamped
+       EXCLUSIVE cumulative sum, so Σ(a+b+c) == min(B, Σ n_i) EXACTLY
+       (a single largest-remainder +1 pass is NOT exact here: a source
+       capped in round 2 strands more than one token). Round 4 moves
+       only the crumbs rounds 1–2 left behind — the mixture stays
+       proportional-with-caps.
+
+    Output: (group, n_tokens, weight, alloc_tokens, rate_ppm) where
+    rate_ppm = alloc·10⁶ DIV n (the per-source sampling rate a
+    downstream sampler applies). All columns exact integers — the
+    oracle replays every step bit-for-bit.
+
+    100 TB shape: one map-side-combining groupBy collapses the corpus
+    to |sources| rows; everything after (three 1-row totals joined
+    broadcast-style, one rank window over the |sources|-row frame) is
+    bounded by the source count, not the corpus.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    per = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.coalesce(F.sum(F.col(tokens_col).cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce(F.max(F.col(quality_col).cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias("weight"),
+        )
+    )
+    d = (F.col("weight") * F.col("n_tokens")).cast("bigint")
+    per = per.withColumn("__d", d)
+    tot = per.agg(F.sum("__d").cast("bigint").alias("__dsum"))
+    B = F.lit(int(budget)).cast("bigint")
+    # bigint/bigint with `/` is fractional in Spark — DIV keeps every
+    # share an exact bigint floor division
+    r1 = per.join(F.broadcast(tot)).select(
+        "*",
+        F.when(
+            F.col("__dsum") > 0,
+            F.least(
+                F.col("n_tokens"),
+                F.expr(f"(CAST({budget} AS BIGINT) * __d) DIV __dsum"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("__a1"),
+    )
+    r1 = r1.withColumn("__h", (F.col("n_tokens") - F.col("__a1")).cast("bigint"))
+    t2 = r1.agg(
+        (B - F.sum("__a1")).cast("bigint").alias("__lred"),
+        F.sum(F.when(F.col("__h") > 0, F.col("__d")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("__d2sum"),
+    )
+    r2 = r1.join(F.broadcast(t2)).select(
+        "*",
+        F.when(
+            (F.col("__h") > 0) & (F.col("__d2sum") > 0),
+            F.least(F.col("__h"), F.expr("(__lred * __d) DIV __d2sum")),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("__b"),
+        F.when(
+            (F.col("__h") > 0) & (F.col("__d2sum") > 0), F.expr("(__lred * __d) % __d2sum")
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("__rem"),
+    )
+    r2 = r2.withColumn(
+        "__h2", (F.col("__h") - F.col("__b")).cast("bigint")
+    )
+    # __L is per-row-constant (broadcast of a 1-row agg): first() reads it
+    t3 = r2.agg((F.first("__lred") - F.sum("__b")).cast("bigint").alias("__rfin"))
+    # exact crumb fill: clamped EXCLUSIVE cumsum of remaining headroom in
+    # (remainder DESC, group ASC) order — rows without headroom have
+    # __h2 = 0 and absorb nothing wherever they sort
+    wrank = Window.orderBy(F.col("__rem").desc(), F.col(group_col).asc())
+    cum_before = F.coalesce(
+        F.sum("__h2").over(wrank.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("bigint")
+    out = (
+        r2.withColumn("__cum", cum_before)
+        .join(F.broadcast(t3))
+        .select(
+            group_col,
+            "n_tokens",
+            "weight",
+            (
+                F.col("__a1")
+                + F.col("__b")
+                + F.least(
+                    F.col("__h2"),
+                    F.greatest(F.col("__rfin") - F.col("__cum"), F.lit(0)),
+                )
+            )
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "weight",
+            "alloc_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(alloc_tokens * 1000000) DIV n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rate_ppm"),
+        )
+    )
+    return out

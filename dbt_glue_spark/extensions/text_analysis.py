@@ -1412,3 +1412,107 @@ def ngram_novelty(
             .alias("repeat_q6"),
         )
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher/FineWeb-style repetition + well-formedness quality rules
+    as one MAP-ONLY projection (Rae et al. 2021 "Scaling Language
+    Models" appendix A1.1; the FineWeb reimplementation keeps the same
+    thresholds) — per document the integer metrics and one boolean per
+    rule, so a curation pipeline can both filter and AUDIT which rule
+    fired (VERDICT r8 staged-tier brief item 5c):
+
+    - ``min_words_ok`` / ``max_words_ok``: 50 ≤ n_words ≤ 100 000;
+    - ``mean_word_len_ok``: mean word length in [3, 10] — integer
+      cross-multiplication (3·n ≤ chars ≤ 10·n), no float division;
+    - ``symbol_ratio_ok``: (# + ellipsis occurrences) ≤ 0.1·n_words;
+    - ``ellipsis_lines_ok``: lines ending in …/... ≤ 30 %;
+    - ``dup_lines_ok``: duplicate lines ≤ 30 % of lines;
+    - ``dup_line_chars_ok``: characters inside duplicate lines ≤ 20 %
+      of line characters;
+    - ``alpha_words_ok``: ≥ 80 % of words contain a letter;
+    - ``pass_gopher``: conjunction of all of the above.
+
+    Every count is a higher-order array op on the split arrays
+    (filter/size/array_distinct/aggregate) — NO explode, NO shuffle,
+    NO Python UDF: the whole operator is a single whole-stage-codegen
+    projection that runs at parquet-scan speed on any corpus size.
+    NULL text ⇒ zero counts, all rules fail (a NULL doc is not a
+    trainable doc).
+
+    Rule set and thresholds are the public Gopher numbers; the
+    fraction thresholds are exact integer cross-multiplications so the
+    DuckDB oracle replays them bit-for-bit.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(txt, "\\s+"), lambda w: w != F.lit(""))
+    lines = F.filter(F.split(txt, "\n"), lambda l: l != F.lit(""))
+    n_words = F.size(words).cast("bigint")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("bigint")
+    n_sym = F.size(
+        F.expr(
+            f"regexp_extract_all(coalesce({text_col}, ''), '#|\\\\.\\\\.\\\\.|…', 0)"
+        )
+    ).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    n_ell = F.size(
+        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)\\s*$"))
+    ).cast("bigint")
+    n_dist = F.size(F.array_distinct(lines)).cast("bigint")
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
+    )
+    dist_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("bigint"),
+        lambda acc, l: acc + F.length(l),
+    )
+    staged = df.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_sym.alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_ell.alias("n_ellipsis_lines"),
+        (n_lines - n_dist).alias("n_dup_lines"),
+        (line_chars - dist_chars).alias("dup_line_chars"),
+        line_chars.alias("line_chars"),
+    )
+    f_min = F.col("n_words") >= 50
+    f_max = F.col("n_words") <= 100000
+    f_mwl = (F.lit(3) * F.col("n_words") <= F.col("word_chars")) & (
+        F.col("word_chars") <= F.lit(10) * F.col("n_words")
+    )
+    f_sym = F.lit(10) * F.col("n_symbols") <= F.col("n_words")
+    f_ell = F.lit(10) * F.col("n_ellipsis_lines") <= F.lit(3) * F.col("n_lines")
+    f_dl = F.lit(10) * F.col("n_dup_lines") <= F.lit(3) * F.col("n_lines")
+    f_dlc = F.lit(5) * F.col("dup_line_chars") <= F.col("line_chars")
+    f_aw = F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * F.col("n_words")
+    nonempty = F.col("n_words") > 0
+    flags = {
+        "min_words_ok": f_min,
+        "max_words_ok": f_max,
+        "mean_word_len_ok": f_mwl & nonempty,
+        "symbol_ratio_ok": f_sym & nonempty,
+        "ellipsis_lines_ok": f_ell & nonempty,
+        "dup_lines_ok": f_dl & nonempty,
+        "dup_line_chars_ok": f_dlc & nonempty,
+        "alpha_words_ok": f_aw & nonempty,
+    }
+    out = staged.select(
+        "*", *[v.alias(k) for k, v in flags.items()]
+    )
+    allpass = None
+    for k in flags:
+        allpass = F.col(k) if allpass is None else (allpass & F.col(k))
+    return out.select("*", allpass.alias("pass_gopher"))

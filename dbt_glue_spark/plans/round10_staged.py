@@ -1,0 +1,350 @@
+"""Round-10 STAGED queries — built and parity-proven during round 9,
+to be promoted at the round-9→10 boundary (standing rule: new operators
+stage mid-round so the driver's sampled correctness prefix stays closed
+over the live catalog, and promote only between rounds).
+
+Same :class:`QuerySpec` contract and exact-DuckDB gates as the earlier
+pools (tests/test_round10_staged.py, every pathological data profile).
+Promotion = merge ``STAGED10()`` into ``catalog._load_all`` exactly like
+round7/8/9_staged.
+
+The tier is the VERDICT r8 "Next round" item-5 brief — the crawl-side /
+mixture-side operators a production training-data pipeline runs before
+and after document dedup:
+
+- ``ext_url_dedup`` — URL canonicalization + exact URL-level dedup
+  (web.url_dedup): tracking params, case, default ports, fragments and
+  trailing slashes collapse; min-id survivor per canonical URL;
+- ``ext_domain_caps`` — registered-domain frontier caps
+  (web.domain_caps): public-suffix-lite domain extraction, at most
+  ``cap`` docs per domain in crawl order;
+- ``ext_token_budget_alloc`` — the per-source token-budget allocator
+  (sampling.token_budget_allocation): quality × size proportional
+  shares with caps and an exact crumb fill, Σ alloc == min(B, Σ n)
+  in exact bigint arithmetic;
+- ``ext_gopher_quality_flags`` — the Gopher/FineWeb repetition +
+  well-formedness rules (text_analysis.gopher_quality_flags) as one
+  map-only projection, integer cross-multiplied thresholds.
+
+Oracle style for the URL pair: the Spark side synthesizes a MESSY url
+per document (case-shifted host/scheme, default ports, utm params,
+unsorted params, fragments, trailing slashes — every canonicalization
+step exercised) and runs the real operator pipeline; the DuckDB oracle
+computes the expected output in CLOSED FORM from the variant
+construction — an independent derivation, not a replay of the regex
+steps, so a canonicalization bug cannot cancel out of both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.plans.catalog import QuerySpec
+from dbt_glue_spark.sources.registry import load_table
+
+_STAGED10: dict[str, QuerySpec] = {}
+
+
+def register_staged(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _STAGED10[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def STAGED10() -> dict[str, QuerySpec]:
+    return dict(_STAGED10)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic messy-URL construction (shared by the two web queries).
+#
+# Identity parts derive from g = doc_id % 40 (docs sharing g collapse to
+# one canonical URL); variant noise derives from doc_id (scheme/host
+# case, default port, tracking params + param order, fragment, trailing
+# slash). doc_id % 19 == 0 → NULL url (the NULL-contract axis).
+# ---------------------------------------------------------------------------
+
+
+def _synth_url_spark(doc_id: F.Column) -> F.Column:
+    g = doc_id % 40
+    suffix = F.when(g % 5 == 0, F.lit("co.uk")).otherwise(F.lit("com"))
+    hostlo = F.concat(
+        F.lit("www.sub"),
+        (g % 3).cast("string"),
+        F.lit(".src"),
+        (g % 7).cast("string"),
+        F.lit("ex."),
+        suffix,
+    )
+    host = F.when(doc_id % 3 == 0, F.upper(hostlo)).otherwise(hostlo)
+    scheme = F.when(doc_id % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    port = F.when(doc_id % 7 == 0, F.lit(":443")).otherwise(F.lit(""))
+    slash = F.when(doc_id % 2 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = F.when(
+        doc_id % 3 == 0, F.lit("?utm_source=feed&b=2&a=1")
+    ).otherwise(F.lit("?a=1&b=2"))
+    frag = F.when(doc_id % 11 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port,
+        F.lit("/docs/"),
+        g.cast("string"),
+        slash,
+        query,
+        frag,
+    )
+    return F.when(doc_id % 19 == 0, F.lit(None).cast("string")).otherwise(url)
+
+
+# Closed-form canonical URL / registered domain per g (what the operator
+# MUST produce) — the oracle derives these directly from the construction.
+_SQL_G = "(doc_id % 40)"
+_SQL_SUFFIX = f"CASE WHEN {_SQL_G} % 5 = 0 THEN 'co.uk' ELSE 'com' END"
+_SQL_CANON = (
+    f"'https://www.sub' || CAST({_SQL_G} % 3 AS VARCHAR)"
+    f" || '.src' || CAST({_SQL_G} % 7 AS VARCHAR) || 'ex.' || {_SQL_SUFFIX}"
+    f" || '/docs/' || CAST({_SQL_G} AS VARCHAR) || '?a=1&b=2'"
+)
+_SQL_DOMAIN = f"'src' || CAST({_SQL_G} % 7 AS VARCHAR) || 'ex.' || {_SQL_SUFFIX}"
+
+
+@register_staged(
+    "ext_url_dedup",
+    f"""
+    SELECT {_SQL_CANON} AS canon_url,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM documents
+    WHERE doc_id % 19 <> 0
+    GROUP BY 1
+    """,
+    doc="URL-level exact dedup (web.url_dedup): canonicalize — lowercase "
+    "scheme/host, strip fragment + default port + tracking params "
+    "(utm_*/fbclid/gclid/ref), sort surviving query params, strip "
+    "trailing slashes — then keep the min-id document per canonical "
+    "URL. The Spark side builds a MESSY variant per doc (case-shifted, "
+    "ported, utm-decorated, fragment-suffixed) and runs the real regex "
+    "pipeline; the oracle derives the expected canonical form CLOSED-"
+    "FORM from the variant construction, so the two sides are "
+    "independent. Canonicalization is map-only whole-stage codegen; the "
+    "one shuffle is the canonical-URL groupBy with map-side combine "
+    "(the exact-dedup shape). NULL urls excluded.",
+)
+def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.web import url_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_spark(F.col("doc_id")).alias("url")
+    )
+    return url_dedup(docs, "url", "doc_id")
+
+
+@register_staged(
+    "ext_domain_caps",
+    f"""
+    WITH d AS (
+      SELECT {_SQL_DOMAIN} AS domain, doc_id
+      FROM documents WHERE doc_id % 19 <> 0
+    ),
+    r AS (
+      SELECT domain, doc_id,
+             CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+                  AS INT) AS rank
+      FROM d
+    )
+    SELECT domain, CAST(doc_id AS BIGINT) AS doc_id, rank
+    FROM r WHERE rank <= 8
+    """,
+    doc="Registered-domain frontier cap (web.domain_caps): canonical URL "
+    "→ host → registered domain via public-suffix-lite label slicing "
+    "(example.co.uk keeps 3 labels, example.com keeps 2), then at most "
+    "8 docs per domain in crawl (doc_id) order — the quota that stops "
+    "template farms/mirrors from dominating a corpus. Spark runs the "
+    "real extraction on the messy synthetic URLs; the oracle derives "
+    "the domain closed-form. The only wide op is one rank window "
+    "partitioned by domain; everything downstream is bounded by "
+    "|domains| x cap.",
+)
+def ext_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.web import domain_caps
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_spark(F.col("doc_id")).alias("url")
+    )
+    return domain_caps(docs, "url", "doc_id", cap=8)
+
+
+# ---------------------------------------------------------------------------
+# ext_token_budget_alloc — quality scores + global budget → exact mixture
+# ---------------------------------------------------------------------------
+
+_TBA_BUDGET = 30_000
+
+
+@register_staged(
+    "ext_token_budget_alloc",
+    f"""
+    WITH per AS (
+      SELECT source,
+             CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(MAX(n_chars % 1000), 0) AS BIGINT) AS weight
+      FROM documents
+      WHERE source IS NOT NULL
+      GROUP BY source
+    ),
+    d AS (
+      SELECT *, CAST(weight * n_tokens AS BIGINT) AS dd FROM per
+    ),
+    t1 AS (SELECT CAST(SUM(dd) AS BIGINT) AS dsum FROM d),
+    r1 AS (
+      SELECT d.*,
+             CASE WHEN t1.dsum > 0
+                  THEN LEAST(n_tokens,
+                             (CAST({_TBA_BUDGET} AS BIGINT) * dd) // t1.dsum)
+                  ELSE 0 END AS a1
+      FROM d CROSS JOIN t1
+    ),
+    h AS (SELECT *, n_tokens - a1 AS hh FROM r1),
+    t2 AS (
+      SELECT CAST({_TBA_BUDGET} AS BIGINT)
+               - CAST(SUM(a1) AS BIGINT) AS lred,
+             CAST(SUM(CASE WHEN hh > 0 THEN dd ELSE 0 END) AS BIGINT) AS d2
+      FROM h
+    ),
+    r2 AS (
+      SELECT h.*,
+             CASE WHEN hh > 0 AND t2.d2 > 0
+                  THEN LEAST(hh, (t2.lred * dd) // t2.d2) ELSE 0 END AS b,
+             CASE WHEN hh > 0 AND t2.d2 > 0
+                  THEN (t2.lred * dd) % t2.d2 ELSE -1 END AS rem,
+             t2.lred
+      FROM h CROSS JOIN t2
+    ),
+    t3 AS (
+      SELECT CAST(MAX(lred) AS BIGINT) - CAST(SUM(b) AS BIGINT) AS rfin
+      FROM r2
+    ),
+    crumb AS (
+      SELECT r2.*, hh - b AS h2,
+             COALESCE(CAST(SUM(hh - b) OVER (
+               ORDER BY rem DESC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS cum,
+             t3.rfin
+      FROM r2 CROSS JOIN t3
+    )
+    SELECT source, n_tokens, weight,
+           CAST(a1 + b + LEAST(h2, GREATEST(rfin - cum, 0)) AS BIGINT)
+             AS alloc_tokens,
+           CAST(CASE WHEN n_tokens > 0
+                THEN ((a1 + b + LEAST(h2, GREATEST(rfin - cum, 0)))
+                      * 1000000) // n_tokens
+                ELSE 0 END AS BIGINT) AS rate_ppm
+    FROM crumb
+    """,
+    doc="Per-source token-budget allocator "
+    "(sampling.token_budget_allocation): per-source quality scores + a "
+    "global token budget → per-source allocations and sampling rates "
+    "with EXACT integer accounting (Σ alloc == min(B, Σ n) in bigint "
+    "arithmetic — proportional quality×size shares with caps, one "
+    "proportional redistribution, then an exact greedy crumb fill over "
+    "a clamped exclusive cumsum). The operator that turns DSIR/quality "
+    "scores into an actual training mixture; composes with "
+    "ext_ppswor_sample to draw each source's allocation. One map-side-"
+    "combining groupBy collapses the corpus to |sources| rows; "
+    "everything after is bounded by the source count.",
+)
+def ext_token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.sampling import token_budget_allocation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", (F.col("n_chars") % 1000).alias("q")
+    )
+    return token_budget_allocation(docs, "source", "n_chars", "q", _TBA_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# ext_gopher_quality_flags — Gopher/FineWeb repetition + wellformedness
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "ext_gopher_quality_flags",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                         w -> w <> '') AS words,
+             list_filter(string_split(COALESCE(text, ''), chr(10)),
+                         l -> l <> '') AS lines,
+             len(regexp_extract_all(COALESCE(text, ''), '#|\.\.\.|…', 0))
+               AS n_symbols
+      FROM documents
+    ),
+    m AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(words, w -> length(w))),
+                           0) AS BIGINT) AS word_chars,
+             CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+               AS BIGINT) AS n_alpha_words,
+             CAST(n_symbols AS BIGINT) AS n_symbols,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+                  l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT)
+               AS n_ellipsis_lines,
+             CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+               AS n_dup_lines,
+             CAST(COALESCE(list_sum(list_transform(lines, l -> length(l))), 0)
+                  - COALESCE(list_sum(list_transform(list_distinct(lines),
+                                                     l -> length(l))), 0)
+               AS BIGINT) AS dup_line_chars,
+             CAST(COALESCE(list_sum(list_transform(lines, l -> length(l))),
+                           0) AS BIGINT) AS line_chars
+      FROM base
+    )
+    SELECT *,
+           n_words >= 50 AS min_words_ok,
+           n_words <= 100000 AS max_words_ok,
+           (3 * n_words <= word_chars AND word_chars <= 10 * n_words
+            AND n_words > 0) AS mean_word_len_ok,
+           (10 * n_symbols <= n_words AND n_words > 0) AS symbol_ratio_ok,
+           (10 * n_ellipsis_lines <= 3 * n_lines AND n_words > 0)
+             AS ellipsis_lines_ok,
+           (10 * n_dup_lines <= 3 * n_lines AND n_words > 0) AS dup_lines_ok,
+           (5 * dup_line_chars <= line_chars AND n_words > 0)
+             AS dup_line_chars_ok,
+           (5 * n_alpha_words >= 4 * n_words AND n_words > 0)
+             AS alpha_words_ok,
+           (n_words >= 50 AND n_words <= 100000
+            AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+            AND 10 * n_symbols <= n_words
+            AND 10 * n_ellipsis_lines <= 3 * n_lines
+            AND 10 * n_dup_lines <= 3 * n_lines
+            AND 5 * dup_line_chars <= line_chars
+            AND 5 * n_alpha_words >= 4 * n_words
+            AND n_words > 0) AS pass_gopher
+    FROM m
+    """,
+    doc="Gopher/FineWeb quality rules per document "
+    "(text_analysis.gopher_quality_flags, Rae et al. 2021 A1.1): word-"
+    "count bounds, mean word length, symbol ratio, ellipsis-line / "
+    "duplicate-line / duplicate-line-char fractions, alpha-word "
+    "fraction — integer metrics plus one boolean per rule plus the "
+    "conjunction, so curation can both filter and audit which rule "
+    "fired. Every count is a higher-order array op on the split arrays "
+    "(filter/size/array_distinct/aggregate): NO explode, NO shuffle, NO "
+    "Python UDF — one whole-stage-codegen projection at scan speed. "
+    "Thresholds are exact integer cross-multiplications.",
+)
+def ext_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.text_analysis import gopher_quality_flags
+
+    return gopher_quality_flags(load_table(spark, sf_dir, "documents"))

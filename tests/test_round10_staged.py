@@ -1,0 +1,303 @@
+"""Round-10 staged operators: parity-proven now, catalog-registered at
+the round-9→10 boundary (plans/round10_staged.py docstring). These tests
+prove the staged specs with the same exact DuckDB compare the live sweep
+uses, pin the stage-then-promote discipline (the live catalog stays at
+246 this round), and brute-force / property-check each operator.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.plans.round10_staged import STAGED10
+from tools.check_parity import duck_con, normalize, values_equal
+
+STAGED10_NAMES = sorted(STAGED10())
+
+
+def _exact_compare(spark, sf_dir, spec):
+    sdf = spec.fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duck_con(sf_dir)
+    try:
+        res = con.execute(spec.oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    sn, dn = normalize(srows, scols), normalize(drows, dcols)
+    assert len(sn) == len(dn), (len(sn), len(dn))
+    for r1, r2 in zip(sn, dn):
+        assert all(values_equal(a, b) for a, b in zip(r1, r2)), (r1, r2)
+
+
+@pytest.mark.parametrize("name", STAGED10_NAMES)
+def test_staged10_oracle_parity(spark, sf_dir, name):
+    _exact_compare(spark, sf_dir, STAGED10()[name])
+
+
+def test_catalog_holds_at_246_and_staged10_not_registered():
+    """Stage-then-promote: the round-10 pool must NOT be live this round —
+    registering mid-round would push never-checked entries into the
+    driver's 50-query prefix and crowd out the 10 round-9 promotions
+    earning their first hard rows."""
+    from dbt_glue_spark.plans.catalog import SPECS
+
+    specs = SPECS()
+    assert len(specs) == 246, len(specs)
+    overlap = set(STAGED10_NAMES) & set(specs)
+    assert not overlap, overlap
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+def _canon(spark, urls):
+    from dbt_glue_spark.extensions.web import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonical_url_hand_cases(spark):
+    cases = {
+        # case, default port, tracking param, param order, fragment, slash
+        "HTTPS://WWW.Example.COM:443/A/?utm_source=x&b=2&a=1#f":
+            "https://www.example.com/A?a=1&b=2",
+        "https://www.example.com/A?a=1&b=2": "https://www.example.com/A?a=1&b=2",
+        "http://h.example.org:80/": "http://h.example.org",
+        "http://h.example.org:8080/x": "http://h.example.org:8080/x",
+        # path/query case is PRESERVED (only scheme/host lowercase)
+        "https://H.example.org/PaTh?Q=V": "https://h.example.org/PaTh?Q=V",
+        # all params tracking → '?' dropped entirely
+        "https://e.com/x?utm_campaign=a&fbclid=b&gclid=c&ref=d":
+            "https://e.com/x",
+        "https://e.com": "https://e.com",
+    }
+    got = _canon(spark, list(cases))
+    for (raw, want), g in zip(cases.items(), got):
+        assert g == want, (raw, g, want)
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) — the fixed-point property every
+    canonicalizer needs (otherwise two pipeline stages disagree)."""
+    raws = [
+        "HTTPS://WWW.Example.COM:443/A/?utm_source=x&b=2&a=1#f",
+        "http://a.b.co.uk:80/p/?z=1&y=2&utm_x=3#s",
+        "https://e.com/x?c=3&a=1&b=2",
+        "https://e.com/x/",
+    ]
+    once = _canon(spark, raws)
+    twice = _canon(spark, once)
+    assert once == twice
+
+
+def test_registered_domain_suffix_rules(spark):
+    from dbt_glue_spark.extensions.web import registered_domain
+
+    cases = {
+        "www.sub.example.com": "example.com",
+        "news.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "co.uk": "co.uk",          # bare suffix: take-all guard
+        "example.com": "example.com",
+        "a.b.c.d.example.ac.jp": "example.ac.jp",
+        "deep.example.org": "example.org",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = [
+        r.d
+        for r in df.select(registered_domain(F.col("h")).alias("d")).collect()
+    ]
+    for (h, want), g in zip(cases.items(), got):
+        assert g == want, (h, g, want)
+
+
+def test_url_dedup_null_and_variants(spark):
+    from dbt_glue_spark.extensions.web import url_dedup
+
+    rows = [
+        (1, "HTTPS://E.com/x?utm_source=a"),
+        (2, "https://e.com/x"),
+        (3, "https://e.com/x/#frag"),
+        (4, None),
+        (5, "https://e.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = {r.canon_url: (r.keep_id, r.n_variants) for r in url_dedup(df).collect()}
+    assert out == {
+        "https://e.com/x": (1, 3),
+        "https://e.com/y": (5, 1),
+    }
+
+
+def test_domain_caps_order_and_cap(spark):
+    from dbt_glue_spark.extensions.web import domain_caps
+
+    rows = [(i, f"https://d{i % 2}.example.com/p{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    out = sorted(
+        (r.domain, r.doc_id, r.rank) for r in domain_caps(df, cap=2).collect()
+    )
+    assert out == [
+        ("example.com", 0, 1),
+        ("example.com", 1, 2),
+    ]
+    with pytest.raises(ValueError, match="cap"):
+        domain_caps(df, cap=0)
+
+
+# ---------------------------------------------------------------------------
+# token budget allocation
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),   # tokens
+            st.integers(min_value=0, max_value=1000),   # quality
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=20000),
+)
+def test_token_budget_exact_conservation(spark, groups, budget):
+    """Σ alloc == min(budget, Σ n) EXACTLY, 0 ≤ alloc_i ≤ n_i, for any
+    (tokens, quality) profile — including all-zero qualities (D = 0)
+    and sources larger than the whole budget."""
+    from dbt_glue_spark.extensions.sampling import token_budget_allocation
+
+    rows = [(f"s{i}", n, q) for i, (n, q) in enumerate(groups)]
+    df = spark.createDataFrame(rows, "src string, toks bigint, q bigint")
+    out = token_budget_allocation(df, "src", "toks", "q", budget).collect()
+    tot_n = sum(r.n_tokens for r in out)
+    tot_a = sum(r.alloc_tokens for r in out)
+    # all-zero weights: rounds 1-2 allocate nothing proportional, the
+    # crumb fill still pours the budget into headroom deterministically
+    assert tot_a == min(budget, tot_n), (tot_a, budget, tot_n)
+    for r in out:
+        assert 0 <= r.alloc_tokens <= r.n_tokens
+        assert 0 <= r.rate_ppm <= 1_000_000
+
+
+def test_token_budget_prefers_quality(spark):
+    """Two equal-size sources, one 9× the quality weight: the allocator
+    gives the high-quality source ~9× the tokens (caps permitting)."""
+    from dbt_glue_spark.extensions.sampling import token_budget_allocation
+
+    df = spark.createDataFrame(
+        [("hi", 10_000, 900), ("lo", 10_000, 100)],
+        "src string, toks bigint, q bigint",
+    )
+    out = {r.src: r.alloc_tokens for r in
+           token_budget_allocation(df, "src", "toks", "q", 1000).collect()}
+    assert out["hi"] + out["lo"] == 1000
+    assert out["hi"] == 900 and out["lo"] == 100
+
+
+def test_token_budget_rejects_negative(spark):
+    from dbt_glue_spark.extensions.sampling import token_budget_allocation
+
+    df = spark.createDataFrame([("a", 1, 1)], "src string, toks bigint, q bigint")
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_allocation(df, "src", "toks", "q", -1)
+
+
+# ---------------------------------------------------------------------------
+# gopher quality flags
+# ---------------------------------------------------------------------------
+
+
+def _gopher_py(text):
+    """Independent Python reimplementation of the rule arithmetic."""
+    import re
+
+    text = text or ""
+    words = [w for w in re.split(r"\s+", text) if w]
+    lines = [l for l in text.split("\n") if l]
+    n_words = len(words)
+    word_chars = sum(len(w) for w in words)
+    n_alpha = sum(1 for w in words if re.search("[a-zA-Z]", w))
+    n_sym = len(re.findall(r"#|\.\.\.|…", text))
+    n_lines = len(lines)
+    n_ell = sum(1 for l in lines if re.search(r"(\.\.\.|…)\s*$", l))
+    dist = list(dict.fromkeys(lines))
+    n_dup = n_lines - len(dist)
+    line_chars = sum(len(l) for l in lines)
+    dup_chars = line_chars - sum(len(l) for l in dist)
+    ok = (
+        50 <= n_words <= 100000
+        and 3 * n_words <= word_chars <= 10 * n_words
+        and 10 * n_sym <= n_words
+        and 10 * n_ell <= 3 * n_lines
+        and 10 * n_dup <= 3 * n_lines
+        and 5 * dup_chars <= line_chars
+        and 5 * n_alpha >= 4 * n_words
+        and n_words > 0
+    )
+    return (n_words, word_chars, n_alpha, n_sym, n_lines, n_ell, n_dup,
+            dup_chars, line_chars, ok)
+
+
+def test_gopher_flags_vs_python_reimpl(spark):
+    from dbt_glue_spark.extensions.text_analysis import gopher_quality_flags
+
+    good = " ".join(f"word{i}" for i in range(60))
+    docs = [
+        good,
+        "short",
+        None,
+        "",
+        "dup\ndup\ndup\nother\n" + good,
+        " ".join(["###"] * 20 + ["ok"] * 40),
+        "\n".join([f"l{i} end..." for i in range(9)] + [good]),
+        " ".join(["12345"] * 60),           # no alpha words
+        " ".join(["x" * 40] * 60),          # mean word len > 10
+        good + " ……… #",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    for i, t in enumerate(docs):
+        want = _gopher_py(t)
+        r = rows[i]
+        got = (r.n_words, r.word_chars, r.n_alpha_words, r.n_symbols,
+               r.n_lines, r.n_ellipsis_lines, r.n_dup_lines,
+               r.dup_line_chars, r.line_chars, r.pass_gopher)
+        assert got == want, (i, t[:40] if t else t, got, want)
+
+
+def test_gopher_flags_map_only_plan(spark, sf_dir):
+    """The whole operator must stay one map-only projection: no shuffle
+    (Exchange), no explode (Generate) — scan-speed at any corpus size."""
+    from dbt_glue_spark.extensions.text_analysis import gopher_quality_flags
+    from dbt_glue_spark.sources.registry import load_table
+
+    df = gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_url_dedup_groupby_plan(spark, sf_dir):
+    """url_dedup's only wide op is the canonical-URL groupBy (with a
+    map-side partial aggregate); never a join or a window."""
+    from dbt_glue_spark.plans.round10_staged import STAGED10
+
+    df = STAGED10()["ext_url_dedup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -16,7 +16,7 @@ similarity is zero — replication adds no artificial near-dup mass; and
 stay realistic. Each scaled corpus is materialized to parquet scratch so
 every timed run pays a real scan, not a cached lineage.
 
-Usage: python tools/scale_probe.py [--factors=2,8,32] [--probe=dedup|mmr|staged|staged8|staged9]
+Usage: python tools/scale_probe.py [--factors=2,8,32] [--probe=dedup|mmr|staged|staged8|staged9|staged10]
 Prints one JSON line: per-op seconds per factor + fitted exponents.
 A near-linear operator shows exponent ≈ 1 (ratio bound 1.5x of linear
 per SCALE.md policy); quadratic blowup would show ≈ 2.
@@ -456,6 +456,112 @@ def probe_staged9(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
     return results, rows
 
 
+def probe_staged10(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
+    """Weak-scaling probe for the round-10 staged pool (same replication
+    scheme — per-replica vocabularies, constant dup structure):
+
+    - url_dedup: map-only canonicalization + one canonical-URL groupBy
+      with map-side combine (the exact-dedup shape) → exponent ≈ 1;
+    - domain_caps: one rank window partitioned by domain; domains scale
+      with the corpus here (replica-suffixed ids spread g=doc_id%40 into
+      new value ranges), per-domain state bounded → exponent ≈ 1;
+    - token_budget_alloc: one map-side-combining groupBy collapses the
+      corpus to |sources| rows; everything after is bounded by the
+      source count → exponent ≈ 1 (pure scan cost);
+    - gopher_quality_flags: ONE map-only whole-stage-codegen projection
+      (no shuffle, no explode — plan-gated in tests) → the purest
+      scan-bound exponent in the repo.
+    """
+    from dbt_glue_spark.extensions import sampling, web
+    from dbt_glue_spark.extensions import text_analysis as ta
+
+    scratch = tempfile.mkdtemp(prefix="dgs_staged10_probe_")
+    results: dict[str, dict[str, float]] = {}
+    rows: dict[str, int] = {}
+
+    def synth_url(doc_id):
+        g = doc_id % 4000
+        suffix = F.when(g % 5 == 0, F.lit("co.uk")).otherwise(F.lit("com"))
+        hostlo = F.concat(
+            F.lit("www.sub"), (g % 3).cast("string"), F.lit(".src"),
+            (g % 97).cast("string"), F.lit("ex."), suffix,
+        )
+        return F.concat(
+            F.when(doc_id % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(doc_id % 3 == 0, F.upper(hostlo)).otherwise(hostlo),
+            F.when(doc_id % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/docs/"), g.cast("string"),
+            F.when(doc_id % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(doc_id % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+            .otherwise(F.lit("?a=1&b=2")),
+        )
+
+    def enrich(docs):
+        return docs.select(
+            "doc_id",
+            "text",
+            F.length("text").cast("bigint").alias("n_chars"),
+            (F.length("text") % 1000).cast("bigint").alias("q"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 10).cast("string")).alias(
+                "source"
+            ),
+            synth_url(F.col("doc_id")).alias("url"),
+        )
+
+    try:
+        warm = enrich(
+            load_table(spark, sf_dir, "documents").limit(500).select(
+                "doc_id", "text"
+            )
+        )
+        web.url_dedup(warm).write.format("noop").mode("overwrite").save()
+        web.domain_caps(warm, cap=8).write.format("noop").mode("overwrite").save()
+        sampling.token_budget_allocation(
+            warm, "source", "n_chars", "q", 30_000
+        ).write.format("noop").mode("overwrite").save()
+        ta.gopher_quality_flags(warm).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dedup.release_caches()
+        for f_ in factors:
+            path = build_scaled(spark, sf_dir, f_, scratch)
+            docs = enrich(spark.read.parquet(path))
+            rows[str(f_)] = docs.count()
+
+            def run_urldedup():
+                web.url_dedup(docs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_caps():
+                web.domain_caps(docs, cap=8).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_tba():
+                sampling.token_budget_allocation(
+                    docs, "source", "n_chars", "q", 30_000
+                ).write.format("noop").mode("overwrite").save()
+
+            def run_gopher():
+                ta.gopher_quality_flags(docs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            for name, fn in [
+                ("url_dedup", run_urldedup),
+                ("domain_caps", run_caps),
+                ("token_budget_alloc", run_tba),
+                ("gopher_quality_flags", run_gopher),
+            ]:
+                results.setdefault(name, {})[str(f_)] = timed(fn)
+                dedup.release_caches()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return results, rows
+
+
 def main() -> None:
     factors = [2, 8, 32]
     probe = "dedup"
@@ -481,6 +587,10 @@ def main() -> None:
         return
     if probe == "staged9":
         results, rows = probe_staged9(spark, sf_dir, factors)
+        _emit(factors, results, rows)
+        return
+    if probe == "staged10":
+        results, rows = probe_staged10(spark, sf_dir, factors)
         _emit(factors, results, rows)
         return
     scratch = tempfile.mkdtemp(prefix="dgs_scale_probe_")
