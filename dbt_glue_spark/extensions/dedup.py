@@ -464,6 +464,33 @@ def embedding_near_dup_pairs(
     return all_pairs_cosine(df, vec_col, id_col, threshold, buckets)
 
 
+def auto_shuffle_partitions(
+    n_rows: int,
+    bytes_per_row: int = 24,
+    target_mb: int = 64,
+    lo: int = 32,
+    hi: int = 4096,
+) -> int:
+    """SCALE.md's spill-aware shuffle-partition sizing rule as code:
+    partitions ∝ estimated shuffle rows / target block size, clamped.
+
+    The 64× weak-scaling mapping (SCALE.md round-8) showed the iterative
+    heavyweights' superlinear exponents were per-partition sort blocks
+    outgrowing the heap — raising partitions 32→128 at 64× recovered
+    ~20 % by itself. ``target_mb`` = 64 keeps each partition's sort
+    block well inside an executor's task memory at any corpus size;
+    ``bytes_per_row`` defaults to the (bigint, bigint) edge/label tuple
+    + shuffle framing. Clamped below by the session default (32) and
+    above by a sanity cap (a 100 TB run tunes `hi` to its executor
+    count × cores × 2-3, the standard Spark sizing guidance).
+    """
+    if n_rows < 0:
+        raise ValueError(f"n_rows must be >= 0: {n_rows}")
+    target_rows = max(1, (target_mb * 1024 * 1024) // max(1, bytes_per_row))
+    want = (n_rows + target_rows - 1) // target_rows
+    return max(lo, min(hi, int(want)))
+
+
 def dup_clusters(
     df: DataFrame,
     pairs: DataFrame,
@@ -492,7 +519,22 @@ def dup_clusters(
     majority at 100 TB; dup rate is typically single-digit %) never enter
     an iteration; they label themselves in one final left join. Per-round
     cost is therefore ∝ |E|, independent of corpus size.
+
+    ``SPARK_GRAFT_AUTO_PARTITIONS=1`` engages SCALE.md's spill-aware
+    sizing rule (:func:`auto_shuffle_partitions`): edges and each
+    round's labels are hash-partitioned on the join key at partitions ∝
+    |E| / target block size, so (a) the per-round join reuses the
+    co-partitioning instead of re-exchanging both sides at the session
+    default, and (b) per-partition sort blocks stay inside task memory
+    past the 64× local point where the default 32 partitions hit the
+    heap cliff (SCALE.md round-8/round-9). Default OFF: bench/driver
+    scales sit far inside the linear regime and comparability outranks
+    headroom there. (The r8 md5-payload trick does not apply here: the
+    loop already carries only (bigint, bigint) tuples — 16 bytes — so
+    there is nothing wider to hash down.)
     """
+    import os as _os
+
     # persist the pair list BEFORE symmetrizing: the union's two branches
     # share one cached evaluation of the (expensive) pair-generation plan
     # instead of computing it twice
@@ -500,11 +542,19 @@ def dup_clusters(
     edges = _persist(
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     )
+    nparts = None
+    if _os.environ.get("SPARK_GRAFT_AUTO_PARTITIONS", "").strip() == "1":
+        # edges is persisted: the count is one cheap action over the
+        # cached frame, paid once before the loop
+        nparts = auto_shuffle_partitions(edges.count())
+        edges = _persist(edges.repartition(nparts, "dst"))
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    if nparts is not None:
+        labels = labels.repartition(nparts, "id").localCheckpoint()
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
@@ -515,19 +565,20 @@ def dup_clusters(
         # checkpointed frame carries a per-vertex "label shrank" bit, so
         # detecting a fixed point is a filter over already-materialized
         # data — not a labels⋈labels shuffle join per round.
-        stepped = (
-            labels.join(nbr, labels.id == nbr.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label")).alias(
-                    "__chg"
-                ),
-            )
-            .localCheckpoint()
+        stepped = labels.join(nbr, labels.id == nbr.src, "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+            (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label")).alias(
+                "__chg"
+            ),
         )
+        if nparts is not None:
+            # keep every round's checkpointed labels id-partitioned so the
+            # next round's edges⋈labels reuses the co-partitioning
+            stepped = stepped.repartition(nparts, "id")
+        stepped = stepped.localCheckpoint()
         changed = stepped.filter(F.col("__chg")).limit(1).count()
         labels = stepped.drop("__chg")
         if changed == 0:
