@@ -743,3 +743,172 @@ def token_budget_allocation(
         )
     )
     return out
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget: int,
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """Temperature-scaled multinomial source mixture (the multilingual-
+    LM sampling law, Conneau et al. 2020 XLM-R §3.1 / Raffel et al. T5):
+    per-source sampling probability p_i ∝ n_i^α flattens the natural
+    size distribution so low-resource sources are up-sampled.
+
+    α is FIXED at 0.5 — n_i^0.5 = sqrt(n_i), and IEEE-754 requires sqrt
+    to be exactly rounded, so Spark (JVM) and any oracle engine (libm)
+    produce the BIT-IDENTICAL double for the same bigint input; the
+    weight is then frozen to an integer w_i = ⌊sqrt(n_i)·scale⌋ and
+    every downstream share is exact bigint arithmetic (the catalog
+    float-determinism rules). An arbitrary α needs pow(), which is NOT
+    exactly rounded and diverges across engines in the last ulp — a
+    deployment wanting α≠0.5 pre-computes w_i upstream and uses
+    :func:`token_budget_allocation` with those weights.
+
+    Returns one row per source: (group, n_tokens, weight,
+    p_ppm = ⌊10⁶·w_i/W⌋, alloc_tokens = ⌊B·w_i/W⌋,
+    epochs_ppm = ⌊10⁶·alloc/n⌋ — the oversampling factor: >10⁶ means
+    the source repeats within the budget, the signal that α is too
+    flat for the corpus). Allocation here is NOT capped at n_i — by
+    design, temperature sampling repeats small sources; cap behavior
+    is :func:`token_budget_allocation`'s job.
+
+    NULL groups are excluded (stratified NULL contract); NULL/negative
+    token counts clamp to 0 (sqrt domain).
+
+    100 TB shape: ONE map-side-combining groupBy collapses the corpus
+    to |sources| rows; the scalar total W joins back via a 1-row
+    broadcast cross join; everything after is bounded by |sources|.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    if weight_scale < 1:
+        raise ValueError(f"weight_scale must be >= 1: {weight_scale}")
+    per = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.coalesce(
+                F.sum(F.col(tokens_col).cast("bigint")), F.lit(0).cast("bigint")
+            ).alias("n_tokens")
+        )
+        .withColumn(
+            "weight",
+            F.floor(
+                F.sqrt(F.greatest(F.col("n_tokens"), F.lit(0)).cast("double"))
+                * F.lit(weight_scale)
+            ).cast("bigint"),
+        )
+    )
+    total = per.agg(F.sum("weight").cast("bigint").alias("__w_total"))
+    share = F.when(
+        F.col("__w_total") > 0,
+        F.expr("(1000000 * weight) DIV __w_total"),
+    ).otherwise(F.lit(0))
+    alloc = F.when(
+        F.col("__w_total") > 0,
+        F.expr(f"(CAST({int(budget)} AS BIGINT) * weight) DIV __w_total"),
+    ).otherwise(F.lit(0))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("p_ppm", share.cast("bigint"))
+        .withColumn("alloc_tokens", alloc.cast("bigint"))
+        .select(
+            group_col,
+            "n_tokens",
+            "weight",
+            "p_ppm",
+            "alloc_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(alloc_tokens * 1000000) DIV n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("epochs_ppm"),
+        )
+    )
+
+
+def threshold_retention(
+    df: DataFrame,
+    score_col: str,
+    size_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Quality-threshold retention sweep: for every score threshold on a
+    fixed grid (multiples of ``bucket_width``), how many documents and
+    tokens survive a ``score >= threshold`` filter? The tuning curve
+    behind every quality-filter deployment (FineWeb-Edu threshold
+    ablations): pick the cutoff by reading tokens-retained against the
+    target budget instead of re-scanning the corpus once per candidate
+    threshold.
+
+    One corpus scan total: documents collapse into score buckets
+    (⌊score/width⌋, exact floor division for any sign via pmod), and the
+    retention at threshold b·width is a reverse cumulative sum over the
+    tiny bucket frame — |buckets| rows, NOT |thresholds| corpus scans.
+
+    Returns one row per occupied bucket, ascending:
+    (threshold, docs_kept, tokens_kept, docs_ppm, tokens_ppm) where
+    *_kept counts rows with score >= threshold and *_ppm are exact
+    ⌊10⁶·kept/total⌋ shares of the scanned corpus. NULL scores are
+    excluded; NULL sizes count 0 tokens (the row still counts as a doc).
+
+    100 TB shape: ONE map-side-combining groupBy(bucket); the window
+    cumsum and the totals run on |buckets| rows in a single partition —
+    bounded state by construction (buckets ∝ score range / width).
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1: {bucket_width}")
+    w = int(bucket_width)
+    # floor division for any sign: (score - pmod(score, w)) / w is exact
+    bucket = F.expr(
+        f"(CAST({score_col} AS BIGINT) - pmod(CAST({score_col} AS BIGINT), {w}))"
+        f" DIV {w}"
+    )
+    buckets = (
+        df.filter(F.col(score_col).isNotNull())
+        .select(
+            bucket.alias("__bucket"),
+            F.coalesce(F.col(size_col).cast("bigint"), F.lit(0)).alias("__sz"),
+        )
+        .groupBy("__bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("__docs"),
+            F.sum("__sz").cast("bigint").alias("__toks"),
+        )
+    )
+    rev = Window.orderBy(F.col("__bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.orderBy(F.col("__bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        buckets.select(
+            (F.col("__bucket") * w).cast("bigint").alias("threshold"),
+            F.sum("__docs").over(rev).cast("bigint").alias("docs_kept"),
+            F.sum("__toks").over(rev).cast("bigint").alias("tokens_kept"),
+            F.sum("__docs").over(tot).cast("bigint").alias("__tot_docs"),
+            F.sum("__toks").over(tot).cast("bigint").alias("__tot_toks"),
+        )
+        .select(
+            "threshold",
+            "docs_kept",
+            "tokens_kept",
+            F.expr("(docs_kept * 1000000) DIV __tot_docs")
+            .cast("bigint")
+            .alias("docs_ppm"),
+            F.when(
+                F.col("__tot_toks") > 0,
+                F.expr("(tokens_kept * 1000000) DIV __tot_toks"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("tokens_ppm"),
+        )
+        .orderBy("threshold")
+    )

@@ -143,6 +143,107 @@ def url_dedup(
     )
 
 
+def url_frontier_new(
+    batch: DataFrame,
+    ledger: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental crawl-frontier dedup: which URLs in this batch has the
+    pipeline NEVER crawled before? Canonicalize both sides, anti-join the
+    batch against the ledger of previously-seen canonical URLs, then
+    collapse the surviving batch variants exactly like :func:`url_dedup`.
+    Returns (canon_url, keep_id, n_variants) — one row per NEW canonical
+    URL. The cross-run twin of url_dedup, mirroring the
+    exact_dedup_incremental / contamination_ledger pattern (dedup.py):
+    run N's output unioned into the ledger is run N+1's input.
+
+    ``ledger`` is any frame with ``url_col`` (raw or already canonical —
+    canonicalization is idempotent, so re-canonicalizing a canonical
+    ledger is a no-op by the tested fixed-point property).
+
+    100 TB shape: canonicalization is map-only; the anti-join shuffles
+    both sides on the canonical URL (AQE broadcasts a small ledger
+    partition-map automatically), and the final groupBy reuses the same
+    key — no second wide dependency beyond the standard exact-dedup
+    shape. NULL urls on either side are excluded (no identity).
+    """
+    seen = (
+        ledger.filter(F.col(url_col).isNotNull())
+        .select(canonical_url(F.col(url_col)).alias("canon_url"))
+        .distinct()
+    )
+    return (
+        batch.filter(F.col(url_col).isNotNull())
+        .select(
+            canonical_url(F.col(url_col)).alias("canon_url"),
+            F.col(id_col).cast("bigint").alias("__id"),
+        )
+        .join(seen, "canon_url", "left_anti")
+        .groupBy("canon_url")
+        .agg(
+            F.min("__id").alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_variants"),
+        )
+    )
+
+
+def domain_quality(
+    df: DataFrame,
+    url_col: str = "url",
+    quality_col: str = "quality",
+    min_docs: int = 5,
+    threshold_micro: int = 500_000_000,
+) -> DataFrame:
+    """Per-registered-domain quality aggregation + blocklist derivation:
+    group documents by registered domain, aggregate an integer quality
+    score, and flag domains whose mean quality falls below a threshold
+    with at least ``min_docs`` of support — the operator that turns
+    document-level quality classifiers into the domain blocklists
+    production crawls actually apply (a domain-level decision is far
+    cheaper to enforce at fetch time than a per-document one).
+
+    ``quality_col`` is a non-negative integer score (e.g. 0-1000); the
+    mean is reported in EXACT micro-units (``mean_q_micro`` =
+    ⌊10⁶·Σq/n⌋, bigint floor division — the catalog float rules), so
+    ``blocked`` is an exact integer comparison, not a float one.
+    ``min_docs`` guards against blocking a domain on one bad page.
+    Returns (domain, n_docs, sum_quality, mean_q_micro, blocked).
+
+    NULL urls and NULL quality rows are excluded (no identity / no
+    evidence — the stratified NULL contract).
+
+    100 TB shape: map-only canonicalize + domain extraction, then ONE
+    groupBy(domain) with map-side combine — the exact-dedup shape;
+    output is bounded by |domains|.
+    """
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1: {min_docs}")
+    dom = registered_domain(url_host(canonical_url(F.col(url_col))))
+    # bigint/bigint with `/` is fractional (double) in Spark and floor()
+    # of a >2^53 double is inexact — DIV keeps the mean exact bigint.
+    mean_q = F.expr("(sum_quality * 1000000) DIV n_docs").cast("bigint")
+    return (
+        df.filter(F.col(url_col).isNotNull() & F.col(quality_col).isNotNull())
+        .select(dom.alias("domain"), F.col(quality_col).cast("bigint").alias("__q"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__q").cast("bigint").alias("sum_quality"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "sum_quality",
+            mean_q.alias("mean_q_micro"),
+            (
+                (F.col("n_docs") >= F.lit(min_docs))
+                & (mean_q < F.lit(threshold_micro).cast("bigint"))
+            ).alias("blocked"),
+        )
+    )
+
+
 def domain_caps(
     df: DataFrame,
     url_col: str = "url",

@@ -348,3 +348,263 @@ def ext_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions.text_analysis import gopher_quality_flags
 
     return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Second staged tranche (added mid-round-9): line-level dedup, temperature
+# mixture, threshold retention sweep, URL frontier ledger, domain quality
+# blocklist — the remaining pre-tokenization stages of a crawl pipeline.
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "ext_line_dedup",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, CAST((len(words)+7)//8 AS INT)),
+                    i -> array_to_string(list_slice(words, i*8+1, i*8+8),
+                                         ' '))) AS line
+      FROM w WHERE len(words) > 0
+    ),
+    f AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY line),
+    j AS (SELECT l.doc_id, length(l.line) AS chars, f.nd > 2 AS dup
+          FROM l JOIN f USING (line))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           CAST(SUM(CASE WHEN dup THEN 0 ELSE chars END) AS BIGINT)
+             AS kept_chars,
+           CAST(SUM(CASE WHEN dup THEN chars ELSE 0 END) AS BIGINT)
+             AS dropped_chars,
+           CAST((1000000 * SUM(CASE WHEN dup THEN 1 ELSE 0 END)) // COUNT(*)
+             AS BIGINT) AS dup_line_ppm
+    FROM j GROUP BY doc_id
+    """,
+    doc="Cross-document line-level dedup stats (dedup.line_dedup — the "
+    "CCNet/RefinedWeb boilerplate pre-filter, Wenzek et al. 2020 §4.1): "
+    "a line appearing in more than 2 distinct documents is boilerplate; "
+    "per-doc survival stats (n_lines, n_dup_lines, kept/dropped chars, "
+    "dup_line_ppm) drive the downstream whole-doc drop rule. The "
+    "synthetic corpus is single-line, so the catalog entry word-chunks "
+    "each doc into 8-word lines with pure array ops (split → transform "
+    "over an index sequence → slice/join → explode) and the oracle "
+    "replays the chunking with list_transform/list_slice — the gopher-"
+    "flags tokenization discipline. Lines collapse to md5+length "
+    "immediately so every exchange carries 16-byte keys, never text; "
+    "doc frequency is one groupBy(md5)/countDistinct; the verdict "
+    "rejoins on md5 and rolls up per doc — three key-bounded shuffles, "
+    "no window, no all-pairs.",
+)
+def ext_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    with_words = docs.select("doc_id", words.alias("__words")).filter(
+        F.size("__words") > 0
+    )
+    n_lines = (F.size("__words") + F.lit(7)).cast("int") - (
+        (F.size("__words") + F.lit(7)) % 8
+    ).cast("int")
+    lines = with_words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), (n_lines / 8).cast("int") - F.lit(1)
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("__words"), i * 8 + 1, 8), " "
+                ),
+            )
+        ).alias("line"),
+    )
+    return line_dedup(lines, "doc_id", "line", max_doc_freq=2)
+
+
+_TM_BUDGET = 50_000
+
+
+@register_staged(
+    "ext_temperature_mixture",
+    f"""
+    WITH per AS (
+      SELECT source, CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_tokens
+      FROM documents WHERE source IS NOT NULL GROUP BY source
+    ),
+    w AS (
+      SELECT *,
+             CAST(floor(sqrt(CAST(GREATEST(n_tokens, 0) AS DOUBLE)) * 1000)
+               AS BIGINT) AS weight
+      FROM per
+    ),
+    t AS (SELECT CAST(COALESCE(SUM(weight), 0) AS BIGINT) AS tw FROM w),
+    a AS (
+      SELECT w.*,
+             CAST(CASE WHEN t.tw > 0 THEN (1000000 * weight) // t.tw
+                  ELSE 0 END AS BIGINT) AS p_ppm,
+             CAST(CASE WHEN t.tw > 0 THEN ({_TM_BUDGET} * weight) // t.tw
+                  ELSE 0 END AS BIGINT) AS alloc_tokens
+      FROM w CROSS JOIN t
+    )
+    SELECT source, n_tokens, weight, p_ppm, alloc_tokens,
+           CAST(CASE WHEN n_tokens > 0
+                THEN (alloc_tokens * 1000000) // n_tokens
+                ELSE 0 END AS BIGINT) AS epochs_ppm
+    FROM a
+    """,
+    doc="Temperature-scaled multinomial source mixture "
+    "(sampling.temperature_mixture — the XLM-R/T5 sampling law, "
+    "p_i ∝ n_i^α): flattens the natural size distribution so low-"
+    "resource sources are up-sampled. α is pinned at 0.5 because IEEE "
+    "sqrt is EXACTLY rounded (bit-identical across Spark's JVM and the "
+    "oracle's libm), and the weight freezes to ⌊sqrt(n)·1000⌋ bigint so "
+    "every share downstream is exact integer arithmetic — pow(α≠0.5) is "
+    "not exactly rounded and would flake the last ulp across engines. "
+    "epochs_ppm > 10⁶ flags a source the mixture repeats. ONE map-side-"
+    "combining groupBy collapses the corpus to |sources| rows; the "
+    "scalar total W joins back via a broadcast 1-row cross join.",
+)
+def ext_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.sampling import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return temperature_mixture(docs, "source", "n_chars", _TM_BUDGET)
+
+
+@register_staged(
+    "ext_quality_threshold_sweep",
+    """
+    WITH d AS (
+      SELECT CAST(n_chars % 1000 AS BIGINT) AS q,
+             CAST(n_chars AS BIGINT) AS sz
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    b AS (
+      SELECT (q - ((q % 100) + 100) % 100) // 100 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS docs,
+             CAST(SUM(sz) AS BIGINT) AS toks
+      FROM d GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket * 100 AS threshold,
+             SUM(docs) OVER (ORDER BY bucket DESC) AS docs_kept,
+             SUM(toks) OVER (ORDER BY bucket DESC) AS tokens_kept,
+             SUM(docs) OVER () AS tot_docs,
+             SUM(toks) OVER () AS tot_toks
+      FROM b
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(docs_kept AS BIGINT) AS docs_kept,
+           CAST(tokens_kept AS BIGINT) AS tokens_kept,
+           CAST((docs_kept * 1000000) // tot_docs AS BIGINT) AS docs_ppm,
+           CAST(CASE WHEN tot_toks > 0
+                THEN (tokens_kept * 1000000) // tot_toks
+                ELSE 0 END AS BIGINT) AS tokens_ppm
+    FROM c ORDER BY threshold
+    """,
+    doc="Quality-threshold retention sweep "
+    "(sampling.threshold_retention — the FineWeb-Edu threshold-ablation "
+    "curve): for every score cutoff on a fixed grid, the documents and "
+    "tokens surviving score >= cutoff, as exact counts and ppm shares. "
+    "ONE corpus scan: docs collapse into ⌊score/width⌋ buckets (exact "
+    "floor division via pmod, any sign), then the retention curve is a "
+    "reverse cumulative window over the |buckets|-row frame — never a "
+    "scan per candidate threshold. The curve picks the cutoff that hits "
+    "a token budget before anything is re-scanned.",
+)
+def ext_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.sampling import threshold_retention
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") % 1000).alias("q"), "n_chars"
+    )
+    return threshold_retention(docs, "q", "n_chars", 100)
+
+
+@register_staged(
+    "ext_url_frontier_ledger",
+    f"""
+    WITH seen AS (
+      SELECT DISTINCT (doc_id % 40) AS g FROM documents
+      WHERE doc_id < 100 AND doc_id % 3 = 0 AND doc_id % 19 <> 0
+    )
+    SELECT {_SQL_CANON} AS canon_url,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM documents
+    WHERE doc_id >= 100 AND doc_id % 19 <> 0
+      AND (doc_id % 40) NOT IN (SELECT g FROM seen)
+    GROUP BY 1
+    """,
+    doc="Incremental crawl-frontier dedup (web.url_frontier_new): which "
+    "canonical URLs in this batch has the pipeline never crawled "
+    "before? Ledger = the canonical URLs of docs {id < 100, id % 3 = 0} "
+    "(the prior run); batch = docs {id >= 100}; the operator "
+    "canonicalizes both sides, LEFT ANTI joins batch against ledger, "
+    "and collapses surviving variants min-id-first exactly like "
+    "url_dedup. The cross-run twin of url_dedup in the "
+    "exact_dedup_incremental / contamination_ledger pattern. The oracle "
+    "derives both the seen-set and the expected canonical form CLOSED-"
+    "FORM from the variant construction (independent of the regex "
+    "pipeline). Map-only canonicalization; the anti-join and the final "
+    "groupBy share the canonical-URL key — the standard incremental-"
+    "dedup shuffle shape.",
+)
+def ext_url_frontier_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.web import url_frontier_new
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_spark(F.col("doc_id")).alias("url")
+    )
+    ledger = docs.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 3 == 0))
+    batch = docs.filter(F.col("doc_id") >= 100)
+    return url_frontier_new(batch, ledger)
+
+
+@register_staged(
+    "ext_domain_quality_agg",
+    f"""
+    SELECT {_SQL_DOMAIN} AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars % 1000) AS BIGINT) AS sum_quality,
+           CAST((SUM(n_chars % 1000) * 1000000) // COUNT(*) AS BIGINT)
+             AS mean_q_micro,
+           (COUNT(*) >= 5 AND
+            (SUM(n_chars % 1000) * 1000000) // COUNT(*) < 480000000)
+             AS blocked
+    FROM documents
+    WHERE doc_id % 19 <> 0 AND n_chars IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Per-registered-domain quality aggregation + blocklist "
+    "derivation (web.domain_quality): mean document quality per domain "
+    "in exact micro-units (⌊10⁶·Σq/n⌋ bigint), flagging domains below "
+    "480000000 micro with >= 5 docs of support — the operator that "
+    "turns document-level classifier scores into the domain blocklists "
+    "a crawler enforces at fetch time. Spark runs the real "
+    "canonicalize→host→registered-domain extraction on the messy "
+    "synthetic URLs; the oracle derives the domain closed-form. "
+    "Map-only extraction + ONE groupBy(domain) with map-side combine; "
+    "output bounded by |domains|.",
+)
+def ext_domain_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.web import domain_quality
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        _synth_url_spark(F.col("doc_id")).alias("url"),
+        (F.col("n_chars") % 1000).alias("q"),
+    )
+    return domain_quality(
+        docs, "url", "q", min_docs=5, threshold_micro=480_000_000
+    )

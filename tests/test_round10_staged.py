@@ -301,3 +301,223 @@ def test_url_dedup_groupby_plan(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "HashAggregate" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (second staged tranche)
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_brute_force(spark):
+    """Hand corpus vs an independent Python reimplementation: cross-doc
+    boilerplate (>2 docs), within-doc repeats (count once toward doc
+    frequency, every occurrence dropped), NULL/empty lines excluded."""
+    from dbt_glue_spark.extensions.dedup import line_dedup
+
+    rows = [
+        (1, "cookie banner"), (1, "unique a"), (1, "cookie banner"),
+        (2, "cookie banner"), (2, "unique b"),
+        (3, "cookie banner"), (3, "shared x"),
+        (4, "shared x"), (4, None), (4, ""),
+        (5, "shared x"), (5, "unique c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, line string")
+    out = {r.doc_id: r for r in line_dedup(df, max_doc_freq=2).collect()}
+
+    lines = [(d, l) for d, l in rows if l]
+    from collections import defaultdict
+    docs_per_line = defaultdict(set)
+    for d, l in lines:
+        docs_per_line[l].add(d)
+    for doc in (1, 2, 3, 4, 5):
+        mine = [l for d, l in lines if d == doc]
+        dup = [l for l in mine if len(docs_per_line[l]) > 2]
+        kept = [l for l in mine if len(docs_per_line[l]) <= 2]
+        r = out[doc]
+        assert r.n_lines == len(mine)
+        assert r.n_dup_lines == len(dup)
+        assert r.kept_chars == sum(len(l) for l in kept)
+        assert r.dropped_chars == sum(len(l) for l in dup)
+        assert r.dup_line_ppm == 1_000_000 * len(dup) // len(mine)
+
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        line_dedup(df, max_doc_freq=0)
+
+
+def test_line_dedup_doc_all_null_lines_absent(spark):
+    from dbt_glue_spark.extensions.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "")], "doc_id bigint, line string"
+    )
+    assert [r.doc_id for r in line_dedup(df).collect()] == [1]
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=10**9),
+)
+def test_temperature_mixture_exact_shares(spark, sizes, budget):
+    """Each share is EXACTLY ⌊B·w/W⌋ for w = ⌊sqrt(n)·1000⌋ computed in
+    Python (IEEE sqrt is exactly rounded — the cross-engine invariant
+    the operator's α=0.5 pin relies on); Σ alloc ≤ B; p_ppm ≤ 10⁶."""
+    import math
+
+    from dbt_glue_spark.extensions.sampling import temperature_mixture
+
+    rows = [(f"s{i}", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "src string, toks bigint")
+    out = {r.src: r for r in
+           temperature_mixture(df, "src", "toks", budget).collect()}
+    weights = {f"s{i}": int(math.floor(math.sqrt(n) * 1000))
+               for i, n in enumerate(sizes)}
+    W = sum(weights.values())
+    assert sum(r.alloc_tokens for r in out.values()) <= budget
+    for src, r in out.items():
+        assert r.weight == weights[src], (src, r.weight, weights[src])
+        if W > 0:
+            assert r.alloc_tokens == budget * weights[src] // W
+            assert r.p_ppm == 1_000_000 * weights[src] // W
+        else:
+            assert r.alloc_tokens == 0 and r.p_ppm == 0
+    assert sum(r.p_ppm for r in out.values()) <= 1_000_000
+
+
+def test_temperature_mixture_flattens(spark):
+    """sqrt flattening: a 100× bigger source gets only 10× the share,
+    and the small source's epochs_ppm exceeds the big one's (the
+    up-sampling signature)."""
+    from dbt_glue_spark.extensions.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [("big", 1_000_000), ("small", 10_000)], "src string, toks bigint"
+    )
+    out = {r.src: r for r in
+           temperature_mixture(df, "src", "toks", 500_000).collect()}
+    assert abs(out["big"].weight - 10 * out["small"].weight) <= 10
+    assert out["small"].epochs_ppm > out["big"].epochs_ppm
+    with pytest.raises(ValueError, match="budget"):
+        temperature_mixture(df, "src", "toks", -1)
+
+
+# ---------------------------------------------------------------------------
+# threshold retention sweep
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-500, max_value=1500),  # score, signed!
+            st.integers(min_value=0, max_value=10_000),   # size
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_threshold_retention_brute_force(spark, rows):
+    """Every output row equals the brute-force `score >= threshold`
+    filter — including NEGATIVE scores (the pmod floor-division path)."""
+    from dbt_glue_spark.extensions.sampling import threshold_retention
+
+    df = spark.createDataFrame(
+        [(q, s) for q, s in rows], "q bigint, sz bigint"
+    )
+    out = threshold_retention(df, "q", "sz", 100).collect()
+    tot_docs, tot_toks = len(rows), sum(s for _, s in rows)
+    buckets = sorted({q // 100 for q, _ in rows})
+    assert [r.threshold for r in out] == [b * 100 for b in buckets]
+    for r in out:
+        kept = [(q, s) for q, s in rows if q >= r.threshold]
+        assert r.docs_kept == len(kept)
+        assert r.tokens_kept == sum(s for _, s in kept)
+        assert r.docs_ppm == 1_000_000 * len(kept) // tot_docs
+        want_tppm = (1_000_000 * sum(s for _, s in kept) // tot_toks
+                     if tot_toks else 0)
+        assert r.tokens_ppm == want_tppm
+    docs_seq = [r.docs_kept for r in out]
+    assert docs_seq == sorted(docs_seq, reverse=True)  # monotone curve
+
+
+def test_threshold_retention_rejects_bad_width(spark):
+    from dbt_glue_spark.extensions.sampling import threshold_retention
+
+    df = spark.createDataFrame([(1, 1)], "q bigint, sz bigint")
+    with pytest.raises(ValueError, match="bucket_width"):
+        threshold_retention(df, "q", "sz", 0)
+
+
+# ---------------------------------------------------------------------------
+# URL frontier ledger
+# ---------------------------------------------------------------------------
+
+
+def test_url_frontier_disjoint_subset_idempotent(spark):
+    from dbt_glue_spark.extensions.web import url_frontier_new
+
+    ledger = spark.createDataFrame(
+        [(0, "https://e.com/a"), (1, "HTTPS://E.COM/b?utm_x=1")],
+        "doc_id bigint, url string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "https://e.com/b"),       # seen (canonicalizes onto ledger)
+         (11, "https://e.com/c/"),      # new
+         (12, "https://e.com/c#f"),     # same new URL, variant
+         (13, None)],
+        "doc_id bigint, url string",
+    )
+    out = {r.canon_url: (r.keep_id, r.n_variants)
+           for r in url_frontier_new(batch, ledger).collect()}
+    assert out == {"https://e.com/c": (11, 2)}
+
+    # batch ⊆ ledger → empty
+    assert url_frontier_new(ledger, ledger).count() == 0
+    # idempotence: ledger ∪ batch as the new ledger → nothing new
+    assert url_frontier_new(batch, ledger.union(batch)).count() == 0
+    # a pre-canonicalized ledger behaves identically (fixed point)
+    from dbt_glue_spark.extensions.web import canonical_url
+    canon_ledger = ledger.select(
+        "doc_id", canonical_url(F.col("url")).alias("url")
+    )
+    out2 = {r.canon_url: (r.keep_id, r.n_variants)
+            for r in url_frontier_new(batch, canon_ledger).collect()}
+    assert out2 == out
+
+
+# ---------------------------------------------------------------------------
+# domain quality blocklist
+# ---------------------------------------------------------------------------
+
+
+def test_domain_quality_hand_case(spark):
+    from dbt_glue_spark.extensions.web import domain_quality
+
+    rows = (
+        [(f"https://spam.example.com/p{i}", 100) for i in range(5)]
+        + [(f"https://good.example.org/p{i}", 900) for i in range(5)]
+        + [("https://thin.example.net/p0", 0)]        # support < min_docs
+        + [("https://x.example.net/p1", None)]        # NULL quality excluded
+        + [(None, 500)]                               # NULL url excluded
+    )
+    df = spark.createDataFrame(rows, "url string, quality bigint")
+    out = {r.domain: r for r in
+           domain_quality(df, min_docs=5, threshold_micro=500_000_000).collect()}
+    assert set(out) == {"example.com", "example.org", "example.net"}
+    assert out["example.com"].blocked is True
+    assert out["example.com"].mean_q_micro == 100_000_000
+    assert out["example.org"].blocked is False
+    assert out["example.net"].blocked is False       # only 1 doc of support
+    assert out["example.net"].n_docs == 1
+    with pytest.raises(ValueError, match="min_docs"):
+        domain_quality(df, min_docs=0)

@@ -549,11 +549,65 @@ def probe_staged10(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                     "overwrite"
                 ).save()
 
+            def run_linededup():
+                # word-chunked 8-word lines, the catalog construction
+                words = F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+                ww = docs.select("doc_id", words.alias("__words")).filter(
+                    F.size("__words") > 0
+                )
+                nl = (F.size("__words") + F.lit(7)).cast("int") - (
+                    (F.size("__words") + F.lit(7)) % 8
+                ).cast("int")
+                lines = ww.select(
+                    "doc_id",
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(0), (nl / 8).cast("int") - F.lit(1)),
+                            lambda i: F.array_join(
+                                F.slice(F.col("__words"), i * 8 + 1, 8), " "
+                            ),
+                        )
+                    ).alias("line"),
+                )
+                dedup.line_dedup(lines, max_doc_freq=2).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            def run_tempmix():
+                sampling.temperature_mixture(
+                    docs, "source", "n_chars", 50_000
+                ).write.format("noop").mode("overwrite").save()
+
+            def run_sweep():
+                sampling.threshold_retention(
+                    docs, "q", "n_chars", 100
+                ).write.format("noop").mode("overwrite").save()
+
+            def run_frontier():
+                ledger = docs.filter(F.col("doc_id") % 3 == 0)
+                batch = docs.filter(F.col("doc_id") % 3 != 0)
+                web.url_frontier_new(batch, ledger).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_domq():
+                web.domain_quality(
+                    docs, "url", "q", min_docs=5, threshold_micro=480_000_000
+                ).write.format("noop").mode("overwrite").save()
+
             for name, fn in [
                 ("url_dedup", run_urldedup),
                 ("domain_caps", run_caps),
                 ("token_budget_alloc", run_tba),
                 ("gopher_quality_flags", run_gopher),
+                ("line_dedup", run_linededup),
+                ("temperature_mixture", run_tempmix),
+                ("threshold_retention", run_sweep),
+                ("url_frontier_ledger", run_frontier),
+                ("domain_quality", run_domq),
             ]:
                 results.setdefault(name, {})[str(f_)] = timed(fn)
                 dedup.release_caches()
