@@ -608,3 +608,62 @@ def ext_domain_quality_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_quality(
         docs, "url", "q", min_docs=5, threshold_micro=480_000_000
     )
+
+
+@register_staged(
+    "streaming_url_frontier",
+    f"""
+    SELECT DISTINCT {_SQL_CANON} AS canon_url
+    FROM documents
+    WHERE doc_id >= 100 AND doc_id % 19 <> 0
+      AND (doc_id % 40) NOT IN (
+        SELECT DISTINCT (doc_id % 40) FROM documents
+        WHERE doc_id < 100 AND doc_id % 3 = 0 AND doc_id % 19 <> 0
+      )
+    """,
+    doc="Streaming crawl-frontier dedup end-to-end "
+    "(streaming/pipelines.url_frontier_stream — the Kappa twin of "
+    "web.url_frontier_new): the batch docs staged as a 4-file URL "
+    "stream, canonicalized per micro-batch, stream-static LEFT ANTI "
+    "joined against the seen-URL ledger (static side re-read each "
+    "batch), deduped on the canonical URL within the stream, append-"
+    "mode memory sink. The emitted set must equal the batch frontier's "
+    "canon_url set exactly regardless of file arrival order (set "
+    "semantics — no order-dependent keep_id in the streaming contract). "
+    "Oracle derives ledger membership and the canonical form closed-"
+    "form from the variant construction.",
+)
+def streaming_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from dbt_glue_spark.streaming.pipelines import url_frontier_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_spark(F.col("doc_id")).alias("url")
+    )
+    ledger = docs.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 3 == 0))
+    batch = docs.filter(F.col("doc_id") >= 100).select("url")
+    stage = tempfile.mkdtemp(prefix="dgs_q_urlfrontier_")
+    batch.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    name = f"q_urlfrontier_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            url_frontier_stream(stream, ledger)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

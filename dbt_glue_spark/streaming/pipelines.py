@@ -370,6 +370,43 @@ def dedup_stream(
     ).dropDuplicatesWithinWatermark(keys)
 
 
+def url_frontier_stream(
+    url_stream: DataFrame,
+    ledger: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Streaming crawl-frontier dedup — the Kappa twin of
+    web.url_frontier_new: canonicalize URLs as they arrive, drop
+    everything the static seen-URL ledger already covers (stream-static
+    LEFT ANTI join — the static side is re-read per micro-batch, so a
+    ledger refreshed between batches is picked up), then dedup within
+    the stream itself so each NEW canonical URL is emitted exactly once.
+
+    State is the dropDuplicates store keyed on the canonical URL —
+    bounded by |new URLs in the stream's lifetime|; a production
+    deployment bounds it with dropDuplicatesWithinWatermark on an
+    arrival-time column (the dedup_stream pattern) and periodically
+    folds emitted URLs back into the ledger (the minhash_band_ledger
+    compaction discipline).
+
+    Batch twin: ``web.url_frontier_new(batch, ledger)`` — the emitted
+    set must equal the batch operator's canon_url set exactly.
+    """
+    from dbt_glue_spark.extensions.web import canonical_url
+
+    seen = (
+        ledger.filter(F.col(url_col).isNotNull())
+        .select(canonical_url(F.col(url_col)).alias("canon_url"))
+        .distinct()
+    )
+    return (
+        url_stream.filter(F.col(url_col).isNotNull())
+        .select(canonical_url(F.col(url_col)).alias("canon_url"))
+        .join(seen, "canon_url", "left_anti")
+        .dropDuplicates(["canon_url"])
+    )
+
+
 def enrich_stream(
     events_stream: DataFrame,
     dim: DataFrame,

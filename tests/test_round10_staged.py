@@ -521,3 +521,52 @@ def test_domain_quality_hand_case(spark):
     assert out["example.net"].n_docs == 1
     with pytest.raises(ValueError, match="min_docs"):
         domain_quality(df, min_docs=0)
+
+
+def test_streaming_url_frontier_equals_batch(spark, sf_dir):
+    """Kappa twin: the streaming frontier's emitted canon_url set must
+    equal the batch operator's, regardless of file arrival order."""
+    from dbt_glue_spark.extensions.web import url_frontier_new
+    from dbt_glue_spark.plans.round10_staged import (
+        STAGED10,
+        _synth_url_spark,
+    )
+    from dbt_glue_spark.sources.registry import load_table
+
+    stream_rows = {
+        r.canon_url
+        for r in STAGED10()["streaming_url_frontier"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _synth_url_spark(F.col("doc_id")).alias("url")
+    )
+    ledger = docs.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 3 == 0))
+    batch = docs.filter(F.col("doc_id") >= 100)
+    batch_rows = {
+        r.canon_url for r in url_frontier_new(batch, ledger).collect()
+    }
+    assert stream_rows == batch_rows
+    assert stream_rows  # non-degenerate: the corpus must yield new URLs
+
+
+def test_staged10_survive_empty_input(spark, tmp_path_factory):
+    """Every staged spec must degrade to an empty frame on zero-row
+    tables (the r8 lesson: streaming_priority_sample's empty-corpus
+    FileNotFoundError was caught by exactly this sweep)."""
+    import os
+
+    from dbt_glue_spark.sources.registry import TABLES, load_table
+
+    src = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    out = str(tmp_path_factory.mktemp("sf_empty10"))
+    for t in TABLES:
+        load_table(spark, src, t).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    failures = []
+    for name, spec in sorted(STAGED10().items()):
+        try:
+            spec.fn(spark, out).limit(5).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:150]}")
+    assert not failures, failures
