@@ -32,7 +32,7 @@ SENT = "\x1e"
 
 
 def _word_freqs(df: DataFrame, text_col: str):
-    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    words = F.expr(f"regexp_extract_all(translate(lower({text_col}), 'ς̇', 'σ'), '[a-z]+', 0)")
     return (
         df.select(F.explode(words).alias("word"))
         .groupBy("word")

@@ -1001,6 +1001,7 @@ def edit_distance_verify(
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize: bool = False,
 ) -> DataFrame:
     """Exact edit-distance verification of near-dup CANDIDATE pairs:
     Levenshtein distance + length-normalized similarity
@@ -1008,21 +1009,37 @@ def edit_distance_verify(
     after a bucketed candidate generator (LSH / n-gram), catching the
     false positives shingle overlap lets through.
 
+    ``normalize=True`` measures the distance over ``normalize_text``'d
+    documents (lowercase-fold, non-alphanumerics to space, collapsed
+    whitespace) — the usual ER contract, and the CROSS-ENGINE-EXACT
+    one: Spark's levenshtein counts CODEPOINTS while DuckDB's counts
+    BYTES (measured: lev('é','e') = 1 vs 2 — SCALE.md round-9 unicode
+    axis), so raw-mode distances agree only on ASCII text; normalized
+    text is pure ASCII by construction, where byte == codepoint. Raw
+    mode (default) keeps the engine-native codepoint distance for
+    library users; the graded catalog entry pins normalize=True.
+
     100 TB discipline: Levenshtein is O(len_a·len_b) per pair, so this
     operator must ONLY ever run on candidate pairs (thousands), never be
     the pair generator itself — the same contract as simhash_pairs'
-    exact-verify leg. Both engines implement classic unit-cost edit
-    distance, and the distance is an exact integer, so the oracle
+    exact-verify leg. The distance is an exact integer, so the oracle
     replays it directly.
     """
     from dbt_glue_spark.functions.scalars import half_up_round
 
-    a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
-    b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    t = (
+        normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    )
+    a = docs.select(F.col(id_col).alias("id_a"), t.alias("__ta"))
+    b = docs.select(F.col(id_col).alias("id_b"), t.alias("__tb"))
     j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
     dist = F.levenshtein(F.col("__ta"), F.col("__tb"))
     glen = F.greatest(F.length("__ta"), F.length("__tb"))
-    sim = F.lit(1.0) - dist.cast("double") / glen.cast("double")
+    # both sides empty (possible under normalize=True when a candidate
+    # pair is all-non-alphanumeric) → identical ⇒ similarity 1, not 0/0
+    sim = F.when(
+        glen > 0, F.lit(1.0) - dist.cast("double") / glen.cast("double")
+    ).otherwise(F.lit(1.0))
     return j.select(
         "id_a",
         "id_b",

@@ -27,7 +27,7 @@ _WORD_RE = "[a-z]+"
 
 
 def _words(text_col: str) -> Column:
-    return F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")
+    return F.expr(f"regexp_extract_all(translate(lower({text_col}), 'ς̇', 'σ'), '{_WORD_RE}', 0)")
 
 
 def tfidf_top_terms(

@@ -442,7 +442,7 @@ def bigram_lm_score(
     """
     from dbt_glue_spark.extensions.dedup import _persist
 
-    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    words = F.expr(f"regexp_extract_all(translate(lower({text_col}), 'ς̇', 'σ'), '[a-z]+', 0)")
     # one lexer pass feeds unigrams AND bigrams (the regex is the
     # expensive per-row work — the tfidf/bm25 persisted-lexer lesson)
     ws_stage = _persist(df.select(F.col(id_col), words.alias("ws")))
@@ -543,7 +543,7 @@ def wordpiece_tokenize(
     import uuid as _uuid
 
     spark = df.sparkSession
-    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    words = F.expr(f"regexp_extract_all(translate(lower({text_col}), 'ς̇', 'σ'), '[a-z]+', 0)")
     inst = df.select(F.col(id_col), F.explode(words).alias("word"))
     view = f"__wp_words_{_uuid.uuid4().hex[:8]}"
     inst.select("word").distinct().createOrReplaceTempView(view)
@@ -666,7 +666,7 @@ def dsir_weights(
     from dbt_glue_spark.extensions.sketches import hash_fraction
 
     assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
-    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    words = F.expr(f"regexp_extract_all(translate(lower({text_col}), 'ς̇', 'σ'), '[a-z]+', 0)")
     ws_stage = df.select(
         F.col(id_col), F.expr(target_predicate).alias("is_target"), words.alias("ws")
     )
@@ -945,7 +945,7 @@ def vocab_coverage(
 
     kmax = max(ks)
     counts = (
-        df.select(F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")).alias("w"))
+        df.select(F.explode(F.expr(f"regexp_extract_all(translate(lower({text_col}), 'ς̇', 'σ'), '[a-z]+', 0)")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
@@ -1065,7 +1065,7 @@ def pmi_pairs(
     Output: tok_a, tok_b, c_ab, m_a, m_b, pmi_q6 — top ``k`` by
     (pmi_q6 desc, tok_a, tok_b), c_ab ≥ min_count.
     """
-    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    words = F.expr(f"regexp_extract_all(translate(lower({text_col}), 'ς̇', 'σ'), '[a-z]+', 0)")
     # The array is referenced 2·window times by the gap zips below.
     # CollapseProject's non-cheap-expression guard keeps this projection
     # separate (regexp_extract_all is not on the cheap list and is
@@ -1146,7 +1146,7 @@ def zipf_rank_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     by construction (intra-class order never crosses a decade boundary
     in aggregate).
     """
-    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    words = F.expr(f"regexp_extract_all(translate(lower({text_col}), 'ς̇', 'σ'), '[a-z]+', 0)")
     counts = (
         df.select(F.explode(words).alias("tok"))
         .groupBy("tok")
@@ -1217,7 +1217,7 @@ def token_gini(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     toks = df.select(
         F.col(id_col),
         F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            F.expr(f"regexp_extract_all(translate(lower({text_col}), 'ς̇', 'σ'), '[a-z]+', 0)")
         ).alias("__tok"),
     )
     per_doc = (
@@ -1277,7 +1277,7 @@ def vocab_growth(
 
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
-    words = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    words = F.expr(f"regexp_extract_all(translate(lower({text_col}), 'ς̇', 'σ'), '[a-z]+', 0)")
     base = df.select(
         F.col(id_col).cast("bigint").alias("__id"), words.alias("__toks")
     ).filter(F.col("__id").isNotNull())
@@ -1516,3 +1516,4 @@ def gopher_quality_flags(
     for k in flags:
         allpass = F.col(k) if allpass is None else (allpass & F.col(k))
     return out.select("*", allpass.alias("pass_gopher"))
+

@@ -32,9 +32,38 @@ def tokenize_once(df, text_col: str, keep: list[str], lower: bool = False):
     )
 
 
+# Cross-engine case-fold repair: JVM lower() follows Unicode
+# SpecialCasing — lower('İ' U+0130) = 'i' + COMBINING DOT ABOVE (U+0307)
+# and final sigma is context-sensitive (ΣΟΦΟΣ → σοφος) — while DuckDB's
+# utf8proc lowercases per-codepoint (İ → 'i', Σ → 'σ' everywhere). These
+# are the ONLY two divergence classes between the engines (measured,
+# SCALE.md round-9 unicode axis), and both poison downstream
+# tokenization: the stray U+0307 splits 'istanbul' into 'i'+'stanbul'
+# under [a-z]+ extraction and turns one normalized token into two.
+# Folding AFTER lower — delete U+0307, map ς → σ — is symmetric (both
+# engines apply the same translate), so lower∘fold is engine-identical.
+# The identical fragment is valid SQL in BOTH engines; oracles embed it
+# via fold_lower_sql so the two sides cannot drift.
+_FOLD_FROM = "ς̇"  # ς + combining dot above
+_FOLD_TO = "σ"          # σ (U+0307 maps to nothing = deleted)
+
+
+def fold_lower(col: Column) -> Column:
+    """Engine-stable lowercase: lower() then fold the two JVM/utf8proc
+    divergence classes (İ's stray U+0307, final sigma)."""
+    return F.translate(F.lower(col), _FOLD_FROM, _FOLD_TO)
+
+
+def fold_lower_sql(expr: str) -> str:
+    """The same fold as :func:`fold_lower`, as a SQL fragment valid in
+    both Spark SQL and DuckDB — use in F.expr sites and oracles alike."""
+    return f"translate(lower({expr}), 'ς̇', 'σ')"
+
+
 def normalize_text(col: Column) -> Column:
-    """Lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
-    c = F.lower(col)
+    """Lowercase (engine-stable fold), strip non-alphanumerics to
+    spaces, collapse whitespace."""
+    c = fold_lower(col)
     c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)

@@ -88,7 +88,7 @@ _MINHASH_SIG = (
     "ext_exact_dedup",
     r"""
     WITH hashed AS (
-      SELECT *, MD5(trim(regexp_replace(regexp_replace(lower(text),
+      SELECT *, MD5(trim(regexp_replace(regexp_replace(translate(lower(text), 'ς̇', 'σ'),
                  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS h
       FROM documents
     ), keep AS (SELECT h, MIN(doc_id) AS doc_id FROM hashed GROUP BY h)
@@ -124,7 +124,7 @@ def ext_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_exact_dedup_incremental",
     r"""
     WITH hashed AS (
-      SELECT *, MD5(trim(regexp_replace(regexp_replace(lower(text),
+      SELECT *, MD5(trim(regexp_replace(regexp_replace(translate(lower(text), 'ς̇', 'σ'),
                  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS h
       FROM documents
     ),
@@ -1870,7 +1870,7 @@ def _curation_oracle() -> str:
       WHERE q.quality_score >= 0.5 AND l.lang_pred <> 'und'
     ),
     hashed AS (
-      SELECT *, MD5(trim(regexp_replace(regexp_replace(lower(text),
+      SELECT *, MD5(trim(regexp_replace(regexp_replace(translate(lower(text), 'ς̇', 'σ'),
                  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS h
       FROM kept
     ),
@@ -1967,7 +1967,7 @@ def ext_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_top_tokens",
     r"""
     WITH tk AS (
-      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      SELECT unnest(regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+')) AS tok
       FROM documents
     )
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
@@ -1984,7 +1984,7 @@ def ext_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             F.explode(
-                F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+                F.expr(r"regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+', 0)")
             ).alias("tok")
         )
         .groupBy("tok")
@@ -2028,7 +2028,7 @@ def ext_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_tfidf_top_terms",
     r"""
     WITH tk AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      SELECT doc_id, unnest(regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+')) AS tok
       FROM documents
     ),
     tf AS (
@@ -2071,7 +2071,7 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_bm25_search",
     r"""
     WITH tk AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      SELECT doc_id, unnest(regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+')) AS tok
       FROM documents
     ),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
@@ -2526,7 +2526,7 @@ def _cm_oracle() -> str:
     )
     return f"""
     WITH tk AS (
-      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      SELECT unnest(regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+')) AS tok
       FROM documents
     ),
     cells AS (
@@ -2565,7 +2565,7 @@ def ext_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = _persist(
         docs.select(
             F.explode(
-                F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+                F.expr(r"regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+', 0)")
             ).alias("tok")
         )
     )
@@ -2932,7 +2932,7 @@ def ext_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the CCNet bucket query so the two can never drift apart.
 _LM_CORE = r"""
     WITH tok AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      SELECT doc_id, regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+') AS ws
       FROM documents
     ),
     uni AS (SELECT unnest(ws) AS w FROM tok),
@@ -2994,7 +2994,7 @@ def _wordpiece_oracle_head() -> str:
     step = _wordpiece_step_sql(text_analysis.WORDPIECE_VOCAB)
     return f"""
     WITH RECURSIVE inst AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      SELECT doc_id, unnest(regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+')) AS word
       FROM documents
     ),
     dw AS (SELECT DISTINCT word FROM inst),
@@ -3563,7 +3563,7 @@ def _bpe_oracle(n_merges: int = 8) -> str:
       SELECT regexp_replace(word, '(.)', {s} || '\\1', 'g') AS enc, cnt
       FROM (
         SELECT word, COUNT(*) AS cnt FROM (
-          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+          SELECT unnest(regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+')) AS word
           FROM documents) t
         GROUP BY word) wf
     )"""
@@ -3652,7 +3652,7 @@ def _dsir_oracle(n_buckets: int = 1024) -> str:
     return f"""
     WITH ws AS (
       SELECT doc_id, (lang = 'en') AS is_target,
-             regexp_extract_all(lower(text), '[a-z]+') AS ws
+             regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+') AS ws
       FROM documents
     ),
     bgr AS (
@@ -3840,7 +3840,7 @@ def ext_knn_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH tokd AS (
       SELECT doc_id, source, lang,
-             md5(trim(regexp_replace(regexp_replace(lower(text),
+             md5(trim(regexp_replace(regexp_replace(translate(lower(text), 'ς̇', 'σ'),
                  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS h,
              len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
                AS n_toks
@@ -4132,7 +4132,7 @@ def ext_remove_dominant_direction(spark: SparkSession, sf_dir: str) -> DataFrame
     "ext_hard_negatives",
     r"""
     WITH tk AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      SELECT doc_id, unnest(regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+')) AS tok
       FROM documents
     ),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
@@ -4469,7 +4469,7 @@ def ext_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH cnt AS (
       SELECT w, COUNT(*) AS c FROM (
-        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        SELECT unnest(regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+')) AS w
         FROM documents) u
       GROUP BY w
     ),
@@ -4879,7 +4879,7 @@ def _rbo_oracle(k: int = 10, p: float = 0.9) -> str:
     vals = ", ".join(f"({d}, {p ** (d - 1)!r}::DOUBLE)" for d in range(1, k + 1))
     return f"""
     WITH tk AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      SELECT doc_id, unnest(regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+')) AS tok
       FROM documents
     ),
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
@@ -4966,7 +4966,7 @@ def ext_rank_agreement_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            F.expr("regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+', 0)")
         ).alias("tok"),
     )
     tf = (
@@ -5045,7 +5045,7 @@ def ext_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            F.expr("regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+', 0)")
         ).alias("tok"),
     )
     tf = (
@@ -5270,7 +5270,7 @@ def ext_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+                F.expr("regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+', 0)")
             ).alias("tok"),
         )
         .filter(F.col("tok").isin(terms))
@@ -5284,7 +5284,7 @@ def ext_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_top_tokens_per_lang",
     r"""
     WITH tk AS (
-      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      SELECT lang, unnest(regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+')) AS tok
       FROM documents
     ),
     cnt AS (
@@ -5314,7 +5314,7 @@ def ext_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "lang",
             F.explode(
-                F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+                F.expr(r"regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+', 0)")
             ).alias("tok"),
         )
         .groupBy("lang", "tok")
@@ -5433,29 +5433,39 @@ def ext_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ","
     + _JACCARD_TAIL
     + """,
-    prs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5)
+    prs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+    nrm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               translate(lower(text), 'ς̇', 'σ'),
+               '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+      FROM documents
+    )
     SELECT p.id_a, p.id_b,
-           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
-           FLOOR((CAST(1.0 AS DOUBLE)
-                  - CAST(levenshtein(da.text, db.text) AS DOUBLE)
-                    / CAST(GREATEST(LENGTH(da.text), LENGTH(db.text)) AS DOUBLE))
-                 * 1000000.0 + 0.5) / 1000000.0 AS norm_sim
+           CAST(levenshtein(da.nt, db.nt) AS BIGINT) AS edit_distance,
+           CASE WHEN GREATEST(LENGTH(da.nt), LENGTH(db.nt)) = 0 THEN 1.0
+                ELSE FLOOR((CAST(1.0 AS DOUBLE)
+                  - CAST(levenshtein(da.nt, db.nt) AS DOUBLE)
+                    / CAST(GREATEST(LENGTH(da.nt), LENGTH(db.nt)) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 END AS norm_sim
     FROM prs p
-    JOIN documents da ON da.doc_id = p.id_a
-    JOIN documents db ON db.doc_id = p.id_b
+    JOIN nrm da ON da.doc_id = p.id_a
+    JOIN nrm db ON db.doc_id = p.id_b
     """,
     doc="Exact edit-distance verification of the 3-gram-Jaccard≥0.5 "
-    "candidate pairs (dedup.edit_distance_verify): Levenshtein distance "
-    "+ length-normalized similarity per pair — the final exact-verify "
-    "stage of a near-dup pipeline, catching false positives shingle "
-    "overlap admits. O(len²) per pair, so it runs ONLY on the bucketed "
-    "generator's candidates (the simhash exact-verify contract); the "
-    "integer distance replays exactly in both engines.",
+    "candidate pairs (dedup.edit_distance_verify, normalize=True): "
+    "Levenshtein distance + length-normalized similarity per pair over "
+    "NORMALIZED text — the usual ER contract, and the cross-engine-"
+    "exact one: Spark levenshtein counts codepoints, DuckDB counts "
+    "bytes (lev('é','e') = 1 vs 2), so distances agree only where "
+    "byte == codepoint; normalized text is pure ASCII by construction. "
+    "O(len²) per pair, so it runs ONLY on the bucketed generator's "
+    "candidates (the simhash exact-verify contract).",
 )
 def ext_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
-    return dedup.edit_distance_verify(docs, pairs)
+    return dedup.edit_distance_verify(docs, pairs, normalize=True)
 
 
 def _calibration_oracle() -> str:
@@ -5597,7 +5607,7 @@ def ext_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+                F.expr("regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+', 0)")
             ).alias("tok"),
         )
         .filter(F.col("tok").isin(terms))

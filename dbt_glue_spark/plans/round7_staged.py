@@ -92,7 +92,7 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_pmi_pairs",
     r"""
     WITH tok AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      SELECT doc_id, regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+') AS toks
       FROM documents
     ),
     pos AS (
@@ -139,7 +139,7 @@ def ext_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_zipf_buckets",
     r"""
     WITH tk AS (
-      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      SELECT unnest(regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+')) AS tok
       FROM documents
     ),
     counts AS (
@@ -257,7 +257,7 @@ def ext_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_token_gini",
     r"""
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      SELECT doc_id, unnest(regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+')) AS tok
       FROM documents
     ),
     c AS (

@@ -365,7 +365,7 @@ def ext_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH base AS (
       SELECT doc_id AS id, coalesce(lang, '') AS g,
-             coalesce(trim(regexp_replace(regexp_replace(lower(text),
+             coalesce(trim(regexp_replace(regexp_replace(translate(lower(text), 'ς̇', 'σ'),
                  '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), '') AS s
       FROM documents
     ),

@@ -313,7 +313,7 @@ _VG_BUCKET = f"""CASE WHEN mx = mn THEN 0
       FROM documents WHERE doc_id IS NOT NULL
     ),
     tok AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      SELECT doc_id, regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+') AS toks
       FROM documents WHERE doc_id IS NOT NULL
     ),
     b AS (

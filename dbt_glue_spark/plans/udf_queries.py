@@ -65,7 +65,14 @@ def udtf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # re.split(None) would TypeError inside the worker
                 return
             counts: dict[str, list[int]] = {}
-            for pos, tok in enumerate(t for t in re.split(r"\s+", text) if t):
+            # re.ASCII pins \s to ASCII whitespace: Python's unicode \s
+            # also splits on U+3000/NBSP, which neither Spark's (Java)
+            # nor DuckDB's (RE2) \s does — the repo tokenization
+            # contract is ASCII whitespace everywhere (unicode axis
+            # divergence: 541 vs 400 rows on exotic-space documents)
+            for pos, tok in enumerate(
+                t for t in re.split(r"\s+", text, flags=re.ASCII) if t
+            ):
                 if tok in counts:
                     counts[tok][0] += 1
                 else:

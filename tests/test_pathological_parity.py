@@ -20,6 +20,8 @@ import math
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
@@ -313,3 +315,114 @@ def test_hot_variant_keys_reference_existing_dimension_rows(spark, sf_dir):
         assert hot in dim_keys, (
             f"hot value {hot} for {col} dangles: not in {dim}.{dim_key}"
         )
+
+
+# Unicode-dominant axis (round 9): the 17 queries that diverged on
+# multibyte text — JVM-vs-utf8proc lower() (İ U+0130 → stray U+0307,
+# context-sensitive final sigma), byte-vs-codepoint levenshtein, and
+# Python's unicode \s in the UDTF — all fixed via the symmetric fold
+# contract (functions/text.fold_lower), normalize=True edit distance,
+# and re.ASCII. See SCALE.md "Round-9 unicode axis".
+UNICODE_REGRESSION_SET = [
+    "ext_bm25_search",
+    "ext_bpe_segmented_words",
+    "ext_dsir_weights",
+    "ext_edit_distance_verify",
+    "ext_hard_negatives",
+    "ext_lm_quality_buckets",
+    "ext_lm_score",
+    "ext_pmi_pairs",
+    "ext_sorted_neighborhood",
+    "ext_tfidf_top_terms",
+    "ext_token_gini",
+    "ext_vocab_coverage",
+    "ext_vocab_growth",
+    "ext_wordpiece_doc_stats",
+    "ext_wordpiece_top_words",
+    "ext_zipf_buckets",
+    "udtf_token_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_sf(spark, sf_dir, tmp_path_factory):
+    from gen_pathological import mutate_unicode
+
+    out = str(tmp_path_factory.mktemp("sf_unicode"))
+    for t in TABLES:
+        mutate_unicode(load_table(spark, sf_dir, t)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def test_unicode_parity_regression_set(spark, unicode_sf):
+    specs = SPECS()
+    con = duck_con(unicode_sf)
+    failures = []
+    try:
+        for name in UNICODE_REGRESSION_SET:
+            spec = specs[name]
+            try:
+                sdf = spec.fn(spark, unicode_sf)
+                srows = _normalize(
+                    [tuple(r) for r in sdf.collect()], sdf.columns
+                )
+                cur = con.execute(spec.oracle)
+                dcols = [d[0] for d in cur.description]
+                drows = _normalize(cur.fetchall(), dcols)
+            except Exception as exc:  # noqa: BLE001
+                failures.append(
+                    f"{name}: {type(exc).__name__}: {str(exc)[:140]}"
+                )
+                continue
+            if len(srows) != len(drows):
+                failures.append(
+                    f"{name}: rowcount spark={len(srows)} duck={len(drows)}"
+                )
+                continue
+            for sr, dr in zip(srows, drows):
+                if len(sr) != len(dr) or not all(
+                    _values_equal(a, b) for a, b in zip(sr, dr)
+                ):
+                    failures.append(f"{name}: value diff {sr} vs {dr}")
+                    break
+    finally:
+        con.close()
+    assert not failures, "\n".join(failures)
+
+
+def test_fold_lower_primitive_contract(spark):
+    """Pin the measured engine divergences the fold repairs: both
+    engines' fold_lower must agree on the trap strings (and lower()
+    alone must NOT, for İ and final sigma — if an engine upgrade makes
+    raw lower() agree, this reminds us the fold can be retired)."""
+    import duckdb
+
+    from dbt_glue_spark.functions.text import fold_lower, fold_lower_sql
+
+    traps = ["İstanbul", "ΣΟΦΟΣ", "ΑΣ", "İ", "weiß", "ǅungla", "日本語"]
+    df = spark.createDataFrame([(t,) for t in traps], "s string")
+    srows = {
+        r.s: r.f
+        for r in df.select("s", fold_lower(F.col("s")).alias("f")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        for t in traps:
+            dres = con.execute(
+                f"SELECT {fold_lower_sql('?')}", [t]
+            ).fetchone()[0]
+            assert srows[t] == dres, (t, srows[t], dres)
+        # raw lower() still diverges on the two known classes
+        raw_spark = {
+            r.s: r.l
+            for r in df.select("s", F.lower("s").alias("l")).collect()
+        }
+        for t in ("İstanbul", "ΣΟΦΟΣ", "ΑΣ"):
+            raw_duck = con.execute("SELECT lower(?)", [t]).fetchone()[0]
+            assert raw_spark[t] != raw_duck, (
+                f"raw lower() now agrees on {t!r} — fold may be retirable"
+            )
+    finally:
+        con.close()

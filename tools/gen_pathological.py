@@ -54,7 +54,23 @@ sorted-neighborhood hot prefix bucket (most docs sort into one 2-char
 prefix block), and prefix-Jaccard's stop-shingle postings (boilerplate
 shingles have df ≈ corpus size).
 
-Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot|long|textskew]
+A seventh axis, ``--variant=unicode``, makes the documents PREDOMINANTLY
+multibyte (the dirty axis only swaps ~8 % of string cells for short
+fixed unicode literals — it never produces a corpus whose text is
+mostly non-ASCII): per (doc, hash) the text gains exotic whitespace
+(ideographic space U+3000, NBSP U+00A0 — neither matched by Java's or
+RE2's ASCII-only ``\\s``, so whitespace tokenizers see giant "words"),
+combining marks (e → e + U+0301, so length(), substrings and shingles
+split grapheme clusters), astral-plane emoji with ZWJ sequences
+(UTF-16 surrogate pairs — any code path measuring UTF-16 units instead
+of codepoints diverges), fullwidth digits (regex ``[0-9]`` misses
+them), vowel→hiragana translation, appended no-space CJK blocks, case-
+folding traps (İ U+0130, ß, Σ — lower()/upper() edge cases where JVM
+and utf8proc may disagree), and RTL text with bidi marks. ``n_chars``
+is recomputed. Both engines count length() in CODEPOINTS, so parity is
+expected — any mismatch is a genuine cross-engine unicode divergence.
+
+Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot|long|textskew|unicode]
 """
 
 from __future__ import annotations
@@ -267,6 +283,64 @@ def mutate_textskew(df, rows: int | None = 300):
     return out
 
 
+def mutate_unicode(df, rows: int = 300):
+    """Unicode-dominant variant: per-doc deterministic multibyte rewrite
+    of the text column (exotic whitespace, combining marks, ZWJ emoji,
+    fullwidth digits, hiragana vowels, no-space CJK, case-folding traps,
+    RTL + bidi marks). Only the text column mutates — the axis probes
+    text-operator unicode semantics, not key plumbing. ``n_chars`` is
+    recomputed so length-derived features stay consistent."""
+    base = df.limit(rows)
+    if "text" not in df.columns:
+        return base
+    t = F.col("text")
+    h = F.abs(F.hash(F.col(df.columns[0]).cast("string"), F.lit("unicode")))
+    variants = (
+        # 0: ideographic-space separators — \s (Java AND RE2) won't split
+        F.when(h % 11 == 0, F.translate(t, " ", "　"))
+        # 1: NBSP separators — same class, Latin-1 range
+        .when(h % 11 == 1, F.translate(t, " ", " "))
+        # 2: combining acute after every 'e' — grapheme != codepoint
+        .when(h % 11 == 2, F.regexp_replace(t, "e", "é"))
+        # 3: ZWJ emoji family + flag + astral rocket bracketing the text
+        .when(
+            h % 11 == 3,
+            F.concat(
+                F.lit("\U0001f469‍\U0001f469‍\U0001f467 intro "),
+                t,
+                F.lit(" outro \U0001f680\U0001f3f3️‍\U0001f308"),
+            ),
+        )
+        # 4: fullwidth digits — [0-9] and \d (ASCII) miss them
+        .when(h % 11 == 4, F.translate(t, "0123456789", "０１２３４５６７８９"))
+        # 5: vowels → hiragana — most tokens become mixed-script
+        .when(h % 11 == 5, F.translate(t, "aeiou", "あえいおう"))
+        # 6: appended no-space CJK block — one giant multibyte "word"
+        .when(
+            h % 11 == 6,
+            F.concat(t, F.lit(" 日本語の形態素解析は空白を使わない評価文")),
+        )
+        # 7: case-folding traps — dotted capital I, sharp s, final sigma
+        .when(
+            h % 11 == 7,
+            F.concat(F.lit("İstanbul STRASSE weiß ΣΟΦΟΣ σοφός "), t),
+        )
+        # 8: RTL with bidi marks around the latin text
+        .when(
+            h % 11 == 8,
+            F.concat(F.lit("مرحبا ‏"), t, F.lit(" ‎شكرا")),
+        )
+        .otherwise(t)
+    )
+    out = base.withColumn(
+        "text", F.when(t.isNull(), t).otherwise(variants)
+    )
+    if "n_chars" in df.columns:
+        dt = dict(df.dtypes)["n_chars"]
+        out = out.withColumn("n_chars", F.length("text").cast(dt))
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     variant = "dirty"
@@ -281,6 +355,7 @@ def main() -> None:
         "hot": "/tmp/sf_hot",
         "long": "/tmp/sf_long",
         "textskew": "/tmp/sf_textskew",
+        "unicode": "/tmp/sf_unicode",
     }
     out = args[1] if len(args) > 1 else defaults[variant]
     fn = {
@@ -290,6 +365,7 @@ def main() -> None:
         "hot": mutate_hot,
         "long": mutate_long,
         "textskew": mutate_textskew,
+        "unicode": mutate_unicode,
     }[variant]
     spark = get_spark("pathological_gen")
     spark.sparkContext.setLogLevel("ERROR")
