@@ -96,6 +96,59 @@ def exact_dedup(
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    normalize: bool = False,
+) -> DataFrame:
+    """Exact dedup with QUALITY-ARGMAX survivor selection — the FineWeb /
+    RefinedWeb curation rule (keep the best copy, not the first): among
+    rows sharing a (normalized) text hash, the survivor is the row with
+    the highest score, ties broken by lowest id, so the winner is a pure
+    function of the data (never of partitioning).
+
+    :func:`exact_dedup` keeps the MIN-ID copy — right for crawl dedup
+    where earlier capture wins. When copies differ in metadata quality
+    (same article syndicated across domains with different classifier
+    scores), a pipeline wants the best-scored copy instead; dropping the
+    high-score copy for an earlier low-score one silently degrades the
+    corpus quality distribution the downstream threshold sweep measures.
+
+    Output is the cluster manifest, one row per distinct text:
+    (keep_id, n_copies, best_score) — the survivor id, how many copies
+    collapsed, and the winning score. Rows with NULL text or NULL id are
+    excluded (no content to compare); a NULL score loses to any non-NULL
+    score (and between all-NULL-score copies the min id wins) via a
+    -1 coalesce — scores are non-negative by contract.
+
+    100 TB shape: ONE map-side-combining groupBy on md5(text) — 16-byte
+    shuffle keys regardless of document size, argmax carried as a
+    min(struct(-score, id)) so the survivor needs no join-back or
+    window. Output is |distinct texts|, never the corpus.
+    """
+    c = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    staged = df.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.md5(c).alias("__h"),
+        F.col(id_col).cast("bigint").alias("__id"),
+        F.coalesce(F.col(score_col).cast("bigint"), F.lit(-1)).alias("__q"),
+    )
+    # min(struct(-score, id)) == (max score, then min id): one aggregate,
+    # no window, no second pass
+    best = F.min(F.struct((-F.col("__q")).alias("nq"), F.col("__id").alias("i")))
+    return staged.groupBy("__h").agg(
+        best.alias("__best"),
+        F.count("*").cast("bigint").alias("n_copies"),
+    ).select(
+        F.col("__best.i").cast("bigint").alias("keep_id"),
+        "n_copies",
+        (-F.col("__best.nq")).cast("bigint").alias("best_score"),
+    )
+
+
 def _shingle_postings(
     df: DataFrame, text_col: str, id_col: str, n: int, df_freq_cutoff: int | None
 ) -> DataFrame:

@@ -591,6 +591,7 @@ def token_budget_allocation(
     tokens_col: str,
     quality_col: str,
     budget: int,
+    max_epochs: int = 1,
 ) -> DataFrame:
     """Per-source token-budget allocator: turn per-source quality scores
     and a GLOBAL token budget into per-source token allocations and
@@ -615,17 +616,19 @@ def token_budget_allocation(
        d_i = w_i · n_i (quality × size — a tiny brilliant source
        cannot absorb the whole budget, a huge junk source cannot
        either);
-    2. round 1: a_i = min(n_i, ⌊B · d_i / D⌋) — exact bigint floor
-       division, D = Σ d_i;
+    2. round 1: a_i = min(cap_i, ⌊B · d_i / D⌋) — exact bigint floor
+       division, D = Σ d_i, cap_i = max_epochs · n_i (max_epochs=1 is
+       the classic no-repeat mixture; >1 is the data-constrained
+       repeat law, Muennighoff et al. 2023 — rate_ppm > 10⁶ = epochs);
     3. round 2 (single proportional redistribution, documented — NOT
        iterated waterfilling): leftover L = B − Σ a_i goes to sources
-       with headroom h_i = n_i − a_i by the same share law over
+       with headroom h_i = cap_i − a_i by the same share law over
        D' = Σ d_i restricted to h_i > 0: b_i = min(h_i, ⌊L · d_i / D'⌋);
     4. exact crumb fill: the still-unallocated R = L − Σ b_i is poured
        greedily into remaining headroom h'_i = h_i − b_i in
        (round-2 remainder L·d_i mod D' DESC, group key ASC) order —
        c_i = clamp(R − Σ_{j before i} h'_j, 0, h'_i), a clamped
-       EXCLUSIVE cumulative sum, so Σ(a+b+c) == min(B, Σ n_i) EXACTLY
+       EXCLUSIVE cumulative sum, so Σ(a+b+c) == min(B, Σ cap_i) EXACTLY
        (a single largest-remainder +1 pass is NOT exact here: a source
        capped in round 2 strands more than one token). Round 4 moves
        only the crumbs rounds 1–2 left behind — the mixture stays
@@ -643,6 +646,8 @@ def token_budget_allocation(
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0: {budget}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1: {max_epochs}")
     per = (
         df.filter(F.col(group_col).isNotNull())
         .groupBy(group_col)
@@ -656,7 +661,17 @@ def token_budget_allocation(
         )
     )
     d = (F.col("weight") * F.col("n_tokens")).cast("bigint")
-    per = per.withColumn("__d", d)
+    # per-source CAP: max_epochs=1 is sample-without-repeats (the classic
+    # budget mixture); max_epochs=E is the data-constrained-scaling law
+    # (Muennighoff et al. 2023) — a source may be repeated up to E epochs
+    # before the allocator spills budget to the next source, so
+    # Σ alloc == min(B, E·Σ n) exactly and rate_ppm > 10⁶ reads as epochs
+    per = per.withColumn("__d", d).withColumn(
+        "__cap",
+        (F.lit(int(max_epochs)).cast("bigint") * F.col("n_tokens")).cast(
+            "bigint"
+        ),
+    )
     tot = per.agg(F.sum("__d").cast("bigint").alias("__dsum"))
     B = F.lit(int(budget)).cast("bigint")
     # bigint/bigint with `/` is fractional in Spark — DIV keeps every
@@ -666,7 +681,7 @@ def token_budget_allocation(
         F.when(
             F.col("__dsum") > 0,
             F.least(
-                F.col("n_tokens"),
+                F.col("__cap"),
                 F.expr(f"(CAST({budget} AS BIGINT) * __d) DIV __dsum"),
             ),
         )
@@ -674,7 +689,7 @@ def token_budget_allocation(
         .cast("bigint")
         .alias("__a1"),
     )
-    r1 = r1.withColumn("__h", (F.col("n_tokens") - F.col("__a1")).cast("bigint"))
+    r1 = r1.withColumn("__h", (F.col("__cap") - F.col("__a1")).cast("bigint"))
     t2 = r1.agg(
         (B - F.sum("__a1")).cast("bigint").alias("__lred"),
         F.sum(F.when(F.col("__h") > 0, F.col("__d")).otherwise(F.lit(0)))
@@ -911,4 +926,97 @@ def threshold_retention(
             .alias("tokens_ppm"),
         )
         .orderBy("threshold")
+    )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    n_stages: int = 4,
+    bucket_width: int = 100,
+) -> DataFrame:
+    """Curriculum-learning stage assignment: within each source, rank
+    documents by quality (score DESC, id ASC — a pure function of the
+    data) and cut the ranking into ``n_stages`` near-equal stages, so a
+    trainer can feed stage 0 (cleanest) first and anneal toward the tail
+    — the data-ordering half of curriculum pretraining (Bengio et al.
+    2009; quality-ordered variants in FineWeb-Edu ablations).
+
+    ``stage = ((rank-1) · n_stages) DIV n_group`` — exact bigint floor
+    arithmetic; stage sizes differ by at most one document per source.
+
+    NULL contract: rows with a NULL group, score, or id are excluded
+    up front (a NULL score carries no curriculum position — the
+    stratified-family contract; oracles mirror the filter).
+
+    100 TB shape: the per-source rank needs NO monolithic per-source
+    window (the hot profile makes one source 90 % of the corpus — a
+    plain ``partitionBy(source)`` window serializes it on one task).
+    Rows bucket by (source, ⌊score/bucket_width⌋) — order-consistent
+    with (score DESC) since the bucket is monotone in score; per-bucket
+    counts roll into exclusive prefix offsets on the tiny (source ×
+    buckets) frame — the ONLY cross-bucket window; rank = offset +
+    row_number within (source, bucket). The sorted-neighborhood
+    distributed-rank discipline (dedup.sorted_neighborhood_pairs)
+    applied to curriculum ordering. A hot (source, bucket) only widens
+    its own row_number partition; shrink ``bucket_width`` to split it.
+    """
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1: {n_stages}")
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1: {bucket_width}")
+    base = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(score_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).cast("bigint").alias("__q"),
+        F.col(id_col).cast("bigint").alias("__id"),
+    )
+    # exact floor division for ANY sign (Spark DIV truncates toward 0;
+    # the pmod identity makes it a true floor — the threshold_retention
+    # bucketing discipline)
+    w = int(bucket_width)
+    bk = F.expr(f"(__q - pmod(__q, {w})) DIV {w}").cast("bigint")
+    base = base.withColumn("__bk", bk)
+    counts = base.groupBy("__g", "__bk").agg(
+        F.count("*").cast("bigint").alias("__cnt")
+    )
+    # exclusive prefix sum in (bucket DESC) order — higher scores rank
+    # first; frame is |sources| x |score buckets|, never the corpus
+    woff = (
+        Window.partitionBy("__g")
+        .orderBy(F.col("__bk").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("__g")
+    offsets = counts.select(
+        "__g",
+        "__bk",
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0))
+        .cast("bigint")
+        .alias("__off"),
+        F.sum("__cnt").over(wtot).cast("bigint").alias("__n"),
+    )
+    wr = Window.partitionBy("__g", "__bk").orderBy(
+        F.col("__q").desc(), F.col("__id").asc()
+    )
+    ranked = base.join(offsets, ["__g", "__bk"]).select(
+        F.col("__g"),
+        F.col("__id"),
+        F.col("__q"),
+        (F.row_number().over(wr) + F.col("__off")).cast("bigint").alias("rank"),
+        F.col("__n"),
+    )
+    return ranked.select(
+        F.col("__g").alias(group_col),
+        F.col("__id").alias(id_col),
+        F.col("__q").alias("score"),
+        "rank",
+        F.expr(f"((rank - 1) * {int(n_stages)}) DIV __n")
+        .cast("bigint")
+        .alias("stage"),
     )

@@ -1517,3 +1517,87 @@ def gopher_quality_flags(
         allpass = F.col(k) if allpass is None else (allpass & F.col(k))
     return out.select("*", allpass.alias("pass_gopher"))
 
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source tokenizer fertility audit: how many (BPE-ish regex)
+    tokens the lexer spends per whitespace word and per UTF-8 byte — the
+    standard multilingual-tokenizer efficiency report (fertility =
+    tokens/word, Ács 2019; compression = bytes/token). A source whose
+    fertility spikes (CJK with no spaces → one giant "word", fullwidth
+    digits invisible to ``[0-9]``) is exactly the text the byte-budget
+    planner misprices, so this audit runs before any token-budget
+    allocation that assumes chars ≈ tokens.
+
+    Counting rules match the repo's two tokenizers bit-for-bit:
+    words = whitespace split (functions.text.tokens), tokens = the
+    token_count_regex lexer ([A-Za-z]+ | [0-9]+ | single non-alnum);
+    chars = codepoints (both engines' length()), bytes = UTF-8 octets
+    (Spark octet_length == DuckDB strlen). All ratios are exact bigint
+    micro-units (x·10⁶ DIV y) — never a float division.
+
+    NULL contract: NULL groups are excluded (stratified-family rule);
+    NULL text counts as the empty string (a doc with no text is still a
+    doc — n_docs counts it, every token metric contributes 0).
+
+    100 TB shape: ONE whole-stage-codegen projection (regexp counts +
+    lengths — no explode, no UDF) into ONE map-side-combining groupBy;
+    output bounded by |sources|.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    n_tok = (
+        F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+"), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(r"[0-9]+"), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+    )
+    per = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col),
+            n_words.cast("bigint").alias("__w"),
+            n_tok.cast("bigint").alias("__t"),
+            F.length(t).cast("bigint").alias("__c"),
+            F.octet_length(t).cast("bigint").alias("__b"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__w").cast("bigint").alias("n_words"),
+            F.sum("__t").cast("bigint").alias("n_tokens"),
+            F.sum("__c").cast("bigint").alias("n_chars"),
+            F.sum("__b").cast("bigint").alias("n_bytes"),
+        )
+    )
+    return per.select(
+        group_col,
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("(n_tokens * 1000000) DIV n_words"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("fertility_micro"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(n_bytes * 1000000) DIV n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("bytes_per_token_micro"),
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr("(n_bytes * 1000000) DIV n_chars"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("bytes_per_char_micro"),
+    )

@@ -667,3 +667,249 @@ def streaming_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Third staged tranche (added mid-round-9): quality-argmax dedup survivor,
+# data-constrained epoch repeats, tokenizer fertility audit, curriculum
+# stages — the training-side ops between curation and the data loader.
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "ext_dedup_keep_best",
+    """
+    WITH d AS (
+      SELECT doc_id, COALESCE(n_chars % 1000, -1) AS q, md5(text) AS h
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY h ORDER BY q DESC, doc_id ASC)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS n,
+             MAX(q) OVER (PARTITION BY h) AS bq
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS keep_id,
+           CAST(n AS BIGINT) AS n_copies,
+           CAST(bq AS BIGINT) AS best_score
+    FROM r WHERE rn = 1
+    """,
+    doc="Exact dedup with QUALITY-ARGMAX survivor selection "
+    "(dedup.exact_dedup_keep_best — the FineWeb/RefinedWeb keep-best "
+    "curation rule): among rows sharing a text hash, the highest-scored "
+    "copy survives (ties: lowest id), vs exact_dedup's min-id crawl "
+    "rule — dropping a high-score syndicated copy for an earlier "
+    "low-score one silently degrades the corpus quality distribution. "
+    "Output is the cluster manifest (keep_id, n_copies, best_score). "
+    "ONE map-side-combining groupBy on md5(text) — 16-byte shuffle keys "
+    "regardless of document size; the argmax rides a min(struct(-q,id)) "
+    "aggregate, so no window and no join-back. NULL text/id excluded; "
+    "NULL score loses to any real score via a -1 coalesce.",
+)
+def ext_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.dedup import exact_dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("n_chars") % 1000).alias("q")
+    )
+    return exact_dedup_keep_best(docs, "text", "doc_id", "q")
+
+
+_ERP_BUDGET = 1_000_000
+_ERP_E = 4
+
+
+@register_staged(
+    "ext_epoch_repeat_plan",
+    f"""
+    WITH per AS (
+      SELECT source,
+             CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(MAX(n_chars % 1000), 0) AS BIGINT) AS weight
+      FROM documents
+      WHERE source IS NOT NULL
+      GROUP BY source
+    ),
+    d AS (
+      SELECT *, CAST(weight * n_tokens AS BIGINT) AS dd,
+             CAST({_ERP_E} * n_tokens AS BIGINT) AS cap
+      FROM per
+    ),
+    t1 AS (SELECT CAST(SUM(dd) AS BIGINT) AS dsum FROM d),
+    r1 AS (
+      SELECT d.*,
+             CASE WHEN t1.dsum > 0
+                  THEN LEAST(cap,
+                             (CAST({_ERP_BUDGET} AS BIGINT) * dd) // t1.dsum)
+                  ELSE 0 END AS a1
+      FROM d CROSS JOIN t1
+    ),
+    h AS (SELECT *, cap - a1 AS hh FROM r1),
+    t2 AS (
+      SELECT CAST({_ERP_BUDGET} AS BIGINT)
+               - CAST(SUM(a1) AS BIGINT) AS lred,
+             CAST(SUM(CASE WHEN hh > 0 THEN dd ELSE 0 END) AS BIGINT) AS d2
+      FROM h
+    ),
+    r2 AS (
+      SELECT h.*,
+             CASE WHEN hh > 0 AND t2.d2 > 0
+                  THEN LEAST(hh, (t2.lred * dd) // t2.d2) ELSE 0 END AS b,
+             CASE WHEN hh > 0 AND t2.d2 > 0
+                  THEN (t2.lred * dd) % t2.d2 ELSE -1 END AS rem,
+             t2.lred
+      FROM h CROSS JOIN t2
+    ),
+    t3 AS (
+      SELECT CAST(MAX(lred) AS BIGINT) - CAST(SUM(b) AS BIGINT) AS rfin
+      FROM r2
+    ),
+    crumb AS (
+      SELECT r2.*, hh - b AS h2,
+             COALESCE(CAST(SUM(hh - b) OVER (
+               ORDER BY rem DESC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS cum,
+             t3.rfin
+      FROM r2 CROSS JOIN t3
+    )
+    SELECT source, n_tokens, weight,
+           CAST(a1 + b + LEAST(h2, GREATEST(rfin - cum, 0)) AS BIGINT)
+             AS alloc_tokens,
+           CAST(CASE WHEN n_tokens > 0
+                THEN ((a1 + b + LEAST(h2, GREATEST(rfin - cum, 0)))
+                      * 1000000) // n_tokens
+                ELSE 0 END AS BIGINT) AS rate_ppm
+    FROM crumb
+    """,
+    doc="Data-constrained epoch-repeat plan "
+    "(sampling.token_budget_allocation with max_epochs=4 — Muennighoff "
+    "et al. 2023, Scaling Data-Constrained Language Models): when the "
+    "budget exceeds what unique data supplies, each source may repeat "
+    "up to E epochs before the allocator spills budget onward — the "
+    "per-source cap becomes E·n_i instead of n_i, Σ alloc == "
+    "min(B, E·Σn) EXACTLY in bigint arithmetic, and rate_ppm > 10⁶ "
+    "reads directly as repeat epochs (2.5e6 = 2.5 epochs). Same "
+    "proportional-with-caps law, round-2 redistribution and exact "
+    "crumb fill as ext_token_budget_alloc; one map-side-combining "
+    "groupBy collapses the corpus to |sources| rows.",
+)
+def ext_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.sampling import token_budget_allocation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", (F.col("n_chars") % 1000).alias("q")
+    )
+    return token_budget_allocation(
+        docs, "source", "n_chars", "q", _ERP_BUDGET, max_epochs=_ERP_E
+    )
+
+
+@register_staged(
+    "ext_tokenizer_fertility",
+    r"""
+    WITH d AS (
+      SELECT source, COALESCE(text, '') AS t
+      FROM documents WHERE source IS NOT NULL
+    ),
+    m AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(t, '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(t, '[A-Za-z]+', 0))
+                + len(regexp_extract_all(t, '[0-9]+', 0))
+                + len(regexp_extract_all(t, '[^A-Za-z0-9\s]', 0))
+               AS BIGINT) AS tk,
+             CAST(length(t) AS BIGINT) AS c,
+             CAST(strlen(t) AS BIGINT) AS b
+      FROM d
+    ),
+    g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS n_words,
+             CAST(SUM(tk) AS BIGINT) AS n_tokens,
+             CAST(SUM(c) AS BIGINT) AS n_chars,
+             CAST(SUM(b) AS BIGINT) AS n_bytes
+      FROM m GROUP BY source
+    )
+    SELECT *,
+           CAST(CASE WHEN n_words > 0
+                THEN (n_tokens * 1000000) // n_words ELSE 0 END AS BIGINT)
+             AS fertility_micro,
+           CAST(CASE WHEN n_tokens > 0
+                THEN (n_bytes * 1000000) // n_tokens ELSE 0 END AS BIGINT)
+             AS bytes_per_token_micro,
+           CAST(CASE WHEN n_chars > 0
+                THEN (n_bytes * 1000000) // n_chars ELSE 0 END AS BIGINT)
+             AS bytes_per_char_micro
+    FROM g
+    """,
+    doc="Per-source tokenizer fertility audit "
+    "(text_analysis.tokenizer_fertility — fertility = tokens/word, "
+    "Ács 2019; compression = bytes/token): how many BPE-ish lexer "
+    "tokens per whitespace word and UTF-8 bytes per token each source "
+    "costs — the multilingual-efficiency report that catches CJK "
+    "no-space text and fullwidth digits mispricing a byte-budget plan. "
+    "Counting rules match the repo tokenizers bit-for-bit (whitespace "
+    "words, [A-Za-z]+|[0-9]+|single-non-alnum lexer); chars are "
+    "codepoints in BOTH engines, bytes are UTF-8 octets (Spark "
+    "octet_length == DuckDB strlen) — the cross-engine byte/char/"
+    "codepoint contract the unicode parity axis exercises. All ratios "
+    "exact bigint micro-units. ONE codegen projection (no explode, no "
+    "UDF) into ONE map-side-combining groupBy; output |sources|.",
+)
+def ext_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.text_analysis import tokenizer_fertility
+
+    return tokenizer_fertility(
+        load_table(spark, sf_dir, "documents"), "source", "text"
+    )
+
+
+@register_staged(
+    "ext_curriculum_stages",
+    """
+    WITH d AS (
+      SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_chars % 1000 AS BIGINT) AS q
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        AND doc_id IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY q DESC, doc_id ASC) AS BIGINT)
+               AS rank,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM d
+    )
+    SELECT source, doc_id, q AS score, rank,
+           CAST(((rank - 1) * 4) // n AS BIGINT) AS stage
+    FROM r
+    """,
+    doc="Curriculum-learning stage assignment "
+    "(sampling.curriculum_stages — Bengio et al. 2009; quality-ordered "
+    "FineWeb-Edu ablations): within each source, documents rank by "
+    "(quality DESC, id ASC) and the ranking cuts into 4 near-equal "
+    "stages — feed stage 0 (cleanest) first, anneal toward the tail. "
+    "stage = ((rank-1)·4) DIV n in exact bigint arithmetic. The rank "
+    "needs NO monolithic per-source window (hot profile: one source = "
+    "90 % of the corpus): rows bucket by (source, ⌊score/width⌋) — "
+    "order-consistent with score DESC — per-bucket counts roll into "
+    "exclusive prefix offsets on the tiny source×bucket frame, rank = "
+    "offset + row_number within bucket (the sorted-neighborhood "
+    "distributed-rank discipline applied to curriculum ordering). "
+    "NULL source/score/id rows carry no curriculum position and are "
+    "excluded.",
+)
+def ext_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.sampling import curriculum_stages
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", (F.col("n_chars") % 1000).alias("q")
+    )
+    return curriculum_stages(docs, "source", "q", "doc_id", n_stages=4)

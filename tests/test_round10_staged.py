@@ -570,3 +570,212 @@ def test_staged10_survive_empty_input(spark, tmp_path_factory):
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:150]}")
     assert not failures, failures
+
+
+# ---------------------------------------------------------------------------
+# Third tranche: keep-best dedup, epoch repeats, fertility, curriculum
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_hand_case(spark):
+    """Highest score survives; ties break to lowest id; NULL score loses
+    to any real score; NULL text rows are excluded entirely."""
+    from dbt_glue_spark.extensions.dedup import exact_dedup_keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "dup text", 10),
+            (2, "dup text", 90),      # winner: best score
+            (3, "dup text", 90),      # same score, higher id — loses
+            (4, "solo", None),        # all-NULL-score cluster → min id
+            (5, "tie", 7),
+            (6, "tie", 7),            # tie → id 5 wins
+            (7, None, 99),            # NULL text → excluded
+        ],
+        "doc_id bigint, text string, q bigint",
+    )
+    out = {r.keep_id: (r.n_copies, r.best_score)
+           for r in exact_dedup_keep_best(df, "text", "doc_id", "q").collect()}
+    assert out == {2: (3, 90), 4: (1, -1), 5: (2, 7)}
+
+
+def test_keep_best_single_exchange_plan(spark, sf_dir):
+    """One groupBy, no join, no window: exactly one Exchange in the plan
+    (AQE may append reads, never a second shuffle or a SortMergeJoin)."""
+    from dbt_glue_spark.plans.round10_staged import STAGED10
+
+    plan = STAGED10()["ext_dedup_keep_best"].fn(
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=80000),
+    st.integers(min_value=1, max_value=5),
+)
+def test_epoch_repeat_exact_conservation(spark, groups, budget, epochs):
+    """With repeats: Σ alloc == min(B, E·Σn) EXACTLY, 0 ≤ alloc_i ≤ E·n_i,
+    and rate_ppm ≤ E·10⁶ — for any profile including all-zero weights."""
+    from dbt_glue_spark.extensions.sampling import token_budget_allocation
+
+    rows = [(f"s{i}", n, q) for i, (n, q) in enumerate(groups)]
+    df = spark.createDataFrame(rows, "src string, toks bigint, q bigint")
+    out = token_budget_allocation(
+        df, "src", "toks", "q", budget, max_epochs=epochs
+    ).collect()
+    tot_n = sum(r.n_tokens for r in out)
+    tot_a = sum(r.alloc_tokens for r in out)
+    assert tot_a == min(budget, epochs * tot_n), (tot_a, budget, epochs, tot_n)
+    for r in out:
+        assert 0 <= r.alloc_tokens <= epochs * r.n_tokens
+        assert 0 <= r.rate_ppm <= epochs * 1_000_000
+
+
+def test_epoch_repeat_dominates_single_epoch(spark):
+    """Same budget, same corpus: allowing repeats can only increase the
+    total allocation (headroom grows), and E=1 matches the old law."""
+    from dbt_glue_spark.extensions.sampling import token_budget_allocation
+
+    df = spark.createDataFrame(
+        [("a", 1000, 500), ("b", 200, 900)],
+        "src string, toks bigint, q bigint",
+    )
+    one = sum(r.alloc_tokens for r in
+              token_budget_allocation(df, "src", "toks", "q", 5000).collect())
+    four = sum(r.alloc_tokens for r in
+               token_budget_allocation(
+                   df, "src", "toks", "q", 5000, max_epochs=4).collect())
+    assert one == 1200          # capped at unique tokens
+    assert four == 4800         # 4 epochs of everything still < budget
+
+
+def test_epoch_repeat_rejects_bad_epochs(spark):
+    from dbt_glue_spark.extensions.sampling import token_budget_allocation
+
+    df = spark.createDataFrame([("a", 1, 1)], "src string, toks bigint, q bigint")
+    with pytest.raises(ValueError, match="max_epochs"):
+        token_budget_allocation(df, "src", "toks", "q", 10, max_epochs=0)
+
+
+def test_tokenizer_fertility_unicode_hand_case(spark):
+    """CJK with no spaces is ONE word; fullwidth digits are invisible to
+    the ASCII lexer (each its own punct token); bytes > chars for
+    multibyte; NULL text counts as a doc with all-zero metrics."""
+    from dbt_glue_spark.extensions.text_analysis import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [
+            ("ascii", "ab cd 12"),
+            ("cjk", "日本語テキスト"),
+            ("full", "１２３"),
+            ("empty", None),
+            (None, "dropped"),
+        ],
+        "source string, text string",
+    )
+    out = {r.source: r for r in tokenizer_fertility(df).collect()}
+    assert set(out) == {"ascii", "cjk", "full", "empty"}
+    a = out["ascii"]
+    assert (a.n_words, a.n_tokens, a.n_chars, a.n_bytes) == (3, 3, 8, 8)
+    c = out["cjk"]
+    # one whitespace word, 7 single-char punct tokens, 3 bytes/char
+    assert (c.n_words, c.n_tokens, c.n_chars, c.n_bytes) == (1, 7, 7, 21)
+    assert c.fertility_micro == 7_000_000
+    assert c.bytes_per_char_micro == 3_000_000
+    f = out["full"]
+    assert f.n_tokens == 3 and f.n_chars == 3 and f.n_bytes == 9
+    e = out["empty"]
+    assert (e.n_docs, e.n_words, e.n_tokens, e.n_bytes) == (1, 0, 0, 0)
+    assert e.fertility_micro == 0 and e.bytes_per_token_micro == 0
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),      # source selector
+            st.integers(min_value=-500, max_value=500), # score (signed!)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_curriculum_matches_plain_window(spark, rows, n_stages):
+    """The bucket-offset distributed rank must equal a plain
+    row_number() OVER (PARTITION BY source ORDER BY score DESC, id) —
+    for signed scores (the pmod floor identity) and any stage count."""
+    from pyspark.sql import Window as W
+
+    from dbt_glue_spark.extensions.sampling import curriculum_stages
+
+    data = [(f"s{s}", i, q) for i, (s, q) in enumerate(rows)]
+    df = spark.createDataFrame(data, "src string, id bigint, q bigint")
+    got = {
+        (r.src, r.id): (r.rank, r.stage)
+        for r in curriculum_stages(
+            df, "src", "q", "id", n_stages=n_stages, bucket_width=100
+        ).collect()
+    }
+    w = W.partitionBy("src").orderBy(F.col("q").desc(), F.col("id").asc())
+    ref = df.select(
+        "src", "id",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.count("*").over(W.partitionBy("src")).cast("bigint").alias("n"),
+    ).collect()
+    want = {
+        (r.src, r.id): (r.rank, (r.rank - 1) * n_stages // r.n) for r in ref
+    }
+    assert got == want
+
+
+def test_curriculum_invariant_to_bucket_width(spark):
+    """bucket_width is a physical knob, not a semantic one: any width
+    yields the identical ranking."""
+    from dbt_glue_spark.extensions.sampling import curriculum_stages
+
+    df = spark.createDataFrame(
+        [("a", i, (i * 37) % 250 - 100) for i in range(200)],
+        "src string, id bigint, q bigint",
+    )
+    outs = [
+        sorted(
+            (r.id, r.rank, r.stage)
+            for r in curriculum_stages(
+                df, "src", "q", "id", 4, bucket_width=wd
+            ).collect()
+        )
+        for wd in (1, 7, 100, 10_000)
+    ]
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+
+
+def test_curriculum_stage_balance_and_rejects(spark):
+    """Stage sizes differ by ≤ 1 per source; bad params raise."""
+    from dbt_glue_spark.extensions.sampling import curriculum_stages
+
+    df = spark.createDataFrame(
+        [("a", i, i % 97) for i in range(103)],
+        "src string, id bigint, q bigint",
+    )
+    out = curriculum_stages(df, "src", "q", "id", n_stages=4).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.stage] = sizes.get(r.stage, 0) + 1
+    assert sorted(sizes) == [0, 1, 2, 3]
+    assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+    with pytest.raises(ValueError, match="n_stages"):
+        curriculum_stages(df, "src", "q", "id", n_stages=0)
+    with pytest.raises(ValueError, match="bucket_width"):
+        curriculum_stages(df, "src", "q", "id", 4, bucket_width=0)

@@ -598,6 +598,26 @@ def probe_staged10(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                     docs, "url", "q", min_docs=5, threshold_micro=480_000_000
                 ).write.format("noop").mode("overwrite").save()
 
+            def run_keepbest():
+                dedup.exact_dedup_keep_best(
+                    docs, "text", "doc_id", "q"
+                ).write.format("noop").mode("overwrite").save()
+
+            def run_epochplan():
+                sampling.token_budget_allocation(
+                    docs, "source", "n_chars", "q", 30_000, max_epochs=4
+                ).write.format("noop").mode("overwrite").save()
+
+            def run_fertility():
+                ta.tokenizer_fertility(docs, "source", "text").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            def run_curriculum():
+                sampling.curriculum_stages(
+                    docs, "source", "q", "doc_id", 4
+                ).write.format("noop").mode("overwrite").save()
+
             for name, fn in [
                 ("url_dedup", run_urldedup),
                 ("domain_caps", run_caps),
@@ -608,6 +628,10 @@ def probe_staged10(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                 ("threshold_retention", run_sweep),
                 ("url_frontier_ledger", run_frontier),
                 ("domain_quality", run_domq),
+                ("dedup_keep_best", run_keepbest),
+                ("epoch_repeat_plan", run_epochplan),
+                ("tokenizer_fertility", run_fertility),
+                ("curriculum_stages", run_curriculum),
             ]:
                 results.setdefault(name, {})[str(f_)] = timed(fn)
                 dedup.release_caches()
