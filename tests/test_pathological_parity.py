@@ -173,7 +173,8 @@ STREAMING_SET = [
 
 @pytest.mark.parity
 @pytest.mark.parametrize(
-    "variant", ["dirty", "const", "ts", "hot", "empty", "long", "textskew"]
+    "variant",
+    ["dirty", "const", "ts", "hot", "empty", "long", "textskew", "unicode"],
 )
 def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
     """Pathological-axis × streaming cross-product (round-6, opt-in).
@@ -193,6 +194,7 @@ def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
         mutate_long,
         mutate_textskew,
         mutate_ts,
+        mutate_unicode,
     )
 
     fn = {
@@ -203,6 +205,7 @@ def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
         "empty": lambda df: df.limit(0),
         "long": mutate_long,
         "textskew": mutate_textskew,
+        "unicode": mutate_unicode,
     }[variant]
     out = str(tmp_path_factory.mktemp(f"sf_stream_{variant}"))
     for t in TABLES:
