@@ -1676,7 +1676,7 @@ def lsh_recall_audit(
         (F.col("n_true") - F.col("n_found")).cast("bigint").alias("n_missed"),
         F.when(
             F.col("n_true") > 0,
-            F.expr("(n_found * 1000000) DIV n_true"),
+            F.expr("(CAST(n_found AS DECIMAL(38,0)) * 1000000) div n_true"),
         )
         .cast("bigint")
         .alias("recall_q6"),
@@ -1755,7 +1755,7 @@ def line_dedup(
             "n_dup_lines",
             "kept_chars",
             "dropped_chars",
-            F.expr("(n_dup_lines * 1000000) DIV n_lines")
+            F.expr("(CAST(n_dup_lines AS DECIMAL(38,0)) * 1000000) div n_lines")
             .cast("bigint")
             .alias("dup_line_ppm"),
         )

@@ -660,7 +660,7 @@ def token_budget_allocation(
             .alias("weight"),
         )
     )
-    d = (F.col("weight") * F.col("n_tokens")).cast("bigint")
+    d = F.col("weight").cast("decimal(38,0)") * F.col("n_tokens")
     # per-source CAP: max_epochs=1 is sample-without-repeats (the classic
     # budget mixture); max_epochs=E is the data-constrained-scaling law
     # (Muennighoff et al. 2023) — a source may be repeated up to E epochs
@@ -672,17 +672,21 @@ def token_budget_allocation(
             "bigint"
         ),
     )
-    tot = per.agg(F.sum("__d").cast("bigint").alias("__dsum"))
+    tot = per.agg(F.sum("__d").cast("decimal(38,0)").alias("__dsum"))
     B = F.lit(int(budget)).cast("bigint")
-    # bigint/bigint with `/` is fractional in Spark — DIV keeps every
-    # share an exact bigint floor division
+    # bigint/bigint with `/` is fractional in Spark — integral `div`
+    # keeps every share an exact floor division. All share PRODUCTS ride
+    # decimal(38,0): w·n, B·d and L·d overflow int64 inside the 100 TB
+    # envelope (B·d ~ 1e13·1e16 = 1e29; int64 tops out at 9.2e18), and
+    # ANSI Spark would abort the job — measured, SCALE.md round-9
+    # "numeric-magnitude axis". Quotients (token counts) stay bigint.
     r1 = per.join(F.broadcast(tot)).select(
         "*",
         F.when(
             F.col("__dsum") > 0,
             F.least(
                 F.col("__cap"),
-                F.expr(f"(CAST({budget} AS BIGINT) * __d) DIV __dsum"),
+                F.expr(f"(CAST({budget} AS DECIMAL(38,0)) * __d) div __dsum"),
             ),
         )
         .otherwise(F.lit(0))
@@ -693,23 +697,26 @@ def token_budget_allocation(
     t2 = r1.agg(
         (B - F.sum("__a1")).cast("bigint").alias("__lred"),
         F.sum(F.when(F.col("__h") > 0, F.col("__d")).otherwise(F.lit(0)))
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("__d2sum"),
     )
     r2 = r1.join(F.broadcast(t2)).select(
         "*",
         F.when(
             (F.col("__h") > 0) & (F.col("__d2sum") > 0),
-            F.least(F.col("__h"), F.expr("(__lred * __d) DIV __d2sum")),
+            F.least(F.col("__h"), F.expr("(CAST(__lred AS DECIMAL(38,0)) * __d) div __d2sum")),
         )
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("__b"),
+        # __rem is ONLY a sort key (crumb order); it ranges up to
+        # __d2sum ≈ Σ w·n, far past int64 at scale — keep it decimal
         F.when(
-            (F.col("__h") > 0) & (F.col("__d2sum") > 0), F.expr("(__lred * __d) % __d2sum")
+            (F.col("__h") > 0) & (F.col("__d2sum") > 0),
+            F.expr("(CAST(__lred AS DECIMAL(38,0)) * __d) % __d2sum"),
         )
         .otherwise(F.lit(-1))
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("__rem"),
     )
     r2 = r2.withColumn(
@@ -750,7 +757,7 @@ def token_budget_allocation(
             "alloc_tokens",
             F.when(
                 F.col("n_tokens") > 0,
-                F.expr("(alloc_tokens * 1000000) DIV n_tokens"),
+                F.expr("(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000) div n_tokens"),
             )
             .otherwise(F.lit(0))
             .cast("bigint")
@@ -820,11 +827,11 @@ def temperature_mixture(
     total = per.agg(F.sum("weight").cast("bigint").alias("__w_total"))
     share = F.when(
         F.col("__w_total") > 0,
-        F.expr("(1000000 * weight) DIV __w_total"),
+        F.expr("(CAST(weight AS DECIMAL(38,0)) * 1000000) div __w_total"),
     ).otherwise(F.lit(0))
     alloc = F.when(
         F.col("__w_total") > 0,
-        F.expr(f"(CAST({int(budget)} AS BIGINT) * weight) DIV __w_total"),
+        F.expr(f"(CAST({int(budget)} AS DECIMAL(38,0)) * weight) div __w_total"),
     ).otherwise(F.lit(0))
     return (
         per.crossJoin(F.broadcast(total))
@@ -838,7 +845,7 @@ def temperature_mixture(
             "alloc_tokens",
             F.when(
                 F.col("n_tokens") > 0,
-                F.expr("(alloc_tokens * 1000000) DIV n_tokens"),
+                F.expr("(CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000) div n_tokens"),
             )
             .otherwise(F.lit(0))
             .cast("bigint")
@@ -914,12 +921,12 @@ def threshold_retention(
             "threshold",
             "docs_kept",
             "tokens_kept",
-            F.expr("(docs_kept * 1000000) DIV __tot_docs")
+            F.expr("(CAST(docs_kept AS DECIMAL(38,0)) * 1000000) div __tot_docs")
             .cast("bigint")
             .alias("docs_ppm"),
             F.when(
                 F.col("__tot_toks") > 0,
-                F.expr("(tokens_kept * 1000000) DIV __tot_toks"),
+                F.expr("(CAST(tokens_kept AS DECIMAL(38,0)) * 1000000) div __tot_toks"),
             )
             .otherwise(F.lit(0))
             .cast("bigint")

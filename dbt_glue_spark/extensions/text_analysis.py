@@ -476,7 +476,7 @@ def bigram_lm_score(
         .select(
             F.col(id_col),
             F.col("tf"),
-            F.expr("(c12 + 1) * 1000000000L div (c1 + v)").alias("p9"),
+            F.expr("CAST(c12 + 1 AS DECIMAL(38,0)) * 1000000000 div (c1 + v)").alias("p9"),
         )
     )
     return terms.groupBy(id_col).agg(
@@ -700,7 +700,7 @@ def dsir_weights(
             F.coalesce("ct", F.lit(0)).alias("ct"),
             F.coalesce("cr", F.lit(0)).alias("cr"),
         )
-        .withColumn("q6", F.expr("(ct + 1) * 1000000L div (cr + 1)"))
+        .withColumn("q6", F.expr("CAST(ct + 1 AS DECIMAL(38,0)) * 1000000 div (cr + 1)"))
     )
     model = _persist(model)
     totals = model.agg(
@@ -1115,7 +1115,8 @@ def pmi_pairs(
             "c_ab",
             "m_a",
             "m_b",
-            F.expr("(((c_ab * 1000000) DIV m_a) * __p) DIV m_b")
+            F.expr("((CAST(c_ab AS DECIMAL(38,0)) * 1000000 div m_a)"
+                   " * CAST(__p AS DECIMAL(38,0))) div m_b")
             .cast("bigint")
             .alias("pmi_q6"),
         )
@@ -1407,7 +1408,7 @@ def ngram_novelty(
             "n_occurrences",
             "n_repeats",
             # exact integer ppm — no float on the oracle boundary
-            F.expr("(n_repeats * 1000000) DIV n_occurrences")
+            F.expr("(CAST(n_repeats AS DECIMAL(38,0)) * 1000000) div n_occurrences")
             .cast("bigint")
             .alias("repeat_q6"),
         )
@@ -1581,21 +1582,21 @@ def tokenizer_fertility(
         "n_bytes",
         F.when(
             F.col("n_words") > 0,
-            F.expr("(n_tokens * 1000000) DIV n_words"),
+            F.expr("(CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div n_words"),
         )
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("fertility_micro"),
         F.when(
             F.col("n_tokens") > 0,
-            F.expr("(n_bytes * 1000000) DIV n_tokens"),
+            F.expr("(CAST(n_bytes AS DECIMAL(38,0)) * 1000000) div n_tokens"),
         )
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("bytes_per_token_micro"),
         F.when(
             F.col("n_chars") > 0,
-            F.expr("(n_bytes * 1000000) DIV n_chars"),
+            F.expr("(CAST(n_bytes AS DECIMAL(38,0)) * 1000000) div n_chars"),
         )
         .otherwise(F.lit(0))
         .cast("bigint")

@@ -222,7 +222,9 @@ def domain_quality(
     dom = registered_domain(url_host(canonical_url(F.col(url_col))))
     # bigint/bigint with `/` is fractional (double) in Spark and floor()
     # of a >2^53 double is inexact — DIV keeps the mean exact bigint.
-    mean_q = F.expr("(sum_quality * 1000000) DIV n_docs").cast("bigint")
+    mean_q = F.expr(
+        "(CAST(sum_quality AS DECIMAL(38,0)) * 1000000) div n_docs"
+    ).cast("bigint")
     return (
         df.filter(F.col(url_col).isNotNull() & F.col(quality_col).isNotNull())
         .select(dom.alias("domain"), F.col(quality_col).cast("bigint").alias("__q"))

@@ -2950,7 +2950,7 @@ _LM_CORE = r"""
       SELECT doc_id, w1, w2, COUNT(*) AS tf FROM big GROUP BY doc_id, w1, w2
     ),
     terms AS (
-      SELECT doc_id, tf, (c12 + 1) * 1000000000 // (c1 + v) AS p9
+      SELECT doc_id, tf, CAST(c12 + 1 AS HUGEINT) * 1000000000 // (c1 + v) AS p9
       FROM docbig
       JOIN c12 USING (w1, w2)
       JOIN c1 ON c1.w = docbig.w1

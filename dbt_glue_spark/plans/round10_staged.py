@@ -200,14 +200,14 @@ _TBA_BUDGET = 30_000
       GROUP BY source
     ),
     d AS (
-      SELECT *, CAST(weight * n_tokens AS BIGINT) AS dd FROM per
+      SELECT *, CAST(weight AS HUGEINT) * n_tokens AS dd FROM per
     ),
-    t1 AS (SELECT CAST(SUM(dd) AS BIGINT) AS dsum FROM d),
+    t1 AS (SELECT CAST(SUM(dd) AS HUGEINT) AS dsum FROM d),
     r1 AS (
       SELECT d.*,
              CASE WHEN t1.dsum > 0
                   THEN LEAST(n_tokens,
-                             (CAST({_TBA_BUDGET} AS BIGINT) * dd) // t1.dsum)
+                             (CAST({_TBA_BUDGET} AS HUGEINT) * dd) // t1.dsum)
                   ELSE 0 END AS a1
       FROM d CROSS JOIN t1
     ),
@@ -215,7 +215,7 @@ _TBA_BUDGET = 30_000
     t2 AS (
       SELECT CAST({_TBA_BUDGET} AS BIGINT)
                - CAST(SUM(a1) AS BIGINT) AS lred,
-             CAST(SUM(CASE WHEN hh > 0 THEN dd ELSE 0 END) AS BIGINT) AS d2
+             CAST(SUM(CASE WHEN hh > 0 THEN dd ELSE 0 END) AS HUGEINT) AS d2
       FROM h
     ),
     r2 AS (
@@ -244,8 +244,8 @@ _TBA_BUDGET = 30_000
            CAST(a1 + b + LEAST(h2, GREATEST(rfin - cum, 0)) AS BIGINT)
              AS alloc_tokens,
            CAST(CASE WHEN n_tokens > 0
-                THEN ((a1 + b + LEAST(h2, GREATEST(rfin - cum, 0)))
-                      * 1000000) // n_tokens
+                THEN (CAST(a1 + b + LEAST(h2, GREATEST(rfin - cum, 0))
+                           AS HUGEINT) * 1000000) // n_tokens
                 ELSE 0 END AS BIGINT) AS rate_ppm
     FROM crumb
     """,
@@ -451,7 +451,7 @@ _TM_BUDGET = 50_000
     t AS (SELECT CAST(COALESCE(SUM(weight), 0) AS BIGINT) AS tw FROM w),
     a AS (
       SELECT w.*,
-             CAST(CASE WHEN t.tw > 0 THEN (1000000 * weight) // t.tw
+             CAST(CASE WHEN t.tw > 0 THEN (CAST(weight AS HUGEINT) * 1000000) // t.tw
                   ELSE 0 END AS BIGINT) AS p_ppm,
              CAST(CASE WHEN t.tw > 0 THEN ({_TM_BUDGET} * weight) // t.tw
                   ELSE 0 END AS BIGINT) AS alloc_tokens
@@ -459,7 +459,7 @@ _TM_BUDGET = 50_000
     )
     SELECT source, n_tokens, weight, p_ppm, alloc_tokens,
            CAST(CASE WHEN n_tokens > 0
-                THEN (alloc_tokens * 1000000) // n_tokens
+                THEN (CAST(alloc_tokens AS HUGEINT) * 1000000) // n_tokens
                 ELSE 0 END AS BIGINT) AS epochs_ppm
     FROM a
     """,
@@ -507,9 +507,9 @@ def ext_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(threshold AS BIGINT) AS threshold,
            CAST(docs_kept AS BIGINT) AS docs_kept,
            CAST(tokens_kept AS BIGINT) AS tokens_kept,
-           CAST((docs_kept * 1000000) // tot_docs AS BIGINT) AS docs_ppm,
+           CAST((CAST(docs_kept AS HUGEINT) * 1000000) // tot_docs AS BIGINT) AS docs_ppm,
            CAST(CASE WHEN tot_toks > 0
-                THEN (tokens_kept * 1000000) // tot_toks
+                THEN (CAST(tokens_kept AS HUGEINT) * 1000000) // tot_toks
                 ELSE 0 END AS BIGINT) AS tokens_ppm
     FROM c ORDER BY threshold
     """,
@@ -578,10 +578,10 @@ def ext_url_frontier_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT {_SQL_DOMAIN} AS domain,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars % 1000) AS BIGINT) AS sum_quality,
-           CAST((SUM(n_chars % 1000) * 1000000) // COUNT(*) AS BIGINT)
+           CAST((CAST(SUM(n_chars % 1000) AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT)
              AS mean_q_micro,
            (COUNT(*) >= 5 AND
-            (SUM(n_chars % 1000) * 1000000) // COUNT(*) < 480000000)
+            (CAST(SUM(n_chars % 1000) AS HUGEINT) * 1000000) // COUNT(*) < 480000000)
              AS blocked
     FROM documents
     WHERE doc_id % 19 <> 0 AND n_chars IS NOT NULL
@@ -733,16 +733,16 @@ _ERP_E = 4
       GROUP BY source
     ),
     d AS (
-      SELECT *, CAST(weight * n_tokens AS BIGINT) AS dd,
+      SELECT *, CAST(weight AS HUGEINT) * n_tokens AS dd,
              CAST({_ERP_E} * n_tokens AS BIGINT) AS cap
       FROM per
     ),
-    t1 AS (SELECT CAST(SUM(dd) AS BIGINT) AS dsum FROM d),
+    t1 AS (SELECT CAST(SUM(dd) AS HUGEINT) AS dsum FROM d),
     r1 AS (
       SELECT d.*,
              CASE WHEN t1.dsum > 0
                   THEN LEAST(cap,
-                             (CAST({_ERP_BUDGET} AS BIGINT) * dd) // t1.dsum)
+                             (CAST({_ERP_BUDGET} AS HUGEINT) * dd) // t1.dsum)
                   ELSE 0 END AS a1
       FROM d CROSS JOIN t1
     ),
@@ -750,7 +750,7 @@ _ERP_E = 4
     t2 AS (
       SELECT CAST({_ERP_BUDGET} AS BIGINT)
                - CAST(SUM(a1) AS BIGINT) AS lred,
-             CAST(SUM(CASE WHEN hh > 0 THEN dd ELSE 0 END) AS BIGINT) AS d2
+             CAST(SUM(CASE WHEN hh > 0 THEN dd ELSE 0 END) AS HUGEINT) AS d2
       FROM h
     ),
     r2 AS (
@@ -779,8 +779,8 @@ _ERP_E = 4
            CAST(a1 + b + LEAST(h2, GREATEST(rfin - cum, 0)) AS BIGINT)
              AS alloc_tokens,
            CAST(CASE WHEN n_tokens > 0
-                THEN ((a1 + b + LEAST(h2, GREATEST(rfin - cum, 0)))
-                      * 1000000) // n_tokens
+                THEN (CAST(a1 + b + LEAST(h2, GREATEST(rfin - cum, 0))
+                           AS HUGEINT) * 1000000) // n_tokens
                 ELSE 0 END AS BIGINT) AS rate_ppm
     FROM crumb
     """,
@@ -837,13 +837,13 @@ def ext_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT *,
            CAST(CASE WHEN n_words > 0
-                THEN (n_tokens * 1000000) // n_words ELSE 0 END AS BIGINT)
+                THEN (CAST(n_tokens AS HUGEINT) * 1000000) // n_words ELSE 0 END AS BIGINT)
              AS fertility_micro,
            CAST(CASE WHEN n_tokens > 0
-                THEN (n_bytes * 1000000) // n_tokens ELSE 0 END AS BIGINT)
+                THEN (CAST(n_bytes AS HUGEINT) * 1000000) // n_tokens ELSE 0 END AS BIGINT)
              AS bytes_per_token_micro,
            CAST(CASE WHEN n_chars > 0
-                THEN (n_bytes * 1000000) // n_chars ELSE 0 END AS BIGINT)
+                THEN (CAST(n_bytes AS HUGEINT) * 1000000) // n_chars ELSE 0 END AS BIGINT)
              AS bytes_per_char_micro
     FROM g
     """,

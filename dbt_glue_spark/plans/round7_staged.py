@@ -118,7 +118,7 @@ def ext_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     p AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS pt FROM pairs)
     SELECT tok_a, tok_b, c_ab, ma.m AS m_a, mb.m AS m_b,
-           (((c_ab * 1000000) // ma.m) * pt) // mb.m AS pmi_q6
+           ((CAST(c_ab AS HUGEINT) * 1000000 // ma.m) * CAST(pt AS HUGEINT)) // mb.m AS pmi_q6
     FROM pairs
     JOIN marg ma ON ma.tok = tok_a
     JOIN marg mb ON mb.tok = tok_b, p
@@ -306,7 +306,7 @@ _BASKET_D = """
     m AS (SELECT i, CAST(count(*) AS BIGINT) AS m FROM d GROUP BY i),
     n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM d)
     SELECT item_a, item_b, c_ab, ma.m AS m_a, mb.m AS m_b, n.n_baskets,
-           (((c_ab * 1000000) // ma.m) * n.n_baskets) // mb.m AS lift_q6
+           ((CAST(c_ab AS HUGEINT) * 1000000 // ma.m) * CAST(n.n_baskets AS HUGEINT)) // mb.m AS lift_q6
     FROM pairs
     JOIN m ma ON ma.i = item_a
     JOIN m mb ON mb.i = item_b, n

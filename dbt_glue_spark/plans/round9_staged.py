@@ -397,7 +397,7 @@ def ext_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bucket, n_occurrences,
            CAST(COALESCE(n_repeats, 0) AS BIGINT) AS n_repeats,
-           CAST((COALESCE(n_repeats, 0) * 1000000) // n_occurrences
+           CAST((CAST(COALESCE(n_repeats, 0) AS HUGEINT) * 1000000) // n_occurrences
                 AS BIGINT) AS repeat_q6
     FROM pb LEFT JOIN rep USING (bucket)
     """,
@@ -580,7 +580,7 @@ _SIG_ONLY = _MINHASH_SIG.removeprefix(_SH)
     SELECT CAST(n_true AS BIGINT) AS n_true,
            CAST(n_found AS BIGINT) AS n_found,
            CAST(n_true - n_found AS BIGINT) AS n_missed,
-           CAST(CASE WHEN n_true > 0 THEN (n_found * 1000000) // n_true
+           CAST(CASE WHEN n_true > 0 THEN (CAST(n_found AS HUGEINT) * 1000000) // n_true
                 END AS BIGINT) AS recall_q6
     FROM (SELECT (SELECT COUNT(*) FROM truth) AS n_true,
                  (SELECT COUNT(*) FROM hit) AS n_found)

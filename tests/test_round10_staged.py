@@ -779,3 +779,87 @@ def test_curriculum_stage_balance_and_rejects(spark):
         curriculum_stages(df, "src", "q", "id", n_stages=0)
     with pytest.raises(ValueError, match="bucket_width"):
         curriculum_stages(df, "src", "q", "id", 4, bucket_width=0)
+
+
+# ---------------------------------------------------------------------------
+# Big-magnitude (100 TB token counts) overflow hardening
+# ---------------------------------------------------------------------------
+
+
+def _alloc_law(rows, budget, epochs=1):
+    """Pure-python replication of the allocator law in unbounded ints —
+    the ground truth the decimal(38,0) Spark path must match exactly."""
+    d = {s: q * n for s, n, q in rows}
+    cap = {s: epochs * n for s, n, q in rows}
+    dsum = sum(d.values())
+    a1 = {
+        s: min(cap[s], budget * d[s] // dsum) if dsum > 0 else 0
+        for s, n, q in rows
+    }
+    lred = budget - sum(a1.values())
+    h = {s: cap[s] - a1[s] for s in a1}
+    d2 = sum(d[s] for s in d if h[s] > 0)
+    b = {
+        s: min(h[s], lred * d[s] // d2) if h[s] > 0 and d2 > 0 else 0
+        for s in d
+    }
+    rem = {s: (lred * d[s]) % d2 if h[s] > 0 and d2 > 0 else -1 for s in d}
+    rfin = lred - sum(b.values())
+    h2 = {s: h[s] - b[s] for s in d}
+    cum = 0
+    alloc = {}
+    for s in sorted(d, key=lambda s: (-rem[s], s)):
+        c = max(0, min(h2[s], rfin - cum))
+        cum += h2[s]
+        alloc[s] = a1[s] + b[s] + c
+    return alloc
+
+
+def test_allocator_survives_100tb_magnitudes(spark):
+    """A 2^44-token source with a 10-trillion-token budget: the share
+    product B·(w·n) ≈ 1.6e30 is 11 orders past int64 — bigint arithmetic
+    would abort the job under ANSI (pinned below); the decimal(38,0)
+    path must return the EXACT unbounded-int allocation."""
+    from dbt_glue_spark.extensions.sampling import token_budget_allocation
+
+    rows = [("web", 1 << 44, 900), ("books", 1 << 40, 999), ("tiny", 1000, 100)]
+    budget = 10**13
+    df = spark.createDataFrame(rows, "src string, toks bigint, q bigint")
+    for epochs in (1, 4):
+        got = {
+            r.src: r.alloc_tokens
+            for r in token_budget_allocation(
+                df, "src", "toks", "q", budget, max_epochs=epochs
+            ).collect()
+        }
+        want = _alloc_law(rows, budget, epochs)
+        assert got == want, (epochs, got, want)
+        assert sum(got.values()) == min(
+            budget, epochs * sum(n for _, n, _ in rows)
+        )
+
+
+def test_int64_share_product_would_abort(spark):
+    """Pin the hazard the decimal path exists for: the same product in
+    bigint arithmetic raises ARITHMETIC_OVERFLOW under ANSI Spark. If
+    this stops raising (ANSI default change), the overflow would become
+    SILENT wrap — re-audit every share/ppm site before relying on it."""
+    df = spark.createDataFrame([(1 << 44,)], "n bigint")
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.select((F.col("n") * F.lit(1_000_000)).alias("x")).collect()
+
+
+def test_threshold_sweep_100tb_magnitudes(spark):
+    """tokens_kept·10⁶ at 2^44-token documents: exact ppm from the
+    decimal path, validated against unbounded-int python."""
+    from dbt_glue_spark.extensions.sampling import threshold_retention
+
+    rows = [(i % 10 * 100, (1 << 44) + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "q bigint, toks bigint")
+    out = {r.threshold: (r.tokens_kept, r.tokens_ppm)
+           for r in threshold_retention(df, "q", "toks", 100).collect()}
+    tot = sum(t for _, t in rows)
+    for thr, (kept, ppm) in out.items():
+        want_kept = sum(t for q, t in rows if q >= thr)
+        assert kept == want_kept
+        assert ppm == want_kept * 1_000_000 // tot

@@ -70,7 +70,16 @@ and utf8proc may disagree), and RTL text with bidi marks. ``n_chars``
 is recomputed. Both engines count length() in CODEPOINTS, so parity is
 expected — any mismatch is a genuine cross-engine unicode divergence.
 
-Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot|long|textskew|unicode]
+An eighth axis, ``--variant=bigmag``, jumps token-count-bearing bigint
+measures (``n_chars``) to realistic 100 TB magnitudes (2^44 ≈ 1.8e13)
+— the shape that flushes int64 overflow in share/ppm arithmetic:
+``x·10⁶`` and ``budget·(w·n)`` products pass 2^63 at ~9.2e12 tokens
+(≈40 TB of text, inside the design envelope), where ANSI Spark aborts
+the job and DuckDB's BIGINT path errors identically. Found (and fixed,
+round 9) by routing every share/ppm product through decimal(38,0) on
+the Spark side and HUGEINT in the oracles — quotients stay bigint.
+
+Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot|long|textskew|unicode|bigmag]
 """
 
 from __future__ import annotations
@@ -341,6 +350,31 @@ def mutate_unicode(df, rows: int = 300):
     return out
 
 
+def mutate_bigmag(df, rows: int = 300):
+    """Big-magnitude variant: token-count-bearing bigint measures jump to
+    realistic 100 TB scale (2^44 ≈ 1.8e13 — a large source's token count;
+    2^40 ≈ 1.1e12 — a month of crawl). The shape that flushes int64
+    overflow in share/ppm arithmetic: (x·10⁶) and budget·(w·n) products
+    blow through 2^63 ≈ 9.2e18 at ~9.2e12 tokens — roughly 40 TB of
+    text, INSIDE the design envelope — and ANSI Spark aborts the job
+    (DuckDB's BIGINT path errors identically). Only n_chars mutates
+    (keys, text and doc counts stay sane); the low digits keep varying
+    so derived quality scores (n_chars % 1000) stay distributed."""
+    base = df.limit(rows)
+    if "n_chars" not in df.columns:
+        return base
+    h = F.abs(F.hash(F.col(df.columns[0]).cast("string"), F.lit("bigmag")))
+    big = F.lit(1 << 44) + (F.col(df.columns[0]).cast("bigint") % 100000)
+    mid = F.lit(1 << 40) + (F.col(df.columns[0]).cast("bigint") % 100000)
+    return base.withColumn(
+        "n_chars",
+        F.when(h % 5 == 0, big)
+        .when(h % 5 == 1, mid)
+        .otherwise(F.col("n_chars"))
+        .cast("bigint"),
+    )
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     variant = "dirty"
@@ -356,6 +390,7 @@ def main() -> None:
         "long": "/tmp/sf_long",
         "textskew": "/tmp/sf_textskew",
         "unicode": "/tmp/sf_unicode",
+        "bigmag": "/tmp/sf_bigmag",
     }
     out = args[1] if len(args) > 1 else defaults[variant]
     fn = {
@@ -366,6 +401,7 @@ def main() -> None:
         "long": mutate_long,
         "textskew": mutate_textskew,
         "unicode": mutate_unicode,
+        "bigmag": mutate_bigmag,
     }[variant]
     spark = get_spark("pathological_gen")
     spark.sparkContext.setLogLevel("ERROR")
