@@ -899,3 +899,134 @@ def psi_js_drift_by_group(
         half_up_round(F.when(both, fold("psi_t")), 6).alias("psi"),
         half_up_round(F.when(both, fold("js_t")), 6).alias("js"),
     )
+
+
+# Smallest positive NORMAL double; anything with 0 < |x| < this is
+# denormal (gradual underflow) — numerically legal but a smell that
+# upstream math underflowed, and 10-100x slower on most FPUs.
+_MIN_NORMAL = 2.2250738585072014e-308
+
+
+def _is_neg_zero(c):
+    # no signbit() in Spark SQL, -0.0 == 0.0 is TRUE (IEEE), and the
+    # 1/x trick is unusable — ANSI Spark raises DIVIDE_BY_ZERO even for
+    # DOUBLE division (measured). CAST to string preserves the sign bit
+    # exactly in both engines ('-0.0'); the oracle mirror is
+    # `x = 0 AND signbit(x)`.
+    return (c == 0.0) & c.cast("string").startswith("-")
+
+
+def nonfinite_audit(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column census of IEEE trouble values: NULL, NaN, ±Inf, -0.0
+    and denormals — the ingestion-side report that decides whether a
+    telemetry feed is safe to aggregate.
+
+    WHY this exists (round-9 IEEE-axis adjudication, SCALE.md): this
+    engine's float-determinism contract accumulates every double
+    aggregate in DECIMAL, whose domain is FINITE numbers — a NaN or Inf
+    reaching any sum aborts the job under ANSI (fail-loud in both
+    engines, 38 catalog queries measured). Production telemetry does
+    carry NaN/Inf (a failed upstream divide ships NaN downstream), so
+    the pipeline-correct sequence is: audit → sanitize → aggregate.
+    This operator is the audit half; :func:`sanitize_nonfinite` is the
+    quarantine half.
+
+    Output: one row per audited column — (column, n_rows, n_null,
+    n_nan, n_pos_inf, n_neg_inf, n_neg_zero, n_denormal) — all exact
+    bigint counts. ONE whole-stage-codegen pass over the scan (all
+    columns' predicates fold into a single aggregate), output bounded
+    by |cols|.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs.extend(
+            [
+                F.count("*").cast("bigint").alias(f"__{c}__rows"),
+                F.sum(F.when(x.isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__{c}__null"),
+                F.sum(F.when(F.isnan(x), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__{c}__nan"),
+                F.sum(F.when(x == F.lit(float("inf")), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__{c}__pinf"),
+                F.sum(F.when(x == F.lit(float("-inf")), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__{c}__ninf"),
+                F.sum(F.when(_is_neg_zero(x), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"__{c}__nzero"),
+                F.sum(
+                    F.when(
+                        (~F.isnan(x))
+                        & (F.abs(x) > 0)
+                        & (F.abs(x) < F.lit(_MIN_NORMAL)),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"__{c}__denorm"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    parts = [
+        wide.select(
+            F.lit(c).alias("column"),
+            F.col(f"__{c}__rows").alias("n_rows"),
+            F.col(f"__{c}__null").alias("n_null"),
+            F.col(f"__{c}__nan").alias("n_nan"),
+            F.col(f"__{c}__pinf").alias("n_pos_inf"),
+            F.col(f"__{c}__ninf").alias("n_neg_inf"),
+            F.col(f"__{c}__nzero").alias("n_neg_zero"),
+            F.col(f"__{c}__denorm").alias("n_denormal"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sanitize_nonfinite(
+    df: DataFrame,
+    cols: list[str],
+    flag_col: str = "n_sanitized",
+) -> DataFrame:
+    """Quarantine non-finite doubles before they reach any decimal
+    accumulator: NaN and ±Inf become NULL (SQL aggregates then skip
+    them — same contract as missing data), -0.0 normalizes to 0.0
+    (grouping/serialization identity), finite values pass through
+    bit-exact (denormals included: legal, just slow). Appends
+    ``flag_col`` = how many of this row's audited fields were
+    sanitized, so downstream can drop or down-weight rows whose
+    telemetry was damaged rather than silently averaging the survivors.
+
+    Map-only projection — no shuffle, composes ahead of any aggregate.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    # ONE select over the original frame: the flag must see the
+    # PRE-sanitization values (a withColumn chain would re-resolve the
+    # flag predicates against the already-NULLed columns)
+    exprs = []
+    flags = F.lit(0)
+    sanitized = {}
+    for c in cols:
+        x = F.col(c).cast("double")
+        bad = F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        flags = flags + F.when(bad, 1).otherwise(0)
+        sanitized[c] = (
+            F.when(bad, F.lit(None).cast("double"))
+            .when(_is_neg_zero(x), F.lit(0.0))
+            .otherwise(x)
+            .alias(c)
+        )
+    for c in df.columns:
+        exprs.append(sanitized.get(c, F.col(c)))
+    exprs.append(flags.cast("bigint").alias(flag_col))
+    return df.select(*exprs)

@@ -913,3 +913,156 @@ def ext_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", (F.col("n_chars") % 1000).alias("q")
     )
     return curriculum_stages(docs, "source", "q", "doc_id", n_stages=4)
+
+
+# ---------------------------------------------------------------------------
+# Non-finite telemetry quarantine (round-9 IEEE-axis adjudication): the
+# engine's float-determinism contract makes every decimal accumulator's
+# domain FINITE numbers — NaN/Inf input aborts loud under ANSI (38
+# catalog queries measured, SCALE.md "Round-9 IEEE axis"). These two
+# operators are the production sequence: audit -> sanitize -> aggregate.
+# The catalog entries synthesize a messy value column from event_id
+# (the URL-oracle discipline) so the oracle derives expectations
+# CLOSED-FORM from the construction.
+# ---------------------------------------------------------------------------
+
+
+def _messy_value_spark(m: F.Column, raw: F.Column) -> F.Column:
+    return (
+        F.when(m == 0, F.lit(float("nan")))
+        .when(m == 1, F.lit(float("inf")))
+        .when(m == 2, F.lit(float("-inf")))
+        .when(m == 3, F.lit(-0.0))
+        .when(m == 4, F.lit(5e-324))
+        .when(m == 5, F.lit(None).cast("double"))
+        .otherwise(raw)
+    )
+
+
+_SQL_RAW_BAD = (
+    "CASE WHEN value IS NOT NULL AND (isnan(value) OR isinf(value)) "
+    "THEN 1 ELSE 0 END"
+)
+_SQL_RAW_CLEAN = (
+    "CASE WHEN value IS NOT NULL AND (isnan(value) OR isinf(value)) "
+    "THEN NULL WHEN value = 0 AND signbit(value) THEN 0.0 "
+    "ELSE value END"
+)
+
+
+@register_staged(
+    "ext_nonfinite_audit",
+    f"""
+    WITH e AS (SELECT event_id % 11 AS m, value FROM events),
+    a AS (
+      SELECT 'value_m' AS column,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN m = 5 OR (m > 5 AND value IS NULL)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        CAST(SUM(CASE WHEN m = 0 OR (m > 5 AND value IS NOT NULL
+                 AND isnan(value)) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        CAST(SUM(CASE WHEN m = 1 OR (m > 5 AND value IS NOT NULL
+                 AND value = 'infinity'::DOUBLE) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pos_inf,
+        CAST(SUM(CASE WHEN m = 2 OR (m > 5 AND value IS NOT NULL
+                 AND value = '-infinity'::DOUBLE) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_neg_inf,
+        CAST(SUM(CASE WHEN m = 3 OR (m > 5 AND value IS NOT NULL
+                 AND value = 0 AND signbit(value)) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_neg_zero,
+        CAST(SUM(CASE WHEN m = 4 OR (m > 5 AND value IS NOT NULL
+                 AND NOT isnan(value) AND abs(value) > 0
+                 AND abs(value) < 2.2250738585072014e-308)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_denormal
+      FROM e
+    ),
+    b AS (
+      SELECT 'value' AS column,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null,
+        CAST(SUM(CASE WHEN value IS NOT NULL AND isnan(value)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        CAST(SUM(CASE WHEN value = 'infinity'::DOUBLE THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pos_inf,
+        CAST(SUM(CASE WHEN value = '-infinity'::DOUBLE THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_neg_inf,
+        CAST(SUM(CASE WHEN value = 0 AND signbit(value) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_neg_zero,
+        CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                 AND abs(value) > 0
+                 AND abs(value) < 2.2250738585072014e-308
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_denormal
+      FROM e
+    )
+    SELECT * FROM a UNION ALL SELECT * FROM b
+    """,
+    doc="Per-column census of IEEE trouble values "
+    "(audit.nonfinite_audit): NULL/NaN/±Inf/-0.0/denormal counts — the "
+    "ingestion report that decides whether a telemetry feed is safe to "
+    "aggregate under the engine's decimal determinism contract (NaN/Inf "
+    "reaching any decimal accumulator aborts loud under ANSI — round-9 "
+    "IEEE-axis finding, 38 queries measured). The entry audits a messy "
+    "synthetic column (NaN/±Inf/-0.0/denormal/NULL derived from "
+    "event_id) ALONGSIDE the raw value column, so the oracle derives "
+    "the synthetic counts closed-form and mirrors the raw predicates "
+    "(isnan/isinf/signbit). -0.0 detection is sign-exact cross-engine: "
+    "Spark CAST(-0.0 AS STRING)='-0.0' vs DuckDB signbit(). ONE "
+    "codegen aggregate pass; output bounded by |columns|.",
+)
+def ext_nonfinite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import nonfinite_audit
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        _messy_value_spark(F.col("event_id") % 11, F.col("value")).alias(
+            "value_m"
+        ),
+        "value",
+    )
+    return nonfinite_audit(ev, ["value_m", "value"])
+
+
+@register_staged(
+    "ext_nonfinite_sanitize",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_id % 11 AS m, value,
+             {_SQL_RAW_BAD} AS raw_bad,
+             {_SQL_RAW_CLEAN} AS value_clean
+      FROM events
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CASE WHEN m IN (0, 1, 2) THEN NULL
+                WHEN m = 3 THEN 0.0
+                WHEN m = 4 THEN 5e-324
+                WHEN m = 5 THEN NULL
+                ELSE value_clean END AS value_m,
+           value_clean AS value,
+           CAST((CASE WHEN m IN (0, 1, 2) THEN 1
+                      WHEN m IN (3, 4, 5) THEN 0
+                      ELSE raw_bad END) + raw_bad AS BIGINT) AS n_sanitized
+    FROM e
+    """,
+    doc="Non-finite quarantine before aggregation "
+    "(audit.sanitize_nonfinite): NaN/±Inf become NULL (aggregates then "
+    "skip them — the missing-data contract), -0.0 normalizes to 0.0, "
+    "finite values pass bit-exact; n_sanitized counts how many of the "
+    "row's audited fields were damaged so downstream can drop or "
+    "down-weight the row instead of silently averaging survivors. The "
+    "production step between ext_nonfinite_audit and any decimal-"
+    "contract aggregate. Map-only projection, no shuffle; oracle "
+    "replays the messy-column construction closed-form and mirrors the "
+    "raw-column predicates.",
+)
+def ext_nonfinite_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import sanitize_nonfinite
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        _messy_value_spark(F.col("event_id") % 11, F.col("value")).alias(
+            "value_m"
+        ),
+        "value",
+    )
+    return sanitize_nonfinite(ev, ["value_m", "value"])

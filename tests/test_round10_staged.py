@@ -863,3 +863,50 @@ def test_threshold_sweep_100tb_magnitudes(spark):
         want_kept = sum(t for q, t in rows if q >= thr)
         assert kept == want_kept
         assert ppm == want_kept * 1_000_000 // tot
+
+
+# ---------------------------------------------------------------------------
+# Non-finite quarantine operators
+# ---------------------------------------------------------------------------
+
+
+def test_nonfinite_audit_hand_case(spark):
+    from dbt_glue_spark.extensions.audit import nonfinite_audit
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(1, nan), (2, inf), (3, -inf), (4, -0.0), (5, 5e-324),
+         (6, None), (7, 1.5), (8, 0.0), (9, 1e-300)],
+        "id bigint, x double",
+    )
+    r = nonfinite_audit(df, ["x"]).collect()[0]
+    assert (r.n_rows, r.n_null, r.n_nan) == (9, 1, 1)
+    assert (r.n_pos_inf, r.n_neg_inf) == (1, 1)
+    # -0.0 counted; +0.0 not; 5e-324 AND 1e-300? 1e-300 is NORMAL
+    assert r.n_neg_zero == 1
+    assert r.n_denormal == 1
+    with pytest.raises(ValueError, match="cols"):
+        nonfinite_audit(df, [])
+
+
+def test_sanitize_nonfinite_hand_case(spark):
+    """NaN/Inf -> NULL, -0.0 -> +0.0, finite (incl. denormal) bit-exact;
+    the flag reflects PRE-sanitization values (regression: a naive
+    withColumn chain re-resolves the flag against the NULLed column and
+    reports 0 for every row); untouched columns pass through."""
+    import math
+
+    from dbt_glue_spark.extensions.audit import sanitize_nonfinite
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(1, nan, inf), (2, -inf, 2.5), (3, -0.0, nan), (4, 5e-324, None)],
+        "id bigint, a double, b double",
+    )
+    rows = {r.id: r for r in sanitize_nonfinite(df, ["a", "b"]).collect()}
+    assert rows[1].a is None and rows[1].b is None and rows[1].n_sanitized == 2
+    assert rows[2].a is None and rows[2].b == 2.5 and rows[2].n_sanitized == 1
+    assert rows[3].b is None and rows[3].n_sanitized == 1
+    assert rows[3].a == 0.0 and not math.copysign(1, rows[3].a) < 0
+    assert rows[4].a == 5e-324 and rows[4].b is None
+    assert rows[4].n_sanitized == 0  # NULL was already missing, not damaged

@@ -79,7 +79,7 @@ the job and DuckDB's BIGINT path errors identically. Found (and fixed,
 round 9) by routing every share/ppm product through decimal(38,0) on
 the Spark side and HUGEINT in the oracles — quotients stay bigint.
 
-Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot|long|textskew|unicode|bigmag]
+Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot|long|textskew|unicode|bigmag|ieee]
 """
 
 from __future__ import annotations
@@ -375,6 +375,67 @@ def mutate_bigmag(df, rows: int = 300):
     )
 
 
+def mutate_ieee(df, rows: int = 300):
+    """IEEE-special variant, DOMAIN-SAFE tier: doubles gain -0.0,
+    denormal (5e-324) and 1e-300; embedding vectors gain -0.0/denormal
+    elements. Large magnitudes are NOT injected either — a 9e9 value is
+    in-domain per column but the decimal determinism contract bounds
+    PRODUCTS of two measures at 1e12 for (18,6), so magnitude stress is
+    the bigmag axis's job (integer shares), not this one's. NaN/±Inf are
+    deliberately NOT in this committed axis: the engine's float-
+    determinism contract (plans/catalog.py) accumulates every double
+    aggregate in DECIMAL, whose domain is finite numbers — injecting
+    NaN/Inf makes BOTH engines refuse the cast (ANSI fail-loud, the
+    correct behavior; measured 2026-08-16, 38 decimal-cast aborts
+    catalog-wide plus two streaming-sink crashes). The production
+    answer to non-finite telemetry is quarantine at ingestion
+    (audit.nonfinite_audit / sanitize_nonfinite) — see SCALE.md
+    "Round-9 IEEE axis"."""
+    base = df.limit(rows)
+    cols = dict(df.dtypes)
+    out = base
+    for i, c in enumerate(df.columns):
+        if i == 0:
+            continue
+        dt = cols[c]
+        h = F.abs(F.hash(F.col(df.columns[0]).cast("string"), F.lit(c + ":ieee")))
+        if dt in ("double", "float"):
+            out = out.withColumn(
+                c,
+                F.when(h % 13 == 0, F.lit(-0.0).cast(dt))
+                .when(h % 13 == 1, F.lit(5e-324).cast(dt))
+                .when(h % 13 == 2, F.lit(1e-300).cast(dt))
+                .otherwise(F.col(c)),
+            )
+        elif dt.startswith("array<float") or dt.startswith("array<double"):
+            elem = "float" if "float" in dt else "double"
+            out = out.withColumn(
+                c,
+                F.when(
+                    h % 9 == 0,
+                    F.transform(
+                        F.col(c),
+                        lambda x, j: F.when(
+                            j == (h % 8).cast("int"),
+                            F.lit(-0.0).cast(elem),
+                        ).otherwise(x),
+                    ),
+                )
+                .when(
+                    h % 9 == 1,
+                    F.transform(
+                        F.col(c),
+                        lambda x, j: F.when(
+                            j == (h % 8).cast("int"),
+                            F.lit(5e-324).cast(elem),
+                        ).otherwise(x),
+                    ),
+                )
+                .otherwise(F.col(c)),
+            )
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     variant = "dirty"
@@ -391,6 +452,7 @@ def main() -> None:
         "textskew": "/tmp/sf_textskew",
         "unicode": "/tmp/sf_unicode",
         "bigmag": "/tmp/sf_bigmag",
+        "ieee": "/tmp/sf_ieee",
     }
     out = args[1] if len(args) > 1 else defaults[variant]
     fn = {
@@ -402,6 +464,7 @@ def main() -> None:
         "textskew": mutate_textskew,
         "unicode": mutate_unicode,
         "bigmag": mutate_bigmag,
+        "ieee": mutate_ieee,
     }[variant]
     spark = get_spark("pathological_gen")
     spark.sparkContext.setLogLevel("ERROR")
