@@ -1066,3 +1066,403 @@ def ext_nonfinite_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return sanitize_nonfinite(ev, ["value_m", "value"])
+
+
+# ---------------------------------------------------------------------------
+# Fourth tranche: the SFT / alignment tier (extensions/chat.py) — turn
+# validation, assistant-response dedup, suffix truncation planning,
+# preference-pair conflict dedup, preference length-bias audit.
+#
+# Synthetic conversation construction (shared): each document is a TURN.
+#   conv_id  = doc_id div 6           turn_idx = doc_id % 6
+#   role     = CASE doc_id % 29 = 0 → NULL        (damaged role)
+#                   doc_id % 23 = 0 → 'system'    (leading OR misplaced)
+#                   doc_id % 17 = 0 → 'user'      (alternation breaker)
+#                   turn parity     → user/assistant
+# NULL doc_id rows fall out via the NULL-conversation contract; NULL /
+# blank text (dirty axis) exercises the empty-turn census. The oracle
+# re-derives the construction and re-implements the census in DuckDB SQL
+# (windows + null-safe lag), so the two engines must agree on every
+# semantic corner: NULL roles under IS NOT DISTINCT FROM, system-
+# transparent alternation, codepoint substr, whitespace tokenization.
+# ---------------------------------------------------------------------------
+
+
+def _synth_role_spark(doc_id: F.Column) -> F.Column:
+    return (
+        F.when(doc_id % 29 == 0, F.lit(None).cast("string"))
+        .when(doc_id % 23 == 0, F.lit("system"))
+        .when(doc_id % 17 == 0, F.lit("user"))
+        .when((doc_id % 6) % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+
+
+_SQL_TURNS = """
+      SELECT doc_id // 6 AS conv_id, doc_id % 6 AS turn_idx,
+             CASE WHEN doc_id % 29 = 0 THEN NULL
+                  WHEN doc_id % 23 = 0 THEN 'system'
+                  WHEN doc_id % 17 = 0 THEN 'user'
+                  WHEN (doc_id % 6) % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             text
+      FROM documents WHERE doc_id IS NOT NULL
+"""
+
+_SQL_NTOK = (
+    "len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),"
+    " x -> x <> ''))"
+)
+
+
+def _synth_turns_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    d = F.col("doc_id")
+    return docs.select(
+        F.expr("doc_id div 6").alias("conv_id"),
+        (d % 6).alias("turn_idx"),
+        _synth_role_spark(d).alias("role"),
+        "text",
+    )
+
+
+@register_staged(
+    "ext_chat_turn_validation",
+    f"""
+    WITH t AS ({_SQL_TURNS}),
+    r AS (
+      SELECT conv_id, turn_idx, role, text,
+             COALESCE(role = 'system', FALSE) AS is_sys,
+             {_SQL_NTOK} AS nt,
+             (text IS NULL OR trim(text) = '') AS is_empty,
+             MIN(turn_idx) OVER (PARTITION BY conv_id) AS first_turn,
+             MAX(turn_idx) OVER (PARTITION BY conv_id) AS last_turn,
+             MIN(CASE WHEN NOT COALESCE(role = 'system', FALSE)
+                      THEN turn_idx END)
+               OVER (PARTITION BY conv_id) AS first_nonsys_turn,
+             lag(role) OVER (
+               PARTITION BY conv_id, COALESCE(role = 'system', FALSE)
+               ORDER BY turn_idx) AS prev_role,
+             lag(1) OVER (
+               PARTITION BY conv_id, COALESCE(role = 'system', FALSE)
+               ORDER BY turn_idx) AS prev_exists
+      FROM t
+    ),
+    g AS (
+      SELECT conv_id,
+        CAST(COUNT(*) AS BIGINT) AS n_turns,
+        CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_user,
+        CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_assistant,
+        CAST(SUM(CASE WHEN is_sys THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+        CAST(SUM(CASE WHEN NOT COALESCE(
+               role IN ('user','assistant','system'), FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+        MAX(CASE WHEN turn_idx = last_turn THEN role END) AS last_role,
+        MAX(CASE WHEN turn_idx = first_nonsys_turn AND NOT is_sys
+                 THEN role END) AS first_nonsys_role,
+        CAST(SUM(CASE WHEN NOT is_sys AND COALESCE(prev_exists, 0) = 1
+                 AND role IS NOT DISTINCT FROM prev_role
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_alternation_breaks,
+        CAST(SUM(CASE WHEN is_empty THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_empty_turns,
+        CAST(SUM(CASE WHEN is_sys AND turn_idx <> first_turn
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced_system,
+        CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM r GROUP BY conv_id
+    )
+    SELECT CAST(conv_id AS BIGINT) AS conv_id,
+           n_turns, n_user, n_assistant, n_system, n_other,
+           CAST(COALESCE(first_nonsys_role = 'user', FALSE) AS INT)
+             AS starts_user,
+           CAST(COALESCE(last_role = 'assistant', FALSE) AS INT)
+             AS ends_assistant,
+           n_alternation_breaks, n_empty_turns, n_misplaced_system, n_tokens,
+           CAST(COALESCE(first_nonsys_role = 'user', FALSE)
+                AND COALESCE(last_role = 'assistant', FALSE)
+                AND n_alternation_breaks = 0 AND n_empty_turns = 0
+                AND n_misplaced_system = 0 AND n_other = 0 AS INT)
+             AS well_formed
+    FROM g
+    """,
+    doc="Per-conversation structural census for chat/SFT corpora "
+    "(chat.validate_turns): role inventory, starts-with-user / ends-"
+    "with-assistant flags (leading system prompt legal), alternation "
+    "breaks over the system-transparent subsequence (null-safe — two "
+    "adjacent NULL-role turns break too), empty-turn and misplaced-"
+    "system counts, and a composed well_formed verdict — the gate an "
+    "SFT pipeline runs before rendering chat templates. Synthetic "
+    "turns derive deterministically from doc_id (role corruptions on "
+    "the %17/%23/%29 lattices); the oracle re-derives them and re-"
+    "implements the census independently in DuckDB windows. One lag "
+    "window + per-group scalars + one groupBy, all on conv_id: a "
+    "single shuffle, |conversations| rows out.",
+)
+def ext_chat_turn_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.chat import validate_turns
+
+    return validate_turns(_synth_turns_spark(spark, sf_dir))
+
+
+@register_staged(
+    "ext_chat_response_dedup",
+    f"""
+    WITH t AS ({_SQL_TURNS}),
+    a AS (
+      SELECT md5(text) AS resp_hash, conv_id, turn_idx
+      FROM t WHERE role = 'assistant' AND text IS NOT NULL
+        AND conv_id IS NOT NULL
+    ),
+    k AS (
+      SELECT resp_hash, conv_id, turn_idx,
+             row_number() OVER (PARTITION BY resp_hash
+                                ORDER BY conv_id, turn_idx) AS rn
+      FROM a
+    ),
+    c AS (
+      SELECT resp_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+      FROM a GROUP BY resp_hash
+    )
+    SELECT k.resp_hash,
+           CAST(k.conv_id AS BIGINT) AS keep_conv,
+           CAST(k.turn_idx AS BIGINT) AS keep_turn,
+           c.n_copies, c.n_convs
+    FROM k JOIN c ON k.resp_hash = c.resp_hash
+    WHERE k.rn = 1 AND c.n_copies > 1
+    """,
+    doc="Assistant-response exact dedup ACROSS conversations "
+    "(chat.response_dedup): verbatim-repeated completions (template "
+    "answers, canned refusals) over-weight exactly like document dups "
+    "— Lee et al. 2022 at turn granularity. Returns the duplicate "
+    "manifest (hash, first (conv,turn) keeper, copy and conversation "
+    "counts). ONE map-side-combining groupBy on the 16-byte md5; the "
+    "argmin rides min(struct(conv,turn)) so no window, no join-back "
+    "(the oracle uses row_number+join — an independent formulation of "
+    "the same keeper rule). Output bounded by distinct duplicated "
+    "responses.",
+)
+def ext_chat_response_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.chat import response_dedup
+
+    return response_dedup(_synth_turns_spark(spark, sf_dir))
+
+
+_TRUNC_L = 64
+
+
+@register_staged(
+    "ext_chat_truncation_plan",
+    f"""
+    WITH t AS ({_SQL_TURNS}),
+    r AS (
+      SELECT conv_id, turn_idx, role, {_SQL_NTOK} AS nt
+      FROM t WHERE conv_id IS NOT NULL
+    ),
+    s AS (
+      SELECT *,
+             SUM(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS suffix_tokens
+      FROM r
+    ),
+    f AS (
+      SELECT *,
+             MIN(CASE WHEN suffix_tokens <= {_TRUNC_L} AND role = 'user'
+                      THEN turn_idx END)
+               OVER (PARTITION BY conv_id) AS fk
+      FROM s
+    )
+    SELECT CAST(conv_id AS BIGINT) AS conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns_total,
+           CAST(SUM(nt) AS BIGINT) AS tokens_total,
+           CAST(COALESCE(MAX(fk), -1) AS BIGINT) AS first_kept_turn,
+           CAST(SUM(CASE WHEN turn_idx >= fk THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_turns_kept,
+           CAST(COALESCE(SUM(CASE WHEN turn_idx >= fk THEN nt END), 0)
+             AS BIGINT) AS tokens_kept,
+           CAST(COALESCE(SUM(CASE WHEN turn_idx >= fk
+                AND role = 'assistant' THEN nt END), 0) AS BIGINT)
+             AS loss_tokens,
+           CAST(SUM(CASE WHEN turn_idx >= fk THEN 1 ELSE 0 END)
+                < COUNT(*) AS INT) AS truncated,
+           CAST(SUM(CASE WHEN turn_idx >= fk THEN 1 ELSE 0 END) = 0 AS INT)
+             AS dropped
+    FROM f GROUP BY conv_id
+    """,
+    doc="Chat suffix-truncation plan (chat.truncation_plan, max_tokens="
+    f"{_TRUNC_L}): the longest conversation suffix fitting the context "
+    "budget AND opening on a user turn — the standard chat-template "
+    "truncation rule (latest turns carry the label; the first kept "
+    "assistant turn needs its prompt). Reports kept turn/token counts, "
+    "loss_tokens (assistant tokens in-window — the rows that receive "
+    "loss), truncated/dropped flags. Reverse-cumulative window + per-"
+    "group scalar + groupBy all share the conv_id key: Spark plans ONE "
+    "exchange and reuses it. Exact bigint token math.",
+)
+def ext_chat_truncation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.chat import truncation_plan
+
+    return truncation_plan(_synth_turns_spark(spark, sf_dir), max_tokens=_TRUNC_L)
+
+
+# ---------------------------------------------------------------------------
+# Preference pairs: docs (2k, 2k+1) form pair k; a deterministic pseudo-
+# quality q = ((doc_id % 9973) * 31) % 1000 picks the chosen side (tie →
+# even side). The AUDIT entry hashes 24-codepoint text prefixes so the
+# corpus's repeated phrasing yields real duplicate and conflicting pairs
+# at every sf; the BIAS entry keeps full texts for honest length deltas.
+# ---------------------------------------------------------------------------
+
+_SQL_PAIRS = """
+      SELECT e.pair_id, e.src AS source,
+             CASE WHEN e.q >= o.q THEN e.text ELSE o.text END AS chosen_text,
+             CASE WHEN e.q >= o.q THEN o.text ELSE e.text END AS rejected_text
+      FROM (SELECT doc_id // 2 AS pair_id, source AS src, text,
+                   ((doc_id % 9973) * 31) % 1000 AS q
+            FROM documents WHERE doc_id IS NOT NULL AND doc_id % 2 = 0) e
+      JOIN (SELECT doc_id // 2 AS pair_id, text,
+                   ((doc_id % 9973) * 31) % 1000 AS q
+            FROM documents WHERE doc_id IS NOT NULL AND doc_id % 2 = 1) o
+      ON e.pair_id = o.pair_id
+"""
+
+
+def _synth_pairs_spark(
+    spark: SparkSession, sf_dir: str, prefix: int | None = None
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    d = F.col("doc_id")
+    base = docs.select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        (d % 2).alias("side"),
+        "source",
+        (((d % 9973) * 31) % 1000).alias("q"),
+        (
+            F.substring(F.col("text"), 1, prefix) if prefix else F.col("text")
+        ).alias("text"),
+    )
+    e = base.filter(F.col("side") == 0).select(
+        "pair_id", "source", F.col("text").alias("__t0"), F.col("q").alias("__q0")
+    )
+    o = base.filter(F.col("side") == 1).select(
+        "pair_id", F.col("text").alias("__t1"), F.col("q").alias("__q1")
+    )
+    return e.join(o, "pair_id").select(
+        "pair_id",
+        "source",
+        F.when(F.col("__q0") >= F.col("__q1"), F.col("__t0"))
+        .otherwise(F.col("__t1"))
+        .alias("chosen_text"),
+        F.when(F.col("__q0") >= F.col("__q1"), F.col("__t1"))
+        .otherwise(F.col("__t0"))
+        .alias("rejected_text"),
+    )
+
+
+_SQL_PAIRS_PFX = _SQL_PAIRS.replace("e.text", "substr(e.text, 1, 24)").replace(
+    "o.text", "substr(o.text, 1, 24)"
+)
+
+
+@register_staged(
+    "ext_preference_pair_audit",
+    f"""
+    WITH p AS ({_SQL_PAIRS_PFX}),
+    h AS (
+      SELECT pair_id, md5(chosen_text) AS hc, md5(rejected_text) AS hr
+      FROM p
+      WHERE pair_id IS NOT NULL AND chosen_text IS NOT NULL
+        AND rejected_text IS NOT NULL
+    ),
+    k AS (
+      SELECT pair_id,
+             least(hc, hr) || greatest(hc, hr) AS pair_key,
+             CASE WHEN hc <= hr THEN 1 ELSE 0 END AS fwd,
+             CASE WHEN hc = hr THEN 1 ELSE 0 END AS self
+      FROM h
+    ),
+    g AS (
+      SELECT pair_key,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(fwd) AS BIGINT) AS n_fwd,
+             CAST(SUM(1 - fwd) AS BIGINT) AS n_rev,
+             CAST(MIN(pair_id) AS BIGINT) AS keep_pair,
+             CAST(MAX(self) AS INT) AS self_pair
+      FROM k GROUP BY pair_key
+    )
+    SELECT pair_key, n_pairs, n_fwd, n_rev,
+           CAST(n_fwd > 0 AND n_rev > 0 AS INT) AS conflict,
+           keep_pair, self_pair
+    FROM g WHERE n_pairs > 1 OR self_pair = 1
+    """,
+    doc="Preference-pair duplicate + conflict census "
+    "(chat.preference_pair_audit): groups pairs on the UNORDERED "
+    "(md5(chosen), md5(rejected)) key to catch verbatim repeats AND "
+    "orientation conflicts (A≻B and B≻A — contradictory labels, the "
+    "reward-model label noise InstructGPT-style curation removes), "
+    "plus degenerate self-pairs (chosen == rejected). Pairs "
+    "synthesized from adjacent documents with a deterministic pseudo-"
+    "quality; 24-codepoint prefixes make duplicate content pairs "
+    "plentiful at every sf. ONE groupBy on a 32-byte key, map-side "
+    "combine; output bounded by duplicated/conflicted pairs.",
+)
+def ext_preference_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.chat import preference_pair_audit
+
+    return preference_pair_audit(_synth_pairs_spark(spark, sf_dir, prefix=24))
+
+
+@register_staged(
+    "ext_preference_length_bias",
+    f"""
+    WITH p AS ({_SQL_PAIRS}),
+    m AS (
+      SELECT source,
+             len(list_filter(string_split_regex(
+               COALESCE(chosen_text, ''), '\\s+'), x -> x <> '')) AS lc,
+             len(list_filter(string_split_regex(
+               COALESCE(rejected_text, ''), '\\s+'), x -> x <> '')) AS lr
+      FROM p WHERE source IS NOT NULL
+    ),
+    g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(lc) AS BIGINT) AS chosen_tokens,
+             CAST(SUM(lr) AS BIGINT) AS rejected_tokens,
+             CAST(SUM(CASE WHEN lc > lr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_longer,
+             CAST(SUM(CASE WHEN lc = lr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tie
+      FROM m GROUP BY source
+    )
+    SELECT source, n_pairs, chosen_tokens, rejected_tokens,
+           CAST((CAST(n_longer AS HUGEINT) * 1000000) // n_pairs AS BIGINT)
+             AS chosen_longer_ppm,
+           CAST((CAST(n_tie AS HUGEINT) * 1000000) // n_pairs AS BIGINT)
+             AS tie_ppm,
+           CAST((CASE WHEN chosen_tokens - rejected_tokens < 0
+                      THEN -1 ELSE 1 END)
+                * ((CAST(abs(chosen_tokens - rejected_tokens) AS HUGEINT)
+                    * 1000000) // n_pairs) AS BIGINT) AS mean_delta_micro
+    FROM g
+    """,
+    doc="Per-source preference length-bias audit "
+    "(chat.preference_length_bias): ppm of pairs whose chosen side is "
+    "longer, tie ppm, and the mean chosen−rejected token delta in "
+    "exact micro units — the Singhal et al. 2023 check that a reward "
+    "model is about to learn length instead of quality. Sign-separated "
+    "integer division (sign·(|Σδ|·10⁶ div n)) keeps the two engines' "
+    "negative-division semantics out of play; products ride "
+    "decimal(38,0)/HUGEINT (bigmag contract). One codegen projection "
+    "into one map-side-combining groupBy; output |sources|.",
+)
+def ext_preference_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.chat import preference_length_bias
+
+    return preference_length_bias(_synth_pairs_spark(spark, sf_dir))

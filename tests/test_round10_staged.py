@@ -910,3 +910,186 @@ def test_sanitize_nonfinite_hand_case(spark):
     assert rows[3].a == 0.0 and not math.copysign(1, rows[3].a) < 0
     assert rows[4].a == 5e-324 and rows[4].b is None
     assert rows[4].n_sanitized == 0  # NULL was already missing, not damaged
+
+
+# ---------------------------------------------------------------------------
+# Chat / preference tier (fourth tranche)
+# ---------------------------------------------------------------------------
+
+
+def _turns_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id bigint, turn_idx bigint, role string, text string"
+    )
+
+
+def test_validate_turns_hand_case(spark):
+    """One conversation per defect class: leading system is legal,
+    misplaced system flags, same-role adjacency breaks (system turns
+    transparent), adjacent NULL roles break null-safely, empty turns
+    count, and a clean conversation is well_formed."""
+    from dbt_glue_spark.extensions.chat import validate_turns
+
+    rows = [
+        # conv 1: clean — system prompt, then u/a/u/a
+        (1, 0, "system", "be brief"),
+        (1, 1, "user", "hi"),
+        (1, 2, "assistant", "hello"),
+        (1, 3, "user", "more"),
+        (1, 4, "assistant", "sure"),
+        # conv 2: user,user break bridged by a transparent system turn;
+        # misplaced system; trailing user
+        (2, 0, "user", "a"),
+        (2, 1, "system", "mid prompt"),
+        (2, 2, "user", "b"),
+        (2, 3, "assistant", ""),
+        (2, 4, "user", "tail"),
+        # conv 3: adjacent NULL roles break null-safely; starts assistant
+        (3, 0, "assistant", "x"),
+        (3, 1, None, "y"),
+        (3, 2, None, "z"),
+        # NULL conv excluded
+        (None, 0, "user", "ghost"),
+    ]
+    out = {r.conv_id: r.asDict() for r in validate_turns(_turns_df(spark, rows)).collect()}
+    assert set(out) == {1, 2, 3}
+    c1 = out[1]
+    assert (c1["well_formed"], c1["n_system"], c1["n_alternation_breaks"]) == (1, 1, 0)
+    assert (c1["starts_user"], c1["ends_assistant"]) == (1, 1)
+    c2 = out[2]
+    assert c2["n_alternation_breaks"] == 1          # user→(sys)→user
+    assert c2["n_misplaced_system"] == 1
+    assert c2["n_empty_turns"] == 1                 # the "" assistant turn
+    assert (c2["ends_assistant"], c2["well_formed"]) == (0, 0)
+    c3 = out[3]
+    assert c3["n_other"] == 2                       # two NULL roles
+    assert c3["n_alternation_breaks"] == 1          # NULL <=> NULL adjacency
+    assert (c3["starts_user"], c3["well_formed"]) == (0, 0)
+
+
+def test_truncation_plan_hand_case(spark):
+    """Suffix rule: keep the longest suffix ≤ L opening on a user turn;
+    nothing fits → dropped; everything fits → untruncated."""
+    from dbt_glue_spark.extensions.chat import truncation_plan
+
+    rows = [
+        # conv 1: tokens 5,3,4,2 (u,a,u,a); L=7 → suffix(2,3)=6 fits and
+        # starts at user turn 2; suffix(1..)=9 > 7
+        (1, 0, "user", "t t t t t"),
+        (1, 1, "assistant", "t t t"),
+        (1, 2, "user", "t t t t"),
+        (1, 3, "assistant", "t t"),
+        # conv 2: fits entirely (4 ≤ 7), starts user
+        (2, 0, "user", "t t"),
+        (2, 1, "assistant", "t t"),
+        # conv 3: last user turn alone exceeds L → dropped
+        (3, 0, "user", "t t t t t t t t t t"),
+        (3, 1, "assistant", "t"),
+    ]
+    out = {
+        r.conv_id: r.asDict()
+        for r in truncation_plan(_turns_df(spark, rows), max_tokens=7).collect()
+    }
+    c1 = out[1]
+    assert (c1["first_kept_turn"], c1["n_turns_kept"]) == (2, 2)
+    assert (c1["tokens_kept"], c1["loss_tokens"]) == (6, 2)
+    assert (c1["truncated"], c1["dropped"]) == (1, 0)
+    c2 = out[2]
+    assert (c2["first_kept_turn"], c2["truncated"], c2["dropped"]) == (0, 0, 0)
+    assert c2["loss_tokens"] == 2
+    c3 = out[3]
+    assert (c3["first_kept_turn"], c3["n_turns_kept"], c3["dropped"]) == (-1, 0, 1)
+
+
+def test_response_dedup_hand_case(spark):
+    """Keeper is lexicographic-min (conv, turn); only duplicated
+    responses emit; user turns and NULL text never participate."""
+    from dbt_glue_spark.extensions.chat import response_dedup
+
+    rows = [
+        (1, 1, "assistant", "canned reply"),
+        (1, 3, "assistant", "canned reply"),   # same conv repeat
+        (2, 0, "assistant", "canned reply"),
+        (2, 2, "assistant", "unique reply"),
+        (3, 1, "user", "canned reply"),        # role filtered
+        (3, 2, "assistant", None),             # NULL text filtered
+    ]
+    out = response_dedup(_turns_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.keep_conv, r.keep_turn, r.n_copies, r.n_convs) == (1, 1, 3, 2)
+
+
+def test_preference_pair_audit_conflicts(spark):
+    """Both orientations of one content pair → conflict; verbatim repeat
+    → dup without conflict; chosen == rejected → self_pair; unique
+    clean pairs stay out of the manifest."""
+    from dbt_glue_spark.extensions.chat import preference_pair_audit
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "B"),
+            (2, "B", "A"),        # conflict with pair 1
+            (3, "C", "D"),
+            (4, "C", "D"),        # duplicate, same orientation
+            (5, "E", "E"),        # self pair
+            (6, "F", "G"),        # clean unique — absent
+            (7, None, "H"),       # NULL side — excluded
+        ],
+        "pair_id bigint, chosen_text string, rejected_text string",
+    )
+    out = {r.keep_pair: r.asDict() for r in preference_pair_audit(df).collect()}
+    assert set(out) == {1, 3, 5}
+    assert out[1]["conflict"] == 1 and out[1]["n_pairs"] == 2
+    assert {out[1]["n_fwd"], out[1]["n_rev"]} == {1}
+    assert out[3]["conflict"] == 0 and out[3]["n_pairs"] == 2
+    assert out[5]["self_pair"] == 1 and out[5]["n_pairs"] == 1
+
+
+def test_preference_length_bias_exact(spark):
+    """ppm and signed mean delta match an exact integer reimplementation,
+    including a negative mean (rejected longer) and NULL text as zero
+    tokens."""
+    from dbt_glue_spark.extensions.chat import preference_length_bias
+
+    rows = [
+        ("s1", "a b c", "a"),          # +2
+        ("s1", "a", "a b b b b"),      # -4
+        ("s1", "a b", "c d"),          # tie
+        ("s2", None, "w w w"),         # NULL chosen → -3
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, chosen_text string, rejected_text string"
+    )
+    out = {r.source: r.asDict() for r in preference_length_bias(df).collect()}
+    s1 = out["s1"]
+    assert s1["n_pairs"] == 3
+    assert (s1["chosen_tokens"], s1["rejected_tokens"]) == (6, 8)
+    assert s1["chosen_longer_ppm"] == 333_333
+    assert s1["tie_ppm"] == 333_333
+    assert s1["mean_delta_micro"] == -666_666   # sign·(|−2|·10⁶ div 3)
+    s2 = out["s2"]
+    assert (s2["chosen_tokens"], s2["rejected_tokens"]) == (0, 3)
+    assert s2["mean_delta_micro"] == -3_000_000
+
+
+def test_chat_single_exchange_plans(spark, sf_dir):
+    """The conv-keyed operators plan exactly ONE exchange (every window
+    and the final groupBy share the conv_id partitioning); the audit
+    groupBys shuffle only hash-sized keys."""
+    from dbt_glue_spark.plans.round10_staged import STAGED10
+
+    for name, n_exchanges in (
+        ("ext_chat_turn_validation", 1),
+        ("ext_chat_truncation_plan", 1),
+        ("ext_preference_length_bias", 1),
+    ):
+        plan = (
+            STAGED10()[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == n_exchanges, (name, plan)
+        assert "SortMergeJoin" not in plan, name

@@ -472,7 +472,7 @@ def probe_staged10(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
       (no shuffle, no explode — plan-gated in tests) → the purest
       scan-bound exponent in the repo.
     """
-    from dbt_glue_spark.extensions import sampling, web
+    from dbt_glue_spark.extensions import chat, sampling, web
     from dbt_glue_spark.extensions import text_analysis as ta
 
     scratch = tempfile.mkdtemp(prefix="dgs_staged10_probe_")
@@ -618,6 +618,75 @@ def probe_staged10(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                     docs, "source", "q", "doc_id", 4
                 ).write.format("noop").mode("overwrite").save()
 
+            # chat tier: turns/pairs derive from doc_id exactly like the
+            # staged specs, so conversations and pairs scale WITH the
+            # corpus (weak scaling; every op is conv/pair/hash-keyed)
+            def _turns():
+                d = F.col("doc_id")
+                return docs.select(
+                    F.expr("doc_id div 6").alias("conv_id"),
+                    (d % 6).alias("turn_idx"),
+                    F.when(d % 29 == 0, F.lit(None).cast("string"))
+                    .when(d % 23 == 0, F.lit("system"))
+                    .when(d % 17 == 0, F.lit("user"))
+                    .when((d % 6) % 2 == 0, F.lit("user"))
+                    .otherwise(F.lit("assistant"))
+                    .alias("role"),
+                    "text",
+                )
+
+            def _pairs():
+                d = F.col("doc_id")
+                base = docs.select(
+                    F.expr("doc_id div 2").alias("pair_id"),
+                    (d % 2).alias("side"),
+                    "source",
+                    (((d % 9973) * 31) % 1000).alias("q2"),
+                    "text",
+                )
+                e = base.filter(F.col("side") == 0).select(
+                    "pair_id", "source",
+                    F.col("text").alias("t0"), F.col("q2").alias("q0"),
+                )
+                o = base.filter(F.col("side") == 1).select(
+                    "pair_id", F.col("text").alias("t1"), F.col("q2").alias("q1"),
+                )
+                return e.join(o, "pair_id").select(
+                    "pair_id",
+                    "source",
+                    F.when(F.col("q0") >= F.col("q1"), F.col("t0"))
+                    .otherwise(F.col("t1"))
+                    .alias("chosen_text"),
+                    F.when(F.col("q0") >= F.col("q1"), F.col("t1"))
+                    .otherwise(F.col("t0"))
+                    .alias("rejected_text"),
+                )
+
+            def run_chat_validate():
+                chat.validate_turns(_turns()).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_chat_truncate():
+                chat.truncation_plan(_turns(), max_tokens=64).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            def run_resp_dedup():
+                chat.response_dedup(_turns()).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_pair_audit():
+                chat.preference_pair_audit(_pairs()).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_length_bias():
+                chat.preference_length_bias(_pairs()).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
             for name, fn in [
                 ("url_dedup", run_urldedup),
                 ("domain_caps", run_caps),
@@ -632,6 +701,11 @@ def probe_staged10(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                 ("epoch_repeat_plan", run_epochplan),
                 ("tokenizer_fertility", run_fertility),
                 ("curriculum_stages", run_curriculum),
+                ("chat_turn_validation", run_chat_validate),
+                ("chat_truncation_plan", run_chat_truncate),
+                ("chat_response_dedup", run_resp_dedup),
+                ("preference_pair_audit", run_pair_audit),
+                ("preference_length_bias", run_length_bias),
             ]:
                 results.setdefault(name, {})[str(f_)] = timed(fn)
                 dedup.release_caches()
