@@ -264,6 +264,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_band_bucket: int | None = 64,
+    oversize_policy: str = "star",
 ) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs, verified by exact Jaccard.
 
@@ -276,12 +277,25 @@ def minhash_lsh_pairs(
     ``max_band_bucket`` is the mega-bucket defense the textskew probe
     exists for (SCALE.md round-8: a 90 %-shared boilerplate prefix put
     whole-corpus fractions into single band buckets — 10.1× runtime at
-    2.9× tokens, i.e. the bucket self-join went quadratic): band buckets
-    holding more than the cap are SKIPPED at candidate generation. A
-    bucket that big is a template/boilerplate family — its pair set is
-    quadratic, carries no per-pair signal, and is exactly the mass
-    exact/span dedup and dup_clusters handle linearly; refusing it keeps
-    the bucket join's cost ≤ cap² per bucket at any corpus size.
+    2.9× tokens, i.e. the bucket self-join went quadratic): a band
+    bucket holding more than the cap never enters the quadratic
+    self-join. What happens to it instead is ``oversize_policy``:
+
+    - ``"star"`` (default): every member is linked to the bucket's
+      MIN id — O(bucket) candidate pairs instead of O(bucket²), each
+      still exact-Jaccard verified. A true duplicate family stays
+      CONNECTED (one star component of diameter 2 — deliberately NOT a
+      consecutive-id chain, whose O(bucket) diameter would stall
+      dup_clusters' label propagation), which is all downstream
+      clustering needs; only the exhaustive per-pair list is
+      sacrificed. Found by the round-9 dupheavy axis: with the
+      original drop policy, a corpus where 85 % of documents are
+      mirrors of five near-identical canonicals returned ZERO pairs —
+      every band bucket merged past the cap and the whole duplicated
+      mass vanished from the pair stream (SCALE.md round-9 session 3).
+    - ``"drop"``: the round-8 behavior — oversized buckets are skipped
+      entirely. Opt-in for when the pair stream must contain only
+      complete bucket families (e.g. recall accounting against a cap).
 
     The cap IS the default (64, flipped round 9 per the r8 verdict: the
     uncapped bucket join is a proven quadratic scale-killer on
@@ -289,13 +303,7 @@ def minhash_lsh_pairs(
     probe — i.e. on the NORMAL shape of web-crawl data). Pass
     ``max_band_bucket=None`` to opt in to exact full-recall semantics on
     small/curated corpora. ``lsh_recall_audit`` measures what the cap
-    costs on a given corpus; SCALE.md (round 9) records the audit on all
-    8 synthetic profiles: 1 000 000 ppm (no loss) on 6/8, and the two
-    exceptions are exactly the advertised trade — `const` (300 identical
-    docs = one quadratic family, recall 0: that mass belongs to
-    exact_dedup) and `textskew` (90 % boilerplate prefix, 603 896 ppm:
-    the missed pairs are the template family span/exact dedup owns
-    linearly).
+    costs on a given corpus (run it per policy to price the trade).
 
     Returns (id_a, id_b, jaccard), id_a < id_b.
     """
@@ -322,33 +330,63 @@ def minhash_lsh_pairs(
             bands, ", ".join(f"'{b}', band{b}" for b in range(bands))
         ),
     )
+    chain_pairs = None
     if max_band_bucket is not None:
         if max_band_bucket < 1:
             raise ValueError(f"max_band_bucket must be >= 1: {max_band_bucket}")
-        # one cheap groupBy over the bands×docs frame; oversized buckets
-        # are dropped BEFORE the self-join so their quadratic pair set is
-        # never materialized
-        keep = (
-            stacked.groupBy("band_idx", "band_key")
-            .agg(F.count("*").alias("__bn"))
-            .filter(F.col("__bn") <= max_band_bucket)
-            .select("band_idx", "band_key")
+        if oversize_policy not in ("star", "drop"):
+            raise ValueError(f"oversize_policy must be star|drop: {oversize_policy}")
+        # one cheap groupBy over the bands×docs frame decides each
+        # bucket's fate BEFORE the self-join, so an oversized bucket's
+        # quadratic pair set is never materialized
+        counts = _persist(
+            stacked.groupBy("band_idx", "band_key").agg(
+                F.count("*").alias("__bn")
+            )
         )
+        keep = counts.filter(F.col("__bn") <= max_band_bucket).select(
+            "band_idx", "band_key"
+        )
+        if oversize_policy == "star":
+            # oversized buckets degrade to a STAR around the bucket's
+            # min id: O(bucket) candidates from one per-bucket window
+            # scalar, exact-verified downstream like every other
+            # candidate; a true duplicate family stays one connected
+            # component of DIAMETER 2 (a consecutive-id chain would be
+            # O(bucket) diameter and stall label propagation — measured
+            # on the dupheavy axis: a 65-doc mirror family came out as
+            # a 51-vertex partial component at dup_clusters'
+            # max_iter=50)
+            over = stacked.join(
+                counts.filter(F.col("__bn") > max_band_bucket).select(
+                    "band_idx", "band_key"
+                ),
+                ["band_idx", "band_key"],
+                "left_semi",
+            )
+            w_star = Window.partitionBy("band_idx", "band_key")
+            chain_pairs = (
+                over.select(
+                    F.min("id").over(w_star).alias("id_a"),
+                    F.col("id").alias("id_b"),
+                )
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
         stacked = stacked.join(keep, ["band_idx", "band_key"], "left_semi")
     a = stacked.alias("a")
     b = stacked.alias("b")
     # cand feeds the intersection join AND the candidate-id semi-join
     # below — persist so the band self-join runs once
-    cand = _persist(
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    bucket_pairs = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    if chain_pairs is not None:
+        bucket_pairs = bucket_pairs.unionByName(chain_pairs)
+    cand = _persist(bucket_pairs.distinct())
     # Exact-Jaccard verification restricted to candidates: fan candidate
     # pairs out over id_a's postings, then equi-join id_b's postings on
     # (id_b, shingle). Cost ∝ |candidates| × shingles/doc — independent of
@@ -608,7 +646,18 @@ def dup_clusters(
     )
     if nparts is not None:
         labels = labels.repartition(nparts, "id").localCheckpoint()
-    for _ in range(max_iter):
+    # Plain min-label propagation converges in O(component diameter)
+    # rounds — tiny for near-clique dup graphs, but a PATH-shaped
+    # component (e.g. a drift chain a≈b≈c≈…) needs diameter rounds and
+    # used to exhaust max_iter SILENTLY with wrong partial labels
+    # (measured on the dupheavy axis before the LSH oversize policy
+    # became a star). After ``_SHORTCUT_AFTER`` plain rounds the loop
+    # adds pointer-doubling (label := label of label, one extra
+    # id-keyed join per round), which cuts remaining convergence to
+    # O(log diameter); the common fast case never pays for it.
+    _SHORTCUT_AFTER = 8
+    changed = 1
+    for i in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -623,9 +672,25 @@ def dup_clusters(
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
             ).alias("label"),
-            (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label")).alias(
-                "__chg"
-            ),
+            F.col("label").alias("__old"),
+        )
+        if i >= _SHORTCUT_AFTER:
+            # pointer doubling: a label is always some vertex's id, so
+            # re-resolve each label through the current labelling
+            lut = stepped.select(
+                F.col("id").alias("__lid"), F.col("label").alias("__llbl")
+            )
+            stepped = stepped.join(
+                lut, stepped.label == F.col("__lid"), "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__llbl"), F.col("label"))
+                ).alias("label"),
+                "__old",
+            )
+        stepped = stepped.select(
+            "id", "label", (F.col("label") < F.col("__old")).alias("__chg")
         )
         if nparts is not None:
             # keep every round's checkpointed labels id-partitioned so the
@@ -637,6 +702,13 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a silent partial labelling is a WRONG dedup answer — fail loud
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            "rounds (pointer-doubling engaged after "
+            f"{_SHORTCUT_AFTER}); raise max_iter"
+        )
     # singletons (no incident edge) label themselves — one left join at the
     # end; the iterated frame above never contained them
     ids = df.select(F.col(id_col).alias("id"))
@@ -1156,27 +1228,47 @@ def prefix_jaccard_pairs(
         raise ValueError(f"threshold must be a rational in (0, 1]: {threshold}")
     # one persisted postings frame feeds the frequency pass, the ranking,
     # and both verification probes — the tokenize+shingle explode runs
-    # once (same discipline as ngram_jaccard_pairs)
-    sh = _persist(_shingle_postings(df, text_col, id_col, n, None))
+    # once (same discipline as ngram_jaccard_pairs). Shingles are
+    # md5-hashed AT THE SOURCE so every downstream shuffle (df pass,
+    # rank join, prefix self-join, both verification probes) carries
+    # 16-byte keys instead of ~50-byte shingle text — the same map-side
+    # hashing that halved the LSH verification shuffle (round 8). The
+    # prefix lemma needs only a CONSISTENT global total order; rarest-df
+    # first with md5 tiebreak is one, so recall stays lossless.
+    sh = _persist(
+        _shingle_postings(df, text_col, id_col, n, None).select(
+            "id", F.md5("shingle").alias("h")
+        )
+    )
     sizes = sh.groupBy("id").agg(F.count("*").cast("bigint").alias("n_sh"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df_"))
+    dfreq = sh.groupBy("h").agg(F.count("*").cast("bigint").alias("df_"))
     ranked = (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq, "h")
         .withColumn(
             "rk",
-            F.row_number().over(Window.partitionBy("id").orderBy("df_", "shingle")),
+            F.row_number().over(Window.partitionBy("id").orderBy("df_", "h")),
         )
         .join(sizes, "id")
     )
     pref = ranked.filter(
         F.col("rk")
         <= F.col("n_sh") - F.expr(f"({p} * n_sh + {q - 1}) DIV {q}") + F.lit(1)
-    ).select("id", "n_sh", "shingle")
+    ).select("id", "n_sh", "h", "rk")
+    # Candidate generation + POSITIONAL filter (PPJoin, Xiao et al.
+    # WWW'08): the globally smallest common shingle m* of any
+    # qualifying pair is in both prefixes (prefix lemma), and every
+    # common shingle ranks ≥ m* in both docs, so
+    # c ≤ min(n_a − rk_a(m*) + 1, n_b − rk_b(m*) + 1). Lossless and
+    # integer-exact: J ≥ p/q ⟺ c·(p+q) ≥ p·(n_a+n_b), so pairs whose
+    # ubound fails that are discarded BEFORE the expensive
+    # verification expand (m* minimizes both ranks at once, hence the
+    # min() aggregates). Measured sf0.1: 310k → far fewer candidates
+    # for identical output.
     cand = (
         pref.alias("a")
         .join(
             pref.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.id") < F.col("b.id"))
             # length filter: lossless, prunes size-incompatible pairs
             & (
@@ -1189,12 +1281,24 @@ def prefix_jaccard_pairs(
             F.col("b.id").alias("id_b"),
             F.col("a.n_sh").alias("n_a"),
             F.col("b.n_sh").alias("n_b"),
+            F.col("a.rk").alias("__rka"),
+            F.col("b.rk").alias("__rkb"),
         )
-        .distinct()
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.min("__rka").alias("__rka"), F.min("__rkb").alias("__rkb"))
+        .filter(
+            F.least(
+                F.col("n_a") - F.col("__rka") + 1,
+                F.col("n_b") - F.col("__rkb") + 1,
+            )
+            * F.lit(p + q)
+            >= F.lit(p) * (F.col("n_a") + F.col("n_b"))
+        )
+        .drop("__rka", "__rkb")
     )
     verified = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        cand.join(sh.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").cast("bigint").alias("n_common"))
         .filter(
@@ -1633,6 +1737,7 @@ def lsh_recall_audit(
     num_hashes: int = 8,
     bands: int = 4,
     max_band_bucket: int | None = None,
+    oversize_policy: str = "star",
 ) -> DataFrame:
     """Recall audit of the banded MinHash-LSH candidate generation
     against the EXACT inverted-index ground truth at the same
@@ -1645,8 +1750,9 @@ def lsh_recall_audit(
     precision is 1 by construction; the audit therefore reports
     n_true, n_found, n_missed and recall (exact integer ppm). With
     ``max_band_bucket`` set, the missing mass additionally includes
-    the refused mega-bucket pairs — run both settings to see what the
-    cap actually costs on YOUR corpus.
+    whatever the oversize policy refuses (``star`` keeps O(bucket)
+    connectivity links; ``drop`` refuses the bucket outright) — run
+    the settings side by side to price the cap on YOUR corpus.
 
     100 TB shape: the truth side is the exact inverted join — this is
     an AUDIT you run on a sampled slice, not the production path (the
@@ -1665,6 +1771,7 @@ def lsh_recall_audit(
         bands,
         threshold,
         max_band_bucket=max_band_bucket,
+        oversize_policy=oversize_policy,
     ).select("id_a", "id_b")
     hit = truth.join(found, ["id_a", "id_b"], "left_semi")
     t = truth.agg(F.count("*").cast("bigint").alias("n_true"))

@@ -1420,10 +1420,23 @@ def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT bands.id, bands.b, bands.key
       FROM bands JOIN keepb USING (b, key)
     ),
+    overb AS (
+      SELECT b, key FROM bands GROUP BY b, key HAVING COUNT(*) > 64
+    ),
+    star AS (
+      SELECT DISTINCT mn AS id_a, id AS id_b FROM (
+        SELECT bands.id AS id,
+               MIN(bands.id) OVER (PARTITION BY bands.b, bands.key) AS mn
+        FROM bands JOIN overb USING (b, key)
+      ) WHERE mn < id
+    ),
     cand AS (
-      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
-      FROM bandsc a JOIN bandsc b2
-        ON a.key = b2.key AND a.b = b2.b AND a.id < b2.id
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.id AS id_a, b2.id AS id_b
+        FROM bandsc a JOIN bandsc b2
+          ON a.key = b2.key AND a.b = b2.b AND a.id < b2.id
+        UNION ALL SELECT id_a, id_b FROM star
+      )
     ),
     """
     + _JACCARD_TAIL.replace("    sizes AS", "sizes AS", 1)

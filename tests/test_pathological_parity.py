@@ -429,3 +429,117 @@ def test_fold_lower_primitive_contract(spark):
             )
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Dupheavy axis (round 9, session 3): ~85 % of documents collapse onto
+# five canonical near-dup texts — giant md5 groups, ONE giant connected
+# component, quadratic pair-operator output. The full-catalog sweep runs
+# via tools/check_parity.py /tmp/sf_dupheavy (246/246 green 2026-08-16);
+# this suite pins the dedup-family subset plus the axis's structural
+# contract so a regression can't hide between full sweeps.
+# ---------------------------------------------------------------------------
+
+DUPHEAVY_REGRESSION_SET = [
+    "ext_exact_dedup",
+    "ext_dedup_keep_one",
+    "ext_dup_clusters",
+    "ext_dup_cluster_sizes",
+    "ext_minhash_lsh_capped",
+    "ext_ngram_dup_fraction",
+    "ext_simhash_pairs",
+    "ext_span_dedup",
+    "ext_paragraph_dedup",
+    "ext_exact_substring_spans",
+    "ext_sorted_neighborhood",
+    "ext_containment_pairs",
+    "ext_prefix_jaccard_join",
+]
+
+
+@pytest.fixture(scope="module")
+def dupheavy_sf(spark, sf_dir, tmp_path_factory):
+    from gen_pathological import mutate_dupheavy
+
+    out = str(tmp_path_factory.mktemp("sf_dupheavy"))
+    for t in TABLES:
+        mutate_dupheavy(load_table(spark, sf_dir, t)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+def test_dupheavy_parity_regression_set(spark, dupheavy_sf):
+    specs = SPECS()
+    con = duck_con(dupheavy_sf)
+    failures = []
+    try:
+        for name in DUPHEAVY_REGRESSION_SET:
+            spec = specs[name]
+            try:
+                sdf = spec.fn(spark, dupheavy_sf)
+                srows = _normalize(
+                    [tuple(r) for r in sdf.collect()], sdf.columns
+                )
+                cur = con.execute(spec.oracle)
+                dcols = [d[0] for d in cur.description]
+                drows = _normalize(cur.fetchall(), dcols)
+            except Exception as exc:  # noqa: BLE001
+                failures.append(
+                    f"{name}: {type(exc).__name__}: {str(exc)[:140]}"
+                )
+                continue
+            if len(srows) != len(drows):
+                failures.append(
+                    f"{name}: rowcount spark={len(srows)} duck={len(drows)}"
+                )
+                continue
+            for sr, dr in zip(srows, drows):
+                if len(sr) != len(dr) or not all(
+                    _values_equal(a, b) for a, b in zip(sr, dr)
+                ):
+                    failures.append(f"{name}: value diff {sr} vs {dr}")
+                    break
+    finally:
+        con.close()
+    assert not failures, "\n".join(failures)
+
+
+def test_dupheavy_axis_structural_contract(spark, dupheavy_sf):
+    """The axis must actually produce its advertised shape: (a) exact
+    dedup sees a handful of giant hash groups holding most of the
+    corpus, and (b) the near-dup graph has ONE giant connected component
+    spanning (almost) all duplicated docs — the diameter that drives
+    label-propagation rounds. Guards against a construction drift that
+    would silently turn the axis benign."""
+    from dbt_glue_spark.extensions.dedup import (
+        dup_clusters,
+        minhash_lsh_pairs,
+        release_caches,
+    )
+
+    docs = load_table(spark, dupheavy_sf, "documents")
+    n_docs = docs.filter(F.col("text").isNotNull()).count()
+    groups = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy(F.md5("text"))
+        .count()
+        .filter(F.col("count") >= 10)
+        .collect()
+    )
+    assert len(groups) == 5, groups
+    mass = sum(r["count"] for r in groups)
+    assert mass >= int(0.75 * n_docs), (mass, n_docs)
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    comps = dup_clusters(docs, pairs)
+    sizes = comps.groupBy("cluster_id").count().orderBy(F.desc("count"))
+    top = sizes.first()
+    release_caches()
+    # The capped default's chain policy guarantees CONNECTIVITY of every
+    # exact-duplicate family: identical docs share all band buckets, so
+    # the largest mirror family must come out as one component at least
+    # its own size (before the round-9 star fix this was 1 — the drop
+    # policy erased the entire duplicated mass from the pair stream).
+    biggest_family = max(r["count"] for r in groups)
+    assert top["count"] >= biggest_family, (top, biggest_family)

@@ -591,13 +591,20 @@ def test_minhash_capped_identity_on_clean_corpus(spark, sf_dir):
     assert capped == uncapped
 
 
-def test_minhash_cap_drops_only_megabucket_pairs(spark):
+def test_minhash_cap_star_vs_drop_policies(spark):
     """Boilerplate corpus: every doc shares a long template prefix, so
-    all docs land in shared band buckets. The cap must (a) produce a
-    SUBSET of the uncapped pairs, (b) drop the template-family pairs
-    (the quadratic mass), and (c) keep pairs whose similarity is carried
-    by their own content (distinct real dup pairs still found when their
-    bucket is small)."""
+    all docs land in shared band buckets. Under the cap:
+
+    - ``star`` (default): capped ⊆ uncapped (star pairs are exact-
+      verified), the own-content pair survives, the template family's
+      QUADRATIC mass is refused but the family stays CONNECTED — its
+      O(bucket) star pairs (every member → bucket min, diameter 2) link
+      all 30 docs into one component (the round-9 dupheavy finding:
+      drop semantics returned ZERO pairs on a mirror corpus and the
+      whole dup mass vanished; a consecutive-id CHAIN stalls
+      dup_clusters' label propagation at O(bucket) diameter);
+    - ``drop``: the round-8 behavior — no template pairs at all.
+    """
     from dbt_glue_spark.extensions.dedup import minhash_lsh_pairs
 
     boiler = " ".join(f"tpl{i}" for i in range(40))
@@ -612,18 +619,42 @@ def test_minhash_cap_drops_only_megabucket_pairs(spark):
         (r.id_a, r.id_b)
         for r in minhash_lsh_pairs(df, threshold=0.5, max_band_bucket=None).collect()
     }
-    capped = {
+    starred = {
         (r.id_a, r.id_b)
         for r in minhash_lsh_pairs(df, threshold=0.5, max_band_bucket=8).collect()
     }
-    assert capped <= uncapped
-    assert (100, 101) in capped  # own-content pair survives
-    # the 30-doc template family (J ~ 38/44 > 0.5 pairwise) is the
-    # quadratic mass the cap refuses
-    assert any(a < 100 and b < 100 for a, b in uncapped)
-    assert not any(a < 100 and b < 100 for a, b in capped)
+    dropped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, threshold=0.5, max_band_bucket=8, oversize_policy="drop"
+        ).collect()
+    }
+    assert starred <= uncapped and dropped <= starred
+    assert (100, 101) in starred and (100, 101) in dropped
+    tpl_all = {(a, b) for a, b in uncapped if a < 100 and b < 100}
+    tpl_star = {(a, b) for a, b in starred if a < 100 and b < 100}
+    # quadratic mass (LSH banding may probabilistically miss a few of
+    # the 435 true pairs — 425 observed; the point is the scale class)
+    assert len(tpl_all) > 300
+    assert 0 < len(tpl_star) < len(tpl_all)      # linear, not quadratic
+    assert len(tpl_star) <= 4 * 29               # ≤ one star per band
+    assert not any(a < 100 and b < 100 for a, b in dropped)
+    # connectivity: union-find over the star pairs joins all 30
+    parent = list(range(30))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in tpl_star:
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(30)}) == 1
     with pytest.raises(ValueError, match="max_band_bucket"):
         minhash_lsh_pairs(df, max_band_bucket=0)
+    with pytest.raises(ValueError, match="oversize_policy"):
+        minhash_lsh_pairs(df, max_band_bucket=8, oversize_policy="explode")
 
 
 def test_minhash_capped_plan_is_bucketed(spark, sf_dir):
@@ -773,3 +804,23 @@ def test_psi_by_group_one_sided_group_null(spark):
     assert rows["g2"].psi is None and rows["g2"].js is None
     with pytest.raises(ValueError, match="eps"):
         psi_js_drift_by_group(a, b, "g", "v", eps=0)
+
+
+def test_dup_clusters_long_path_pointer_doubling(spark):
+    """A 200-vertex PATH (the worst diameter shape — before round 9 this
+    silently returned partial labels once max_iter rounds ran out):
+    pointer doubling must converge it to ONE component labeled 0 within
+    the default max_iter, and a max_iter too small to converge must
+    RAISE, never return a wrong labelling."""
+    from dbt_glue_spark.extensions.dedup import dup_clusters
+
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    out = dup_clusters(docs, pairs).collect()
+    assert len(out) == n
+    assert {r.cluster_id for r in out} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(docs, pairs, max_iter=3)

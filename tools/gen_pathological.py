@@ -79,7 +79,7 @@ the job and DuckDB's BIGINT path errors identically. Found (and fixed,
 round 9) by routing every share/ppm product through decimal(38,0) on
 the Spark side and HUGEINT in the oracles — quotients stay bigint.
 
-Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot|long|textskew|unicode|bigmag|ieee]
+Usage: python tools/gen_pathological.py [src_sf_dir] [out_dir] [--variant=dirty|const|ts|hot|long|textskew|unicode|bigmag|ieee|dupheavy]
 """
 
 from __future__ import annotations
@@ -436,6 +436,49 @@ def mutate_ieee(df, rows: int = 300):
     return out
 
 
+# 40-token shared base for the dupheavy canonicals: the five variants
+# differ only in a one-token tail, so every cross-variant pair is a
+# near-dup (Jaccard ≈ 0.95) and the whole duplicated mass forms ONE
+# connected component, not five.
+_DUP_BASE = (
+    "breaking news update the quick brown fox jumps over the lazy dog"
+    " while markets rally and analysts expect further gains in the"
+    " technology sector amid strong earnings reports and renewed"
+    " consumer confidence across all regions today"
+)
+
+
+def mutate_dupheavy(df, rows: int = 300):
+    """Duplicate-heavy variant: ~85 % of documents collapse onto FIVE
+    canonical texts that are near-dups of EACH OTHER (shared 40-token
+    base, one-token tails) — the mirror/syndication corpus shape. It
+    stresses what textskew (shared prefix, distinct tails) cannot:
+    giant exact-dedup hash groups (~50 rows per md5 at 300 docs),
+    quadratic pair-operator OUTPUT (the true answer on this corpus IS
+    O(dup²) pairs — the reason production pipelines run clusters/
+    keep-one, not pairs), and ONE giant connected component spanning
+    ~255 of 300 docs whose diameter drives label-propagation rounds in
+    dup_clusters. Only the text column mutates; ``n_chars`` is
+    recomputed so length-derived features stay consistent."""
+    base = df.limit(rows)
+    if "text" not in df.columns:
+        return base
+    h = F.abs(F.hash(F.col(df.columns[0]).cast("string"), F.lit("dupheavy")))
+    canonical = F.concat(
+        F.lit(_DUP_BASE), F.lit(" variant "), (h % 5).cast("string")
+    )
+    out = base.withColumn(
+        "text",
+        F.when(F.col("text").isNull(), F.col("text"))
+        .when(h % 20 < 17, canonical)
+        .otherwise(F.col("text")),
+    )
+    if "n_chars" in df.columns:
+        dt = dict(df.dtypes)["n_chars"]
+        out = out.withColumn("n_chars", F.length("text").cast(dt))
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     variant = "dirty"
@@ -453,6 +496,7 @@ def main() -> None:
         "unicode": "/tmp/sf_unicode",
         "bigmag": "/tmp/sf_bigmag",
         "ieee": "/tmp/sf_ieee",
+        "dupheavy": "/tmp/sf_dupheavy",
     }
     out = args[1] if len(args) > 1 else defaults[variant]
     fn = {
@@ -465,6 +509,7 @@ def main() -> None:
         "unicode": mutate_unicode,
         "bigmag": mutate_bigmag,
         "ieee": mutate_ieee,
+        "dupheavy": mutate_dupheavy,
     }[variant]
     spark = get_spark("pathological_gen")
     spark.sparkContext.setLogLevel("ERROR")
