@@ -174,7 +174,17 @@ STREAMING_SET = [
 @pytest.mark.parity
 @pytest.mark.parametrize(
     "variant",
-    ["dirty", "const", "ts", "hot", "empty", "long", "textskew", "unicode"],
+    [
+        "dirty",
+        "const",
+        "ts",
+        "hot",
+        "empty",
+        "long",
+        "textskew",
+        "unicode",
+        "dupheavy",
+    ],
 )
 def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
     """Pathological-axis × streaming cross-product (round-6, opt-in).
@@ -190,6 +200,7 @@ def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
     from check_parity import run_parity
     from gen_pathological import (
         mutate_const,
+        mutate_dupheavy,
         mutate_hot,
         mutate_long,
         mutate_textskew,
@@ -206,6 +217,7 @@ def test_streaming_pathological_axes(spark, sf_dir, tmp_path_factory, variant):
         "long": mutate_long,
         "textskew": mutate_textskew,
         "unicode": mutate_unicode,
+        "dupheavy": mutate_dupheavy,
     }[variant]
     out = str(tmp_path_factory.mktemp(f"sf_stream_{variant}"))
     for t in TABLES:
