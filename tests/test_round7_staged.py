@@ -7,6 +7,8 @@ contract: all 16 live, and sampled first by the driver rotation.
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from dbt_glue_spark.plans.round7_staged import STAGED
@@ -749,3 +751,51 @@ def test_interval_islands_hand_case(spark):
         ("u", "2024-01-20", "2024-01-21", 1),
         ("v", "2024-01-02", "2024-01-02", 1),
     ]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([(1, 3), (1, 2), (2, 3), (4, 5), (1, 1)]),
+)
+def test_prefix_jaccard_positional_filter_lossless(spark, docs_tokens, pq):
+    """Property pin for the round-9 PPJoin positional filter
+    (c ≤ min(n_a − rk_a* + 1, n_b − rk_b* + 1), checked as
+    ubound·(p+q) ≥ p·(n_a+n_b)): on random small corpora over a tiny
+    vocabulary (maximal shingle collisions, lots of boundary pairs) and
+    across thresholds INCLUDING exact 1/1, the operator must equal the
+    Python brute force exactly — a too-tight bound loses pairs AT the
+    threshold boundary first, which random tiny corpora hit constantly
+    and the fixed sf corpus may never."""
+    import itertools
+
+    from dbt_glue_spark.extensions.dedup import prefix_jaccard_pairs
+
+    p, q = pq
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sets = {
+        i: {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        for i, toks in enumerate(docs_tokens)
+    }
+    expected = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        c = len(sa & sb)
+        if c and c * q >= p * (len(sa) + len(sb) - c):
+            expected.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_jaccard_pairs(df, "text", "doc_id", 3, (p, q)).collect()
+    }
+    assert got == expected
