@@ -448,7 +448,7 @@ _DUP_BASE = (
 )
 
 
-def mutate_dupheavy(df, rows: int = 300):
+def mutate_dupheavy(df, rows: int | None = 300):
     """Duplicate-heavy variant: ~85 % of documents collapse onto FIVE
     canonical texts that are near-dups of EACH OTHER (shared 40-token
     base, one-token tails) — the mirror/syndication corpus shape. It
@@ -460,7 +460,7 @@ def mutate_dupheavy(df, rows: int = 300):
     ~255 of 300 docs whose diameter drives label-propagation rounds in
     dup_clusters. Only the text column mutates; ``n_chars`` is
     recomputed so length-derived features stay consistent."""
-    base = df.limit(rows)
+    base = df if rows is None else df.limit(rows)
     if "text" not in df.columns:
         return base
     h = F.abs(F.hash(F.col(df.columns[0]).cast("string"), F.lit("dupheavy")))

@@ -23,7 +23,7 @@ postings, minhash banding. Note the textskew mutation ADDS tokens
 in with skew sensitivity — adjudicate against the corpus token count
 (reported as ``token_ratio``), not 1.0.
 
-Usage: python tools/skew_probe.py [sf_dir] [--reps=3] [--axis=hot|textskew]
+Usage: python tools/skew_probe.py [sf_dir] [--reps=3] [--axis=hot|textskew|dupheavy]
 Prints one JSON line: {query: {"clean": s, "hot": s, "ratio": r}}.
 """
 
@@ -40,7 +40,7 @@ _TOOLS = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_TOOLS))
 sys.path.insert(0, _TOOLS)
 
-from gen_pathological import mutate_hot, mutate_textskew  # noqa: E402
+from gen_pathological import mutate_dupheavy, mutate_hot, mutate_textskew  # noqa: E402
 
 from dbt_glue_spark.plans.catalog import SPECS  # noqa: E402
 from dbt_glue_spark.session import get_spark  # noqa: E402
@@ -84,6 +84,24 @@ PROBED_TEXT = [
 ]
 
 
+# Dedup heavyweights probed on the dupheavy axis (round-9 session 3):
+# ~85 % of documents collapse onto five near-dup canonicals, so giant md5
+# groups, an over-cap LSH mega-bucket (star policy engaged) and a
+# quadratic TRUE pair answer. Adjudicate pair operators against the
+# reported dup_ratio (their output IS quadratic in the dup mass); the
+# capped/star and cluster paths must stay near-linear.
+PROBED_DUP = [
+    "ext_exact_dedup",               # giant hash groups, map-side combine
+    "ext_dedup_apply",               # end-to-end capped pipeline (star)
+    "ext_minhash_lsh_capped",        # star policy over the mega-bucket
+    "ext_dup_clusters",              # one giant component, propagation rounds
+    "ext_exact_substring_spans",     # every canonical window corpus-hot
+    "ext_ngram_dup_fraction",        # df ~ dup mass on canonical shingles
+    "ext_prefix_jaccard_join",       # quadratic TRUE answer — positional filter
+    "ext_text_stats",                # control: per-doc map-only stats
+]
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -109,18 +127,43 @@ def main() -> None:
             reps = int(a.split("=", 1)[1])
         if a.startswith("--axis"):
             axis = a.split("=", 1)[1]
-    mutator = {"hot": mutate_hot, "textskew": mutate_textskew}[axis]
-    probed = {"hot": PROBED, "textskew": PROBED_TEXT}[axis]
+    mutator = {
+        "hot": mutate_hot,
+        "textskew": mutate_textskew,
+        "dupheavy": mutate_dupheavy,
+    }[axis]
+    probed = {
+        "hot": PROBED,
+        "textskew": PROBED_TEXT,
+        "dupheavy": PROBED_DUP,
+    }[axis]
     spark = get_spark("skew_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     hot_dir = tempfile.mkdtemp(prefix="dgs_skew_probe_")
     try:
         token_ratio = None
+        dup_ratio = None
         for t in TABLES:
             mutator(load_table(spark, sf_dir, t), rows=None).write.mode(
                 "overwrite"
             ).parquet(os.path.join(hot_dir, f"{t}.parquet"))
+        if axis == "dupheavy":
+            # report the duplicated-document fraction so quadratic-truth
+            # pair operators are adjudicated against it
+            from pyspark.sql import functions as F
+
+            d = load_table(spark, hot_dir, "documents").filter(
+                F.col("text").isNotNull()
+            )
+            grp = d.groupBy(F.md5("text")).count()
+            dup_docs = (
+                grp.filter(F.col("count") >= 2)
+                .agg(F.sum("count"))
+                .collect()[0][0]
+                or 0
+            )
+            dup_ratio = round(dup_docs / max(d.count(), 1), 3)
         if axis == "textskew":
             # the mutation adds real tokens: report the corpus blow-up so
             # runtime ratios are adjudicated against it, not against 1.0
@@ -160,6 +203,8 @@ def main() -> None:
         out = {"sf_dir": sf_dir, "reps": reps, "axis": axis, "results": results}
         if token_ratio is not None:
             out["token_ratio"] = token_ratio
+        if dup_ratio is not None:
+            out["dup_ratio"] = dup_ratio
         print(json.dumps(out))
     finally:
         shutil.rmtree(hot_dir, ignore_errors=True)
