@@ -1466,3 +1466,74 @@ def ext_preference_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions.chat import preference_length_bias
 
     return preference_length_bias(_synth_pairs_spark(spark, sf_dir))
+
+
+@register_staged(
+    "streaming_chat_response_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 29 = 0 THEN NULL
+                  WHEN doc_id % 23 = 0 THEN 'system'
+                  WHEN doc_id % 17 = 0 THEN 'user'
+                  WHEN (doc_id % 6) % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             text
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    led AS (
+      SELECT DISTINCT md5(text) AS h FROM t
+      WHERE doc_id < 100 AND role = 'assistant' AND text IS NOT NULL
+    )
+    SELECT DISTINCT md5(text) AS resp_hash FROM t
+    WHERE doc_id >= 100 AND role = 'assistant' AND text IS NOT NULL
+      AND md5(text) NOT IN (SELECT h FROM led)
+    """,
+    doc="Streaming assistant-response dedup at ingestion "
+    "(streaming/pipelines.response_frontier_stream — the Kappa twin of "
+    "chat.response_dedup): synthetic SFT turns staged as a 4-file "
+    "stream, each assistant turn's md5 emitted exactly once and never "
+    "when the static seen-response ledger (turns with doc_id < 100) "
+    "already covers it — stream-static LEFT ANTI join + in-stream "
+    "dropDuplicates on the 16-byte hash, append-mode memory sink. The "
+    "emitted set must equal the batch frontier exactly regardless of "
+    "file arrival order (set semantics). Oracle derives roles and "
+    "ledger membership closed-form from the turn construction.",
+)
+def streaming_chat_response_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from dbt_glue_spark.streaming.pipelines import response_frontier_stream
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    turns = docs.select(
+        "doc_id", _synth_role_spark(F.col("doc_id")).alias("role"), "text"
+    )
+    ledger = turns.filter(F.col("doc_id") < 100).select("role", "text")
+    batch = turns.filter(F.col("doc_id") >= 100).select("role", "text")
+    stage = tempfile.mkdtemp(prefix="dgs_q_respdedup_")
+    batch.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    name = f"q_respdedup_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            response_frontier_stream(stream, ledger)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

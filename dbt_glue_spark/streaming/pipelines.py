@@ -407,6 +407,48 @@ def url_frontier_stream(
     )
 
 
+def response_frontier_stream(
+    turns_stream: DataFrame,
+    ledger: DataFrame,
+    role: str = "assistant",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming assistant-response dedup — the Kappa twin of
+    chat.response_dedup applied at INGESTION: as SFT conversations
+    stream in, each ``role`` turn's text hash is emitted exactly once,
+    and never if the static seen-response ledger already covers it
+    (stream-static LEFT ANTI join, static side re-read per micro-batch).
+    The canned-reply/template-answer mass that response_dedup finds
+    after the fact never enters the corpus in the first place.
+
+    State is the dropDuplicates store keyed on the 16-byte md5 —
+    bounded by |new distinct responses|; a production deployment bounds
+    it with dropDuplicatesWithinWatermark on an arrival-time column and
+    periodically folds emitted hashes back into the ledger (the
+    url_frontier_stream discipline, applied to turn content).
+
+    Batch twin: distinct md5 of the stream's ``role`` turns minus the
+    ledger's — the emitted set must equal it exactly regardless of file
+    arrival order.
+    """
+    seen = (
+        ledger.filter(
+            (F.col(role_col) == role) & F.col(text_col).isNotNull()
+        )
+        .select(F.md5(F.col(text_col)).alias("resp_hash"))
+        .distinct()
+    )
+    return (
+        turns_stream.filter(
+            (F.col(role_col) == role) & F.col(text_col).isNotNull()
+        )
+        .select(F.md5(F.col(text_col)).alias("resp_hash"))
+        .join(seen, "resp_hash", "left_anti")
+        .dropDuplicates(["resp_hash"])
+    )
+
+
 def enrich_stream(
     events_stream: DataFrame,
     dim: DataFrame,

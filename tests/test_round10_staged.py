@@ -1093,3 +1093,41 @@ def test_chat_single_exchange_plans(spark, sf_dir):
         )
         assert plan.count("Exchange hashpartitioning") == n_exchanges, (name, plan)
         assert "SortMergeJoin" not in plan, name
+
+
+def test_streaming_chat_response_dedup_equals_batch(spark, sf_dir):
+    """Kappa equivalence: the streamed response frontier equals the batch
+    set (distinct assistant-text md5s minus the ledger's) exactly."""
+    from dbt_glue_spark.plans.round10_staged import (
+        STAGED10,
+        _synth_role_spark,
+    )
+    from dbt_glue_spark.sources.registry import load_table
+
+    got = {
+        r.resp_hash
+        for r in STAGED10()["streaming_chat_response_dedup"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    turns = docs.select(
+        "doc_id", _synth_role_spark(F.col("doc_id")).alias("role"), "text"
+    ).filter((F.col("role") == "assistant") & F.col("text").isNotNull())
+    led = {
+        r.h
+        for r in turns.filter(F.col("doc_id") < 100)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    want = {
+        r.h
+        for r in turns.filter(F.col("doc_id") >= 100)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    } - led
+    assert got == want
