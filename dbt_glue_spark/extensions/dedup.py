@@ -185,13 +185,21 @@ def ngram_jaccard_pairs(
     """
     # postings feed the join twice (a/b sides) plus the per-doc size agg —
     # persist so the tokenize+shingle explode runs once, not three times
-    # (measured ~2x on the sf0.1 corpus; same discipline as minhash)
-    sh = _persist(_shingle_postings(df, text_col, id_col, n, df_freq_cutoff))
+    # (measured ~2x on the sf0.1 corpus; same discipline as minhash).
+    # Shingles are md5-hashed AT THE SOURCE so the inverted self-join —
+    # the widest exchange in the plan — carries 16-byte keys instead of
+    # ~50-byte shingle text (the r8 LSH / r9 prefix-Jaccard discipline);
+    # intersection counts are identical (collision mass negligible).
+    sh = _persist(
+        _shingle_postings(df, text_col, id_col, n, df_freq_cutoff).select(
+            "id", F.md5("shingle").alias("__shh")
+        )
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.__shh") == F.col("b.__shh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -738,14 +746,17 @@ def contamination_pairs(
     deliberate: a 50-token leak inside a 10k-token training doc has
     negligible Jaccard but is still contamination.
     """
-    sh_a = _shingle_postings(corpus_a, text_col, id_col, n, None).withColumnRenamed(
-        "id", "a_id"
+    # md5 the shingles map-side on BOTH corpora so the cross-corpus join
+    # carries 16-byte keys, never shingle text (the module-wide shuffle
+    # discipline); the ≥ min_common count semantics are identical
+    sh_a = _shingle_postings(corpus_a, text_col, id_col, n, None).select(
+        F.col("id").alias("a_id"), F.md5("shingle").alias("__shh")
     )
-    sh_b = _shingle_postings(corpus_b, text_col, id_col, n, None).withColumnRenamed(
-        "id", "b_id"
+    sh_b = _shingle_postings(corpus_b, text_col, id_col, n, None).select(
+        F.col("id").alias("b_id"), F.md5("shingle").alias("__shh")
     )
     return (
-        sh_a.join(sh_b, "shingle")
+        sh_a.join(sh_b, "__shh")
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
