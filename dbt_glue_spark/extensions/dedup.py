@@ -88,7 +88,7 @@ def exact_dedup(
     # hashed feeds both the keep-set build and the probe side; persist so
     # the normalize+md5 regex pipeline runs once, not once per consumer
     # (measured 4x on the sf0.1 corpus; spills to disk if it can't cache)
-    hashed = _persist(df.withColumn("__h", F.md5(c)))
+    hashed = _persist(df.withColumn("__h", F.unhex(F.md5(c))))
     keep = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
     return (
         hashed.join(keep, [ "__h", id_col], "left_semi")
@@ -192,7 +192,7 @@ def ngram_jaccard_pairs(
     # intersection counts are identical (collision mass negligible).
     sh = _persist(
         _shingle_postings(df, text_col, id_col, n, df_freq_cutoff).select(
-            "id", F.md5("shingle").alias("__shh")
+            "id", F.unhex(F.md5("shingle")).alias("__shh")
         )
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
@@ -425,7 +425,7 @@ def minhash_lsh_pairs(
     # of the widest exchange in the pipeline roughly halve — measured at
     # the 64× local memory boundary where this operator's spill regime
     # begins (SCALE.md round-8)
-    shingle_h = F.md5("shingle").alias("__shh")
+    shingle_h = F.unhex(F.md5("shingle")).alias("__shh")
     sh_a = sh.select(F.col("id").alias("id_a"), shingle_h)
     sh_b = sh.select(F.col("id").alias("id_b"), shingle_h)
     inter = (
@@ -750,10 +750,10 @@ def contamination_pairs(
     # carries 16-byte keys, never shingle text (the module-wide shuffle
     # discipline); the ≥ min_common count semantics are identical
     sh_a = _shingle_postings(corpus_a, text_col, id_col, n, None).select(
-        F.col("id").alias("a_id"), F.md5("shingle").alias("__shh")
+        F.col("id").alias("a_id"), F.unhex(F.md5("shingle")).alias("__shh")
     )
     sh_b = _shingle_postings(corpus_b, text_col, id_col, n, None).select(
-        F.col("id").alias("b_id"), F.md5("shingle").alias("__shh")
+        F.col("id").alias("b_id"), F.unhex(F.md5("shingle")).alias("__shh")
     )
     return (
         sh_a.join(sh_b, "__shh")
@@ -1108,7 +1108,7 @@ def ngram_dup_fraction(
     """
     post = _persist(
         _shingle_postings(df, text_col, id_col, n, None).select(
-            "id", F.md5("shingle").alias("h")
+            "id", F.unhex(F.md5("shingle")).alias("h")
         )
     )
     dfreq = post.groupBy("h").agg(F.count("*").alias("dfr"))
@@ -1248,7 +1248,7 @@ def prefix_jaccard_pairs(
     # first with md5 tiebreak is one, so recall stays lossless.
     sh = _persist(
         _shingle_postings(df, text_col, id_col, n, None).select(
-            "id", F.md5("shingle").alias("h")
+            "id", F.unhex(F.md5("shingle")).alias("h")
         )
     )
     sizes = sh.groupBy("id").agg(F.count("*").cast("bigint").alias("n_sh"))
@@ -1388,7 +1388,7 @@ def exact_substring_spans(
                 f"transform(if(size(toks) >= {L},"
                 f" sequence(1, size(toks) - {L} + 1),"
                 f" cast(array() as array<int>)),"
-                f" i -> md5(concat_ws(' ', slice(toks, i, {L}))))"
+                f" i -> unhex(md5(concat_ws(' ', slice(toks, i, {L})))))"
             )
         ).alias("__i0", "__h"),
     ).select("__id", "n_tokens", (F.col("__i0") + 1).alias("pos"), "__h")
