@@ -23,6 +23,10 @@ Long Way to Go: Investigating Length Correlations in RLHF").
 NULL contracts (stratified-family rules used module-wide):
 - rows with a NULL conversation / pair key are excluded (they cannot be
   grouped deterministically);
+- rows with a NULL turn index are excluded by the ordered operators
+  (validate_turns, truncation_plan): the two engines disagree on where
+  NULL sorts (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), so a NULL
+  position has no engine-stable place in a conversation;
 - NULL turn text counts as an EMPTY turn (0 tokens) for token math but
   flags ``n_empty_turns`` in validation;
 - preference pairs where either side's text is NULL are excluded from
@@ -75,7 +79,9 @@ def validate_turns(
     short (tens of turns), so no per-group memory concern.
     """
     is_sys = F.coalesce(F.col("role") == "system", F.lit(False))
-    base = df.filter(F.col(conv_col).isNotNull()).select(
+    base = df.filter(
+        F.col(conv_col).isNotNull() & F.col(turn_col).isNotNull()
+    ).select(
         F.col(conv_col).alias("conv_id"),
         F.col(turn_col).alias("turn_idx"),
         F.col(role_col).alias("role"),
@@ -260,7 +266,9 @@ def truncation_plan(
     conversation id, so Spark plans a SINGLE exchange and reuses its
     partitioning across all three. Token math is exact bigint.
     """
-    base = df.filter(F.col(conv_col).isNotNull()).select(
+    base = df.filter(
+        F.col(conv_col).isNotNull() & F.col(turn_col).isNotNull()
+    ).select(
         F.col(conv_col).alias("conv_id"),
         F.col(turn_col).alias("turn_idx"),
         F.col(role_col).alias("role"),

@@ -1131,3 +1131,21 @@ def test_streaming_chat_response_dedup_equals_batch(spark, sf_dir):
         .collect()
     } - led
     assert got == want
+
+
+def test_chat_null_turn_idx_excluded(spark):
+    """NULL turn_idx rows are excluded by the ordered chat operators
+    (module NULL contract): Spark sorts NULL first, DuckDB last, so a
+    NULL position has no engine-stable place in a conversation."""
+    from dbt_glue_spark.extensions.chat import truncation_plan, validate_turns
+
+    rows = [
+        (1, 0, "user", "a b"),
+        (1, None, "assistant", "ghost turn"),
+        (1, 1, "assistant", "c d"),
+    ]
+    df = _turns_df(spark, rows)
+    v = validate_turns(df).collect()[0]
+    assert v.n_turns == 2 and v.n_assistant == 1
+    t = truncation_plan(df, max_tokens=10).collect()[0]
+    assert t.n_turns_total == 2 and t.tokens_total == 4
