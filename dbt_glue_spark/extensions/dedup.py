@@ -726,6 +726,57 @@ def dup_clusters(
     )
 
 
+def cluster_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Quality-argmax survivor selection per NEAR-DUP CLUSTER — the
+    cluster-level form of :func:`exact_dedup_keep_best` (the
+    FineWeb/RefinedWeb curation rule applied where it actually binds:
+    a near-dup family is a transitive group, and greedy pairwise drops
+    like dedup_apply's keep-lowest-id can discard the best copy).
+
+    Pipeline: connected components over the near-dup ``pairs``
+    (:func:`dup_clusters` — min-label propagation with pointer
+    doubling), then one groupBy on the cluster id with the argmax
+    riding ``min(struct(-score, id))`` — no window, no join-back.
+    Ties break to the lowest id; a NULL score loses to any real score
+    (−1 coalesce, the keep_best contract). Singleton clusters keep
+    themselves, so the output is the full survivor manifest:
+    (cluster_id, keep_id, n_members, best_score).
+
+    100 TB shape: inherits dup_clusters' V(E)-bounded propagation; the
+    keep pass adds ONE map-side-combining groupBy on the cluster id
+    carrying (bigint, bigint, bigint) rows.
+    """
+    comps = dup_clusters(df, pairs, id_col, max_iter)
+    q = F.coalesce(F.col(score_col).cast("bigint"), F.lit(-1))
+    scored = comps.join(
+        df.select(F.col(id_col), q.alias("__q")), id_col
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__q")).alias("nq"), F.col(id_col).alias("i")
+                )
+            ).alias("__w"),
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max("__q").cast("bigint").alias("best_score"),
+        )
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("__w.i").cast("bigint").alias("keep_id"),
+            "n_members",
+            "best_score",
+        )
+    )
+
+
 def contamination_pairs(
     corpus_a: DataFrame,
     corpus_b: DataFrame,

@@ -1537,3 +1537,63 @@ def streaming_chat_response_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+@register_staged(
+    "ext_cluster_keep_best",
+    None,  # oracle assigned below (reuses the recursive clusters CTE)
+    doc="Quality-argmax survivor per NEAR-DUP CLUSTER "
+    "(dedup.cluster_keep_best): connected components over 3-gram-"
+    "Jaccard>=0.5 pairs, then keep the highest-scored member of each "
+    "transitive family (ties -> lowest id; NULL score loses via -1 "
+    "coalesce) — the FineWeb curation rule applied at cluster "
+    "granularity, where dedup_apply's greedy pairwise keep-lowest-id "
+    "can silently discard the best copy. Oracle replays the recursive-"
+    "CTE transitive closure + an argmax window; the Spark side is the "
+    "label-propagation loop + ONE cluster-keyed groupBy with the "
+    "min(struct(-q, id)) argmax — no window, no join-back.",
+)
+def ext_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    scored = docs.select("doc_id", (F.col("n_chars") % 1000).alias("q"))
+    return dedup.cluster_keep_best(scored, pairs, "doc_id", "q")
+
+
+def _cluster_keep_best_oracle() -> str:
+    from dbt_glue_spark.plans.extension_queries import _CLUSTERS_SQL
+
+    return (
+        "WITH RECURSIVE "
+        + _CLUSTERS_SQL
+        + """,
+    scored AS (
+      SELECT c.cluster_id, c.doc_id,
+             COALESCE(d.n_chars % 1000, -1) AS q
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY q DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n,
+             MAX(q) OVER (PARTITION BY cluster_id) AS bq
+      FROM scored
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS keep_id,
+           CAST(n AS BIGINT) AS n_members,
+           CAST(bq AS BIGINT) AS best_score
+    FROM r WHERE rn = 1
+    """
+    )
+
+
+_STAGED10["ext_cluster_keep_best"] = QuerySpec(
+    "ext_cluster_keep_best",
+    ext_cluster_keep_best,
+    _cluster_keep_best_oracle(),
+    _STAGED10["ext_cluster_keep_best"].doc,
+)

@@ -1149,3 +1149,26 @@ def test_chat_null_turn_idx_excluded(spark):
     assert v.n_turns == 2 and v.n_assistant == 1
     t = truncation_plan(df, max_tokens=10).collect()[0]
     assert t.n_turns_total == 2 and t.tokens_total == 4
+
+
+def test_cluster_keep_best_hand_case(spark):
+    """The best-scored member of a TRANSITIVE family survives even when
+    it is neither the lowest id (dedup_apply's rule) nor directly
+    paired with every member; singletons keep themselves; NULL score
+    loses via the -1 coalesce."""
+    from dbt_glue_spark.extensions.dedup import cluster_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, None), (9, 7)],
+        "doc_id bigint, q bigint",
+    )
+    # chain 1-3-2: doc 2 (best q) only reachable transitively from 1
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    out = {r.cluster_id: r.asDict() for r in
+           cluster_keep_best(docs, pairs, "doc_id", "q").collect()}
+    assert out[1]["keep_id"] == 2 and out[1]["n_members"] == 3
+    assert out[1]["best_score"] == 99
+    assert out[4]["keep_id"] == 4 and out[4]["best_score"] == -1
+    assert out[9]["keep_id"] == 9 and out[9]["n_members"] == 1
