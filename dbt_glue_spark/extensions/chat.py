@@ -446,3 +446,65 @@ def preference_length_bias(
         .cast("bigint")
         .alias("mean_delta_micro"),
     )
+
+
+def render_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chat-template rendering manifest: per conversation, the turns
+    (ordered by ``turn_col``) concatenate into one training string of
+    the form ``<|role|>\\ntext\\n`` per turn — the flattening step every
+    SFT pipeline runs before tokenization (HuggingFace chat templates).
+    To keep the catalog result bounded, the manifest carries the
+    rendered string's md5 and sizes, not the string itself:
+    (conv_id, n_turns, render_hash, n_chars, n_tokens).
+
+    Determinism: the per-conversation concat rides
+    ``array_join(transform(array_sort(collect_list(struct(turn, role,
+    text)))))`` — the sort key is the turn index inside the collected
+    struct, so the render is a pure function of the data, independent
+    of partitioning (the collect_list order itself is not relied on).
+    NULL role renders as the empty role tag; NULL text as the empty
+    string; NULL conv/turn rows are excluded per the module contract.
+
+    100 TB shape: ONE map-side-combining groupBy on the conversation
+    id; the collected payload is one conversation's turns (bounded),
+    and only (hash, counts) leave the aggregate.
+    """
+    base = df.filter(
+        F.col(conv_col).isNotNull() & F.col(turn_col).isNotNull()
+    ).select(
+        F.col(conv_col).alias("conv_id"),
+        F.struct(
+            F.col(turn_col).alias("t"),
+            F.coalesce(F.col(role_col), F.lit("")).alias("r"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("x"),
+        ).alias("__turn"),
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list("__turn")),
+            lambda s: F.concat(
+                F.lit("<|"), s["r"], F.lit("|>\n"), s["x"], F.lit("\n")
+            ),
+        ),
+        "",
+    )
+    return (
+        base.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            rendered.alias("__render"),
+        )
+        .select(
+            "conv_id",
+            "n_turns",
+            F.md5("__render").alias("render_hash"),
+            F.length("__render").cast("bigint").alias("n_chars"),
+            F.size(tokens(F.col("__render"))).cast("bigint").alias("n_tokens"),
+        )
+    )

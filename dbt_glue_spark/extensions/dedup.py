@@ -338,7 +338,7 @@ def minhash_lsh_pairs(
             bands, ", ".join(f"'{b}', band{b}" for b in range(bands))
         ),
     )
-    chain_pairs = None
+    star_pairs = None
     if max_band_bucket is not None:
         if max_band_bucket < 1:
             raise ValueError(f"max_band_bucket must be >= 1: {max_band_bucket}")
@@ -373,7 +373,7 @@ def minhash_lsh_pairs(
                 "left_semi",
             )
             w_star = Window.partitionBy("band_idx", "band_key")
-            chain_pairs = (
+            star_pairs = (
                 over.select(
                     F.min("id").over(w_star).alias("id_a"),
                     F.col("id").alias("id_b"),
@@ -392,8 +392,8 @@ def minhash_lsh_pairs(
         & (F.col("a.band_idx") == F.col("b.band_idx"))
         & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    if chain_pairs is not None:
-        bucket_pairs = bucket_pairs.unionByName(chain_pairs)
+    if star_pairs is not None:
+        bucket_pairs = bucket_pairs.unionByName(star_pairs)
     cand = _persist(bucket_pairs.distinct())
     # Exact-Jaccard verification restricted to candidates: fan candidate
     # pairs out over id_a's postings, then equi-join id_b's postings on

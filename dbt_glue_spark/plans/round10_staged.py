@@ -1597,3 +1597,41 @@ _STAGED10["ext_cluster_keep_best"] = QuerySpec(
     _cluster_keep_best_oracle(),
     _STAGED10["ext_cluster_keep_best"].doc,
 )
+
+
+@register_staged(
+    "ext_chat_render",
+    f"""
+    WITH t AS ({_SQL_TURNS}),
+    r AS (
+      SELECT conv_id,
+             CAST(COUNT(*) AS BIGINT) AS n_turns,
+             string_agg('<|' || COALESCE(role, '') || '|>' || chr(10)
+                        || COALESCE(text, '') || chr(10),
+                        '' ORDER BY turn_idx) AS rend
+      FROM t WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+      GROUP BY conv_id
+    )
+    SELECT CAST(conv_id AS BIGINT) AS conv_id, n_turns,
+           md5(rend) AS render_hash,
+           CAST(length(rend) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split_regex(rend, '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM r
+    """,
+    doc="Chat-template rendering manifest (chat.render_conversations): "
+    "per conversation, turns concatenate in turn order into the "
+    "<|role|>-tagged training string every SFT pipeline feeds the "
+    "tokenizer; the manifest carries md5 + char/token sizes, not the "
+    "string. Spark renders via array_sort(collect_list(struct)) — a "
+    "pure function of the data, partitioning-independent — inside ONE "
+    "map-side-combining conv-keyed groupBy; the oracle renders "
+    "independently via string_agg(ORDER BY turn_idx). Exercises the "
+    "cross-engine string-identity surface end-to-end (md5 of a "
+    "multi-KB constructed string must agree byte-for-byte, incl. the "
+    "unicode axis).",
+)
+def ext_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.chat import render_conversations
+
+    return render_conversations(_synth_turns_spark(spark, sf_dir))

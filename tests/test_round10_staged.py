@@ -1172,3 +1172,32 @@ def test_cluster_keep_best_hand_case(spark):
     assert out[1]["best_score"] == 99
     assert out[4]["keep_id"] == 4 and out[4]["best_score"] == -1
     assert out[9]["keep_id"] == 9 and out[9]["n_members"] == 1
+
+
+def test_chat_render_deterministic_and_hand_case(spark):
+    """The rendered hash is a pure function of the data — identical
+    under any physical partitioning (array_sort carries the order, not
+    collect_list) — and matches a hand-rendered string; NULL role/text
+    render as empty; NULL turn_idx rows are excluded."""
+    import hashlib
+
+    from dbt_glue_spark.extensions.chat import render_conversations
+
+    rows = [
+        (1, 1, "assistant", "hello"),
+        (1, 0, "user", "hi"),          # out of order on purpose
+        (1, 2, None, None),            # NULL role/text render empty
+        (1, None, "user", "ghost"),    # excluded
+    ]
+    df = _turns_df(spark, rows)
+    a = {r.conv_id: r.asDict() for r in render_conversations(df).collect()}
+    b = {
+        r.conv_id: r.asDict()
+        for r in render_conversations(df.repartition(7)).collect()
+    }
+    assert a == b
+    want = "<|user|>\nhi\n<|assistant|>\nhello\n<||>\n\n"
+    got = a[1]
+    assert got["n_turns"] == 3
+    assert got["render_hash"] == hashlib.md5(want.encode()).hexdigest()
+    assert got["n_chars"] == len(want)
