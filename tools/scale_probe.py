@@ -687,6 +687,11 @@ def probe_staged10(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                     "noop"
                 ).mode("overwrite").save()
 
+            def run_chat_render():
+                chat.render_conversations(_turns()).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
             for name, fn in [
                 ("url_dedup", run_urldedup),
                 ("domain_caps", run_caps),
@@ -706,6 +711,7 @@ def probe_staged10(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                 ("chat_response_dedup", run_resp_dedup),
                 ("preference_pair_audit", run_pair_audit),
                 ("preference_length_bias", run_length_bias),
+                ("chat_render", run_chat_render),
             ]:
                 results.setdefault(name, {})[str(f_)] = timed(fn)
                 dedup.release_caches()
