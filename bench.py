@@ -167,6 +167,25 @@ def force(df) -> None:
 CALIBRATION_REF_S = 1.01
 CALIBRATION_ROWS = 2_000_000_000
 
+# Second calibration flavor (round-9 session-3): the pure-CPU probe
+# tracks clock/turbo state, but the r1 subset is substantially
+# scheduler/shuffle-bound — measured 2026-08-16, the CPU probe swung
+# −25 % between sessions while the workload moved ~2 %, so the
+# normalized ratio OVER-corrected (SCALE.md "calibration-probe
+# caveat"). This probe times a fixed shuffle + multi-stage job (groupBy
+# over spark.range across 32 partitions → 200 reducers) — the
+# scheduler/exchange regime the subset actually lives in. Recorded as
+# ``calibration_shuffle_s`` alongside the CPU probe; the reference
+# below was pinned 2026-08-16 (median of 5 isolated reps, idle box —
+# the same session's CPU probe read 0.815 vs its 1.01 reference, i.e.
+# the two probes already disagree by 20 % about "how fast is this
+# box", which is precisely why both are recorded). Future rounds can
+# normalize against whichever probe's regime matches the adjudication
+# at hand; the existing normalized metric keeps the CPU probe for
+# continuity.
+CALIBRATION_SHUFFLE_REF_S = 0.627  # pinned 2026-08-16 (5 isolated reps, idle box)
+CALIBRATION_SHUFFLE_ROWS = 50_000_000
+
 
 def calibration(spark, reps: int = 3) -> float:
     """Median wall-seconds of the fixed pure-CPU probe on this box."""
@@ -175,6 +194,22 @@ def calibration(spark, reps: int = 3) -> float:
         t0 = time.time()
         spark.range(0, CALIBRATION_ROWS, 1, 32).selectExpr(
             "sum(xxhash64(id, id * 2654435761) % 1000003) AS s"
+        ).collect()
+        samples.append(time.time() - t0)
+    return statistics.median(samples)
+
+
+def calibration_shuffle(spark, reps: int = 3) -> float:
+    """Median wall-seconds of the fixed shuffle-bound probe: one full
+    exchange (hash aggregate over 100k groups) plus a second stage, so
+    scheduler latency and shuffle machinery dominate, not arithmetic."""
+    samples = []
+    for _ in range(reps):
+        t0 = time.time()
+        spark.range(0, CALIBRATION_SHUFFLE_ROWS, 1, 32).selectExpr(
+            "id % 100003 AS k", "id"
+        ).groupBy("k").count().selectExpr(
+            "sum(count * (k % 97)) AS s"
         ).collect()
         samples.append(time.time() - t0)
     return statistics.median(samples)
@@ -213,6 +248,7 @@ def main() -> None:
     # pressure doesn't contaminate it).
     calibration_s = round(calibration(spark), 3)
     cal_ratio = round(calibration_s / CALIBRATION_REF_S, 3)
+    calibration_shuffle_s = round(calibration_shuffle(spark), 3)
     timings: dict[str, float] = {}
     from dbt_glue_spark.extensions.dedup import release_caches
 
@@ -278,6 +314,7 @@ def main() -> None:
         "value_r1_subset_normalized": r1_normalized,
         "calibration_s": calibration_s,
         "calibration_ratio": cal_ratio,
+        "calibration_shuffle_s": calibration_shuffle_s,
         "r1_n": len(r1_present),
         "unit": "sec",
         "queries": timings,
@@ -313,6 +350,7 @@ def main() -> None:
         "value_r1_subset": r1_subtotal,
         "value_r1_subset_normalized": r1_normalized,
         "calibration_s": calibration_s,
+        "calibration_shuffle_s": calibration_shuffle_s,
         "r1_n": len(r1_present),
         "unit": "sec",
         "queries": {n: round(t, 2) for n, t in timings.items()},
