@@ -176,14 +176,18 @@ CALIBRATION_ROWS = 2_000_000_000
 # over spark.range across 32 partitions → 200 reducers) — the
 # scheduler/exchange regime the subset actually lives in. Recorded as
 # ``calibration_shuffle_s`` alongside the CPU probe; the reference
-# below was pinned 2026-08-16 (median of 5 isolated reps, idle box —
-# the same session's CPU probe read 0.815 vs its 1.01 reference, i.e.
-# the two probes already disagree by 20 % about "how fast is this
-# box", which is precisely why both are recorded). Future rounds can
+# below was pinned 2026-08-16 from an idle-box FULL BENCH run — the
+# probe runs after the bench warmup inside the bench JVM, so the
+# reference must come from that same context (a fresh-JVM 5-rep median
+# read 0.627 vs 0.846 in-bench: JVM/memory context shifts this probe
+# ~35 %, worth knowing when comparing). The same session's CPU probe
+# read 0.815-0.83 vs its 1.01 reference, i.e. the two probes disagree
+# ~20 % about "how fast is this box" — precisely why both are
+# recorded. Future rounds can
 # normalize against whichever probe's regime matches the adjudication
 # at hand; the existing normalized metric keeps the CPU probe for
 # continuity.
-CALIBRATION_SHUFFLE_REF_S = 0.627  # pinned 2026-08-16 (5 isolated reps, idle box)
+CALIBRATION_SHUFFLE_REF_S = 0.846  # pinned 2026-08-16 (in-bench reading, idle box)
 CALIBRATION_SHUFFLE_ROWS = 50_000_000
 
 
