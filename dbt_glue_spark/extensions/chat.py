@@ -8,7 +8,8 @@ own structural validation, dedup and bias audits. The reference engine
 (aws-samples/dbt-glue) has no chat layer — this module follows the same
 extension discipline as ``web.py`` / ``text_analysis.py``: every
 operator is built-in-Catalyst (no Python row UDFs), shuffles only on
-bounded keys (conversation id, 16-byte response hashes), and keeps all
+bounded keys (conversation id, 16-byte unhexed-md5 response hashes;
+output columns stay lowercase hex for oracle parity), and keeps all
 ratio arithmetic exact (decimal(38,0) products, bigint quotients — the
 bigmag contract).
 
@@ -24,9 +25,11 @@ NULL contracts (stratified-family rules used module-wide):
 - rows with a NULL conversation / pair key are excluded (they cannot be
   grouped deterministically);
 - rows with a NULL turn index are excluded by the ordered operators
-  (validate_turns, truncation_plan): the two engines disagree on where
-  NULL sorts (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), so a NULL
-  position has no engine-stable place in a conversation;
+  (validate_turns, truncation_plan, and response_dedup's keeper
+  tie-break): the two engines disagree on where NULL sorts (Spark ASC
+  = NULLS FIRST, and a NULL struct field sorts first under min();
+  DuckDB row_number ORDER BY puts NULLs last), so a NULL position has
+  no engine-stable place in a conversation;
 - NULL turn text counts as an EMPTY turn (0 tokens) for token math but
   flags ``n_empty_turns`` in validation;
 - preference pairs where either side's text is NULL are excluded from
@@ -211,29 +214,34 @@ def response_dedup(
     (resp_hash, keep_conv, keep_turn, n_copies, n_convs); the keeper is
     the lexicographically first (conv, turn).
 
-    100 TB shape: md5 hashing is map-side; ONE groupBy on the 16-byte
-    hash with map-side combine; the argmin rides min(struct(conv,turn))
-    so there is no window and no join-back. Output is bounded by the
-    number of distinct duplicated responses. NULL text / NULL conv
-    excluded per the module contract.
+    100 TB shape: md5 hashing is map-side; ONE groupBy on the UNHEXED
+    16-byte hash (half the shuffle-key width of the 32-char hex string;
+    the output ``resp_hash`` is re-hexed lowercase for oracle parity)
+    with map-side combine; the argmin rides min(struct(conv,turn)) so
+    there is no window and no join-back. Output is bounded by the
+    number of distinct duplicated responses. NULL text / NULL conv /
+    NULL turn index excluded per the module contract (a NULL turn
+    would win Spark's min(struct) tie-break but lose DuckDB's
+    NULLS-LAST ordering — no engine-stable keeper).
     """
     resp = df.filter(
         (F.col(role_col) == role)
         & F.col(text_col).isNotNull()
         & F.col(conv_col).isNotNull()
+        & F.col(turn_col).isNotNull()
     ).select(
-        F.md5(F.col(text_col)).alias("resp_hash"),
+        F.unhex(F.md5(F.col(text_col))).alias("__h"),
         F.struct(
             F.col(conv_col).alias("c"), F.col(turn_col).alias("t")
         ).alias("__k"),
     )
-    agg = resp.groupBy("resp_hash").agg(
+    agg = resp.groupBy("__h").agg(
         F.min("__k").alias("__keep"),
         F.count("*").cast("bigint").alias("n_copies"),
         F.count_distinct(F.col("__k.c")).cast("bigint").alias("n_convs"),
     )
     return agg.filter(F.col("n_copies") > 1).select(
-        "resp_hash",
+        F.lower(F.hex("__h")).alias("resp_hash"),
         F.col("__keep.c").cast("bigint").alias("keep_conv"),
         F.col("__keep.t").cast("bigint").alias("keep_turn"),
         "n_copies",
@@ -341,9 +349,13 @@ def preference_pair_audit(
     keep_pair = min pair id, self_pair flag for chosen == rejected).
 
     Excluded per module contract: NULL pair id, NULL either text.
-    100 TB shape: md5 is map-side; ONE groupBy on a 32-byte unordered
-    key with map-side combine; output bounded by duplicated/conflicted
-    pairs.
+    100 TB shape: md5 is map-side; ONE groupBy on a true 32-BYTE
+    unordered key (two unhexed 16-byte md5s concatenated — half the
+    shuffle width of the hex form; binary least/greatest orders bytes
+    exactly as hex least/greatest orders their lowercase digits, so the
+    unordered pairing is unchanged and the output ``pair_key`` re-hexes
+    to the oracle's lowercase hex) with map-side combine; output
+    bounded by duplicated/conflicted pairs.
     """
     hashed = df.filter(
         F.col(pair_col).isNotNull()
@@ -351,18 +363,18 @@ def preference_pair_audit(
         & F.col(rejected_col).isNotNull()
     ).select(
         F.col(pair_col).alias("pair_id"),
-        F.md5(F.col(chosen_col)).alias("__hc"),
-        F.md5(F.col(rejected_col)).alias("__hr"),
+        F.unhex(F.md5(F.col(chosen_col))).alias("__hc"),
+        F.unhex(F.md5(F.col(rejected_col))).alias("__hr"),
     )
     keyed = hashed.select(
         "pair_id",
         F.concat(
             F.least("__hc", "__hr"), F.greatest("__hc", "__hr")
-        ).alias("pair_key"),
+        ).alias("__pk"),
         (F.col("__hc") <= F.col("__hr")).cast("int").alias("__fwd"),
         (F.col("__hc") == F.col("__hr")).cast("int").alias("__self"),
     )
-    agg = keyed.groupBy("pair_key").agg(
+    agg = keyed.groupBy("__pk").agg(
         F.count("*").cast("bigint").alias("n_pairs"),
         F.sum("__fwd").cast("bigint").alias("n_fwd"),
         F.sum(1 - F.col("__fwd")).cast("bigint").alias("n_rev"),
@@ -370,7 +382,7 @@ def preference_pair_audit(
         F.max("__self").cast("int").alias("self_pair"),
     )
     return agg.select(
-        "pair_key",
+        F.lower(F.hex("__pk")).alias("pair_key"),
         "n_pairs",
         "n_fwd",
         "n_rev",

@@ -347,9 +347,16 @@ def minhash_lsh_pairs(
         # one cheap groupBy over the bands×docs frame decides each
         # bucket's fate BEFORE the self-join, so an oversized bucket's
         # quadratic pair set is never materialized
+        # min(id) rides the same map-side-combined groupBy that counts
+        # the bucket — one row per bucket, no extra pass (r9 ADVICE: the
+        # previous per-bucket Window shuffled the ENTIRE mega-bucket —
+        # the whole-corpus-fraction bucket the cap exists to defend
+        # against — into a single task; linear, but a straggler/spill
+        # risk at exactly the scale this feature targets)
         counts = _persist(
             stacked.groupBy("band_idx", "band_key").agg(
-                F.count("*").alias("__bn")
+                F.count("*").alias("__bn"),
+                F.min("id").alias("__bmin"),
             )
         )
         keep = counts.filter(F.col("__bn") <= max_band_bucket).select(
@@ -357,29 +364,27 @@ def minhash_lsh_pairs(
         )
         if oversize_policy == "star":
             # oversized buckets degrade to a STAR around the bucket's
-            # min id: O(bucket) candidates from one per-bucket window
-            # scalar, exact-verified downstream like every other
+            # min id: O(bucket) candidates from the bucket-level __bmin
+            # joined back onto the members (over-cap bucket list is one
+            # row per bucket — AQE broadcasts it, so the members never
+            # re-shuffle), exact-verified downstream like every other
             # candidate; a true duplicate family stays one connected
             # component of DIAMETER 2 (a consecutive-id chain would be
             # O(bucket) diameter and stall label propagation — measured
             # on the dupheavy axis: a 65-doc mirror family came out as
             # a 51-vertex partial component at dup_clusters'
             # max_iter=50)
-            over = stacked.join(
-                counts.filter(F.col("__bn") > max_band_bucket).select(
-                    "band_idx", "band_key"
-                ),
-                ["band_idx", "band_key"],
-                "left_semi",
-            )
-            w_star = Window.partitionBy("band_idx", "band_key")
             star_pairs = (
-                over.select(
-                    F.min("id").over(w_star).alias("id_a"),
-                    F.col("id").alias("id_b"),
+                stacked.join(
+                    counts.filter(F.col("__bn") > max_band_bucket).select(
+                        "band_idx", "band_key", "__bmin"
+                    ),
+                    ["band_idx", "band_key"],
                 )
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
+                .filter(F.col("__bmin") < F.col("id"))
+                .select(
+                    F.col("__bmin").alias("id_a"), F.col("id").alias("id_b")
+                )
             )
         stacked = stacked.join(keep, ["band_idx", "band_key"], "left_semi")
     a = stacked.alias("a")

@@ -76,6 +76,14 @@ def _load_all() -> None:
 
     _REGISTRY.update(round9_staged.STAGED9())
 
+    # Round-10 promotion: the 24 operators staged (and ×11-axis
+    # parity-proven) during round 9 join the live catalog (246 → 270):
+    # the crawl/URL tier, token-budget mixture tier, Gopher quality
+    # flags, nonfinite audits, and the SFT/chat tier.
+    from dbt_glue_spark.plans import round10_staged
+
+    _REGISTRY.update(round10_staged.STAGED10())
+
 
 def _family(name: str) -> str:
     """Coarse operator family, by naming convention."""

@@ -5445,7 +5445,7 @@ def ext_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _SH
     + ","
     + _JACCARD_TAIL
-    + """,
+    + r""",
     prs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
     nrm AS (
       SELECT doc_id,

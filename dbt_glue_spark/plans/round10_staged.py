@@ -1,5 +1,5 @@
-"""Round-10 STAGED queries — built and parity-proven during round 9,
-to be promoted at the round-9→10 boundary (standing rule: new operators
+"""Round-10 pool — built and parity-proven during round 9, PROMOTED at
+the round-9→10 boundary (catalog 246 → 270; standing rule: new operators
 stage mid-round so the driver's sampled correctness prefix stays closed
 over the live catalog, and promote only between rounds).
 

@@ -436,16 +436,17 @@ def response_frontier_stream(
         ledger.filter(
             (F.col(role_col) == role) & F.col(text_col).isNotNull()
         )
-        .select(F.md5(F.col(text_col)).alias("resp_hash"))
+        .select(F.unhex(F.md5(F.col(text_col))).alias("__h"))
         .distinct()
     )
     return (
         turns_stream.filter(
             (F.col(role_col) == role) & F.col(text_col).isNotNull()
         )
-        .select(F.md5(F.col(text_col)).alias("resp_hash"))
-        .join(seen, "resp_hash", "left_anti")
-        .dropDuplicates(["resp_hash"])
+        .select(F.unhex(F.md5(F.col(text_col))).alias("__h"))
+        .join(seen, "__h", "left_anti")
+        .dropDuplicates(["__h"])
+        .select(F.lower(F.hex("__h")).alias("resp_hash"))
     )
 
 

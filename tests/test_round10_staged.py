@@ -1,8 +1,8 @@
-"""Round-10 staged operators: parity-proven now, catalog-registered at
-the round-9→10 boundary (plans/round10_staged.py docstring). These tests
-prove the staged specs with the same exact DuckDB compare the live sweep
-uses, pin the stage-then-promote discipline (the live catalog stays at
-246 this round), and brute-force / property-check each operator.
+"""Round-10 pool: staged and parity-proven during round 9, PROMOTED at
+the round-9→10 boundary (catalog 246 → 270; plans/round10_staged.py
+docstring). These tests prove the specs with the same exact DuckDB
+compare the live sweep uses, pin the promotion contract
+rotation-invariantly, and brute-force / property-check each operator.
 """
 
 from __future__ import annotations
@@ -41,17 +41,23 @@ def test_staged10_oracle_parity(spark, sf_dir, name):
     _exact_compare(spark, sf_dir, STAGED10()[name])
 
 
-def test_catalog_holds_at_246_and_staged10_not_registered():
-    """Stage-then-promote: the round-10 pool must NOT be live this round —
-    registering mid-round would push never-checked entries into the
-    driver's 50-query prefix and crowd out the 10 round-9 promotions
-    earning their first hard rows."""
-    from dbt_glue_spark.plans.catalog import SPECS
+def test_staged10_promoted_and_sampled_first():
+    """Round-10 promotion contract (rotation-invariant form, per the r7
+    verdict's time-bomb lesson): the 24 staged operators are live in the
+    catalog (246 + 24 = 270), and any of them WITHOUT a green latest
+    driver CORRECTNESS row sits in the driver's 50-query sampled prefix
+    — true before the driver run (all 24 in the never-checked tier) and
+    after it (green rows rotate out, red rows must re-enter)."""
+    from dbt_glue_spark.plans.catalog import SPECS, _previously_checked
 
     specs = SPECS()
-    assert len(specs) == 246, len(specs)
-    overlap = set(STAGED10_NAMES) & set(specs)
-    assert not overlap, overlap
+    assert len(specs) == 270, len(specs)
+    missing = set(STAGED10_NAMES) - set(specs)
+    assert not missing, missing
+    prefix = set(list(specs)[:50])
+    unchecked = set(STAGED10_NAMES) - _previously_checked()
+    not_in_prefix = unchecked - prefix
+    assert not not_in_prefix, not_in_prefix
 
 
 # ---------------------------------------------------------------------------

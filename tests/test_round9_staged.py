@@ -51,7 +51,7 @@ def test_staged9_promoted_and_sampled_first():
     from dbt_glue_spark.plans.catalog import SPECS, _previously_checked
 
     specs = SPECS()
-    assert len(specs) == 246, len(specs)
+    assert len(specs) >= 246, len(specs)  # 246 at r9; later rounds promote more
     missing = set(STAGED9_NAMES) - set(specs)
     assert not missing, missing
     prefix = set(list(specs)[:50])
