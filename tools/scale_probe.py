@@ -16,7 +16,7 @@ similarity is zero — replication adds no artificial near-dup mass; and
 stay realistic. Each scaled corpus is materialized to parquet scratch so
 every timed run pays a real scan, not a cached lineage.
 
-Usage: python tools/scale_probe.py [--factors=2,8,32] [--probe=dedup|mmr|staged|staged8|staged9|staged10]
+Usage: python tools/scale_probe.py [--factors=2,8,32] [--probe=dedup|mmr|staged|staged8|staged9|staged10|staged11]
 Prints one JSON line: per-op seconds per factor + fitted exponents.
 A near-linear operator shows exponent ≈ 1 (ratio bound 1.5x of linear
 per SCALE.md policy); quadratic blowup would show ≈ 2.
@@ -720,6 +720,177 @@ def probe_staged10(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
     return results, rows
 
 
+def probe_staged11(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
+    """Weak-scaling probe for the round-11 multimodal-dedup pool.
+
+    Media corpora are synthesized directly (500·factor rows per kind)
+    with HASHED group words, so perceptual/fingerprint classes grow in
+    COUNT (~8 members each) while the corpus grows — the weak-scaling
+    shape where the pair truth stays linear. (The catalog specs' fixed
+    32-codeword corpus is deliberately dupheavy-shaped for closed-form
+    oracles; scaling THAT would measure quadratic output, not the
+    operators.) Every corpus is materialized to parquet scratch so timed
+    runs pay a real binary-column scan; expected exponents ≈ 1 — the
+    dominant cost is the Arrow-batched Python decode stage, which is
+    embarrassingly parallel, and every shuffle carries 8-byte hashes.
+    """
+    import hashlib
+    import io
+    import wave as _wave
+
+    import numpy as np
+    import pandas as pd
+
+    from dbt_glue_spark.extensions import multimodal_dedup as md
+    from dbt_glue_spark.plans.round11_staged import synth_pattern_png
+
+    def word(tag: str, n: int) -> int:
+        return int.from_bytes(
+            hashlib.md5(f"{tag}:{n}".encode()).digest()[:8], "big"
+        )
+
+    def synth_audio(gid: int, amp: int, win: int = 256) -> bytes:
+        parts = []
+        for j in range(4):
+            k = 3 + word("a", gid * 4 + j) % 100  # bins 3..102 < win/2
+            t = np.arange(4 * win)
+            parts.append(np.round(amp * np.sin(2 * np.pi * k * t / win)))
+        x = np.concatenate(parts).astype("<i2")
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(x.tobytes())
+        return buf.getvalue()
+
+    def synth(i: int, kind: str) -> bytes:
+        gid = i // 8  # 8 members per class, class count ∝ corpus
+        if kind == "image":
+            return synth_pattern_png(word("i", gid), (i % 7) * 3)
+        if kind == "audio":
+            return synth_audio(gid, 4000 + 1000 * (i % 7))
+        from dbt_glue_spark.extensions.multimodal import video_encode
+
+        nf = 2 + gid % 3 - (1 if i % 3 == 0 else 0)
+        return video_encode(
+            [
+                synth_pattern_png(word(f"v{f}", gid), (i % 7) * 3)
+                for f in range(nf)
+            ],
+            2,
+        )
+
+    def build_media(factor: int, kind: str, out: str) -> str:
+        ids = spark.range(0, 500 * factor, 1, 32).select(
+            F.col("id").alias("media_id")
+        )
+
+        def run(batches):
+            for pdf in batches:
+                rows = [
+                    (int(i), kind, synth(int(i), kind))
+                    for i in pdf["media_id"]
+                ]
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "content"]
+                )
+
+        path = os.path.join(out, f"media_{kind}_x{factor}")
+        ids.mapInPandas(
+            run, "media_id long, kind string, content binary"
+        ).write.mode("overwrite").parquet(path)
+        return path
+
+    scratch = tempfile.mkdtemp(prefix="dgs_staged11_probe_")
+    results: dict[str, dict[str, float]] = {}
+    rows: dict[str, int] = {}
+    try:
+        # warmup: pandas/Arrow + codegen machinery for each pipeline
+        warm_img = spark.read.parquet(build_media(1, "image", scratch))
+        warm_aud = spark.read.parquet(build_media(1, "audio", scratch))
+        warm_vid = spark.read.parquet(build_media(1, "video", scratch))
+        md.image_dhash_dedup(warm_img).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        md.image_near_dup_pairs(warm_img).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        md.video_near_dup_pairs(warm_vid, max_df=100_000).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        md.audio_fingerprint_pairs(warm_aud, max_df=100_000).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        md.decode_audit(warm_img).write.format("noop").mode("overwrite").save()
+        dedup.release_caches()
+        for f_ in factors:
+            img = spark.read.parquet(build_media(f_, "image", scratch))
+            aud = spark.read.parquet(build_media(f_, "audio", scratch))
+            vid = spark.read.parquet(build_media(f_, "video", scratch))
+            rows[str(f_)] = img.count() + aud.count() + vid.count()
+
+            def run_dedup():
+                md.image_dhash_dedup(img).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_pairs():
+                md.image_near_dup_pairs(img).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_video():
+                md.video_near_dup_pairs(vid, max_df=100_000).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            def run_audio():
+                md.audio_fingerprint_pairs(
+                    aud, max_df=100_000
+                ).write.format("noop").mode("overwrite").save()
+
+            def run_audit():
+                mixed = img.unionByName(aud).unionByName(vid)
+                md.decode_audit(mixed).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_clusters():
+                md.image_dup_clusters(img).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_scenes():
+                md.video_scene_changes(vid).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_snippet():
+                # fixed 8-query batch against the growing corpus — the
+                # lookup-side weak-scaling shape (queries broadcast)
+                queries = aud.limit(8)
+                md.audio_snippet_match(
+                    aud, queries, max_df=100_000
+                ).write.format("noop").mode("overwrite").save()
+
+            for name, fn in [
+                ("image_dhash_dedup", run_dedup),
+                ("image_near_dup_pairs", run_pairs),
+                ("video_near_dup_pairs", run_video),
+                ("audio_fingerprint_pairs", run_audio),
+                ("media_decode_audit", run_audit),
+                ("image_dup_clusters", run_clusters),
+                ("video_scene_changes", run_scenes),
+                ("audio_snippet_match", run_snippet),
+            ]:
+                results.setdefault(name, {})[str(f_)] = timed(fn)
+                dedup.release_caches()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return results, rows
+
+
 def main() -> None:
     factors = [2, 8, 32]
     probe = "dedup"
@@ -749,6 +920,10 @@ def main() -> None:
         return
     if probe == "staged10":
         results, rows = probe_staged10(spark, sf_dir, factors)
+        _emit(factors, results, rows)
+        return
+    if probe == "staged11":
+        results, rows = probe_staged11(spark, sf_dir, factors)
         _emit(factors, results, rows)
         return
     scratch = tempfile.mkdtemp(prefix="dgs_scale_probe_")
