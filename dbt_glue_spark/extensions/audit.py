@@ -1030,3 +1030,85 @@ def sanitize_nonfinite(
         exprs.append(sanitized.get(c, F.col(c)))
     exprs.append(flags.cast("bigint").alias(flag_col))
     return df.select(*exprs)
+
+
+# ---------------------------------------------------------------------------
+# Privacy censuses: k-anonymity / l-diversity over quasi-identifier columns
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """k-anonymity census: group rows by the quasi-identifier tuple and
+    report the EQUIVALENCE-CLASS SIZE distribution — one row per distinct
+    class size: (class_size, n_classes, n_rows, below_k).
+
+    The release-gate audit before publishing a dataset keyed on
+    indirectly-identifying attributes (Sweeney 2002): a row in a class of
+    size < k is re-identifiable by linking on the quasi-identifiers.
+    NULL is an ordinary quasi value (both engines group NULLs together;
+    a NULL attribute still narrows a linking attack, so it must count).
+
+    100 TB shape: ONE wide groupBy on the quasi tuple with map-side
+    combine (the unavoidable shuffle — its key is the audit's subject),
+    then a second groupBy over the |classes|-bounded size column.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    cls = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count("*").alias("class_size")
+    )
+    return cls.groupBy("class_size").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        (F.count("*") * F.col("class_size").cast("bigint"))
+        .cast("bigint")
+        .alias("n_rows"),
+        F.max(
+            F.when(F.col("class_size") < k, 1).otherwise(0)
+        ).cast("int").alias("below_k"),
+    ).select(
+        F.col("class_size").cast("bigint").alias("class_size"),
+        "n_classes",
+        "n_rows",
+        "below_k",
+    )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_threshold: int = 2,
+) -> DataFrame:
+    """l-diversity census: per quasi-identifier class, how many DISTINCT
+    sensitive values it holds — one row per distinct diversity level:
+    (l_distinct, n_classes, n_rows, below_l).
+
+    k-anonymity's complement (Machanavajjhala et al. 2007): a class can
+    be large yet still leak the sensitive attribute if every member
+    shares one value (homogeneity attack). NULL sensitive values are
+    excluded from the distinct count in both engines (count_distinct
+    skips NULL), so an all-NULL class reports l_distinct = 0 — visible,
+    not hidden.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l_threshold < 1:
+        raise ValueError(f"l_threshold must be >= 1: {l_threshold}")
+    cls = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count("*").alias("__n"),
+        F.count_distinct(F.col(sensitive_col)).alias("l_distinct"),
+    )
+    return cls.groupBy("l_distinct").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.max(
+            F.when(F.col("l_distinct") < l_threshold, 1).otherwise(0)
+        ).cast("int").alias("below_l"),
+    ).select(
+        F.col("l_distinct").cast("bigint").alias("l_distinct"),
+        "n_classes",
+        "n_rows",
+        "below_l",
+    )

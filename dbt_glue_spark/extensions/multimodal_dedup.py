@@ -344,6 +344,52 @@ def video_scene_changes(
     )
 
 
+def video_keyframes(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Keyframe manifest: one row per detected scene —
+    (media_id, scene_idx, start_frame, n_frames).
+
+    The companion of :func:`video_scene_changes`: instead of counting
+    shots it MATERIALIZES them — scene_idx is the running count of
+    hash-jump boundaries, start_frame the first frame of each shot (the
+    frame a training pipeline samples as the shot's representative).
+    Same plan shape: one window per video (state bounded by frames per
+    video) plus one (media, scene)-keyed map-side-combined groupBy.
+    """
+    from pyspark.sql import Window
+
+    fh = video_frame_hashes(df, content_col, id_col)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("frame_dhash").over(w)
+    cut = F.when(
+        F.col("__prev").isNotNull()
+        & (
+            F.expr("cast(bit_count(frame_dhash ^ __prev) as int)")
+            > max_hamming
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        fh.withColumn("__prev", prev)
+        .withColumn("__cut", cut)
+        .withColumn(
+            "scene_idx",
+            F.sum("__cut")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .groupBy("media_id", "scene_idx")
+        .agg(
+            F.min("frame_idx").cast("bigint").alias("start_frame"),
+            F.count("*").cast("bigint").alias("n_frames"),
+        )
+    )
+
+
 def audio_snippet_match(
     corpus: DataFrame,
     queries: DataFrame,

@@ -29,7 +29,13 @@ the one LLM-pipeline family where the catalog had analysis
 - ``ext_video_scene_changes`` — shot-boundary census from consecutive
   frame-hash Hamming jumps (the keyframe-extraction primitive);
 - ``ext_audio_snippet_match`` — snippet → source lookup (the Shazam
-  query direction), position-invariant landmark containment.
+  query direction), position-invariant landmark containment;
+- ``ext_video_keyframes`` — the scene census materialized as a shot
+  manifest (scene_idx, start_frame — what frame sampling reads);
+- ``ext_k_anonymity`` / ``ext_l_diversity`` — the privacy-census tier
+  over REAL document columns (quasi-identifier equivalence-class sizes,
+  per-class sensitive-value diversity), the release gates that run
+  beside PII scan/redact before a corpus ships.
 
 Oracle style (the round-10 URL discipline, applied to media bytes): the
 Spark side SYNTHESIZES real decodable media per document — PNGs whose
@@ -52,7 +58,7 @@ both. Invariants the construction proves end-to-end:
   closed form); audio amplitude changes leave every FFT-argmax landmark
   unchanged.
 
-NULL/corrupt contract (all eight entries): doc_id % 19 == 0 → NULL
+NULL/corrupt contract (every media entry): doc_id % 19 == 0 → NULL
 content (excluded from hashing, counted ``null`` in the audit);
 doc_id % 17 == 0 → deterministic undecodable bytes (excluded from
 hashing, counted ``decode_error``). Media bytes synthesize from doc_id
@@ -624,3 +630,111 @@ def ext_audio_snippet_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_snippet_match(
         corpus, queries, min_shared=2, win=_AUDIO_WIN, max_df=100_000
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_video_keyframes — materialized shot manifest (scene starts)
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "ext_video_keyframes",
+    """
+    WITH v AS (
+      SELECT doc_id, 1 + (doc_id % 5) % 3 AS ns
+      FROM documents
+      WHERE doc_id % 19 <> 0 AND doc_id % 17 <> 0
+    )
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(UNNEST(range(ns)) AS BIGINT) AS scene_idx,
+           CAST(2 * UNNEST(range(ns)) AS BIGINT) AS start_frame,
+           CAST(2 AS BIGINT) AS n_frames
+    FROM v
+    """,
+    doc="Keyframe manifest (multimodal_dedup.video_keyframes): the "
+    "scene-change census materialized — scene_idx from a running sum of "
+    "frame-hash jump boundaries, start_frame = the shot's first frame "
+    "(what a frame-sampling pipeline takes as the shot representative). "
+    "The scene corpus gives every shot exactly two identical frames, so "
+    "starts are 0,2,4,... in closed form while the operator earns them "
+    "from decoded pixels. One window per video + one (media, scene) "
+    "groupBy with map-side combine.",
+)
+def ext_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.multimodal_dedup import video_keyframes
+
+    media = _synth_media(
+        spark, sf_dir, "video", synth=synth_scene_video_bytes
+    )
+    return video_keyframes(media, max_hamming=2)
+
+
+# ---------------------------------------------------------------------------
+# Privacy censuses over the REAL documents columns (no synthesis)
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "ext_k_anonymity",
+    """
+    WITH cls AS (
+      SELECT COUNT(*) AS class_size
+      FROM documents
+      GROUP BY lang, source, n_chars // 256
+    )
+    SELECT CAST(class_size AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS INT)
+             AS below_k
+    FROM cls GROUP BY class_size
+    """,
+    doc="k-anonymity census (audit.k_anonymity, Sweeney 2002): "
+    "equivalence-class size distribution over the quasi-identifier "
+    "tuple (lang, source, n_chars bucketed by 256) — classes below "
+    "k = 5 are the re-identification exposure a release gate must "
+    "block. NULL is an ordinary quasi value (a NULL attribute still "
+    "narrows a linking attack; both engines group NULLs together). "
+    "ONE wide map-side-combined groupBy on the quasi tuple, then a "
+    "|classes|-bounded size census.",
+)
+def ext_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import k_anonymity
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("n_chars div 256").alias("__bucket")
+    )
+    return k_anonymity(docs, ["lang", "source", "__bucket"], k=5)
+
+
+@register_staged(
+    "ext_l_diversity",
+    """
+    WITH cls AS (
+      SELECT COUNT(*) AS class_size,
+             COUNT(DISTINCT lang) AS l_distinct
+      FROM documents
+      GROUP BY source, n_chars // 512
+    )
+    SELECT CAST(l_distinct AS BIGINT) AS l_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN l_distinct < 2 THEN 1 ELSE 0 END AS INT)
+             AS below_l
+    FROM cls GROUP BY l_distinct
+    """,
+    doc="l-diversity census (audit.l_diversity, Machanavajjhala et al. "
+    "2007): per quasi-class (source, n_chars bucketed by 512) distinct "
+    "count of the sensitive attribute (lang) — a large class with one "
+    "sensitive value still leaks it (homogeneity attack), the failure "
+    "k-anonymity alone cannot see. NULL sensitive values are excluded "
+    "from the distinct count in both engines, so an all-NULL class "
+    "reports l_distinct = 0 — visible, not hidden.",
+)
+def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.audit import l_diversity
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", F.expr("n_chars div 512").alias("__bucket")
+    )
+    return l_diversity(docs, ["source", "__bucket"], "lang", l_threshold=2)

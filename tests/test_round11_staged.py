@@ -411,9 +411,11 @@ def test_media_bytes_never_shuffle(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
             assert "content#" not in part, (name, part)
-        # and the decode stage must consume content directly off the
-        # synthesis/scan, i.e. appear in the plan at all
-        assert "MapInPandas" in plan, name
+        # and for media entries the decode stage must consume content
+        # directly off the synthesis/scan (the privacy censuses run on
+        # real document columns — pure Catalyst, no Python stage at all)
+        if name not in ("ext_k_anonymity", "ext_l_diversity"):
+            assert "MapInPandas" in plan, name
 
 
 def test_staged11_empty_input(spark):
@@ -507,3 +509,73 @@ def test_audio_snippet_match_position_invariant(spark):
         for r in audio_snippet_match(corpus, queries, min_shared=2).collect()
     }
     assert got == {(100, 2): 3}
+
+
+# ---------------------------------------------------------------------------
+# third tranche: keyframes, privacy censuses
+# ---------------------------------------------------------------------------
+
+
+def test_video_keyframes_hand_case(spark):
+    """2 frames of A, 3 of B, 1 of C → shots (0, start 0, 2 frames),
+    (1, start 2, 3 frames), (2, start 5, 1 frame)."""
+    from dbt_glue_spark.extensions.multimodal import video_encode
+    from dbt_glue_spark.extensions.multimodal_dedup import video_keyframes
+
+    fa = synth_dhash_png(1, 0, False)
+    fb = synth_dhash_png(2, 0, False)
+    fc = synth_dhash_png(3, 0, False)
+    vid = video_encode([fa, fa, fb, fb, fb, fc], 2)
+    df = spark.createDataFrame([(7, vid)], "media_id long, content binary")
+    got = sorted(
+        (r.scene_idx, r.start_frame, r.n_frames)
+        for r in video_keyframes(df, max_hamming=2).collect()
+    )
+    assert got == [(0, 0, 2), (1, 2, 3), (2, 5, 1)]
+
+
+def test_k_anonymity_hand_case(spark):
+    """Classes: (a,1)x3, (a,2)x1, (b,1)x1 and a NULL-quasi class x2 —
+    NULL is an ordinary quasi value; sizes census {3:1, 2:1, 1:2}."""
+    from dbt_glue_spark.extensions.audit import k_anonymity
+
+    rows = [
+        ("a", 1), ("a", 1), ("a", 1),
+        ("a", 2),
+        ("b", 1),
+        (None, 9), (None, 9),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    got = {
+        r.class_size: (r.n_classes, r.n_rows, r.below_k)
+        for r in k_anonymity(df, ["q1", "q2"], k=2).collect()
+    }
+    assert got == {3: (1, 3, 0), 2: (1, 2, 0), 1: (2, 2, 1)}
+
+
+def test_k_anonymity_rejects_bad_params(spark):
+    from dbt_glue_spark.extensions.audit import k_anonymity
+
+    df = spark.createDataFrame([("a",)], "q string")
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], k=5)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["q"], k=0)
+
+
+def test_l_diversity_homogeneity_and_null(spark):
+    """A size-3 class with ONE sensitive value reports l_distinct=1
+    (homogeneity attack), an all-NULL-sensitive class reports 0."""
+    from dbt_glue_spark.extensions.audit import l_diversity
+
+    rows = [
+        ("g1", "s1"), ("g1", "s1"), ("g1", "s1"),   # l = 1
+        ("g2", "s1"), ("g2", "s2"),                  # l = 2
+        ("g3", None), ("g3", None),                  # l = 0
+    ]
+    df = spark.createDataFrame(rows, "q string, s string")
+    got = {
+        r.l_distinct: (r.n_classes, r.n_rows, r.below_l)
+        for r in l_diversity(df, ["q"], "s", l_threshold=2).collect()
+    }
+    assert got == {1: (1, 3, 1), 2: (1, 2, 0), 0: (1, 2, 1)}

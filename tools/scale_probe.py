@@ -874,6 +874,11 @@ def probe_staged11(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                     aud, queries, max_df=100_000
                 ).write.format("noop").mode("overwrite").save()
 
+            def run_keyframes():
+                md.video_keyframes(vid).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
             for name, fn in [
                 ("image_dhash_dedup", run_dedup),
                 ("image_near_dup_pairs", run_pairs),
@@ -883,6 +888,7 @@ def probe_staged11(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                 ("image_dup_clusters", run_clusters),
                 ("video_scene_changes", run_scenes),
                 ("audio_snippet_match", run_snippet),
+                ("video_keyframes", run_keyframes),
             ]:
                 results.setdefault(name, {})[str(f_)] = timed(fn)
                 dedup.release_caches()
