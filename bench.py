@@ -260,9 +260,10 @@ def main() -> None:
     # Box-state calibration: timed AFTER warmup (so it reflects the JVM
     # state the queries run in), BEFORE the queries (so their memory
     # pressure doesn't contaminate it).
-    calibration_s = round(calibration(spark), 3)
+    cal_reps = max(1, int(os.environ.get("SPARK_GRAFT_CAL_REPS", "3")))
+    calibration_s = round(calibration(spark, cal_reps), 3)
     cal_ratio = round(calibration_s / CALIBRATION_REF_S, 3)
-    calibration_shuffle_s = round(calibration_shuffle(spark), 3)
+    calibration_shuffle_s = round(calibration_shuffle(spark, cal_reps), 3)
     # Canonical normalizer (round 10): the shuffle probe matches the r1
     # subset's scheduler/exchange-bound regime; the CPU ratio is recorded
     # for continuity only.
