@@ -35,8 +35,13 @@ subtotal by (calibration_shuffle_s / CALIBRATION_SHUFFLE_REF_S), because
 the r1 subset is scheduler/exchange-bound and the CPU probe tracks
 clock/turbo state and measurably OVER-corrects it (r9 measurement at the
 probe definitions below; r9 verdict "Next round #4" directed this
-choice). The CPU probe stays recorded (``calibration_ratio``) for
-cross-round continuity with r9's CPU-normalized numbers. The sidecar is
+choice). The shuffle reading is the MEDIAN over pre-run samples plus one
+interleaved sample every 8 queries (round-10 finding: a single pre-run
+median swung 3.4× across same-HEAD runs on a flapping box; the
+interleaved median tracks the state the queries actually ran under —
+per-sample values are recorded as ``calibration_shuffle_samples``). The
+CPU probe stays recorded (``calibration_ratio``) for cross-round
+continuity with r9's CPU-normalized numbers. The sidecar is
 always round-stamped: ``BENCH_DETAIL_r{N}.json`` from $SPARK_GRAFT_ROUND
 when set, else N is inferred as 1 + max(existing BENCH_r{N}.json) — the
 driver always writes those, so official runs no longer depend on an env
@@ -213,10 +218,26 @@ def calibration(spark, reps: int = 3) -> float:
     return statistics.median(samples)
 
 
-def calibration_shuffle(spark, reps: int = 3) -> float:
-    """Median wall-seconds of the fixed shuffle-bound probe: one full
+def calibration_shuffle_once(spark) -> float:
+    """One wall-seconds sample of the fixed shuffle-bound probe: one full
     exchange (hash aggregate over 100k groups) plus a second stage, so
-    scheduler latency and shuffle machinery dominate, not arithmetic."""
+    scheduler latency and shuffle machinery dominate, not arithmetic.
+
+    Exposed single-shot because the probe is sampled INTERLEAVED with the
+    benched queries (round-10 finding: a single pre-run 5-rep median
+    swung 3.4× across same-HEAD runs on a flapping box, so one
+    before-the-run reading can over-/under-correct the normalizer by
+    ±35 %; a median over pre-run + interleaved samples tracks the box
+    state the queries actually experienced)."""
+    t0 = time.time()
+    spark.range(0, CALIBRATION_SHUFFLE_ROWS, 1, 32).selectExpr(
+        "id % 100003 AS k", "id"
+    ).groupBy("k").count().selectExpr("sum(count * (k % 97)) AS s").collect()
+    return time.time() - t0
+
+
+def calibration_shuffle(spark, reps: int = 3) -> float:
+    """Median wall-seconds of the shuffle-bound probe (pre-run form)."""
     samples = []
     for _ in range(reps):
         t0 = time.time()
@@ -263,11 +284,14 @@ def main() -> None:
     cal_reps = max(1, int(os.environ.get("SPARK_GRAFT_CAL_REPS", "3")))
     calibration_s = round(calibration(spark, cal_reps), 3)
     cal_ratio = round(calibration_s / CALIBRATION_REF_S, 3)
-    calibration_shuffle_s = round(calibration_shuffle(spark, cal_reps), 3)
-    # Canonical normalizer (round 10): the shuffle probe matches the r1
-    # subset's scheduler/exchange-bound regime; the CPU ratio is recorded
-    # for continuity only.
-    cal_shuffle_ratio = round(calibration_shuffle_s / CALIBRATION_SHUFFLE_REF_S, 3)
+    # Shuffle probe (the round-10 canonical normalizer): pre-run samples
+    # here, plus one INTERLEAVED sample every few queries inside the
+    # timing loop — the final reading is the median over all of them, so
+    # a box that flaps mid-run (observed 2026-08-16: a calm ~0.6 s state
+    # and a degraded ~1.9 s state within one session) is normalized by
+    # the state the queries actually ran under, not by one lucky or
+    # unlucky pre-run reading.
+    shuffle_samples = [calibration_shuffle_once(spark) for _ in range(cal_reps)]
     timings: dict[str, float] = {}
     from dbt_glue_spark.extensions.dedup import release_caches
 
@@ -284,7 +308,11 @@ def main() -> None:
     spread: dict[str, float] = {}
     reps_used: dict[str, int] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        # interleaved shuffle-probe sample every 8 queries (~0.6-0.9 s
+        # each — a few seconds total over the full headline set)
+        if qi and qi % 8 == 0:
+            shuffle_samples.append(calibration_shuffle_once(spark))
         samples: list[float] = []
         # The sub-second extension is decided ONCE, after the first `reps`
         # samples (single median check): a query hovering at the 1 s
@@ -315,6 +343,12 @@ def main() -> None:
             reps_used[name] = len(samples)
     total = round(sum(timings.values()), 2)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Canonical normalizer reading: median over pre-run + interleaved
+    # shuffle-probe samples (see the collection comments above).
+    calibration_shuffle_s = round(statistics.median(shuffle_samples), 3)
+    cal_shuffle_ratio = round(
+        calibration_shuffle_s / CALIBRATION_SHUFFLE_REF_S, 3
+    )
     # r1_n marks subset completeness: if a subset query errored, the
     # subtotal covers fewer than 31 queries and is NOT comparable to the
     # 41.059 s r1 baseline — consumers must check r1_n == 31.
@@ -339,6 +373,9 @@ def main() -> None:
         "calibration_ratio": cal_ratio,
         "calibration_shuffle_s": calibration_shuffle_s,
         "calibration_shuffle_ratio": cal_shuffle_ratio,
+        "calibration_shuffle_samples": [
+            round(s, 3) for s in shuffle_samples
+        ],
         "r1_n": len(r1_present),
         "unit": "sec",
         "queries": timings,
