@@ -35,7 +35,10 @@ the one LLM-pipeline family where the catalog had analysis
 - ``ext_k_anonymity`` / ``ext_l_diversity`` — the privacy-census tier
   over REAL document columns (quasi-identifier equivalence-class sizes,
   per-class sensitive-value diversity), the release gates that run
-  beside PII scan/redact before a corpus ships.
+  beside PII scan/redact before a corpus ships;
+- ``streaming_image_frontier`` — the ingestion-side Kappa twin of the
+  image dedup (per-micro-batch decode+dHash, anti-join vs a seen-hash
+  ledger, dropDuplicates on the 8-byte hash).
 
 Oracle style (the round-10 URL discipline, applied to media bytes): the
 Spark side SYNTHESIZES real decodable media per document — PNGs whose
@@ -738,3 +741,92 @@ def ext_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "source", F.expr("n_chars div 512").alias("__bucket")
     )
     return l_diversity(docs, ["source", "__bucket"], "lang", l_threshold=2)
+
+
+# ---------------------------------------------------------------------------
+# streaming_image_frontier — perceptual dedup at ingestion (Kappa twin)
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "streaming_image_frontier",
+    """
+    WITH m AS (
+      SELECT doc_id, doc_id % 10 AS g, (doc_id // 10) % 2 AS p
+      FROM documents
+      WHERE doc_id % 19 <> 0 AND doc_id % 17 <> 0
+    ),
+    led AS (SELECT DISTINCT g, p FROM m WHERE doc_id % 2 = 0),
+    cls AS (SELECT g, p, COUNT(*) AS class_size FROM m GROUP BY g, p),
+    new_cls AS (
+      SELECT c.class_size
+      FROM cls c LEFT JOIN led l ON c.g = l.g AND c.p = l.p
+      WHERE l.g IS NULL
+    )
+    SELECT CAST(class_size AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes
+    FROM new_cls GROUP BY class_size
+    """,
+    doc="Streaming perceptual-image frontier (streaming.image_frontier_"
+    "stream): the full image corpus streams in (4-file parquet source, "
+    "availableNow) against a seen-hash ledger built from the even "
+    "doc_ids; every odd-g perceptual class (g = doc_id % 10 is odd for "
+    "odd ids) is NEW and must be emitted exactly once, in any file "
+    "arrival order. The spec joins the emitted hash set back to the "
+    "batch hash manifest and reports the CLASS-SIZE CENSUS of the new "
+    "classes — richer than a count, still closed-form for the oracle "
+    "(hash values themselves are decoder-side, deliberately outside "
+    "SQL's reach). Decode runs per micro-batch (stateless mapInPandas "
+    "in Structured Streaming); frontier state is one 8-byte long per "
+    "new class.",
+)
+def streaming_image_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from dbt_glue_spark.extensions.multimodal_dedup import image_dhash
+    from dbt_glue_spark.streaming.pipelines import image_frontier_stream
+
+    media = _synth_media(spark, sf_dir, "image")
+    ledger = (
+        image_dhash(media.filter(F.col("media_id") % 2 == 0))
+        .filter(F.col("status") == "ok")
+        .select("dhash")
+    )
+    stage = tempfile.mkdtemp(prefix="dgs_q_imgfrontier_")
+    media.select("media_id", "content").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = (
+        spark.readStream.schema("media_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    name = f"q_imgfrontier_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            image_frontier_stream(stream, ledger)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    emitted = spark.table(name)
+    manifest = (
+        image_dhash(media)
+        .filter(F.col("status") == "ok")
+        .groupBy("dhash")
+        .agg(F.count("*").alias("class_size"))
+    )
+    return (
+        emitted.join(manifest, "dhash")
+        .groupBy("class_size")
+        .agg(F.count("*").cast("bigint").alias("n_classes"))
+        .select(F.col("class_size").cast("bigint").alias("class_size"), "n_classes")
+    )

@@ -370,6 +370,44 @@ def dedup_stream(
     ).dropDuplicatesWithinWatermark(keys)
 
 
+def image_frontier_stream(
+    media_stream: DataFrame,
+    seen_hashes: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Streaming perceptual-image frontier — the Kappa twin of
+    image_dhash_dedup applied at INGESTION: as scraped images stream in,
+    each micro-batch is decoded+dHashed (the Arrow-batched mapInPandas
+    stage runs per batch — stateless, so Structured Streaming supports
+    it), anti-joined against the static seen-hash ledger, and each NEW
+    perceptual class is emitted exactly once (dropDuplicates state keyed
+    on the 8-byte hash). Re-scrapes and brightness-shifted re-encodes of
+    already-ingested images never enter the corpus in the first place.
+
+    ``seen_hashes`` is a ledger of dhash bigints (what a production
+    deployment persists), not raw images — the static side re-read per
+    micro-batch stays tiny. Undecodable/NULL rows are dropped here; the
+    ingest-side decode census is the batch decode_audit's job.
+
+    Batch twin: distinct ok-hashes of the stream's media minus the
+    ledger's — the emitted set must equal it exactly regardless of file
+    arrival order (tested).
+    """
+    from dbt_glue_spark.extensions.multimodal_dedup import image_dhash
+
+    hashes = (
+        image_dhash(media_stream, content_col, id_col)
+        .filter(F.col("status") == "ok")
+        .select("dhash")
+    )
+    seen = seen_hashes.select("dhash").distinct()
+    return (
+        hashes.join(seen, "dhash", "left_anti")
+        .dropDuplicates(["dhash"])
+    )
+
+
 def url_frontier_stream(
     url_stream: DataFrame,
     ledger: DataFrame,

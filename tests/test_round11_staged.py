@@ -579,3 +579,46 @@ def test_l_diversity_homogeneity_and_null(spark):
         for r in l_diversity(df, ["q"], "s", l_threshold=2).collect()
     }
     assert got == {1: (1, 3, 1), 2: (1, 2, 0), 0: (1, 2, 1)}
+
+
+def test_image_frontier_stream_equals_batch_twin(spark, tmp_path):
+    """The emitted new-hash set must equal the batch anti-join exactly,
+    regardless of file arrival order (Kappa equivalence)."""
+    from dbt_glue_spark.extensions.multimodal_dedup import image_dhash
+    from dbt_glue_spark.streaming.pipelines import image_frontier_stream
+
+    rows = [
+        (i, synth_dhash_png(i % 6, (i % 5) * 3, False)) for i in range(24)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    ledger = (
+        image_dhash(media.filter(F.col("media_id") % 2 == 0))
+        .filter(F.col("status") == "ok")
+        .select("dhash")
+    )
+    stage = str(tmp_path / "imgs")
+    media.repartition(5).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema("media_id long, content binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        image_frontier_stream(stream, ledger)
+        .writeStream.format("memory")
+        .queryName("t_imgfrontier")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.dhash for r in spark.table("t_imgfrontier").collect()}
+    batch = (
+        image_dhash(media)
+        .filter(F.col("status") == "ok")
+        .select("dhash")
+        .distinct()
+        .join(ledger.distinct(), "dhash", "left_anti")
+    )
+    want = {r.dhash for r in batch.collect()}
+    assert got == want and got  # odd-g classes only, emitted once each
