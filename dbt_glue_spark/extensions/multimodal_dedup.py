@@ -642,6 +642,67 @@ def audio_fingerprint_pairs(
     )
 
 
+def media_data_card(
+    df: DataFrame,
+    kind_col: str = "kind",
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-kind media corpus card: (kind, n_rows, n_ok, ok_ppm,
+    sum_units) — the media twin of the text-side ``audit.data_card``.
+
+    ``units`` is the kind's natural size measure from the REAL decode:
+    pixels per image (w·h), channel-0 samples per audio, frames per
+    video (every frame must decode, the decode_audit 'ok' contract).
+    ``ok_ppm`` is the decode success rate in exact parts-per-million
+    (bigint division, no float). The first census a multimodal corpus
+    intake runs: how much decodes, and how much raw signal it holds.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(
+                pdf[id_col], pdf[kind_col], pdf[content_col]
+            ):
+                ok, units = 0, 0
+                if content is not None:
+                    data = bytes(content)
+                    try:
+                        if kind == "image":
+                            w, h, _ch, _px = png_decode(data)
+                            units = w * h
+                        elif kind == "audio":
+                            _sr, _nch, x = wav_decode(data)
+                            units = int(x.size)
+                        elif kind == "video":
+                            _fps, frames = video_decode(data)
+                            for fb in frames:
+                                png_decode(fb)
+                            units = len(frames)
+                        else:
+                            raise DecodeUnavailable(f"unknown kind {kind!r}")
+                        ok = 1
+                    except DecodeUnavailable:
+                        ok, units = 0, 0
+                rows.append((kind, ok, units))
+            yield pd.DataFrame(
+                rows, columns=["kind", "ok", "units"]
+            )
+
+    manifest = df.select(
+        F.col(id_col), F.col(kind_col), F.col(content_col)
+    ).mapInPandas(run, "kind string, ok int, units long")
+    return manifest.groupBy("kind").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("ok").cast("bigint").alias("n_ok"),
+        F.expr(
+            "cast((sum(ok) * 1000000) div count(*) as bigint)"
+        ).alias("ok_ppm"),
+        F.sum("units").cast("bigint").alias("sum_units"),
+    )
+
+
 AUDIT_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

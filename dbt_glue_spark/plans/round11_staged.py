@@ -38,7 +38,10 @@ the one LLM-pipeline family where the catalog had analysis
   beside PII scan/redact before a corpus ships;
 - ``streaming_image_frontier`` — the ingestion-side Kappa twin of the
   image dedup (per-micro-batch decode+dHash, anti-join vs a seen-hash
-  ledger, dropDuplicates on the 8-byte hash).
+  ledger, dropDuplicates on the 8-byte hash);
+- ``ext_media_data_card`` — per-kind intake census (decode rate in
+  exact ppm, natural size units from the real decode), the media twin
+  of the text data_card.
 
 Oracle style (the round-10 URL discipline, applied to media bytes): the
 Spark side SYNTHESIZES real decodable media per document — PNGs whose
@@ -830,3 +833,47 @@ def streaming_image_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_classes"))
         .select(F.col("class_size").cast("bigint").alias("class_size"), "n_classes")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_media_data_card — per-kind intake census over the mixed corpus
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "ext_media_data_card",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS kind,
+             CASE WHEN doc_id % 19 = 0 OR doc_id % 17 = 0 THEN 0
+                  ELSE 1 END AS ok,
+             CASE WHEN doc_id % 19 = 0 OR doc_id % 17 = 0 THEN 0
+                  WHEN doc_id % 3 = 0 THEN 288
+                  WHEN doc_id % 3 = 1 THEN 4096
+                  ELSE 2 + (doc_id % 5) % 3 END AS units
+      FROM documents
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(ok) AS BIGINT) AS n_ok,
+           CAST((SUM(ok) * 1000000) // COUNT(*) AS BIGINT) AS ok_ppm,
+           CAST(SUM(units) AS BIGINT) AS sum_units
+    FROM m GROUP BY kind
+    """,
+    doc="Media intake card (multimodal_dedup.media_data_card): per-kind "
+    "row count, decode success count and exact-ppm rate, and the sum of "
+    "each kind's natural size measure from the REAL decode — pixels per "
+    "image (18·16 = 288 in this corpus), channel-0 samples per audio "
+    "(16 windows · 256 = 4096), frames per video (2 + g%3; the mixed "
+    "corpus assigns video to doc_id ≡ 2 mod 3, so the truncation branch "
+    "never fires and the count is pure id arithmetic). The media twin "
+    "of the text data_card: the first census a multimodal intake runs. "
+    "One Python decode stage; one map-side-combined groupBy on kind.",
+)
+def ext_media_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.multimodal_dedup import media_data_card
+
+    media = _synth_media(spark, sf_dir, None)
+    return media_data_card(media)

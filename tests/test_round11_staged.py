@@ -622,3 +622,46 @@ def test_image_frontier_stream_equals_batch_twin(spark, tmp_path):
     )
     want = {r.dhash for r in batch.collect()}
     assert got == want and got  # odd-g classes only, emitted once each
+
+
+def test_staged11_specs_survive_empty_documents(spark, sf_dir, tmp_path):
+    """Every staged spec must degrade to an empty result on a zero-row
+    documents table — the empty-input gate every pool ships with (at
+    100 TB a pruned partition or tight predicate routinely hands an
+    operator zero rows)."""
+    import os
+
+    from dbt_glue_spark.sources.registry import TABLES, load_table
+
+    out = str(tmp_path / "sf_empty11")
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    for name, spec in sorted(STAGED11().items()):
+        n = spec.fn(spark, out).count()
+        assert n == 0, (name, n)
+
+
+def test_media_data_card_hand_case(spark):
+    from dbt_glue_spark.extensions.multimodal_dedup import media_data_card
+
+    rows = [
+        (0, "image", synth_dhash_png(0, 0, False)),   # 18*16 = 288 px
+        (1, "image", b"bad"),
+        (2, "image", None),
+        (3, "audio", synth_audio_bytes(1)),           # 4096 samples
+        (4, "video", synth_video_bytes(1)),           # g=1 -> 3 frames
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    got = {
+        r.kind: (r.n_rows, r.n_ok, r.ok_ppm, r.sum_units)
+        for r in media_data_card(df).collect()
+    }
+    assert got == {
+        "image": (3, 1, 333333, 288),
+        "audio": (1, 1, 1000000, 4096),
+        "video": (1, 1, 1000000, 3),
+    }
