@@ -390,11 +390,11 @@ def main() -> None:
     # wrong #2"): $SPARK_GRAFT_ROUND=N wins when set, but the driver never
     # sets it — so infer N as 1 + max(existing BENCH_r{N}.json) (the driver
     # always writes those at round close, so during round N only
-    # BENCH_r{N-1} and older exist). Official, advisory and spot-check
-    # runs within a round share one stamped file (last write wins, which
-    # is the freshest run at the same HEAD family); runs from DIFFERENT
-    # rounds can no longer clobber each other. Unstamped fallback only
-    # when no BENCH_r files exist at all.
+    # BENCH_r{N-1} and older exist). CAVEAT (r10 ADVICE): a spot-check run
+    # made AFTER the driver writes BENCH_r{N}.json but before the round
+    # actually rolls infers N+1 — post-close spot checks must set
+    # SPARK_GRAFT_ROUND explicitly. Unstamped fallback only when no
+    # BENCH_r files exist at all.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     round_tag = os.environ.get("SPARK_GRAFT_ROUND", "").strip()
     if not round_tag.isdigit():
@@ -409,6 +409,17 @@ def main() -> None:
         if round_tag.isdigit()
         else "BENCH_DETAIL.json"
     )
+    # Collision-safe stamping (r10 "What's wrong #3": the driver's official
+    # run overwrote the builder's committed close-certification run at the
+    # same stamped name). If the stamped file already exists, write to the
+    # first free letter-suffixed sibling (…r11a.json, …r11b.json, …) so two
+    # same-round runs COEXIST instead of last-write-wins; the builder prunes
+    # superseded uncommitted suffixes before committing the one that counts.
+    base, ext = os.path.splitext(sidecar_name)
+    for suffix in [""] + [chr(c) for c in range(ord("a"), ord("z") + 1)]:
+        sidecar_name = f"{base}{suffix}{ext}"
+        if not os.path.exists(os.path.join(repo_dir, sidecar_name)):
+            break
     sidecar = os.path.join(repo_dir, sidecar_name)
     sidecar_ok = True
     try:

@@ -69,9 +69,21 @@ def dhash_bytes(data: bytes, grid_w: int = 9, grid_h: int = 8) -> int:
     :class:`DecodeUnavailable` for undecodable content or images smaller
     than the grid.
     """
+    w, h, ch, px = png_decode(data)
+    return dhash_from_decoded(w, h, ch, px, grid_w, grid_h)
+
+
+def dhash_from_decoded(
+    w: int, h: int, ch: int, px: bytes, grid_w: int = 9, grid_h: int = 8
+) -> int:
+    """dHash over an ALREADY-DECODED pixel plane (see :func:`dhash_bytes`).
+
+    Split out so callers that also need (width, height) — e.g.
+    :func:`image_dhash`'s manifest rows — decode each image exactly once;
+    the decode is the dominant cost of every image pipeline here.
+    """
     import numpy as np
 
-    w, h, ch, px = png_decode(data)
     if w < grid_w or h < grid_h:
         raise DecodeUnavailable(f"image {w}x{h} smaller than dhash grid")
     plane = np.frombuffer(px, dtype=np.uint8).reshape(h, w * ch)[:, ::ch]
@@ -131,8 +143,10 @@ def image_dhash(
                     rows.append((int(mid), None, None, None, "null"))
                     continue
                 try:
-                    hv = dhash_bytes(bytes(content), grid_w, grid_h)
-                    w, h, _ch, _px = png_decode(bytes(content))
+                    # decode ONCE; hash from the decoded plane (the decode
+                    # is the dominant cost of this, the one Python stage)
+                    w, h, ch, px = png_decode(bytes(content))
+                    hv = dhash_from_decoded(w, h, ch, px, grid_w, grid_h)
                     rows.append((int(mid), hv, w, h, "ok"))
                 except DecodeUnavailable:
                     rows.append((int(mid), None, None, None, "decode_error"))
@@ -195,10 +209,16 @@ def _near_dup_pairs_from_sig(
     """Banded Hamming LSH over a precomputed (id, dhash) frame — shared
     by :func:`image_near_dup_pairs` and :func:`image_dup_clusters` so a
     composed pipeline decodes each image exactly once."""
-    assert 64 % bands == 0, "bands must divide 64"
-    assert max_hamming < bands, (
-        "exhaustiveness needs max_hamming < bands (pigeonhole)"
-    )
+    # ValueError, not assert: these are caller-facing contract checks and
+    # must survive `python -O` (asserts vanish → silently non-exhaustive
+    # pair sets); matches the sibling validators in audit.k_anonymity.
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"exhaustiveness needs max_hamming < bands (pigeonhole); "
+            f"got max_hamming={max_hamming}, bands={bands}"
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     stacked = sig.selectExpr(

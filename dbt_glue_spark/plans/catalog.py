@@ -84,6 +84,16 @@ def _load_all() -> None:
 
     _REGISTRY.update(round10_staged.STAGED10())
 
+    # Round-11 promotion: the 13 operators staged (and ×12-directory
+    # exact-parity-proven) during round 10 join the live catalog
+    # (270 → 283): the multimodal-dedup tier on REAL decoders
+    # (perceptual image/video/audio near-dup, scene/keyframe manifests,
+    # decode audit, media data card), the k-anonymity / l-diversity
+    # privacy censuses, and the streaming image frontier.
+    from dbt_glue_spark.plans import round11_staged
+
+    _REGISTRY.update(round11_staged.STAGED11())
+
 
 def _family(name: str) -> str:
     """Coarse operator family, by naming convention."""

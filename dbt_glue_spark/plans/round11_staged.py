@@ -1,7 +1,8 @@
-"""Round-11 STAGED queries — built and parity-proven during round 10,
-to be promoted at the round-10→11 boundary (standing rule: new operators
-stage mid-round so the driver's sampled correctness prefix stays closed
-over the live catalog, and promote only between rounds).
+"""Round-11 queries — built and parity-proven during round 10, PROMOTED
+at the round-10→11 boundary into the live catalog (270 → 283; standing
+rule: new operators stage mid-round so the driver's sampled correctness
+prefix stays closed over the live catalog, and promote only between
+rounds).
 
 Same :class:`QuerySpec` contract and exact-DuckDB gates as the earlier
 pools (tests/test_round11_staged.py, every pathological data profile).
@@ -817,7 +818,16 @@ def streaming_image_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # A timeout on a slow box must FAIL LOUDLY here, not proceed with
+        # a partial emitted set (which would surface as a parity mismatch
+        # misattributed to the operator while the query keeps running).
+        if not q.awaitTermination(300):
+            q.stop()
+            spark.catalog.dropTempView(name)
+            raise TimeoutError(
+                f"streaming_image_frontier: query {name} did not finish "
+                "within 300 s (per-batch decode on a slow box?)"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     emitted = spark.table(name)

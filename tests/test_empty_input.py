@@ -16,8 +16,10 @@ down. Round-5 probe findings fixed here and regression-gated:
 - streaming sketch/merge sinks: an empty stream commits no ledger — the
   readers now fall back to the typed empty sketch instead of raising.
 
-The full catalog sweep runs under SPARK_GRAFT_EMPTY_FULL=1 (the probe
-that found the above); by default only the fixed surfaces run.
+The FULL catalog sweep (every query in SPECS() against a zero-row
+directory) is the default since round 11 (r10 verdict item 7) — it ran
+green over all 283 queries at promotion. SPARK_GRAFT_EMPTY_FULL=0 opts
+down to the fixed regression surfaces for quick local iteration.
 """
 
 from __future__ import annotations
@@ -57,9 +59,9 @@ REGRESSION_QUERIES = [
 def test_fixed_queries_survive_empty_input(spark, empty_sf):
     specs = SPECS()
     names = (
-        list(specs)
-        if os.environ.get("SPARK_GRAFT_EMPTY_FULL") == "1"
-        else REGRESSION_QUERIES
+        REGRESSION_QUERIES
+        if os.environ.get("SPARK_GRAFT_EMPTY_FULL") == "0"
+        else list(specs)
     )
     failures = []
     for name in names:

@@ -51,7 +51,7 @@ def test_staged10_promoted_and_sampled_first():
     from dbt_glue_spark.plans.catalog import SPECS, _previously_checked
 
     specs = SPECS()
-    assert len(specs) == 270, len(specs)
+    assert len(specs) >= 270, len(specs)  # 270 at r10; later rounds promote more
     missing = set(STAGED10_NAMES) - set(specs)
     assert not missing, missing
     prefix = set(list(specs)[:50])

@@ -1,8 +1,9 @@
-"""Round-11 staged operators (multimodal dedup tier): parity-proven now,
-catalog-registered at the round-10→11 boundary (plans/round11_staged.py
-docstring). These tests prove the staged specs with the same exact DuckDB
-compare the live sweep uses, pin the stage-then-promote discipline (the
-live catalog stays at 270 this round), and brute-force / property-check
+"""Round-11 operators (multimodal dedup tier): parity-proven during round
+10, catalog-registered at the round-10→11 boundary (plans/round11_staged.py
+docstring). These tests prove the specs with the same exact DuckDB
+compare the live sweep uses, pin the promotion contract (catalog 270 →
+283, unchecked promotions in the sampled prefix), and brute-force /
+property-check
 each operator — the dHash closed form, the brightness/perturbation
 invariants, banding exhaustiveness, frame-set Jaccard, landmark
 constellations, the df cutoffs, and the decode-honesty contract.
@@ -51,17 +52,23 @@ def test_staged11_oracle_parity(spark, sf_dir, name):
     _exact_compare(spark, sf_dir, STAGED11()[name])
 
 
-def test_catalog_holds_at_270_and_staged11_not_registered():
-    """Stage-then-promote: the round-11 pool must NOT be live this round —
-    registering mid-round would push never-checked entries into the
-    driver's 50-query prefix and crowd out the 24 round-10 promotions
-    earning their first hard rows."""
-    from dbt_glue_spark.plans.catalog import SPECS
+def test_staged11_promoted_and_sampled_first():
+    """Round-11 promotion contract (rotation-invariant form, per the r7
+    verdict's time-bomb lesson): the 13 staged operators are live in the
+    catalog (270 + 13 = 283), and any of them WITHOUT a green latest
+    driver CORRECTNESS row sits in the driver's 50-query sampled prefix
+    — true before the driver run (all 13 in the never-checked tier) and
+    after it (green rows rotate out, red rows must re-enter)."""
+    from dbt_glue_spark.plans.catalog import SPECS, _previously_checked
 
     specs = SPECS()
-    assert len(specs) == 270, len(specs)
-    overlap = set(STAGED11_NAMES) & set(specs)
-    assert not overlap, overlap
+    assert len(specs) == 283, len(specs)
+    missing = set(STAGED11_NAMES) - set(specs)
+    assert not missing, missing
+    prefix = set(list(specs)[:50])
+    unchecked = set(STAGED11_NAMES) - _previously_checked()
+    not_in_prefix = unchecked - prefix
+    assert not not_in_prefix, not_in_prefix
 
 
 # ---------------------------------------------------------------------------
@@ -182,9 +189,11 @@ def test_image_near_dup_pairs_rejects_bad_params(spark):
     )
 
     df = spark.createDataFrame([(0, None)], "media_id long, content binary")
-    with pytest.raises(AssertionError):
+    # ValueError (not assert) so the contract survives `python -O`,
+    # matching the sibling validators in audit.k_anonymity (r10 ADVICE).
+    with pytest.raises(ValueError):
         image_near_dup_pairs(df, max_hamming=4, bands=4)  # not exhaustive
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         image_near_dup_pairs(df, bands=3)  # 64 % 3 != 0
 
 
