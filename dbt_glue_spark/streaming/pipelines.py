@@ -386,9 +386,16 @@ def image_frontier_stream(
     already-ingested images never enter the corpus in the first place.
 
     ``seen_hashes`` is a ledger of dhash bigints (what a production
-    deployment persists), not raw images — the static side re-read per
-    micro-batch stays tiny. Undecodable/NULL rows are dropped here; the
-    ingest-side decode census is the batch decode_audit's job.
+    deployment persists), not raw images. A stream-static join re-reads
+    the static side EVERY micro-batch, so the distinct-hash projection is
+    persisted and eagerly materialized here before the stream starts:
+    if the caller hands a ledger whose lineage includes a decode (e.g.
+    an ``image_dhash`` pipeline), the decode runs exactly once instead
+    of once per trigger. The cached frame is 8 bytes per known class —
+    session-lifetime footprint is negligible and LRU-evicted.
+
+    Undecodable/NULL rows are dropped here; the ingest-side decode
+    census is the batch decode_audit's job.
 
     Batch twin: distinct ok-hashes of the stream's media minus the
     ledger's — the emitted set must equal it exactly regardless of file
@@ -401,10 +408,52 @@ def image_frontier_stream(
         .filter(F.col("status") == "ok")
         .select("dhash")
     )
-    seen = seen_hashes.select("dhash").distinct()
+    seen = seen_hashes.select("dhash").distinct().persist()
+    seen.count()  # materialize NOW — micro-batches hit the cache
     return (
         hashes.join(seen, "dhash", "left_anti")
         .dropDuplicates(["dhash"])
+    )
+
+
+def pair_frontier_stream(
+    pairs_stream: DataFrame,
+    seen_pairs: DataFrame,
+    caption_col: str = "caption",
+    content_col: str = "content",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Streaming cross-modal pair frontier — the Kappa twin of joint
+    (caption, image) dedup applied at INGESTION: as scraped image-caption
+    pairs stream in, each micro-batch is decoded+dHashed and the caption
+    md5-keyed (the ``crossmodal.pair_signatures`` joint class), anti-
+    joined against the static seen-pair ledger, and each NEW joint class
+    (caption_key, dhash) is emitted exactly once (dropDuplicates state
+    keyed on 16+8 bytes). A re-scraped pair — same caption, brightness-
+    shifted re-encode of the same image — never enters the corpus.
+
+    ``seen_pairs`` is a ledger of (caption_key binary, dhash bigint)
+    rows; like :func:`image_frontier_stream`, the distinct projection is
+    persisted and eagerly materialized before the stream starts, so a
+    ledger lineage that includes a decode runs once, not per trigger.
+
+    NULL-caption / non-ok-decode rows are dropped here (no joint class);
+    the decode census is the batch decode_audit's job.
+
+    Batch twin: distinct joint keys of the stream's pairs minus the
+    ledger's — the emitted set must equal it exactly regardless of file
+    arrival order (tested).
+    """
+    from dbt_glue_spark.extensions.crossmodal import pair_signatures
+
+    keys = pair_signatures(
+        pairs_stream, caption_col, content_col, id_col
+    ).select("caption_key", "dhash")
+    seen = seen_pairs.select("caption_key", "dhash").distinct().persist()
+    seen.count()  # materialize NOW — micro-batches hit the cache
+    return (
+        keys.join(seen, ["caption_key", "dhash"], "left_anti")
+        .dropDuplicates(["caption_key", "dhash"])
     )
 
 

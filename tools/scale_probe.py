@@ -16,7 +16,7 @@ similarity is zero — replication adds no artificial near-dup mass; and
 stay realistic. Each scaled corpus is materialized to parquet scratch so
 every timed run pays a real scan, not a cached lineage.
 
-Usage: python tools/scale_probe.py [--factors=2,8,32] [--probe=dedup|mmr|staged|staged8|staged9|staged10|staged11]
+Usage: python tools/scale_probe.py [--factors=2,8,32] [--probe=dedup|mmr|staged|staged8|staged9|staged10|staged11|staged12]
 Prints one JSON line: per-op seconds per factor + fitted exponents.
 A near-linear operator shows exponent ≈ 1 (ratio bound 1.5x of linear
 per SCALE.md policy); quadratic blowup would show ≈ 2.
@@ -897,6 +897,142 @@ def probe_staged11(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
     return results, rows
 
 
+def probe_staged12(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
+    """Weak-scaling probe for the round-12 cross-modal pair pool.
+
+    Pair corpora are synthesized directly (500·factor rows) with HASHED
+    group words, so joint (caption, image) classes grow in COUNT (~8
+    members each) while the corpus grows — the weak-scaling shape where
+    the census/pair truth stays linear (the catalog specs' fixed
+    codeword corpus is deliberately dupheavy-shaped for closed-form
+    oracles). Caption law mirrors the staged corpus: a boilerplate
+    caption every 13th row (the spam axis crossing classes), two
+    caption variants per class (the divergence axis). Materialized to
+    parquet scratch so timed runs pay a real binary-column scan;
+    expected exponents ≈ 1 — the dominant cost is the Arrow-batched
+    decode stage, and every shuffle carries 8/16-byte hashes.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from dbt_glue_spark.extensions import crossmodal as cm
+    from dbt_glue_spark.plans.round11_staged import synth_pattern_png
+
+    def word(tag: str, n: int) -> int:
+        return int.from_bytes(
+            hashlib.md5(f"{tag}:{n}".encode()).digest()[:8], "big"
+        )
+
+    def build_pairs(factor: int, out: str) -> str:
+        ids = spark.range(0, 500 * factor, 1, 32).select(
+            F.col("id").alias("pair_id")
+        )
+
+        def run(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["pair_id"]:
+                    i = int(i)
+                    gid = i // 8
+                    png = synth_pattern_png(word("i", gid), (i % 7) * 3)
+                    cap = (
+                        "stock photo of the day"
+                        if i % 13 == 0
+                        else f"cap {gid} {i % 2}"
+                    )
+                    rows.append((i, cap, png, (i * 7) % 50))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["pair_id", "caption", "content", "quality"],
+                )
+
+        path = os.path.join(out, f"pairs_x{factor}")
+        ids.mapInPandas(
+            run,
+            "pair_id long, caption string, content binary, quality long",
+        ).write.mode("overwrite").parquet(path)
+        return path
+
+    def typed_frame(factor: int):
+        # mixture-card input is JVM-only (no media): pair_type by id%3,
+        # caption token count 1 + id%9, constant per-type weights
+        ids = spark.range(0, 500 * factor, 1, 32)
+        return ids.select(
+            F.element_at(
+                F.array(
+                    F.lit("image_caption"),
+                    F.lit("audio_transcript"),
+                    F.lit("video_caption"),
+                ),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("pair_type"),
+            F.trim(
+                F.repeat(F.lit("tok "), (F.col("id") % 9 + 1).cast("int"))
+            ).alias("caption"),
+            F.element_at(
+                F.array(F.lit(600000), F.lit(250000), F.lit(150000)),
+                (F.col("id") % 3 + 1).cast("int"),
+            )
+            .cast("bigint")
+            .alias("weight"),
+        )
+
+    scratch = tempfile.mkdtemp(prefix="dgs_staged12_probe_")
+    results: dict[str, dict[str, float]] = {}
+    rows: dict[str, int] = {}
+    try:
+        warm = spark.read.parquet(build_pairs(1, scratch))
+        cm.caption_consistency_audit(warm).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cm.caption_spam_census(warm).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cm.paired_keep_best(warm).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cm.modality_mixture_card(typed_frame(1), budget=10_000).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dedup.release_caches()
+        for f_ in factors:
+            pairs = spark.read.parquet(build_pairs(f_, scratch))
+            rows[str(f_)] = pairs.count()
+
+            def run_consistency():
+                cm.caption_consistency_audit(pairs).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            def run_spam():
+                cm.caption_spam_census(pairs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_keepbest():
+                cm.paired_keep_best(pairs).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            def run_card():
+                cm.modality_mixture_card(
+                    typed_frame(f_), budget=10_000
+                ).write.format("noop").mode("overwrite").save()
+
+            for name, fn in [
+                ("caption_consistency", run_consistency),
+                ("caption_spam", run_spam),
+                ("paired_keep_best", run_keepbest),
+                ("modality_mixture_card", run_card),
+            ]:
+                results.setdefault(name, {})[str(f_)] = timed(fn)
+                dedup.release_caches()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return results, rows
+
+
 def main() -> None:
     factors = [2, 8, 32]
     probe = "dedup"
@@ -930,6 +1066,10 @@ def main() -> None:
         return
     if probe == "staged11":
         results, rows = probe_staged11(spark, sf_dir, factors)
+        _emit(factors, results, rows)
+        return
+    if probe == "staged12":
+        results, rows = probe_staged12(spark, sf_dir, factors)
         _emit(factors, results, rows)
         return
     scratch = tempfile.mkdtemp(prefix="dgs_scale_probe_")
