@@ -268,6 +268,108 @@ def paired_keep_best(
     )
 
 
+def pair_completeness_audit(
+    df: DataFrame,
+    caption_col: str = "caption",
+    content_col: str = "content",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Intake completeness census for a paired corpus: every pair lands
+    in exactly one (caption_state, image_state) cell — caption present/
+    missing × image ok/null/decode_error — with its count.
+
+    The first audit a paired-corpus intake runs (before any joint
+    operator): how many pairs are actually TRAINABLE (present × ok),
+    and where the rest leak — the half-pair census. The honesty twin of
+    ``multimodal_dedup.decode_audit`` for the joint schema: dropped-
+    from-joint rows are visible cells here, never silent exclusions.
+
+    ONE Arrow-batched decode pass emits the two tiny state strings; ONE
+    map-side-combining groupBy counts ≤ 6 cells. Output bounded by 6
+    rows regardless of corpus size.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cap, content in zip(pdf[caption_col], pdf[content_col]):
+                cs = "present" if cap is not None else "missing"
+                if content is None:
+                    ims = "null"
+                else:
+                    try:
+                        png_decode(bytes(content))
+                        ims = "ok"
+                    except DecodeUnavailable:
+                        ims = "decode_error"
+                rows.append((cs, ims))
+            yield pd.DataFrame(
+                rows, columns=["caption_state", "image_state"]
+            )
+
+    states = df.select(F.col(caption_col), F.col(content_col)).mapInPandas(
+        run, "caption_state string, image_state string"
+    )
+    return (
+        states.groupBy("caption_state", "image_state")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+def pair_alignment_audit(
+    df: DataFrame,
+    caption_vec_col: str = "caption_vec",
+    image_vec_col: str = "image_vec",
+    id_col: str = "pair_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Cross-modal embedding alignment histogram — the CLIP-style audit
+    over a paired corpus where each side carries an embedding: cosine
+    per pair, bucketed into tenths, plus the count of pairs below the
+    misalignment ``threshold`` per bucket.
+
+    Misaligned pairs (caption embedding pointing away from the image
+    embedding under a shared encoder) are label noise for contrastive
+    training; the distribution tells a curation pipeline where to set
+    its drop threshold. Pairs with a NULL vector on either side, or a
+    zero-norm vector (cosine undefined), are excluded — they belong to
+    the completeness audit, not the alignment histogram.
+
+    Cosine is JVM-side ``F.aggregate``/``zip_with`` arithmetic
+    (:mod:`functions.vectors`), rounded half-up at 4 dp (the catalog
+    float-determinism rule); bucket = floor(sim·10) clamped to [-10, 9]
+    so sim = 1.0 lands in the top bucket. ONE map-only projection + ONE
+    groupBy over ≤ 20 bucket rows — no shuffle wider than the histogram.
+    """
+    from dbt_glue_spark.functions.vectors import cosine_sim
+
+    sim = cosine_sim(F.col(caption_vec_col), F.col(image_vec_col))
+    # half-up at 4 dp, the catalog rule — oracles mirror this formula
+    sim4 = F.floor(sim * 10000 + F.lit(0.5)) / 10000
+    scored = (
+        df.filter(
+            F.col(caption_vec_col).isNotNull()
+            & F.col(image_vec_col).isNotNull()
+        )
+        .select(sim4.alias("__sim"))
+        .filter(F.col("__sim").isNotNull())
+    )
+    bucket = F.least(
+        F.greatest(F.floor(F.col("__sim") * 10), F.lit(-10)), F.lit(9)
+    )
+    return (
+        scored.select(
+            bucket.cast("bigint").alias("sim_bucket"),
+            (F.col("__sim") < threshold).cast("int").alias("__below"),
+        )
+        .groupBy("sim_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("__below").cast("bigint").alias("n_below_threshold"),
+        )
+    )
+
+
 def modality_mixture_card(
     df: DataFrame,
     budget: int,

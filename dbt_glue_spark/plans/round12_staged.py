@@ -369,6 +369,114 @@ def ext_modality_mixture_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ext_pair_completeness — the intake half-pair census
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "ext_pair_completeness",
+    """
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 23 = 0 THEN 'missing'
+                  ELSE 'present' END AS caption_state,
+             CASE WHEN doc_id % 19 = 0 THEN 'null'
+                  WHEN doc_id % 17 = 0 THEN 'decode_error'
+                  ELSE 'ok' END AS image_state
+      FROM documents
+    )
+    SELECT caption_state, image_state,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM m GROUP BY caption_state, image_state
+    """,
+    doc="Paired-corpus intake completeness census "
+    "(crossmodal.pair_completeness_audit): caption present/missing × "
+    "image ok/null/decode_error from the REAL decode — how many pairs "
+    "are trainable and where the half-pairs leak; the honesty twin of "
+    "decode_audit for the joint schema (every row the joint operators "
+    "exclude is a visible cell here). The oracle derives all six cells "
+    "from the id-arithmetic contracts (caption %23, NULL %19 before "
+    "corrupt %17 — the construction's precedence). ONE Arrow-batched "
+    "decode pass emitting two tiny state strings; ONE groupBy over "
+    "≤ 6 cells — output bounded by 6 rows at any corpus size.",
+)
+def ext_pair_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.crossmodal import pair_completeness_audit
+
+    return pair_completeness_audit(_synth_pairs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# ext_pair_alignment — CLIP-style embedding alignment histogram
+# ---------------------------------------------------------------------------
+
+
+def _alignment_oracle() -> str:
+    from dbt_glue_spark.plans.extension_queries import _cos_sql
+
+    return f"""
+    WITH a AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    p AS (
+      SELECT a1.v AS cv, a2.v AS iv
+      FROM a a1 JOIN a a2
+        ON a2.vec_id = a1.vec_id + 1 - 2 * (a1.vec_id % 2)
+    ),
+    s AS (SELECT {_cos_sql('cv', 'iv')} AS sim FROM p),
+    b AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(sim * 10) AS BIGINT), -10), 9)
+               AS sim_bucket,
+             CASE WHEN sim < 0.2 THEN 1 ELSE 0 END AS below
+      FROM s WHERE sim IS NOT NULL
+    )
+    SELECT sim_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(below) AS BIGINT) AS n_below_threshold
+    FROM b GROUP BY sim_bucket
+    """
+
+
+@register_staged(
+    "ext_pair_alignment",
+    _alignment_oracle(),
+    doc="Cross-modal embedding alignment histogram "
+    "(crossmodal.pair_alignment_audit): pairs are adjacent embedding "
+    "rows (partner = vec_id + 1 - 2·(vec_id % 2) — the caption side and "
+    "image side of a CLIP-style paired corpus); cosine per pair at the "
+    "catalog's 4-dp half-up rounding (the _cos_sql mirror every "
+    "similarity oracle uses), bucketed into tenths with a "
+    "below-threshold count per bucket — the misalignment distribution a "
+    "curation pipeline reads to set its contrastive-training drop "
+    "threshold. NULL vectors and zero-norm cosines excluded (they "
+    "belong to the completeness census). ONE equi-join on vec_id "
+    "arithmetic + ONE map-only cosine projection + ONE groupBy over "
+    "≤ 20 bucket rows — no shuffle wider than the histogram.",
+)
+def ext_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.crossmodal import pair_alignment_audit
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    # mirror the oracle's join direction literally (a2.vec_id ==
+    # partner(a1)): the partner map is only an involution for
+    # non-negative ids, and pathological axes may carry negatives
+    a = emb.select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").cast("array<double>").alias("caption_vec"),
+        (F.col("vec_id") + 1 - 2 * (F.col("vec_id") % 2)).alias("__pid"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("__pid"),
+        F.col("embedding").cast("array<double>").alias("image_vec"),
+    )
+    pairs = a.join(b, "__pid").select(
+        "pair_id", "caption_vec", "image_vec"
+    )
+    return pair_alignment_audit(pairs, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
 # streaming_pair_frontier — ingestion-side joint-class dedup
 # ---------------------------------------------------------------------------
 

@@ -292,6 +292,81 @@ def test_modality_mixture_card_zero_budget_and_empty(spark):
 
 
 # ---------------------------------------------------------------------------
+# pair_completeness_audit / pair_alignment_audit: hand cases
+# ---------------------------------------------------------------------------
+
+
+def test_pair_completeness_hand_case(spark):
+    """All six cells reachable; precedence: NULL content is 'null' even
+    if the bytes would also be undecodable."""
+    from dbt_glue_spark.extensions.crossmodal import pair_completeness_audit
+
+    png = synth_dhash_png(0, 0, False)
+    rows = [
+        (0, "c", png), (1, "c", png),            # present/ok ×2
+        (2, "c", None),                           # present/null
+        (3, "c", b"bad"),                         # present/decode_error
+        (4, None, png),                           # missing/ok
+        (5, None, None),                          # missing/null
+        (6, None, b"bad"),                        # missing/decode_error
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, caption string, content binary"
+    )
+    got = {
+        (r.caption_state, r.image_state): r.n_pairs
+        for r in pair_completeness_audit(df).collect()
+    }
+    assert got == {
+        ("present", "ok"): 2,
+        ("present", "null"): 1,
+        ("present", "decode_error"): 1,
+        ("missing", "ok"): 1,
+        ("missing", "null"): 1,
+        ("missing", "decode_error"): 1,
+    }
+
+
+def test_pair_alignment_hand_case(spark):
+    """Hand-checkable cosines: identical (1.0 → bucket 9 via the clamp),
+    orthogonal (0.0 → bucket 0, below threshold), opposite (−1.0 →
+    bucket −10), NULL / zero-norm excluded."""
+    from dbt_glue_spark.extensions.crossmodal import pair_alignment_audit
+
+    rows = [
+        (0, [1.0, 0.0], [1.0, 0.0]),    # sim 1.0  -> bucket 9 (clamped)
+        (1, [1.0, 0.0], [0.0, 1.0]),    # sim 0.0  -> bucket 0, below 0.2
+        (2, [1.0, 0.0], [-1.0, 0.0]),   # sim -1.0 -> bucket -10
+        (3, None, [1.0, 0.0]),          # NULL vec -> excluded
+        (4, [0.0, 0.0], [1.0, 0.0]),    # zero norm -> excluded
+        (5, [3.0, 4.0], [3.0, 4.0]),    # sim 1.0  -> bucket 9
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "pair_id long, caption_vec array<double>, image_vec array<double>",
+    )
+    got = {
+        r.sim_bucket: (r.n_pairs, r.n_below_threshold)
+        for r in pair_alignment_audit(df, threshold=0.2).collect()
+    }
+    assert got == {9: (2, 0), 0: (1, 1), -10: (1, 1)}
+
+
+def test_crossmodal_audits_empty_input(spark):
+    from dbt_glue_spark.extensions import crossmodal as cm
+
+    e1 = spark.createDataFrame(
+        [], "pair_id long, caption string, content binary"
+    )
+    assert cm.pair_completeness_audit(e1).count() == 0
+    e2 = spark.createDataFrame(
+        [],
+        "pair_id long, caption_vec array<double>, image_vec array<double>",
+    )
+    assert cm.pair_alignment_audit(e2).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # plan shape: never all-pairs, media bytes never shuffle
 # ---------------------------------------------------------------------------
 

@@ -1020,11 +1020,38 @@ def probe_staged12(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                     typed_frame(f_), budget=10_000
                 ).write.format("noop").mode("overwrite").save()
 
+            def run_completeness():
+                cm.pair_completeness_audit(pairs).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+
+            def run_alignment():
+                # synthetic 16-dim embeddings from id arithmetic — the
+                # audit is a map-only cosine + tiny groupBy; what scales
+                # is the projection over the growing pair count
+                ids = spark.range(0, 500 * f_, 1, 32)
+                vec = lambda salt: F.transform(  # noqa: E731
+                    F.sequence(F.lit(1), F.lit(16)),
+                    lambda d: F.cos(
+                        (F.col("id") * d + F.lit(salt)).cast("double")
+                    ),
+                )
+                embp = ids.select(
+                    F.col("id").alias("pair_id"),
+                    vec(0).alias("caption_vec"),
+                    vec(3).alias("image_vec"),
+                )
+                cm.pair_alignment_audit(embp).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
             for name, fn in [
                 ("caption_consistency", run_consistency),
                 ("caption_spam", run_spam),
                 ("paired_keep_best", run_keepbest),
                 ("modality_mixture_card", run_card),
+                ("pair_completeness", run_completeness),
+                ("pair_alignment", run_alignment),
             ]:
                 results.setdefault(name, {})[str(f_)] = timed(fn)
                 dedup.release_caches()
