@@ -268,6 +268,62 @@ def paired_keep_best(
     )
 
 
+def paired_contamination(
+    train: DataFrame,
+    eval_pairs: DataFrame,
+    caption_col: str = "caption",
+    content_col: str = "content",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Cross-modal benchmark-contamination manifest: for every eval pair
+    whose caption also appears in the training corpus, how many training
+    pairs share the caption (``n_caption_hits``) and how many of those
+    are FULL-PAIR leaks — same caption AND same perceptual image class
+    (``n_full_pair_hits``).
+
+    The cross-modal extension of text decontamination (the
+    ``dedup.contamination_pairs`` discipline): a full-pair hit means the
+    exact eval example leaked into training; a caption-only hit (same
+    caption, different image) is the paraphrase-risk class a
+    decontamination pass reviews before an image-caption benchmark is
+    trusted. Only contaminated eval pairs surface (n_caption_hits > 0).
+
+    100 TB shape: the training corpus collapses FIRST to joint-class
+    counts — ONE groupBy on (16-byte caption key, 8-byte dhash) — so the
+    contamination join moves |train classes| rows, never the corpus;
+    eval sides are benchmark-sized by definition. The only Python is
+    the two Arrow-batched decode passes.
+    """
+    tclasses = (
+        pair_signatures(train, caption_col, content_col, id_col)
+        .groupBy("caption_key", "dhash")
+        .agg(F.count("*").cast("bigint").alias("__n"))
+        .select(
+            "caption_key", F.col("dhash").alias("__tdhash"), "__n"
+        )
+    )
+    esig = pair_signatures(eval_pairs, caption_col, content_col, id_col)
+    joined = esig.join(tclasses, "caption_key").select(
+        F.col(id_col),
+        F.col("__n"),
+        (F.col("dhash") == F.col("__tdhash")).cast("bigint").alias("__same"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_caption_hits"),
+            F.sum(F.col("__n") * F.col("__same"))
+            .cast("bigint")
+            .alias("n_full_pair_hits"),
+        )
+        .select(
+            F.col(id_col).alias("eval_id"),
+            "n_caption_hits",
+            "n_full_pair_hits",
+        )
+    )
+
+
 def pair_completeness_audit(
     df: DataFrame,
     caption_col: str = "caption",

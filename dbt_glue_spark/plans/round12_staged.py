@@ -369,6 +369,50 @@ def ext_modality_mixture_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ext_paired_contamination — cross-modal benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "ext_paired_contamination",
+    f"""
+    WITH m AS (
+      SELECT doc_id, doc_id % 10 AS g, (doc_id // 10) % 2 AS p,
+             {_CAP} AS cap
+      FROM documents WHERE {_OK}
+    ),
+    tr AS (SELECT * FROM m WHERE doc_id % 5 <> 3),
+    ev AS (SELECT * FROM m WHERE doc_id % 5 = 3)
+    SELECT CAST(ev.doc_id AS BIGINT) AS eval_id,
+           CAST(COUNT(*) AS BIGINT) AS n_caption_hits,
+           CAST(SUM(CASE WHEN tr.g = ev.g AND tr.p = ev.p
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full_pair_hits
+    FROM ev JOIN tr ON tr.cap = ev.cap
+    GROUP BY ev.doc_id
+    """,
+    doc="Cross-modal benchmark contamination "
+    "(crossmodal.paired_contamination): eval pairs (doc_id % 5 = 3) "
+    "whose caption also appears in the training split, split into "
+    "FULL-PAIR leaks (same caption AND same perceptual image class — "
+    "the exact example leaked) vs caption-only hits (same caption, "
+    "different image — the paraphrase-risk class a decontamination "
+    "review reads). The cross-modal extension of the text "
+    "contamination ledger discipline. 100 TB shape: the training "
+    "corpus collapses FIRST to joint-class counts (one groupBy on "
+    "16+8-byte keys), so the join moves |train classes| rows, never "
+    "the corpus; only the two Arrow-batched decode passes are Python.",
+)
+def ext_paired_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions.crossmodal import paired_contamination
+
+    pairs = _synth_pairs(spark, sf_dir)
+    train = pairs.filter(F.col("pair_id") % 5 != 3)
+    ev = pairs.filter(F.col("pair_id") % 5 == 3)
+    return paired_contamination(train, ev)
+
+
+# ---------------------------------------------------------------------------
 # ext_pair_completeness — the intake half-pair census
 # ---------------------------------------------------------------------------
 

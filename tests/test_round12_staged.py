@@ -352,6 +352,36 @@ def test_pair_alignment_hand_case(spark):
     assert got == {9: (2, 0), 0: (1, 1), -10: (1, 1)}
 
 
+def test_paired_contamination_hand_case(spark):
+    """Eval pair 100: caption shared by 3 train pairs, 2 of them in the
+    SAME perceptual class (full-pair leaks), 1 in a different class
+    (caption-only). Eval pair 101: clean caption → absent from the
+    manifest."""
+    from dbt_glue_spark.extensions.crossmodal import paired_contamination
+
+    a = synth_dhash_png(1, 0, False)
+    a2 = synth_dhash_png(1, 9, False)   # same class as a
+    b = synth_dhash_png(2, 0, False)
+    train = spark.createDataFrame(
+        [
+            (1, "leaked cap", a),
+            (2, "leaked cap", a2),
+            (3, "leaked cap", b),
+            (4, "other", b),
+        ],
+        "pair_id long, caption string, content binary",
+    )
+    ev = spark.createDataFrame(
+        [(100, "leaked cap", a), (101, "clean", a)],
+        "pair_id long, caption string, content binary",
+    )
+    got = {
+        r.eval_id: (r.n_caption_hits, r.n_full_pair_hits)
+        for r in paired_contamination(train, ev).collect()
+    }
+    assert got == {100: (3, 2)}
+
+
 def test_crossmodal_audits_empty_input(spark):
     from dbt_glue_spark.extensions import crossmodal as cm
 
