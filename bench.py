@@ -499,7 +499,7 @@ def main() -> None:
         # otherwise inline a truncated real message so the round's error
         # detail is not lost entirely
         out["errors"] = {
-            n: ("see BENCH_DETAIL.json" if sidecar_ok else msg[:80])
+            n: (f"see {sidecar_name}" if sidecar_ok else msg[:80])
             for n, msg in errors.items()
         }
     line = json.dumps(out, separators=(",", ":"))
