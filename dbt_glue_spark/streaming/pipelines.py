@@ -408,7 +408,13 @@ def image_frontier_stream(
         .filter(F.col("status") == "ok")
         .select("dhash")
     )
-    seen = seen_hashes.select("dhash").distinct().persist()
+    # dedup._persist (not bare .persist()): the frame joins the module's
+    # bounded LRU cache registry, so release_caches() between runs in a
+    # long-lived session reclaims it — safe because these streams are
+    # availableNow (finished before any release is called)
+    from dbt_glue_spark.extensions.dedup import _persist
+
+    seen = _persist(seen_hashes.select("dhash").distinct())
     seen.count()  # materialize NOW — micro-batches hit the cache
     return (
         hashes.join(seen, "dhash", "left_anti")
@@ -449,7 +455,9 @@ def pair_frontier_stream(
     keys = pair_signatures(
         pairs_stream, caption_col, content_col, id_col
     ).select("caption_key", "dhash")
-    seen = seen_pairs.select("caption_key", "dhash").distinct().persist()
+    from dbt_glue_spark.extensions.dedup import _persist
+
+    seen = _persist(seen_pairs.select("caption_key", "dhash").distinct())
     seen.count()  # materialize NOW — micro-batches hit the cache
     return (
         keys.join(seen, ["caption_key", "dhash"], "left_anti")
