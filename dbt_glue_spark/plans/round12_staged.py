@@ -521,6 +521,123 @@ def ext_pair_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming_mixture_monitor — ingestion-side mixture drift census
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "streaming_mixture_monitor",
+    """
+    WITH per AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image_caption'
+                  WHEN 1 THEN 'audio_transcript'
+                  ELSE 'video_caption' END AS pair_type,
+             CAST(SUM(CASE WHEN doc_id % 23 = 0 THEN 0
+                           ELSE 1 + doc_id % 9 END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per)
+    SELECT pair_type, n_tokens,
+           CAST((n_tokens * 1000000) // t.tot AS BIGINT) AS share_ppm,
+           CAST((n_tokens * 1000000) // t.tot
+                - CASE pair_type WHEN 'image_caption' THEN 600000
+                       WHEN 'audio_transcript' THEN 250000
+                       ELSE 150000 END AS BIGINT) AS deviation_ppm
+    FROM per CROSS JOIN t
+    WHERE t.tot > 0
+    """,
+    doc="Streaming modality-mixture monitor "
+    "(streaming.pipelines.mixture_monitor_stream): per-micro-batch "
+    "stateful token census per pair type (complete-mode aggregation — "
+    "state is one row per type, bounded by the type alphabet), folded "
+    "after the run into exact-ppm arriving shares and deviation vs the "
+    "target mixture weights — the drift alert a mixture-aware ingestion "
+    "raises before the batch allocator ever runs. Exact bigint "
+    "arithmetic throughout (shares via integer div); the zero-token "
+    "corpus emits nothing (guarded on both sides). Batch≡stream pinned "
+    "under arbitrary file order.",
+)
+def streaming_mixture_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from dbt_glue_spark.streaming.pipelines import mixture_monitor_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    typed = docs.select(
+        F.element_at(
+            F.array(
+                F.lit("image_caption"),
+                F.lit("audio_transcript"),
+                F.lit("video_caption"),
+            ),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("pair_type"),
+        F.when(F.col("doc_id") % 23 == 0, F.lit(0))
+        .otherwise(F.col("doc_id") % 9 + 1)
+        .cast("bigint")
+        .alias("tokens"),
+    )
+    stage = tempfile.mkdtemp(prefix="dgs_q_mixmon_")
+    typed.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema("pair_type string, tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    name = f"q_mixmon_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            mixture_monitor_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            spark.catalog.dropTempView(name)
+            raise TimeoutError(
+                f"streaming_mixture_monitor: query {name} did not finish "
+                "within 300 s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    census = spark.table(name)
+    tot = census.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("tot")
+    )
+    target = F.element_at(
+        F.create_map(
+            F.lit("image_caption"), F.lit(600000),
+            F.lit("audio_transcript"), F.lit(250000),
+            F.lit("video_caption"), F.lit(150000),
+        ),
+        F.col("pair_type"),
+    ).cast("bigint")
+    return (
+        census.join(F.broadcast(tot))
+        .filter(F.col("tot") > 0)
+        .select(
+            "pair_type",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "cast((n_tokens * 1000000) div tot as bigint)"
+            ).alias("share_ppm"),
+            (
+                F.expr("cast((n_tokens * 1000000) div tot as bigint)")
+                - target
+            )
+            .cast("bigint")
+            .alias("deviation_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming_pair_frontier — ingestion-side joint-class dedup
 # ---------------------------------------------------------------------------
 

@@ -465,6 +465,38 @@ def pair_frontier_stream(
     )
 
 
+def mixture_monitor_stream(
+    pairs_stream: DataFrame,
+    kind_col: str = "pair_type",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Streaming modality-mixture monitor — the ingestion-side census
+    behind ``crossmodal.modality_mixture_card``: as pairs stream in,
+    maintain the per-pair-type token totals (complete-mode stateful
+    aggregation; state is ONE row per pair type, bounded by the type
+    alphabet, never the stream length). A mixture-aware ingestion
+    compares the emitted totals against its target weights each trigger
+    and alerts when the arriving mixture drifts — the Kappa twin of the
+    batch card's census stage (the allocator stays batch: a global
+    budget has no streaming meaning).
+
+    NULL pair types are excluded (the allocator's stratified NULL
+    contract); NULL token counts coalesce to 0.
+
+    Batch twin: ``df.groupBy(kind).sum(tokens)`` — the final table must
+    equal it exactly regardless of file arrival order (tested).
+    """
+    return (
+        pairs_stream.filter(F.col(kind_col).isNotNull())
+        .groupBy(kind_col)
+        .agg(
+            F.coalesce(F.sum(F.col(tokens_col).cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens")
+        )
+    )
+
+
 def url_frontier_stream(
     url_stream: DataFrame,
     ledger: DataFrame,

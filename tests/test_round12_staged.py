@@ -481,6 +481,39 @@ def test_pair_frontier_stream_equals_batch_twin(spark, tmp_path):
     assert got == want and got
 
 
+def test_mixture_monitor_stream_equals_batch_twin(spark, tmp_path):
+    """Complete-mode token census must equal the batch groupBy exactly
+    regardless of file arrival order; NULL kinds excluded, NULL tokens
+    coalesce to 0."""
+    from dbt_glue_spark.streaming.pipelines import mixture_monitor_stream
+
+    rows = [
+        ("img", 3), ("img", 5), ("aud", 2), ("vid", None),
+        (None, 9), ("aud", 4), ("vid", 1),
+    ]
+    typed = spark.createDataFrame(rows, "pair_type string, tokens long")
+    stage = str(tmp_path / "mix")
+    typed.repartition(3).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema("pair_type string, tokens long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        mixture_monitor_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_mixmon")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.pair_type: r.n_tokens for r in spark.table("t_mixmon").collect()
+    }
+    assert got == {"img": 8, "aud": 6, "vid": 1}
+
+
 # ---------------------------------------------------------------------------
 # empty-input gate (the per-pool contract every tranche ships with)
 # ---------------------------------------------------------------------------
