@@ -61,6 +61,7 @@ import re
 import statistics
 import sys
 import time
+import uuid
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -182,18 +183,20 @@ def force(df) -> None:
 # normalized ratio as an idle one. The probe is deterministic, in-memory,
 # shuffle-free and I/O-free (xxhash64 over spark.range in whole-stage
 # codegen across all cores) — it measures the box, not the code under test.
-# r11 re-pin (r10 verdict item 2): both references now come from ONE
-# calm-window round-11 run (BENCH_DETAIL_r11a.json, 2026-08-16: CPU
-# 5-rep median 0.968, interleaved 11-sample shuffle median 0.989,
-# post-pin probe agreement ~3 %) instead of the r9 single-context
-# readings round 10 proved unstable. Cross-round step factors vs the
-# old pins: CPU 0.968/1.01 = ×0.958, shuffle 0.989/0.846 = ×1.169 —
-# apply these when comparing normalized values across the r10/r11
-# boundary. KNOWN LIMIT (measured the same day, SCALE.md "probe
-# I/O-blindness"): both probes are spark.range-based and I/O-free; a
-# disk-side noisy neighbor slows parquet-scanning queries ~1.4× while
-# both probes read calm — the scan probe below records that regime.
-CALIBRATION_REF_S = 0.968
+# r12 re-pin (r11 verdict item 2, "probes agree AND at-floor" — the
+# standing rule the r11a pin violated: it took the FIRST calm window,
+# and three later same-HEAD windows read ~9 % lower with CPU and
+# shuffle agreeing). References now come from the r11 session's probe
+# floor (BENCH_DETAIL_r11d.json, 2026-08-16: CPU 0.876, shuffle 0.883,
+# agreement ~1 %). Cross-round step factors vs the r11 pins: CPU
+# 0.876/0.968 = ×0.905, shuffle 0.883/0.989 = ×0.893 — apply these
+# when comparing normalized values across the r11/r12 boundary (both
+# DEFLATE normalized ratios ~10 % vs r11's conservative-high pins).
+# KNOWN LIMIT (measured 2026-08-16, SCALE.md "probe I/O-blindness"):
+# both probes are spark.range-based and I/O-free; a disk-side noisy
+# neighbor slows parquet-scanning queries ~1.4× while both probes read
+# calm — the scan probe below records that regime.
+CALIBRATION_REF_S = 0.876
 CALIBRATION_ROWS = 2_000_000_000
 
 # Second calibration flavor (round-9 session-3): the pure-CPU probe
@@ -216,7 +219,7 @@ CALIBRATION_ROWS = 2_000_000_000
 # normalize against whichever probe's regime matches the adjudication
 # at hand; the existing normalized metric keeps the CPU probe for
 # continuity.
-CALIBRATION_SHUFFLE_REF_S = 0.989  # r11 re-pin: interleaved 11-sample in-bench median (see CPU pin note)
+CALIBRATION_SHUFFLE_REF_S = 0.883  # r12 re-pin: r11d session-floor in-bench reading (see CPU pin note)
 CALIBRATION_SHUFFLE_ROWS = 50_000_000
 
 # Third calibration flavor (round 11): an I/O-BOUND probe. The CPU and
@@ -228,9 +231,29 @@ CALIBRATION_SHUFFLE_ROWS = 50_000_000
 # (page cache / disk contention). This probe re-reads a fixed table
 # (lineitem at the bench sf_dir) end-to-end; recorded as
 # ``calibration_scan_s`` for adjudication — DIAGNOSTIC ONLY, not a
-# normalizer (its reference below is valid for sf0.1 and pinned from
-# the same r11 calm-window run as the other two).
-CALIBRATION_SCAN_REF_S = None  # pinned after first recorded run; see sidecar
+# normalizer (its reference is valid for sf0.1). r12 pin (r11 verdict
+# item 2): median of the three recorded interleaved in-bench runs,
+# r11b/c/d = 0.203/0.204/0.193 — all three from calm-disk windows, so
+# calibration_scan_s / 0.203 ≫ 1 reads "scan path degraded" (the
+# regime that moved pricing_summary 1.55× while CPU+shuffle read calm).
+CALIBRATION_SCAN_REF_S = 0.203
+
+
+def _free_sidecar_name(repo_dir: str, sidecar_name: str) -> str:
+    """First non-existing sidecar filename: the stamped name itself, then
+    letter-suffixed siblings (…r12a.json, …r12b.json, …) so two same-round
+    runs COEXIST instead of last-write-wins (r10 "What's wrong #3": the
+    driver's official run overwrote the builder's committed
+    close-certification run at the same stamped name). If ALL 27 stamped
+    names are taken, fall back to a uuid-suffixed name rather than
+    overwriting the 'z' sibling (r11 ADVICE: the loop used to fall through
+    and reintroduce exactly the clobber this scheme exists to prevent)."""
+    base, ext = os.path.splitext(sidecar_name)
+    for suffix in [""] + [chr(c) for c in range(ord("a"), ord("z") + 1)]:
+        candidate = f"{base}{suffix}{ext}"
+        if not os.path.exists(os.path.join(repo_dir, candidate)):
+            return candidate
+    return f"{base}-{uuid.uuid4().hex[:8]}{ext}"
 
 
 def calibration(spark, reps: int = 3) -> float:
@@ -399,6 +422,14 @@ def main() -> None:
         calibration_shuffle_s / CALIBRATION_SHUFFLE_REF_S, 3
     )
     calibration_scan_s = round(statistics.median(scan_samples), 3)
+    # Diagnostic (never a normalizer): how degraded the parquet scan path
+    # reads vs the pinned calm-disk reference — ≫ 1 explains drift on
+    # scan-bound queries (pricing_summary) that the CPU/shuffle probes miss.
+    cal_scan_ratio = (
+        round(calibration_scan_s / CALIBRATION_SCAN_REF_S, 3)
+        if CALIBRATION_SCAN_REF_S
+        else None
+    )
     # r1_n marks subset completeness: if a subset query errored, the
     # subtotal covers fewer than 31 queries and is NOT comparable to the
     # 41.059 s r1 baseline — consumers must check r1_n == 31.
@@ -427,6 +458,7 @@ def main() -> None:
             round(s, 3) for s in shuffle_samples
         ],
         "calibration_scan_s": calibration_scan_s,
+        "calibration_scan_ratio": cal_scan_ratio,
         "calibration_scan_samples": [round(s, 3) for s in scan_samples],
         "r1_n": len(r1_present),
         "unit": "sec",
@@ -461,18 +493,7 @@ def main() -> None:
         if round_tag.isdigit()
         else "BENCH_DETAIL.json"
     )
-    # Collision-safe stamping (r10 "What's wrong #3": the driver's official
-    # run overwrote the builder's committed close-certification run at the
-    # same stamped name). If the stamped file already exists, write to the
-    # first free letter-suffixed sibling (…r11a.json, …r11b.json, …) so two
-    # same-round runs COEXIST instead of last-write-wins; the builder prunes
-    # superseded uncommitted suffixes before committing the one that counts.
-    base, ext = os.path.splitext(sidecar_name)
-    for suffix in [""] + [chr(c) for c in range(ord("a"), ord("z") + 1)]:
-        sidecar_name = f"{base}{suffix}{ext}"
-        if not os.path.exists(os.path.join(repo_dir, sidecar_name)):
-            break
-    sidecar = os.path.join(repo_dir, sidecar_name)
+    sidecar = os.path.join(repo_dir, _free_sidecar_name(repo_dir, sidecar_name))
     sidecar_ok = True
     try:
         with open(sidecar, "w") as fh:
@@ -488,6 +509,7 @@ def main() -> None:
         "calibration_s": calibration_s,
         "calibration_shuffle_s": calibration_shuffle_s,
         "calibration_scan_s": calibration_scan_s,
+        "calibration_scan_ratio": cal_scan_ratio,
         "r1_n": len(r1_present),
         "unit": "sec",
         "queries": {n: round(t, 2) for n, t in timings.items()},

@@ -80,6 +80,12 @@ def pair_signatures(
             for pid, cap, content in zip(
                 pdf[id_col], pdf[caption_col], pdf[content_col]
             ):
+                # a NULL id arrives as NaN (Arrow hands a nullable int
+                # column to pandas as float64) and int(NaN) raises —
+                # follow the module's visible-exclusion NULL contract
+                # instead of crashing the stage (r11 ADVICE)
+                if pid is None or pd.isna(pid):
+                    continue
                 if cap is None or content is None:
                     continue
                 try:
@@ -233,7 +239,15 @@ def paired_keep_best(
     corpus²) and dup_clusters' V(E)-bounded propagation; the joint
     groupBy moves (16-byte, 8-byte, 3×bigint) rows once.
     """
-    sigs = pair_signatures(df, caption_col, content_col, id_col)
+    # _persist (the module LRU registry, as image_dup_clusters does):
+    # sigs' lineage contains the Arrow-batched decode — the dominant
+    # cost of every image pipeline — and it is referenced by the LSH
+    # pair generation (3 internal refs), the component vertex set, and
+    # the final scored join; without the cache one action re-runs the
+    # full-corpus decode ~5-6× (r11 ADVICE)
+    from dbt_glue_spark.extensions.dedup import _persist
+
+    sigs = _persist(pair_signatures(df, caption_col, content_col, id_col))
     pairs = _near_dup_pairs_from_sig(
         sigs.select(F.col(id_col).alias("id"), "dhash"),
         max_hamming=max_hamming,

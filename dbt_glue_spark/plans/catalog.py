@@ -94,6 +94,16 @@ def _load_all() -> None:
 
     _REGISTRY.update(round11_staged.STAGED11())
 
+    # Round-12 promotion: the 9 operators staged (and ×12-directory
+    # exact-parity-proven) during round 11 join the live catalog
+    # (283 → 292): the cross-modal pair tier (caption consistency/spam
+    # censuses, paired keep-best with joint-class survivor consistency,
+    # modality mixture card, paired contamination, pair completeness/
+    # alignment) and the streaming mixture monitor + pair frontier.
+    from dbt_glue_spark.plans import round12_staged
+
+    _REGISTRY.update(round12_staged.STAGED12())
+
 
 def _family(name: str) -> str:
     """Coarse operator family, by naming convention."""

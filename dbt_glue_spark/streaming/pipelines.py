@@ -21,6 +21,40 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Static-side ledger caches for stream-static anti-joins (the frontier
+# pipelines). Deliberately NOT dedup's bounded-LRU registry: a live
+# stream re-reads its static side EVERY micro-batch, so a registry
+# eviction mid-stream (any _persist-heavy batch operator interleaving)
+# would silently fall back to recomputing the decode-bearing ledger
+# lineage per trigger — the exact per-trigger re-decode the eager
+# materialization exists to prevent (r11 ADVICE). This registry never
+# evicts; lifetime is caller-owned via release_static_caches() once the
+# stream is stopped. Footprint is ledger-sized (8-24 bytes per known
+# class), not corpus-sized.
+_STATIC_CACHES: list[DataFrame] = []
+
+
+def _persist_static(df: DataFrame) -> DataFrame:
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _STATIC_CACHES.append(out)
+    return out
+
+
+def release_static_caches() -> int:
+    """Unpersist every static-side ledger cache created by this module's
+    frontier pipelines. Call AFTER stopping the streams that use them —
+    a still-running stream would recompute its ledger lineage (decode
+    included) on every subsequent micro-batch."""
+    n = 0
+    while _STATIC_CACHES:
+        try:
+            _STATIC_CACHES.pop().unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+    return n
 
 
 def _with_event_time_watermark(
@@ -392,7 +426,9 @@ def image_frontier_stream(
     if the caller hands a ledger whose lineage includes a decode (e.g.
     an ``image_dhash`` pipeline), the decode runs exactly once instead
     of once per trigger. The cached frame is 8 bytes per known class —
-    session-lifetime footprint is negligible and LRU-evicted.
+    footprint is negligible; it lives in the module's never-evicting
+    stream-static registry (``release_static_caches()`` reclaims it once
+    the stream is stopped).
 
     Undecodable/NULL rows are dropped here; the ingest-side decode
     census is the batch decode_audit's job.
@@ -408,13 +444,13 @@ def image_frontier_stream(
         .filter(F.col("status") == "ok")
         .select("dhash")
     )
-    # dedup._persist (not bare .persist()): the frame joins the module's
-    # bounded LRU cache registry, so release_caches() between runs in a
-    # long-lived session reclaims it — safe because these streams are
-    # availableNow (finished before any release is called)
-    from dbt_glue_spark.extensions.dedup import _persist
-
-    seen = _persist(seen_hashes.select("dhash").distinct())
+    # _persist_static (not dedup._persist): the bounded-LRU registry can
+    # evict this frame mid-stream (r11 ADVICE — nothing enforces the
+    # availableNow assumption the old comment leaned on), silently
+    # re-running the ledger lineage per micro-batch; the stream-static
+    # registry never evicts and is reclaimed by release_static_caches()
+    # once the caller stops the stream
+    seen = _persist_static(seen_hashes.select("dhash").distinct())
     seen.count()  # materialize NOW — micro-batches hit the cache
     return (
         hashes.join(seen, "dhash", "left_anti")
@@ -455,9 +491,9 @@ def pair_frontier_stream(
     keys = pair_signatures(
         pairs_stream, caption_col, content_col, id_col
     ).select("caption_key", "dhash")
-    from dbt_glue_spark.extensions.dedup import _persist
-
-    seen = _persist(seen_pairs.select("caption_key", "dhash").distinct())
+    # stream-static registry, not the bounded LRU — same eviction
+    # rationale as image_frontier_stream above (r11 ADVICE)
+    seen = _persist_static(seen_pairs.select("caption_key", "dhash").distinct())
     seen.count()  # materialize NOW — micro-batches hit the cache
     return (
         keys.join(seen, ["caption_key", "dhash"], "left_anti")

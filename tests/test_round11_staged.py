@@ -62,7 +62,7 @@ def test_staged11_promoted_and_sampled_first():
     from dbt_glue_spark.plans.catalog import SPECS, _previously_checked
 
     specs = SPECS()
-    assert len(specs) == 283, len(specs)
+    assert len(specs) >= 283, len(specs)  # 283 at r11; later rounds promote more
     missing = set(STAGED11_NAMES) - set(specs)
     assert not missing, missing
     prefix = set(list(specs)[:50])

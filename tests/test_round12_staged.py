@@ -1,8 +1,8 @@
-"""Round-12 staged operators (cross-modal pair tier): parity-proven now,
-catalog-registered at the round-11→12 boundary (plans/round12_staged.py
-docstring). These tests prove the staged specs with the same exact DuckDB
-compare the live sweep uses, pin the stage-then-promote discipline (the
-live catalog stays at 283 this round), and brute-force / property-check
+"""Round-12 operators (cross-modal pair tier): parity-proven during round
+11, catalog-registered at the round-11→12 boundary (plans/round12_staged.py
+docstring). These tests prove the specs with the same exact DuckDB
+compare the live sweep uses, pin the promotion contract (catalog 283 →
+292, unchecked promotions in the sampled prefix), and brute-force / property-check
 each operator — the one-pass joint signature and its NULL contract, the
 consistency/spam censuses, joint-class survivor consistency (same
 exemplar pair on both sides, quality argmax, NULL-quality and tie law),
@@ -51,17 +51,23 @@ def test_staged12_oracle_parity(spark, sf_dir, name):
     _exact_compare(spark, sf_dir, STAGED12()[name])
 
 
-def test_catalog_holds_at_283_and_staged12_not_registered():
-    """Stage-then-promote: the round-12 pool must NOT be live this round —
-    registering mid-round would push never-checked entries into the
-    driver's 50-query prefix and crowd out the 13 round-11 promotions
-    earning their first hard rows."""
-    from dbt_glue_spark.plans.catalog import SPECS
+def test_staged12_promoted_and_sampled_first():
+    """Round-12 promotion contract (rotation-invariant form, per the r7
+    verdict's time-bomb lesson): the 9 staged operators are live in the
+    catalog (283 + 9 = 292), and any of them WITHOUT a green latest
+    driver CORRECTNESS row sits in the driver's 50-query sampled prefix
+    — true before the driver run (all 9 in the never-checked tier) and
+    after it (green rows rotate out, red rows must re-enter)."""
+    from dbt_glue_spark.plans.catalog import SPECS, _previously_checked
 
     specs = SPECS()
-    assert len(specs) == 283, len(specs)
-    overlap = set(STAGED12_NAMES) & set(specs)
-    assert not overlap, overlap
+    assert len(specs) == 292, len(specs)
+    missing = set(STAGED12_NAMES) - set(specs)
+    assert not missing, missing
+    prefix = set(list(specs)[:50])
+    unchecked = set(STAGED12_NAMES) - _previously_checked()
+    not_in_prefix = unchecked - prefix
+    assert not not_in_prefix, not_in_prefix
 
 
 # ---------------------------------------------------------------------------
