@@ -149,6 +149,16 @@ AUDITED = [
     "ext_k_anonymity",
     "ext_l_diversity",
     "streaming_image_frontier",
+    # round-12 promotions: cross-modal pair tier
+    "ext_caption_consistency",
+    "ext_caption_spam",
+    "ext_paired_keep_best",
+    "ext_modality_mixture_card",
+    "ext_paired_contamination",
+    "ext_pair_completeness",
+    "ext_pair_alignment",
+    "streaming_mixture_monitor",
+    "streaming_pair_frontier",
 ]
 
 
@@ -163,9 +173,9 @@ def main() -> None:
         "# PLANS — formatted physical plans of the headline queries",
         "",
         f"Generated by `tools/explain_audit.py {sf_dir}` on {stamp} "
-        f"(round 11 HEAD: catalog 283 — includes the round-10 crawl/"
-        f"mixture/chat promotions and the round-11 multimodal-dedup "
-        f"promotions).",
+        f"(round 12 HEAD: catalog 292 — includes the round-11 "
+        f"multimodal-dedup promotions and the round-12 cross-modal "
+        f"pair promotions).",
         "",
         "Invariants asserted in",
         "`tests/test_plan_quality.py`; this file is the human-reviewable record.",
