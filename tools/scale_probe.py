@@ -819,7 +819,11 @@ def probe_staged11(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
         md.video_near_dup_pairs(warm_vid, max_df=100_000).write.format(
             "noop"
         ).mode("overwrite").save()
-        md.audio_fingerprint_pairs(warm_aud, max_df=100_000).write.format(
+        # default max_df: the synthetic tone alphabet saturates (~126 FFT
+        # bins), so UNCAPPED runs measure stop-landmark Σdf² blowup (r12
+        # probe: exponent 2.28, ~5× junk pairs), not the operator — the
+        # df cutoff is the shipped control for exactly this regime
+        md.audio_fingerprint_pairs(warm_aud).write.format(
             "noop"
         ).mode("overwrite").save()
         md.decode_audit(warm_img).write.format("noop").mode("overwrite").save()
@@ -846,9 +850,10 @@ def probe_staged11(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                 ).mode("overwrite").save()
 
             def run_audio():
-                md.audio_fingerprint_pairs(
-                    aud, max_df=100_000
-                ).write.format("noop").mode("overwrite").save()
+                # shipped default max_df (see warmup comment)
+                md.audio_fingerprint_pairs(aud).write.format(
+                    "noop"
+                ).mode("overwrite").save()
 
             def run_audit():
                 mixed = img.unionByName(aud).unionByName(vid)
