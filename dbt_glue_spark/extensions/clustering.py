@@ -172,6 +172,180 @@ def semantic_dedup(
     )
 
 
+def semantic_keep_best(
+    df: DataFrame,
+    quality_col: str,
+    k: int = 10,
+    max_iter: int = 6,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cc_iter: int = 50,
+) -> DataFrame:
+    """Semantic dedup with QUALITY-ARGMAX survivor selection — the
+    embedding-space twin of ``dedup.cluster_keep_best`` (and the
+    keep-best upgrade of :func:`semantic_dedup`, whose drop rule keeps
+    the most PROTOTYPICAL member): semantic classes are the connected
+    components of the within-k-means-cluster cosine ≥ ``threshold``
+    graph, and each class keeps its highest-``quality_col`` member
+    (NULL quality loses to any real score via a −1 coalesce; ties break
+    to the lowest id — the keep_best contract shared by the exact/
+    near-dup/paired variants).
+
+    Why keep-best and not most-prototypical: dropping a high-quality
+    paraphrase for a low-quality one closer to the centroid silently
+    degrades the corpus quality distribution — the same FineWeb/
+    RefinedWeb argument ``exact_dedup_keep_best`` documents for the
+    syntactic family.
+
+    Composition (every stage an existing discipline):
+
+    1. :func:`kmeans_assign` buckets the space (RNG-free, decimal
+       means) — candidate pairs are per-cluster quadratic, never
+       corpus-quadratic;
+    2. within-cluster cosine ≥ threshold pairs (4 dp half-up — the
+       catalog float rule, so an ULP can't flip an edge);
+    3. ``dedup.dup_clusters`` pointer-doubling components over V(E) —
+       vectors with no semantic-dup edge stay singletons;
+    4. ONE groupBy per class with the argmax riding
+       ``min(struct(-q, id))`` — no window, no join-back.
+
+    Output: survivor manifest (keep_id, n_members, best_score), one row
+    per semantic class, singletons included.
+
+    100 TB shape: stage-2's equi-join on cluster_id bounds candidate
+    volume at Σ n_c² (size k so clusters fit a shuffle partition); the
+    component loop runs over V(E) only; the final groupBy moves
+    (bigint, bigint, bigint) rows once. Extends aws-samples/dbt-glue
+    (no dedup surface in the reference; SemDeDup per Abbas et al. 2023).
+    """
+    from dbt_glue_spark.extensions.dedup import dup_clusters
+    from dbt_glue_spark.functions.scalars import half_up_round
+    from dbt_glue_spark.functions.vectors import cosine_sim
+
+    assigned = kmeans_assign(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    vecs = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.coalesce(F.col(quality_col).cast("bigint"), F.lit(-1)).alias("__q"),
+    )
+    m = (
+        assigned.select(F.col(id_col).alias("id"), "cluster_id")
+        .join(vecs, "id")
+        .localCheckpoint()  # cut the Lloyd lineage before the self-join
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "sim", half_up_round(cosine_sim(F.col("a.v"), F.col("b.v")), 4)
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    comps = dup_clusters(
+        m.select(F.col("id").alias(id_col)), pairs, id_col, max_cc_iter
+    ).select(F.col(id_col).alias("id"), F.col("cluster_id").alias("__class"))
+    return (
+        m.select("id", "__q")
+        .join(comps, "id")
+        .groupBy("__class")
+        .agg(
+            F.min(
+                F.struct((-F.col("__q")).alias("nq"), F.col("id").alias("i"))
+            ).alias("__w"),
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max("__q").cast("bigint").alias("best_score"),
+        )
+        .select(
+            F.col("__w.i").cast("bigint").alias("keep_id"),
+            "n_members",
+            "best_score",
+        )
+    )
+
+
+def semantic_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    k: int = 10,
+    max_iter: int = 6,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark-contamination census — the semantic
+    twin of ``dedup.contamination_pairs`` / ``crossmodal.
+    paired_contamination``: for every eval vector, how many TRAIN
+    vectors sit cosine ≥ ``threshold`` near it (``n_hits``) and how
+    close the nearest one is (``max_sim``, 4 dp half-up). Syntactic
+    decontamination misses paraphrase leaks; this is the check a
+    benchmark runs in embedding space before trusting its scores.
+
+    Both sides are k-means-bucketed into ONE shared cluster space
+    (Lloyd over the union — deterministic, so the oracle can replay
+    it); candidate comparisons are the within-cluster eval×train
+    equi-join, never eval×corpus. Caller contract: the two id spaces
+    must be disjoint (the union feeds lowest-id-seeded k-means; a
+    collision would merge two distinct vectors' identities). Only
+    contaminated eval vectors surface (n_hits ≥ 1).
+
+    NULL vectors on either side are excluded (no geometry — the
+    kmeans/cosine NULL contract).
+
+    100 TB shape: train collapses to its cluster-bucketed projection
+    once; the census join moves each train vector to exactly one
+    cluster's comparisons; output is bounded by the eval set, which is
+    benchmark-sized by definition.
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+    from dbt_glue_spark.functions.vectors import cosine_sim
+
+    t = train.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__is_eval", F.lit(0)
+    )
+    e = eval_df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__is_eval", F.lit(1)
+    )
+    union = t.unionByName(e)
+    assigned = kmeans_assign(
+        union, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col
+    )
+    m = (
+        assigned.select(F.col(id_col).alias("id"), "cluster_id")
+        .join(
+            union.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+                "__is_eval",
+            ),
+            "id",
+        )
+        .localCheckpoint()  # cut the Lloyd lineage before the self-join
+    )
+    ev = m.filter(F.col("__is_eval") == 1).select(
+        F.col("id").alias("eval_id"), "cluster_id", F.col("v").alias("__ev")
+    )
+    tr = m.filter(F.col("__is_eval") == 0).select(
+        "cluster_id", F.col("v").alias("__tv")
+    )
+    hits = (
+        ev.join(tr, "cluster_id")
+        .withColumn(
+            "sim", half_up_round(cosine_sim(F.col("__ev"), F.col("__tv")), 4)
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+    )
+    return hits.groupBy("eval_id").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.max("sim").alias("max_sim"),
+    )
+
+
 def kmeans_inertia(assigned: DataFrame) -> float:
     """Total within-cluster squared distance (decimal-summed, exact)."""
     row = assigned.agg(

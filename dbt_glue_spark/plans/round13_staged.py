@@ -1,0 +1,495 @@
+"""Round-13 STAGED queries — built and parity-proven during round 12,
+to be promoted at the round-12→13 boundary (standing rule: new operators
+stage mid-round so the driver's sampled correctness prefix stays closed
+over the live catalog, and promote only between rounds).
+
+The tier is the r11 VERDICT "Next round" item-6 brief — the EMBEDDING-
+SIDE curation seam. The embeddings table already carries kNN (brute/
+LSH/IVF/quantized), k-means, SemDeDup-style prototypical dedup
+(``ext_semantic_dedup``) and an LSH recall audit; what it lacked:
+
+- ``ext_semantic_keep_best`` — semantic dedup with QUALITY-ARGMAX
+  survivor selection (``clustering.semantic_keep_best``): semantic
+  classes = connected components of the within-k-means-cluster
+  cosine ≥ 0.30 graph; each class keeps its best-quality member —
+  the embedding-space twin of ``ext_cluster_keep_best`` (the
+  existing ``semantic_dedup`` keeps the most PROTOTYPICAL member,
+  which can silently drop high-quality paraphrases);
+- ``ext_semantic_contamination`` — the paraphrase-leak census
+  (``clustering.semantic_contamination``): per eval vector, how many
+  train vectors sit cosine ≥ 0.30 near it in the shared k-means
+  cluster space (syntactic decontamination misses paraphrases);
+- ``ext_ivf_recall_audit`` — per-query recall@5 of the IVF index
+  against exact brute force, upgrading the recall-vs-brute-force
+  claim on ``ext_knn_ivf`` ("stays pytest-verified") to a CATALOG
+  query with a DuckDB oracle — the rebuild-time monitoring query a
+  production IVF index runs (the LSH twin is ``ext_ann_recall_audit``);
+- ``ext_semantic_dedup_recall`` — the bucketing-honesty audit: of ALL
+  cosine ≥ 0.30 pairs (exact all-pairs truth over a sampled slice —
+  here the whole sf table), what fraction the within-cluster equi-join
+  candidate generation finds (pairs crossing a k-means boundary are
+  the recall loss SemDeDup accepts for its Σ n_c² candidate bound);
+- ``ext_semantic_class_card`` — the per-cluster dedup data card:
+  vectors, semantic classes, duplicate fraction per k-means cluster
+  (exact ppm) — where in embedding space the corpus is redundant.
+
+Oracle style: every entry replays the SAME deterministic Lloyd
+construction the Spark side runs (RNG-free lowest-id seeds, struct-min
+ties, decimal centroid means — the ``_KMEANS_CTE`` recursive-CTE
+discipline established by ``ext_kmeans_embeddings``), then mirrors the
+downstream censuses exactly: component structure via recursive
+transitive closure (the ``_CLUSTERS_SQL`` idiom), cosines through the
+shared 4 dp half-up formula, quality = ``(vec_id * 7) % 100`` (id
+arithmetic — exogenous, collision-bearing, closed-form), integer ppm
+via bigint division. No floats cross engines un-rounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.plans.catalog import QuerySpec
+from dbt_glue_spark.plans.extension_queries import _KMEANS_CTE, _cos_sql
+from dbt_glue_spark.sources.registry import load_table
+
+_STAGED13: dict[str, QuerySpec] = {}
+
+
+def register_staged(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _STAGED13[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def STAGED13() -> dict[str, QuerySpec]:
+    return dict(_STAGED13)
+
+
+# Shared oracle tails over the replayed Lloyd assignment: m = (id, cid,
+# v [, q]) and the within-cluster cosine≥0.30 edge set + its transitive
+# closure. Kept as constants so the five oracles stay readably diffable.
+_M_CTE = """
+    , m AS (
+      SELECT a2.id, (a2.best).cid AS cid, e2.v,
+             CAST((a2.id * 7) % 100 AS BIGINT) AS q
+      FROM assign a2 JOIN e e2 USING (id)
+    )
+"""
+
+def _cos_closure_sql(a: str, b: str) -> str:
+    """4 dp half-up cosine that is ERROR-FREE on any input — for oracles
+    whose edge filter sits under a RECURSIVE closure. The canonical
+    ``_cos_sql`` guards zero norms with a CASE whose guard ITSELF calls
+    ``list_inner_product``, which hard-errors on NULL lists; under a
+    recursive CTE DuckDB's evaluation can reach that call on rows the
+    non-recursive plan never feeds it (observed on the nulls/dirty axes:
+    identical edges CTE fine standalone, InvalidInput once ``reach``
+    consumes it). This form is NULL-safe at every step (list_transform/
+    list_sum propagate NULL; NULLIF turns a zero norm into NULL) and
+    produces the IDENTICAL edge set — verified edge-for-edge against
+    ``_cos_sql`` on sf0.001/sf0.01 and every pathological axis."""
+    return (
+        f"FLOOR(list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]))"
+        f" / NULLIF(sqrt(list_sum(list_transform({a}, x -> x*x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x*x))), 0)"
+        f" * 10000 + 0.5) / 10000"
+    )
+
+
+_EDGES_CLOSURE_CTE = (
+    """
+    , edges AS MATERIALIZED (
+      SELECT x.id AS id_a, y.id AS id_b
+      FROM m x JOIN m y ON x.cid = y.cid AND x.id < y.id
+      WHERE """
+    + _cos_closure_sql("x.v", "y.v")
+    + """ >= 0.30
+    ),
+    sym AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    ),
+    classes AS (
+      SELECT m.id, CAST(LEAST(m.id, COALESCE(MIN(r.b), m.id)) AS BIGINT)
+               AS class_id
+      FROM m LEFT JOIN reach r ON r.a = m.id
+      GROUP BY m.id
+    )
+"""
+)
+
+
+@register_staged(
+    "ext_semantic_keep_best",
+    _KMEANS_CTE
+    + _M_CTE
+    + _EDGES_CLOSURE_CTE
+    + """
+    , ranked AS (
+      SELECT c.class_id, m.id, m.q,
+             row_number() OVER (PARTITION BY c.class_id
+                                ORDER BY m.q DESC, m.id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY c.class_id) AS n,
+             MAX(m.q) OVER (PARTITION BY c.class_id) AS bq
+      FROM classes c JOIN m ON m.id = c.id
+    )
+    SELECT CAST(id AS BIGINT) AS keep_id,
+           CAST(n AS BIGINT) AS n_members,
+           CAST(bq AS BIGINT) AS best_score
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Semantic dedup with quality-argmax survivor selection "
+    "(clustering.semantic_keep_best): semantic classes are connected "
+    "components of the within-k-means-cluster cosine>=0.30 graph; each "
+    "class keeps its best-quality member (q = (vec_id*7)%100, ties to "
+    "lowest id). The embedding-space twin of ext_cluster_keep_best; "
+    "oracle replays Lloyd (recursive CTE), the edge set, the transitive "
+    "closure, and the argmax window exactly. Candidates bounded per "
+    "cluster (sum n_c^2, never corpus^2); components over V(E) only; "
+    "the argmax rides min(struct(-q,id)) on ONE groupBy.",
+)
+def ext_semantic_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        ((F.col("vec_id") * 7) % 100).alias("q"),
+    )
+    return clustering.semantic_keep_best(
+        emb, "q", k=10, max_iter=6, threshold=0.30
+    )
+
+
+@register_staged(
+    "ext_semantic_contamination",
+    _KMEANS_CTE
+    + _M_CTE
+    + """
+    , hits AS (
+      SELECT ev.id AS eval_id,
+             """
+    + _cos_sql("ev.v", "tr.v")
+    + """ AS sim
+      FROM m ev JOIN m tr ON ev.cid = tr.cid
+      WHERE ev.id % 10 = 0 AND tr.id % 10 <> 0
+    )
+    SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_hits, MAX(sim) AS max_sim
+    FROM hits WHERE sim >= 0.30
+    GROUP BY eval_id
+    """,
+    doc="Embedding-space benchmark-contamination census "
+    "(clustering.semantic_contamination): eval slice = vec_id%10==0, "
+    "train = the rest; per eval vector the count of train vectors at "
+    "cosine>=0.30 within the SHARED k-means cluster space, plus the "
+    "nearest hit (4dp). The paraphrase-leak check syntactic "
+    "decontamination misses. Union-trained Lloyd is deterministic, so "
+    "the oracle replays clustering + census exactly. Train moves to "
+    "one cluster's comparisons each; output bounded by the eval set.",
+)
+def ext_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    return clustering.semantic_contamination(
+        train, ev, k=10, max_iter=6, threshold=0.30
+    )
+
+
+# IVF codebook replay: 8 centroids, 3 Lloyd rounds, nprobe=3 — the
+# ext_knn_ivf construction (same parameters, same tie-breaks) extended
+# with the exact brute-force side and the recall join.
+_IVF_CTE = r"""
+    WITH RECURSIVE e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                         FROM embeddings WHERE embedding IS NOT NULL),
+    cb(i, cid, c) AS (
+      SELECT 0, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, v
+      FROM (SELECT id, v FROM e ORDER BY id LIMIT 8)
+      UNION ALL
+      SELECT i + 1, cell, list(m ORDER BY pos)
+      FROM (
+        SELECT a.i, a.cell, gs.pos,
+               CAST(SUM(CAST(a.v[gs.pos] AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS m
+        FROM (
+          SELECT ce.i, ee.id, ee.v,
+                 (MIN({'d2': list_sum(list_transform(list_zip(ee.v, ce.c),
+                                      p -> (p[1]-p[2])*(p[1]-p[2]))),
+                       'cid': ce.cid})).cid AS cell
+          FROM e ee, cb ce
+          WHERE ce.i < 3
+          GROUP BY ce.i, ee.id, ee.v
+        ) a, (SELECT unnest(generate_series(1, 64)) AS pos) gs
+        GROUP BY a.i, a.cell, gs.pos
+      )
+      GROUP BY i, cell
+    ),
+    fc AS (SELECT cid, c FROM cb WHERE i = 3),
+    cells AS (
+      SELECT ee.id,
+             (MIN({'d2': list_sum(list_transform(list_zip(ee.v, fc.c),
+                                  p -> (p[1]-p[2])*(p[1]-p[2]))),
+                   'cid': fc.cid})).cid AS cell,
+             ee.v
+      FROM e ee, fc GROUP BY ee.id, ee.v
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.id AS query_id, fc.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.id
+                 ORDER BY list_sum(list_transform(list_zip(q.v, fc.c),
+                           p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, fc.cid ASC) AS prk
+        FROM (SELECT id, v FROM e WHERE id < 10) q, fc
+      ) WHERE prk <= 3
+    )
+"""
+
+
+@register_staged(
+    "ext_ivf_recall_audit",
+    _IVF_CTE
+    + """
+    , approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, c.id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY """
+    + _cos_sql("q.v", "c.v")
+    + """ DESC, c.id) AS rk
+        FROM probes p
+        JOIN cells c ON c.cell = p.cell
+        JOIN e q ON q.id = p.query_id
+        WHERE c.id <> p.query_id
+      ) t WHERE rk <= 5
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.id AS query_id, c.id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.id
+                 ORDER BY """
+    + _cos_sql("q.v", "c.v")
+    + """ DESC, c.id) AS rk
+        FROM (SELECT id, v FROM e WHERE id < 10) q, e c
+        WHERE c.id <> q.id
+      ) t WHERE rk <= 5
+    )
+    SELECT ex.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           FLOOR(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000.0
+             AS recall_at_5
+    FROM exact ex
+    LEFT JOIN approx a ON a.query_id = ex.query_id
+                       AND a.neighbor_id = ex.neighbor_id
+    GROUP BY ex.query_id
+    """,
+    doc="IVF index-quality audit: per-query recall@5 of the IVF index "
+    "(8 centroids, 3 Lloyd rounds, nprobe=3 — the ext_knn_ivf "
+    "construction) against exact brute force — the rebuild-time "
+    "monitoring query a production vector index runs; upgrades "
+    "ext_knn_ivf's 'recall stays pytest-verified' to a catalog oracle. "
+    "Probe cost only: the corpus is scanned for 10 sampled queries, "
+    "never joined corpus^2; the codebook is k rows broadcast.",
+)
+def ext_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import similarity
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.knn_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.knn_ivf(
+        emb, queries, k=5, n_centroids=8, nprobe=3
+    ).select(F.col("query_id"), F.col("neighbor_id").alias("a_neighbor"))
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["a_neighbor"]),
+        "left",
+    ).select(exact["query_id"].alias("qid"), "neighbor_id", "a_neighbor")
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum(F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            "n_hits",
+            half_up_round(F.col("n_hits") / F.col("n_exact"), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+@register_staged(
+    "ext_semantic_dedup_recall",
+    _KMEANS_CTE
+    + _M_CTE
+    + """
+    , t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM (
+        SELECT 1 FROM e x JOIN e y ON x.id < y.id
+        WHERE """
+    + _cos_sql("x.v", "y.v")
+    + """ >= 0.30
+      )
+    ),
+    f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM (
+        SELECT 1 FROM m x JOIN m y ON x.cid = y.cid AND x.id < y.id
+        WHERE """
+    + _cos_sql("x.v", "y.v")
+    + """ >= 0.30
+      )
+    )
+    SELECT n_true AS n_true_pairs, n_found AS n_bucketed_pairs,
+           CASE WHEN n_true = 0 THEN NULL
+                ELSE CAST((n_found * 1000000) // n_true AS BIGINT)
+           END AS recall_ppm
+    FROM t, f
+    """,
+    doc="Semantic-dedup bucketing-honesty audit: of ALL cosine>=0.30 "
+    "pairs (exact all-pairs truth), the fraction the within-k-means-"
+    "cluster candidate join finds — pairs straddling a cluster boundary "
+    "are the recall loss SemDeDup trades for its per-cluster quadratic "
+    "bound. Exact bigint ppm. The semantic twin of ext_lsh_recall_audit "
+    "(two 1-row aggregates cross-joined, nothing driver-side); at "
+    "100 TB the truth side runs on a sampled slice — here the sf table "
+    "IS the slice.",
+)
+def ext_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import clustering, similarity
+    from dbt_glue_spark.functions.scalars import half_up_round
+    from dbt_glue_spark.functions.vectors import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    true_pairs = similarity.all_pairs_cosine(emb, threshold=0.30, buckets=0)
+    assigned = clustering.kmeans_assign(emb, k=10, max_iter=6)
+    vecs = emb.filter(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    m = (
+        assigned.select(F.col("vec_id").alias("id"), "cluster_id")
+        .join(vecs, "id")
+        .localCheckpoint()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    found = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "sim", half_up_round(cosine_sim(F.col("a.v"), F.col("b.v")), 4)
+        )
+        .filter(F.col("sim") >= 0.30)
+    )
+    nt = true_pairs.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
+    nf = found.agg(F.count("*").cast("bigint").alias("n_bucketed_pairs"))
+    return nt.crossJoin(nf).select(
+        "n_true_pairs",
+        "n_bucketed_pairs",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.expr("(n_bucketed_pairs * 1000000) div n_true_pairs"),
+        )
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
+
+
+@register_staged(
+    "ext_semantic_class_card",
+    _KMEANS_CTE
+    + _M_CTE
+    + _EDGES_CLOSURE_CTE
+    + """
+    SELECT m.cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT c.class_id) AS BIGINT) AS n_classes,
+           CAST(((COUNT(*) - COUNT(DISTINCT c.class_id)) * 1000000)
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM m JOIN classes c ON c.id = m.id
+    GROUP BY m.cid
+    """,
+    doc="Per-cluster semantic-dedup data card: vectors, semantic classes "
+    "(connected components of the within-cluster cosine>=0.30 graph), "
+    "and the duplicate fraction in exact ppm — WHERE in embedding space "
+    "the corpus is redundant (the card that decides which topic buckets "
+    "get aggressive semantic dedup). ONE k-row groupBy over the "
+    "component labels; components never span clusters, so the card is "
+    "exact. Oracle replays Lloyd + closure + census.",
+)
+def ext_semantic_class_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import clustering
+    from dbt_glue_spark.extensions.dedup import dup_clusters
+    from dbt_glue_spark.functions.scalars import half_up_round
+    from dbt_glue_spark.functions.vectors import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = clustering.kmeans_assign(emb, k=10, max_iter=6)
+    vecs = emb.filter(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    m = (
+        assigned.select(F.col("vec_id").alias("id"), "cluster_id")
+        .join(vecs, "id")
+        .localCheckpoint()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "sim", half_up_round(cosine_sim(F.col("a.v"), F.col("b.v")), 4)
+        )
+        .filter(F.col("sim") >= 0.30)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    comps = dup_clusters(
+        m.select(F.col("id").alias("vec_id")), pairs, "vec_id", 50
+    ).select(F.col("vec_id").alias("id"), F.col("cluster_id").alias("__class"))
+    return (
+        m.select("id", "cluster_id")
+        .join(comps, "id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.count_distinct("__class").cast("bigint").alias("n_classes"),
+        )
+        .select(
+            "cluster_id",
+            "n_vectors",
+            "n_classes",
+            F.expr("((n_vectors - n_classes) * 1000000) div n_vectors")
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+    )

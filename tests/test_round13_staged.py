@@ -1,0 +1,363 @@
+"""Round-13 staged operators (embedding-side curation tier): parity-proven
+now, catalog-registered at the round-12→13 boundary
+(plans/round13_staged.py docstring). These tests prove the staged specs
+with the same exact DuckDB compare the live sweep uses, pin the
+stage-then-promote discipline (the live catalog stays at 292 this round),
+and brute-force / property-check each operator — semantic keep-best's
+component structure and argmax law (NULL quality, ties), the
+contamination census against a brute-force derivation, IVF recall
+bounds and consistency, the bucketing-recall identity at k=1, and the
+class card's accounting identities against keep-best.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_glue_spark.plans.round13_staged import STAGED13
+from tools.check_parity import duck_con, normalize, values_equal
+
+STAGED13_NAMES = sorted(STAGED13())
+
+
+def _exact_compare(spark, sf_dir, spec):
+    sdf = spec.fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duck_con(sf_dir)
+    try:
+        res = con.execute(spec.oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(scols) == sorted(dcols), (scols, dcols)
+    sn, dn = normalize(srows, scols), normalize(drows, dcols)
+    assert len(sn) == len(dn), (len(sn), len(dn))
+    for r1, r2 in zip(sn, dn):
+        assert all(values_equal(a, b) for a, b in zip(r1, r2)), (r1, r2)
+
+
+@pytest.mark.parametrize("name", STAGED13_NAMES)
+def test_staged13_oracle_parity(spark, sf_dir, name):
+    _exact_compare(spark, sf_dir, STAGED13()[name])
+
+
+def test_catalog_holds_at_292_and_staged13_not_registered():
+    """Stage-then-promote: the round-13 pool must NOT be live this round —
+    registering mid-round would push never-checked entries into the
+    driver's 50-query prefix and crowd out the 9 round-12 promotions
+    earning their first hard rows."""
+    from dbt_glue_spark.plans.catalog import SPECS
+
+    specs = SPECS()
+    assert len(specs) == 292, len(specs)
+    overlap = set(STAGED13_NAMES) & set(specs)
+    assert not overlap, overlap
+
+
+# ---------------------------------------------------------------------------
+# semantic_keep_best: brute-force component + argmax law
+# ---------------------------------------------------------------------------
+
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    if na == 0 or nb == 0:
+        return None
+    return math.floor(d / (na * nb) * 10000 + 0.5) / 10000
+
+
+def _brute_semantic_classes(rows, assigned, threshold):
+    """Independent derivation: connected components (union-find) over
+    within-cluster cosine ≥ threshold pairs."""
+    cluster = dict(assigned)
+    vecs = {i: v for i, v, _q in rows if v is not None}
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in itertools.combinations(sorted(vecs), 2):
+        if cluster[i] != cluster[j]:
+            continue
+        s = _cos(vecs[i], vecs[j])
+        if s is not None and s >= threshold:
+            parent[find(j)] = find(i)
+    classes = {}
+    for i in vecs:
+        classes.setdefault(find(i), []).append(i)
+    return classes
+
+
+def test_semantic_keep_best_matches_brute_force(spark):
+    """Two tight paraphrase groups + one orthogonal singleton: survivors
+    are the quality argmax per component, singletons keep themselves,
+    NULL quality loses to any real score, ties break to the lowest id."""
+    from dbt_glue_spark.extensions.clustering import (
+        kmeans_assign,
+        semantic_keep_best,
+    )
+
+    rows = [
+        # the 3 lowest ids SEED k-means — one per direction, so the
+        # clusters land one-per-group and the later variants join them
+        (0, _vec(1, 0, 0, 0), 5),            # group A seed
+        (1, _vec(0, 1, 0, 0), 7),            # group B seed
+        (2, _vec(0, 0, 1, 0), 1),            # orthogonal singleton seed
+        (3, _vec(0.99, 0.01, 0, 0), 9),      # A: best quality -> survivor
+        (4, _vec(0.98, 0.02, 0, 0), None),   # A: NULL quality loses
+        (5, _vec(0.01, 0.99, 0, 0), 7),      # B: tie -> lowest id (1) wins
+        # NULL vector: excluded entirely
+        (30, None, 99),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, q long"
+    )
+    got = {
+        r.keep_id: (r.n_members, r.best_score)
+        for r in semantic_keep_best(df, "q", k=3, max_iter=4).collect()
+    }
+    assigned = [
+        (r.vec_id, r.cluster_id)
+        for r in kmeans_assign(df, k=3, max_iter=4).collect()
+    ]
+    classes = _brute_semantic_classes(rows, assigned, 0.30)
+    want = {}
+    quality = {i: q for i, _v, q in rows}
+    for members in classes.values():
+        best = min(members, key=lambda i: (-(quality[i] if quality[i] is not None else -1), i))
+        scores = [quality[i] if quality[i] is not None else -1 for i in members]
+        want[best] = (len(members), max(scores))
+    assert got == want
+    assert 30 not in {k for k in got}  # NULL vector never a survivor
+    assert got[3] == (3, 9)            # group A: argmax beats NULL + lower q
+    assert got[1] == (2, 7)            # group B: tie law -> lowest id
+    assert got[2] == (1, 1)            # singleton keeps itself
+
+
+def test_semantic_keep_best_total_accounting(spark, sf_dir):
+    """Σ n_members over survivors == non-NULL-vector corpus size, and
+    keep_ids are distinct members of their own classes."""
+    from dbt_glue_spark.extensions.clustering import semantic_keep_best
+    from dbt_glue_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", ((F.col("vec_id") * 7) % 100).alias("q")
+    )
+    out = semantic_keep_best(emb, "q", k=10, max_iter=6).collect()
+    n_nonnull = emb.filter(F.col("embedding").isNotNull()).count()
+    assert sum(r.n_members for r in out) == n_nonnull
+    keep_ids = [r.keep_id for r in out]
+    assert len(keep_ids) == len(set(keep_ids))
+
+
+# ---------------------------------------------------------------------------
+# semantic_contamination: brute-force hand case + split laws
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_contamination_hand_case(spark):
+    """Eval vector near two train paraphrases → n_hits 2 with the max
+    cosine; an orthogonal eval vector never surfaces; NULL train vectors
+    are excluded."""
+    from dbt_glue_spark.extensions.clustering import semantic_contamination
+
+    train = spark.createDataFrame(
+        [
+            (0, _vec(1, 0, 0, 0)),
+            (1, _vec(0.95, 0.05, 0, 0)),
+            (2, _vec(0, 1, 0, 0)),
+            (3, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(100, _vec(0.99, 0.01, 0, 0)), (101, _vec(0, 0, 1, 0))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.eval_id: (r.n_hits, r.max_sim)
+        for r in semantic_contamination(
+            train, ev, k=2, max_iter=4, threshold=0.30
+        ).collect()
+    }
+    assert set(got) == {100}
+    n_hits, max_sim = got[100]
+    assert n_hits == 2
+    want = max(
+        _cos(_vec(0.99, 0.01, 0, 0), _vec(1, 0, 0, 0)),
+        _cos(_vec(0.99, 0.01, 0, 0), _vec(0.95, 0.05, 0, 0)),
+    )
+    assert abs(max_sim - want) < 1e-9
+
+
+def test_semantic_contamination_output_bounded_by_eval(spark, sf_dir):
+    """Every output row is an eval id; n_hits never exceeds the train
+    corpus size."""
+    spec = STAGED13()["ext_semantic_contamination"]
+    rows = spec.fn(spark, sf_dir).collect()
+    from dbt_glue_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_train = emb.filter(
+        (F.col("vec_id") % 10 != 0) & F.col("embedding").isNotNull()
+    ).count()
+    for r in rows:
+        assert r.eval_id % 10 == 0
+        assert 1 <= r.n_hits <= n_train
+        assert r.max_sim >= 0.30
+
+
+# ---------------------------------------------------------------------------
+# ivf_recall_audit: bounds + brute-force recall identity
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_recall_bounds_and_identity(spark, sf_dir):
+    spec = STAGED13()["ext_ivf_recall_audit"]
+    rows = spec.fn(spark, sf_dir).collect()
+    assert rows  # the 10-query probe set exists at every sf
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_exact
+        assert abs(r.recall_at_5 - round(r.n_hits / r.n_exact, 6)) < 1e-6
+
+
+def test_ivf_recall_is_one_when_nprobe_covers_all_cells(spark, sf_dir):
+    """nprobe == n_centroids probes every cell — IVF degenerates to brute
+    force and recall must be exactly 1 for every query."""
+    from dbt_glue_spark.extensions import similarity
+    from dbt_glue_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_bruteforce(emb, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_ivf(
+            emb, queries, k=5, n_centroids=4, nprobe=4
+        ).collect()
+    }
+    assert full == exact
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup_recall: identities
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_recall_bounds(spark, sf_dir):
+    spec = STAGED13()["ext_semantic_dedup_recall"]
+    row = spec.fn(spark, sf_dir).collect()[0]
+    assert row.n_bucketed_pairs <= row.n_true_pairs
+    if row.n_true_pairs > 0:
+        assert row.recall_ppm == (row.n_bucketed_pairs * 1_000_000) // row.n_true_pairs
+        assert 0 <= row.recall_ppm <= 1_000_000
+
+
+def test_semantic_dedup_recall_is_total_at_k1(spark, sf_dir):
+    """With k=1 every pair is within-cluster — the bucketed count must
+    equal the exact all-pairs truth (recall 1e6 exactly)."""
+    from dbt_glue_spark.extensions import clustering, similarity
+    from dbt_glue_spark.functions.scalars import half_up_round
+    from dbt_glue_spark.functions.vectors import cosine_sim
+    from dbt_glue_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_true = similarity.all_pairs_cosine(emb, threshold=0.30, buckets=0).count()
+    assigned = clustering.kmeans_assign(emb, k=1, max_iter=2)
+    vecs = emb.filter(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    m = assigned.select(F.col("vec_id").alias("id"), "cluster_id").join(
+        vecs, "id"
+    )
+    a, b = m.alias("a"), m.alias("b")
+    n_found = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "sim", half_up_round(cosine_sim(F.col("a.v"), F.col("b.v")), 4)
+        )
+        .filter(F.col("sim") >= 0.30)
+        .count()
+    )
+    assert n_found == n_true
+
+
+# ---------------------------------------------------------------------------
+# semantic_class_card: accounting identities vs keep-best
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_class_card_accounting(spark, sf_dir):
+    """Σ n_vectors == non-NULL corpus; Σ n_classes == number of keep-best
+    survivors (same clustering, same edges, same components); dup_ppm is
+    the exact bigint formula."""
+    from dbt_glue_spark.sources.registry import load_table
+
+    card = STAGED13()["ext_semantic_class_card"].fn(spark, sf_dir).collect()
+    keep = STAGED13()["ext_semantic_keep_best"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_nonnull = emb.filter(F.col("embedding").isNotNull()).count()
+    assert sum(r.n_vectors for r in card) == n_nonnull
+    assert sum(r.n_classes for r in card) == len(keep)
+    for r in card:
+        assert 1 <= r.n_classes <= r.n_vectors
+        assert r.dup_ppm == ((r.n_vectors - r.n_classes) * 1_000_000) // r.n_vectors
+
+
+# ---------------------------------------------------------------------------
+# plan shape + empty-input gates
+# ---------------------------------------------------------------------------
+
+
+def test_staged13_plans_have_no_cartesian_product(spark, sf_dir):
+    """The candidate joins are equi-joins on cluster_id / cell; the only
+    tolerated nested-loop is the broadcast k-row centroid assign and the
+    1-row recall cross-join — never a CartesianProduct."""
+    for name, spec in sorted(STAGED13().items()):
+        plan = (
+            spec.fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+
+
+def test_staged13_specs_survive_empty_embeddings(spark, sf_dir, tmp_path):
+    """Every staged spec must degrade cleanly on a zero-row embeddings
+    table (at 100 TB a pruned partition routinely hands an operator zero
+    rows) — and still agree with its oracle there."""
+    import os
+
+    from dbt_glue_spark.sources.registry import TABLES, load_table
+
+    out = str(tmp_path / "sf_empty13")
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    for name, spec in sorted(STAGED13().items()):
+        _exact_compare(spark, out, spec)
