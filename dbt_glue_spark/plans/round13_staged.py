@@ -31,7 +31,17 @@ LSH/IVF/quantized), k-means, SemDeDup-style prototypical dedup
   the recall loss SemDeDup accepts for its Σ n_c² candidate bound);
 - ``ext_semantic_class_card`` — the per-cluster dedup data card:
   vectors, semantic classes, duplicate fraction per k-means cluster
-  (exact ppm) — where in embedding space the corpus is redundant.
+  (exact ppm) — where in embedding space the corpus is redundant;
+- ``ext_quantized_recall_audit`` — recall@5 of the int8-quantized
+  index vs float brute force, completing the recall-audit family
+  (LSH / IVF / quantized) — what a rebuild measures before trading
+  4× memory for quantization error;
+- ``streaming_embedding_frontier`` — the ingestion-side Kappa twin
+  (``streaming.embedding_frontier_stream``): new LSH sign-buckets
+  (8 hyperplanes — 256 possible, so the even-id ledger leaves
+  genuinely new buckets at every sf) emitted exactly once against a
+  static seen-bucket ledger; the oracle replays the hyperplane
+  literals in SQL, so the compare is exact, not structural.
 
 Oracle style: every entry replays the SAME deterministic Lloyd
 construction the Spark side runs (RNG-free lowest-id seeds, struct-min
@@ -52,7 +62,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_glue_spark.plans.catalog import QuerySpec
-from dbt_glue_spark.plans.extension_queries import _KMEANS_CTE, _cos_sql
+from dbt_glue_spark.plans.extension_queries import (
+    _KMEANS_CTE,
+    _bucket_sql,
+    _cos_sql,
+)
 from dbt_glue_spark.sources.registry import load_table
 
 _STAGED13: dict[str, QuerySpec] = {}
@@ -492,4 +506,219 @@ def ext_semantic_class_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("dup_ppm"),
         )
+    )
+
+
+# Quantized-index recall: the int8 replay CTE from ext_knn_quantized,
+# extended with the exact float brute-force side and the recall join —
+# the third index tier (brute/LSH/IVF/quantized) gets its rebuild-time
+# monitoring query, completing the recall-audit family.
+_QUANT_CTE = """
+    WITH fl AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    base AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM fl
+    ),
+    qz AS (
+      SELECT vec_id,
+             CASE WHEN amax > 0
+                  THEN list_transform(
+                         v, x -> CAST(FLOOR(x * 127 / amax + 0.5) AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q
+      FROM base
+    ),
+    prq AS (SELECT vec_id AS query_id, q AS qq FROM qz WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             list_sum([qq[i] * c.q[i]
+                       for i in generate_series(1, len(qq))]) AS dotq,
+             sqrt(CAST(list_sum([qq[i] * qq[i]
+                    for i in generate_series(1, len(qq))]) AS DOUBLE))
+             * sqrt(CAST(list_sum([c.q[i] * c.q[i]
+                    for i in generate_series(1, len(c.q))]) AS DOUBLE)) AS nn
+      FROM prq, qz c WHERE c.vec_id <> query_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY
+            FLOOR(CASE WHEN nn > 0 THEN CAST(dotq AS DOUBLE) / nn END
+                  * 10000 + 0.5) / 10000 DESC, neighbor_id) AS rk
+        FROM scored) t
+      WHERE rk <= 5
+    )
+"""
+
+
+@register_staged(
+    "ext_quantized_recall_audit",
+    _QUANT_CTE
+    + """
+    , exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY """
+    + _cos_sql("q.v", "c.v")
+    + """ DESC, c.vec_id) AS rk
+        FROM (SELECT vec_id, v FROM fl WHERE vec_id < 10) q, fl c
+        WHERE c.vec_id <> q.vec_id
+      ) t WHERE rk <= 5
+    )
+    SELECT ex.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           FLOOR(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000.0
+             AS recall_at_5
+    FROM exact ex
+    LEFT JOIN approx a ON a.query_id = ex.query_id
+                       AND a.neighbor_id = ex.neighbor_id
+    GROUP BY ex.query_id
+    """,
+    doc="Quantized-index quality audit: per-query recall@5 of the int8 "
+    "symmetric-quantized kNN (similarity.knn_quantized — amax/127 "
+    "scale, half-up codes, exact integer dot products) against float "
+    "brute force — what an index rebuild measures before trading 4x "
+    "memory for quantization error. Completes the recall-audit family "
+    "(LSH: ext_ann_recall_audit; IVF: ext_ivf_recall_audit). Probe "
+    "cost only: corpus scanned per 10-query probe set, never corpus^2.",
+)
+def ext_quantized_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import similarity
+    from dbt_glue_spark.functions.scalars import half_up_round
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.knn_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.knn_quantized(emb, queries, k=5).select(
+        F.col("query_id"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["a_neighbor"]),
+        "left",
+    ).select(exact["query_id"].alias("qid"), "neighbor_id", "a_neighbor")
+    return (
+        joined.groupBy("qid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum(F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            "n_hits",
+            half_up_round(F.col("n_hits") / F.col("n_exact"), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+@register_staged(
+    "streaming_embedding_frontier",
+    f"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    b AS (
+      SELECT vec_id, {_bucket_sql('embedding::DOUBLE[]', planes=8)} AS bk
+      FROM base
+    ),
+    led AS (SELECT DISTINCT bk FROM b WHERE vec_id % 2 = 0),
+    cls AS (SELECT bk, COUNT(*) AS class_size FROM b GROUP BY bk),
+    new_cls AS (
+      SELECT c.class_size
+      FROM cls c LEFT JOIN led l ON c.bk = l.bk
+      WHERE l.bk IS NULL
+    )
+    SELECT CAST(class_size AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes
+    FROM new_cls GROUP BY class_size
+    """,
+    doc="Streaming embedding-space frontier (streaming.embedding_"
+    "frontier_stream): the full embeddings table streams in (4-file "
+    "parquet source, availableNow) against a seen-bucket ledger built "
+    "from the even vec_ids; every LSH sign-bucket containing only odd "
+    "ids is NEW and must be emitted exactly once, in any file arrival "
+    "order — the monitor that notices the corpus entering a new region "
+    "of embedding space at ingestion. The spec joins the emitted "
+    "buckets back to the batch bucket manifest and reports the "
+    "class-size census of the new buckets; the oracle replays the "
+    "hyperplane buckets in SQL (the _bucket_sql literals), so the "
+    "compare is exact, not structural. Bucketing is a map-only "
+    "Catalyst expression per micro-batch; frontier state is one "
+    "<=2^planes-entry string set (8 planes: 256 possible, so the "
+    "even-id ledger leaves genuinely new buckets at every sf).",
+)
+def streaming_embedding_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from dbt_glue_spark.extensions.similarity import sign_bucket
+    from dbt_glue_spark.streaming.pipelines import embedding_frontier_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nonnull = emb.filter(F.col("embedding").isNotNull())
+    ledger = nonnull.filter(F.col("vec_id") % 2 == 0).select(
+        sign_bucket(F.col("embedding"), 64, 8).alias("bucket")
+    )
+    stage = tempfile.mkdtemp(prefix="dgs_q_embfrontier_")
+    # normalize the staged element type: sf dirs store float elements,
+    # pathological axes double — cast on write so the fixed stream
+    # schema reads both (sign_bucket casts to double either way, so
+    # bucket values are unchanged)
+    emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    name = f"q_embfrontier_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            embedding_frontier_stream(stream, ledger, planes=8)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # a timeout must FAIL LOUDLY, not proceed with a partial emitted
+        # set (the image-frontier lesson: a partial set surfaces as a
+        # parity mismatch misattributed to the operator)
+        if not q.awaitTermination(300):
+            q.stop()
+            spark.catalog.dropTempView(name)
+            raise TimeoutError(
+                f"streaming_embedding_frontier: query {name} did not "
+                "finish within 300 s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    emitted = spark.table(name)
+    manifest = nonnull.select(
+        sign_bucket(F.col("embedding"), 64, 8).alias("bucket")
+    ).groupBy("bucket").agg(F.count("*").alias("class_size"))
+    return (
+        emitted.join(manifest, "bucket")
+        .groupBy("class_size")
+        .agg(F.count("*").cast("bigint").alias("n_classes"))
+        .select(F.col("class_size").cast("bigint"), "n_classes")
     )

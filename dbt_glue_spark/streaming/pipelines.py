@@ -458,6 +458,51 @@ def image_frontier_stream(
     )
 
 
+def embedding_frontier_stream(
+    vec_stream: DataFrame,
+    seen_buckets: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Streaming embedding-space frontier — the Kappa twin of LSH
+    sign-bucketing applied at INGESTION: as embedding rows stream in,
+    each is projected to its deterministic hyperplane sign-bucket (a
+    map-only Catalyst expression — stateless, stream-safe, no Python),
+    anti-joined against the static seen-bucket ledger, and each NEW
+    bucket is emitted exactly once (dropDuplicates state keyed on the
+    ``planes``-char bucket string). The monitoring stream a curation
+    pipeline runs to notice the corpus entering a NEW region of
+    embedding space (new topic/language/modality mix) the moment it
+    arrives, rather than at the next batch re-cluster.
+
+    ``seen_buckets`` is a ledger of bucket strings (what a production
+    deployment persists — ≤ 2^planes rows); its distinct projection is
+    persisted and eagerly materialized in the stream-static registry
+    (see :func:`image_frontier_stream` — same eviction rationale).
+
+    NULL vectors are dropped here (no geometry; the census of missing
+    embeddings is the batch audit's job).
+
+    Batch twin: distinct buckets of the stream's vectors minus the
+    ledger's — the emitted set must equal it exactly regardless of file
+    arrival order (tested).
+    """
+    from dbt_glue_spark.extensions.similarity import sign_bucket
+
+    buckets = vec_stream.filter(F.col(vec_col).isNotNull()).select(
+        sign_bucket(F.col(vec_col), dim, planes).alias("bucket")
+    )
+    # stream-static registry, not the bounded LRU — same eviction
+    # rationale as image_frontier_stream above
+    seen = _persist_static(seen_buckets.select("bucket").distinct())
+    seen.count()  # materialize NOW — micro-batches hit the cache
+    return (
+        buckets.join(seen, "bucket", "left_anti")
+        .dropDuplicates(["bucket"])
+    )
+
+
 def pair_frontier_stream(
     pairs_stream: DataFrame,
     seen_pairs: DataFrame,

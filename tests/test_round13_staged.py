@@ -361,3 +361,75 @@ def test_staged13_specs_survive_empty_embeddings(spark, sf_dir, tmp_path):
         ).parquet(os.path.join(out, f"{t}.parquet"))
     for name, spec in sorted(STAGED13().items()):
         _exact_compare(spark, out, spec)
+
+
+# ---------------------------------------------------------------------------
+# quantized recall + embedding frontier (second tranche)
+# ---------------------------------------------------------------------------
+
+
+def test_quantized_recall_bounds_and_identity(spark, sf_dir):
+    spec = STAGED13()["ext_quantized_recall_audit"]
+    rows = spec.fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_exact
+        assert abs(r.recall_at_5 - round(r.n_hits / r.n_exact, 6)) < 1e-6
+
+
+def test_embedding_frontier_stream_equals_batch_twin(spark, tmp_path):
+    """The emitted new-bucket set must equal the batch anti-join exactly,
+    regardless of file arrival order (Kappa equivalence)."""
+    from dbt_glue_spark.extensions.similarity import sign_bucket
+    from dbt_glue_spark.sources.registry import load_table
+    from dbt_glue_spark.streaming.pipelines import embedding_frontier_stream
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    nn = emb.filter(F.col("embedding").isNotNull())
+    ledger = nn.filter(F.col("vec_id") % 2 == 0).select(
+        sign_bucket(F.col("embedding"), 64, 8).alias("bucket")
+    )
+    stage = str(tmp_path / "embs")
+    emb.select("vec_id", "embedding").repartition(5).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        embedding_frontier_stream(stream, ledger, planes=8)
+        .writeStream.format("memory")
+        .queryName("t_embfrontier")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {r.bucket for r in spark.table("t_embfrontier").collect()}
+    batch = (
+        nn.select(sign_bucket(F.col("embedding"), 64, 8).alias("bucket"))
+        .distinct()
+        .join(ledger.distinct(), "bucket", "left_anti")
+    )
+    want = {r.bucket for r in batch.collect()}
+    assert got == want and got  # genuinely new buckets exist at 8 planes
+
+
+def test_embedding_frontier_planes_mismatch_yields_disjoint_keys(spark):
+    """Regression for the staging bug this tranche caught: a stream
+    bucketed at planes=P anti-joined against a ledger bucketed at
+    planes=Q != P matches NOTHING (different key widths) — every bucket
+    leaks through as 'new'. The pipeline's planes parameter must match
+    the ledger's construction; this pins the failure shape so a config
+    drift is caught by count, not silence."""
+    from dbt_glue_spark.extensions.similarity import sign_bucket
+    from dbt_glue_spark.sources.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    nn = emb.filter(F.col("embedding").isNotNull())
+    l8 = nn.select(sign_bucket(F.col("embedding"), 64, 8).alias("bucket")).distinct()
+    b4 = nn.select(sign_bucket(F.col("embedding"), 64, 4).alias("bucket")).distinct()
+    leaked = b4.join(l8, "bucket", "left_anti").count()
+    assert leaked == b4.count()  # nothing matches across widths

@@ -1199,10 +1199,21 @@ def probe_staged13(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                     .save()
                 )
 
+            def run_quantized_recall():
+                queries = emb.filter(F.col("vec_id") < 10)
+                exact = similarity.knn_bruteforce(emb, queries, k=5)
+                approx = similarity.knn_quantized(emb, queries, k=5)
+                exact.join(
+                    approx.withColumnRenamed("neighbor_id", "a_n"),
+                    ["query_id"],
+                    "left",
+                ).write.format("noop").mode("overwrite").save()
+
             for name, fn in [
                 ("semantic_keep_best", run_keep_best),
                 ("semantic_contamination", run_contamination),
                 ("ivf_recall_audit", run_ivf_recall),
+                ("quantized_recall_audit", run_quantized_recall),
                 ("semantic_dedup_recall_sliced", run_dedup_recall_sliced),
             ]:
                 results.setdefault(name, {})[str(f_)] = timed(fn)
