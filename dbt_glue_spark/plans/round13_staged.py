@@ -41,7 +41,14 @@ LSH/IVF/quantized), k-means, SemDeDup-style prototypical dedup
   (8 hyperplanes — 256 possible, so the even-id ledger leaves
   genuinely new buckets at every sf) emitted exactly once against a
   static seen-bucket ledger; the oracle replays the hyperplane
-  literals in SQL, so the compare is exact, not structural.
+  literals in SQL, so the compare is exact, not structural;
+- ``ext_semantic_purity`` — per-cluster majority-label ppm over the
+  labeled members (first catalog use of ``embeddings.label`` for
+  clustering evaluation; NULL labels visible in n_vectors, out of
+  the vote; ties to the lowest label);
+- ``ext_ivf_cell_card`` — the IVF index-health census: per-cell
+  vector count + exact ppm share of the inverted file (a skewed
+  file makes nprobe cost unpredictable — the retrain/split signal).
 
 Oracle style: every entry replays the SAME deterministic Lloyd
 construction the Spark side runs (RNG-free lowest-id seeds, struct-min
@@ -721,4 +728,139 @@ def streaming_embedding_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("class_size")
         .agg(F.count("*").cast("bigint").alias("n_classes"))
         .select(F.col("class_size").cast("bigint"), "n_classes")
+    )
+
+
+@register_staged(
+    "ext_semantic_purity",
+    _KMEANS_CTE
+    + """
+    , lab AS (
+      SELECT a2.id, (a2.best).cid AS cid, e3.label
+      FROM assign a2 JOIN embeddings e3 ON e3.vec_id = a2.id
+    ),
+    per AS (
+      SELECT cid, label, COUNT(*) AS c
+      FROM lab WHERE label IS NOT NULL GROUP BY cid, label
+    ),
+    tot AS (
+      SELECT cid, COUNT(*) AS n_vectors, COUNT(label) AS n_labeled
+      FROM lab GROUP BY cid
+    ),
+    maj AS (
+      SELECT cid, label AS majority_label, c AS n_majority FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY cid ORDER BY c DESC, label ASC) AS rn
+        FROM per) t
+      WHERE rn = 1
+    )
+    SELECT t.cid AS cluster_id,
+           CAST(t.n_vectors AS BIGINT) AS n_vectors,
+           CAST(t.n_labeled AS BIGINT) AS n_labeled,
+           CAST(m.majority_label AS INT) AS majority_label,
+           CAST(m.n_majority AS BIGINT) AS n_majority,
+           CASE WHEN t.n_labeled = 0 THEN NULL
+                ELSE CAST((m.n_majority * 1000000) // t.n_labeled AS BIGINT)
+           END AS purity_ppm
+    FROM tot t LEFT JOIN maj m USING (cid)
+    """,
+    doc="Cluster-label purity audit: per k-means cluster, the majority "
+    "label's exact ppm share of the labeled members (ties to the lowest "
+    "label; NULL labels counted in n_vectors, excluded from the vote; "
+    "an unlabeled cluster reports NULL purity) — the clustering-quality "
+    "card a labeled slice buys: low purity means the embedding space "
+    "does not separate the label classes k-means is being trusted to "
+    "bucket. First catalog use of embeddings.label for clustering "
+    "evaluation (label_separation covers the Fisher-ratio view). ONE "
+    "(cluster,label) groupBy + a k-row argmax — no shuffle wider than "
+    "k*|labels| rows.",
+)
+def ext_semantic_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = clustering.kmeans_assign(emb, k=10, max_iter=6)
+    lab = assigned.select(F.col("vec_id"), "cluster_id").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    per = (
+        lab.filter(F.col("label").isNotNull())
+        .groupBy("cluster_id", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    maj = (
+        per.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("__m")
+        )
+        .select(
+            "cluster_id",
+            (-F.col("__m.nl")).cast("int").alias("majority_label"),
+            F.col("__m.c").cast("bigint").alias("n_majority"),
+        )
+    )
+    tot = lab.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.count("label").cast("bigint").alias("n_labeled"),
+    )
+    return tot.join(maj, "cluster_id", "left").select(
+        "cluster_id",
+        "n_vectors",
+        "n_labeled",
+        "majority_label",
+        "n_majority",
+        F.when(
+            F.col("n_labeled") > 0,
+            F.expr("(n_majority * 1000000) div n_labeled"),
+        )
+        .cast("bigint")
+        .alias("purity_ppm"),
+    )
+
+
+@register_staged(
+    "ext_ivf_cell_card",
+    _IVF_CTE
+    + """
+    , census AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM cells
+      GROUP BY cell
+    ),
+    total AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n FROM census)
+    SELECT c.cell, c.n_vectors,
+           CAST((c.n_vectors * 1000000) // t.n AS BIGINT) AS share_ppm
+    FROM census c, total t
+    """,
+    doc="IVF index-health card: per-cell vector count and exact ppm "
+    "share of the inverted file (8 centroids, 3 Lloyd rounds — the "
+    "ext_knn_ivf codebook). A skewed inverted file makes nprobe cost "
+    "unpredictable (one hot cell dominates every probe) — this is the "
+    "census a production index reads after every rebuild to decide "
+    "whether to retrain or split cells. ONE k-row groupBy + a 1-row "
+    "broadcast total; oracle replays codebook training + assignment.",
+)
+def ext_ivf_cell_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nonnull = emb.filter(F.col("embedding").isNotNull())
+    centroids = similarity.ivf_train(nonnull, n_centroids=8)
+    if not centroids:
+        # empty corpus → empty codebook; an empty F.array() literal is
+        # VOID-typed and would break ivf_assign's explode (the knn_ivf
+        # guard, mirrored)
+        return spark.createDataFrame(
+            [], "cell int, n_vectors bigint, share_ppm bigint"
+        )
+    cells = similarity.ivf_assign(nonnull, centroids, "embedding", "vec_id")
+    census = cells.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    total = census.agg(F.sum("n_vectors").cast("bigint").alias("__n"))
+    return census.crossJoin(F.broadcast(total)).select(
+        "cell",
+        "n_vectors",
+        F.expr("(n_vectors * 1000000) div __n").cast("bigint").alias("share_ppm"),
     )

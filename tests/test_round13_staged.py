@@ -433,3 +433,85 @@ def test_embedding_frontier_planes_mismatch_yields_disjoint_keys(spark):
     b4 = nn.select(sign_bucket(F.col("embedding"), 64, 4).alias("bucket")).distinct()
     leaked = b4.join(l8, "bucket", "left_anti").count()
     assert leaked == b4.count()  # nothing matches across widths
+
+
+# ---------------------------------------------------------------------------
+# purity + IVF cell card (third tranche)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_purity_hand_case_and_tie_law(spark):
+    """Labels aligned with the cluster directions → purity exactly 1e6;
+    a mixed cluster votes by count with ties to the LOWEST label; NULL
+    labels count in n_vectors but not the vote."""
+    from dbt_glue_spark.extensions.clustering import kmeans_assign
+
+    rows = [
+        (0, _vec(1, 0, 0, 0), 7),
+        (1, _vec(0, 1, 0, 0), 3),
+        (2, _vec(0.99, 0.01, 0, 0), 7),
+        (3, _vec(0.98, 0.02, 0, 0), None),   # unlabeled, same cluster as 0
+        (4, _vec(0.01, 0.99, 0, 0), 5),      # tie in cluster of 1: {3,5}
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    from dbt_glue_spark.plans.round13_staged import ext_semantic_purity
+
+    # rebuild the spec logic on the hand frame via the same operators
+    assigned = kmeans_assign(df, k=2, max_iter=4)
+    lab = assigned.select("vec_id", "cluster_id").join(
+        df.select("vec_id", "label"), "vec_id"
+    )
+    per = (
+        lab.filter(F.col("label").isNotNull())
+        .groupBy("cluster_id", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    maj = (
+        per.groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+        .select(
+            "cluster_id",
+            (-F.col("m.nl")).cast("int").alias("majority_label"),
+            F.col("m.c").alias("n_majority"),
+        )
+    )
+    got = {r.cluster_id: (r.majority_label, r.n_majority) for r in maj.collect()}
+    clusters = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    cx = clusters[0]  # x-direction cluster: labels {7,7}, one NULL
+    cy = clusters[1]  # y-direction cluster: labels {3,5} tie -> 3
+    assert got[cx] == (7, 2)
+    assert got[cy] == (3, 1)
+
+
+def test_semantic_purity_accounting(spark, sf_dir):
+    from dbt_glue_spark.sources.registry import load_table
+
+    rows = STAGED13()["ext_semantic_purity"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_nonnull = emb.filter(F.col("embedding").isNotNull()).count()
+    assert sum(r.n_vectors for r in rows) == n_nonnull
+    for r in rows:
+        assert r.n_labeled <= r.n_vectors
+        if r.n_labeled > 0:
+            assert 1 <= r.n_majority <= r.n_labeled
+            assert r.purity_ppm == (r.n_majority * 1_000_000) // r.n_labeled
+        else:
+            assert r.majority_label is None and r.purity_ppm is None
+
+
+def test_ivf_cell_card_accounting(spark, sf_dir):
+    """Σ n_vectors == non-NULL corpus; shares are the exact bigint ppm
+    formula and sum to ≤ 1e6 (floor rounding) within k crumbs."""
+    from dbt_glue_spark.sources.registry import load_table
+
+    rows = STAGED13()["ext_ivf_cell_card"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_nonnull = emb.filter(F.col("embedding").isNotNull()).count()
+    total = sum(r.n_vectors for r in rows)
+    assert total == n_nonnull
+    for r in rows:
+        assert r.share_ppm == (r.n_vectors * 1_000_000) // total
+    s = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= s <= 1_000_000
