@@ -48,7 +48,16 @@ LSH/IVF/quantized), k-means, SemDeDup-style prototypical dedup
   the vote; ties to the lowest label);
 - ``ext_ivf_cell_card`` — the IVF index-health census: per-cell
   vector count + exact ppm share of the inverted file (a skewed
-  file makes nprobe cost unpredictable — the retrain/split signal).
+  file makes nprobe cost unpredictable — the retrain/split signal);
+- ``ext_semantic_dedup_incremental`` — incremental semantic
+  admission: new vectors (odd ids) admitted iff no kept exemplar
+  (even ids — the persisted ledger) sits at cosine ≥ 0.30 in the
+  shared cluster space; the embedding twin of minhash_incremental's
+  new-vs-ledger discipline, every new vector visible;
+- ``ext_embedding_drift`` — reference-vs-current slice shares per
+  k-means cluster in exact ppm + absolute shift (Σ shift/2 = total
+  variation, no floats) — the embedding-space twin of the scalar
+  PSI/JS monitors, exact instead of log-based.
 
 Oracle style: every entry replays the SAME deterministic Lloyd
 construction the Spark side runs (RNG-free lowest-id seeds, struct-min
@@ -863,4 +872,152 @@ def ext_ivf_cell_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         "n_vectors",
         F.expr("(n_vectors * 1000000) div __n").cast("bigint").alias("share_ppm"),
+    )
+
+
+@register_staged(
+    "ext_semantic_dedup_incremental",
+    _KMEANS_CTE
+    + """
+    , m2 AS (
+      SELECT a2.id, (a2.best).cid AS cid, e2.v
+      FROM assign a2 JOIN e e2 USING (id)
+    ),
+    hits AS (
+      SELECT nv.id AS vec_id, COUNT(*) AS h
+      FROM m2 nv JOIN m2 ex ON nv.cid = ex.cid
+      WHERE nv.id % 2 = 1 AND ex.id % 2 = 0
+        AND """
+    + _cos_sql("nv.v", "ex.v")
+    + """ >= 0.30
+      GROUP BY nv.id
+    )
+    SELECT nv.id AS vec_id,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS n_exemplar_hits,
+           (h.h IS NULL) AS admitted
+    FROM m2 nv LEFT JOIN hits h ON h.vec_id = nv.id
+    WHERE nv.id % 2 = 1
+    """,
+    doc="Incremental semantic admission — the embedding twin of "
+    "ext_minhash_incremental's new-vs-ledger discipline: each NEW "
+    "vector (odd vec_id) is admitted iff NO kept exemplar (even "
+    "vec_id — the ledger a previous dedup cycle persisted) sits at "
+    "cosine>=0.30 in its shared k-means cluster; rejected vectors "
+    "surface with their exemplar hit count (visible exclusion — every "
+    "new vector gets a row). New-new duplicates are deliberately NOT "
+    "resolved here (that is the next full keep-best cycle's job — the "
+    "incremental contract trades one cycle of intra-batch redundancy "
+    "for never re-deduplicating the corpus). 100 TB shape: the ledger "
+    "moves to one cluster's comparisons each; cost is new-batch-sized, "
+    "never corpus x corpus.",
+)
+def ext_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import clustering
+    from dbt_glue_spark.functions.scalars import half_up_round
+    from dbt_glue_spark.functions.vectors import cosine_sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = clustering.kmeans_assign(emb, k=10, max_iter=6)
+    vecs = emb.filter(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    m = (
+        assigned.select(F.col("vec_id").alias("id"), "cluster_id")
+        .join(vecs, "id")
+        .localCheckpoint()
+    )
+    new = m.filter(F.col("id") % 2 == 1).select(
+        F.col("id").alias("vec_id"), "cluster_id", F.col("v").alias("__nv")
+    )
+    ledger = m.filter(F.col("id") % 2 == 0).select(
+        "cluster_id", F.col("v").alias("__xv")
+    )
+    hits = (
+        new.join(ledger, "cluster_id")
+        .withColumn(
+            "sim", half_up_round(cosine_sim(F.col("__nv"), F.col("__xv")), 4)
+        )
+        .filter(F.col("sim") >= 0.30)
+        .groupBy("vec_id")
+        .agg(F.count("*").cast("bigint").alias("__h"))
+    )
+    return new.select("vec_id").join(hits, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("__h"), F.lit(0)).cast("bigint").alias(
+            "n_exemplar_hits"
+        ),
+        F.col("__h").isNull().alias("admitted"),
+    )
+
+
+@register_staged(
+    "ext_embedding_drift",
+    _KMEANS_CTE
+    + """
+    , m2 AS (
+      SELECT a2.id, (a2.best).cid AS cid FROM assign a2
+    ),
+    per AS (
+      SELECT cid,
+             CAST(COUNT(*) FILTER (WHERE id % 2 = 0) AS BIGINT) AS n_ref,
+             CAST(COUNT(*) FILTER (WHERE id % 2 = 1) AS BIGINT) AS n_cur
+      FROM m2 GROUP BY cid
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc
+      FROM per
+    )
+    SELECT p.cid AS cluster_id, p.n_ref, p.n_cur,
+           CAST((p.n_ref * 1000000) // NULLIF(t.tr, 0) AS BIGINT)
+             AS ref_share_ppm,
+           CAST((p.n_cur * 1000000) // NULLIF(t.tc, 0) AS BIGINT)
+             AS cur_share_ppm,
+           CAST(ABS((p.n_ref * 1000000) // NULLIF(t.tr, 0)
+                    - (p.n_cur * 1000000) // NULLIF(t.tc, 0)) AS BIGINT)
+             AS shift_ppm
+    FROM per p, tot t
+    """,
+    doc="Embedding-space distribution drift card: reference slice (even "
+    "vec_id) vs current slice (odd) bucketed into ONE shared k-means "
+    "space; per cluster the exact ppm share of each side and the "
+    "absolute share shift — summing shift_ppm/2 gives total-variation "
+    "drift in ppm with no floating point anywhere (the embedding-space "
+    "twin of the scalar PSI/JS monitors in extensions/audit.py, exact "
+    "instead of log-based). The monitor a curation pipeline reads to "
+    "notice topic mixture moving between crawls. ONE k-row census + a "
+    "1-row broadcast total.",
+)
+def ext_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_glue_spark.extensions import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = clustering.kmeans_assign(emb, k=10, max_iter=6)
+    per = assigned.groupBy("cluster_id").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    tot = per.agg(
+        F.sum("n_ref").cast("bigint").alias("__tr"),
+        F.sum("n_cur").cast("bigint").alias("__tc"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cluster_id",
+        "n_ref",
+        "n_cur",
+        F.expr("(n_ref * 1000000) div __tr").cast("bigint").alias(
+            "ref_share_ppm"
+        ),
+        F.expr("(n_cur * 1000000) div __tc").cast("bigint").alias(
+            "cur_share_ppm"
+        ),
+        F.expr(
+            "abs((n_ref * 1000000) div __tr - (n_cur * 1000000) div __tc)"
+        )
+        .cast("bigint")
+        .alias("shift_ppm"),
     )

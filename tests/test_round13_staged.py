@@ -515,3 +515,85 @@ def test_ivf_cell_card_accounting(spark, sf_dir):
         assert r.share_ppm == (r.n_vectors * 1_000_000) // total
     s = sum(r.share_ppm for r in rows)
     assert 1_000_000 - len(rows) <= s <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# incremental admission + embedding drift (fourth tranche)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_incremental_every_new_vector_visible(spark, sf_dir):
+    """Visible-exclusion law: every odd-id non-NULL vector gets exactly
+    one row; admitted ⟺ zero exemplar hits."""
+    from dbt_glue_spark.sources.registry import load_table
+
+    rows = STAGED13()["ext_semantic_dedup_incremental"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_new = emb.filter(
+        (F.col("vec_id") % 2 == 1) & F.col("embedding").isNotNull()
+    ).count()
+    assert len(rows) == n_new
+    for r in rows:
+        assert r.vec_id % 2 == 1
+        assert r.admitted == (r.n_exemplar_hits == 0)
+
+
+def test_semantic_incremental_hand_case(spark):
+    """A new vector beside a ledger exemplar is rejected with the hit
+    count; an orthogonal new vector is admitted; NULL vectors drop."""
+    from dbt_glue_spark.extensions.clustering import kmeans_assign
+    from dbt_glue_spark.functions.scalars import half_up_round
+    from dbt_glue_spark.functions.vectors import cosine_sim
+
+    rows = [
+        (0, _vec(1, 0, 0, 0)),       # ledger exemplar, x-direction
+        (2, _vec(0, 1, 0, 0)),       # ledger exemplar, y-direction
+        (1, _vec(0.99, 0.01, 0, 0)), # new: dup of exemplar 0 -> rejected
+        (3, _vec(0, 0, 1, 0)),       # new: orthogonal -> admitted
+        (5, None),                   # new NULL: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = kmeans_assign(df, k=2, max_iter=4)
+    vecs = df.filter(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    m = assigned.select(F.col("vec_id").alias("id"), "cluster_id").join(vecs, "id")
+    new = m.filter(F.col("id") % 2 == 1).select(
+        F.col("id").alias("vec_id"), "cluster_id", F.col("v").alias("nv")
+    )
+    led = m.filter(F.col("id") % 2 == 0).select("cluster_id", F.col("v").alias("xv"))
+    hits = (
+        new.join(led, "cluster_id")
+        .withColumn("sim", half_up_round(cosine_sim(F.col("nv"), F.col("xv")), 4))
+        .filter(F.col("sim") >= 0.30)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("h"))
+    )
+    out = {
+        r.vec_id: r.h
+        for r in new.select("vec_id").join(hits, "vec_id", "left").collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1] == 1 and out[3] is None
+
+
+def test_embedding_drift_accounting(spark, sf_dir):
+    """Σ n_ref/n_cur == per-side corpus; shares are the exact bigint
+    formula; shift is the absolute difference; TV = Σ shift / 2 lands
+    in [0, 1e6]."""
+    from dbt_glue_spark.sources.registry import load_table
+
+    rows = STAGED13()["ext_embedding_drift"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    n_ref = emb.filter(F.col("vec_id") % 2 == 0).count()
+    n_cur = emb.filter(F.col("vec_id") % 2 == 1).count()
+    assert sum(r.n_ref for r in rows) == n_ref
+    assert sum(r.n_cur for r in rows) == n_cur
+    for r in rows:
+        assert r.ref_share_ppm == (r.n_ref * 1_000_000) // n_ref
+        assert r.cur_share_ppm == (r.n_cur * 1_000_000) // n_cur
+        assert r.shift_ppm == abs(r.ref_share_ppm - r.cur_share_ppm)
+    tv = sum(r.shift_ppm for r in rows) // 2
+    assert 0 <= tv <= 1_000_000
