@@ -365,6 +365,7 @@ def main() -> None:
     scan_samples = [calibration_scan_once(spark, sf_dir) for _ in range(cal_reps)]
     timings: dict[str, float] = {}
     from dbt_glue_spark.extensions.dedup import release_caches
+    from dbt_glue_spark.streaming.pipelines import release_static_caches
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # Sub-second rows get extra reps (default up to 5): at <1 s the box's
@@ -406,7 +407,11 @@ def main() -> None:
                 break
             # free executor storage between runs so one query's cached
             # intermediates don't skew the next one's memory budget
+            # (both registries: dedup's bounded LRU AND the stream-static
+            # ledgers — frontier specs' availableNow streams are finished
+            # by the time force() returns, so their caches are releasable)
             release_caches()
+            release_static_caches()
             if len(samples) == reps and statistics.median(samples) < 1.0:
                 target = subsec_reps
         if samples:
@@ -493,7 +498,11 @@ def main() -> None:
         if round_tag.isdigit()
         else "BENCH_DETAIL.json"
     )
-    sidecar = os.path.join(repo_dir, _free_sidecar_name(repo_dir, sidecar_name))
+    # reassign sidecar_name: the error pointer below must name the file
+    # actually written (the collision-suffixed sibling), not the stamped
+    # base name a previous run already owns
+    sidecar_name = _free_sidecar_name(repo_dir, sidecar_name)
+    sidecar = os.path.join(repo_dir, sidecar_name)
     sidecar_ok = True
     try:
         with open(sidecar, "w") as fh:

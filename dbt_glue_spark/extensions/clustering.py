@@ -172,6 +172,62 @@ def semantic_dedup(
     )
 
 
+def within_cluster_pairs(
+    df: DataFrame,
+    k: int = 10,
+    max_iter: int = 6,
+    threshold: float = 0.30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Shared semantic-candidate stage: k-means bucket the space, then
+    emit the within-cluster cosine ≥ ``threshold`` pairs (4 dp half-up —
+    the catalog float rule, so an ULP can never flip an edge).
+
+    Returns ``(m, pairs)``: ``m`` is the checkpointed
+    ``(id, cluster_id, v)`` assignment frame (localCheckpoint cuts the
+    Lloyd lineage before the self-join — one assignment evaluation,
+    reused by every downstream consumer), ``pairs`` is
+    ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Single source of truth for the candidate construction shared by
+    :func:`semantic_keep_best`, the staged recall/class-card specs, and
+    the weak-scaling probe — a change to the rounding rule, threshold
+    semantics, or checkpoint discipline lands in one place.
+
+    100 TB shape: the equi-join on cluster_id bounds candidate volume
+    at Σ n_c² (size ``k`` so clusters fit a shuffle partition), never
+    corpus².
+    """
+    from dbt_glue_spark.functions.scalars import half_up_round
+    from dbt_glue_spark.functions.vectors import cosine_sim
+
+    assigned = kmeans_assign(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    vecs = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    m = (
+        assigned.select(F.col(id_col).alias("id"), "cluster_id")
+        .join(vecs, "id")
+        .localCheckpoint()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "sim", half_up_round(cosine_sim(F.col("a.v"), F.col("b.v")), 4)
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return m, pairs
+
+
 def semantic_keep_best(
     df: DataFrame,
     quality_col: str,
@@ -211,7 +267,12 @@ def semantic_keep_best(
        ``min(struct(-q, id))`` — no window, no join-back.
 
     Output: survivor manifest (keep_id, n_members, best_score), one row
-    per semantic class, singletons included.
+    per semantic class, singletons included. A class whose members ALL
+    have NULL quality reports best_score = −1 (the coalesce sentinel) —
+    the ``exact_dedup_keep_best`` family convention, mirrored by its
+    oracle's ``COALESCE(q, -1)``; consumers aggregating best_score must
+    treat −1 as "no real score", same as everywhere else in the
+    keep-best family.
 
     100 TB shape: stage-2's equi-join on cluster_id bounds candidate
     volume at Σ n_c² (size k so clusters fit a shuffle partition); the
@@ -220,38 +281,21 @@ def semantic_keep_best(
     (no dedup surface in the reference; SemDeDup per Abbas et al. 2023).
     """
     from dbt_glue_spark.extensions.dedup import dup_clusters
-    from dbt_glue_spark.functions.scalars import half_up_round
-    from dbt_glue_spark.functions.vectors import cosine_sim
 
-    assigned = kmeans_assign(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
-    vecs = df.filter(F.col(vec_col).isNotNull()).select(
+    m, pairs = within_cluster_pairs(
+        df, k=k, max_iter=max_iter, threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+    quality = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
         F.coalesce(F.col(quality_col).cast("bigint"), F.lit(-1)).alias("__q"),
-    )
-    m = (
-        assigned.select(F.col(id_col).alias("id"), "cluster_id")
-        .join(vecs, "id")
-        .localCheckpoint()  # cut the Lloyd lineage before the self-join
-    )
-    a, b = m.alias("a"), m.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .withColumn(
-            "sim", half_up_round(cosine_sim(F.col("a.v"), F.col("b.v")), 4)
-        )
-        .filter(F.col("sim") >= F.lit(threshold))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
     comps = dup_clusters(
         m.select(F.col("id").alias(id_col)), pairs, id_col, max_cc_iter
     ).select(F.col(id_col).alias("id"), F.col("cluster_id").alias("__class"))
     return (
-        m.select("id", "__q")
+        m.select("id")
+        .join(quality, "id")
         .join(comps, "id")
         .groupBy("__class")
         .agg(

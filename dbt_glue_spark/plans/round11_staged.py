@@ -830,6 +830,14 @@ def streaming_image_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the availableNow stream is terminated here (either finished or
+        # stopped on timeout), so its static ledger cache is releasable --
+        # without this, every spec invocation would leak one persisted
+        # frame into the never-evicting stream-static registry (sweeps
+        # and bench loops call the spec hundreds of times per session)
+        from dbt_glue_spark.streaming.pipelines import release_static_caches
+
+        release_static_caches()
     emitted = spark.table(name)
     manifest = (
         image_dhash(media)

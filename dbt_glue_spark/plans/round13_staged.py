@@ -119,15 +119,30 @@ def _cos_closure_sql(a: str, b: str) -> str:
     recursive CTE DuckDB's evaluation can reach that call on rows the
     non-recursive plan never feeds it (observed on the nulls/dirty axes:
     identical edges CTE fine standalone, InvalidInput once ``reach``
-    consumes it). This form is NULL-safe at every step (list_transform/
-    list_sum propagate NULL; NULLIF turns a zero norm into NULL) and
-    produces the IDENTICAL edge set — verified edge-for-edge against
-    ``_cos_sql`` on sf0.001/sf0.01 and every pathological axis."""
+    consumes it).
+
+    Spark-law mirror, case by case: a NULL list, a NULL ELEMENT, or
+    unequal lengths all make Spark's sequential ``F.aggregate`` fold
+    return NULL (NULL poisons the fold; ``zip_with`` pads the shorter
+    side with NULL). DuckDB's ``list_sum`` has AGGREGATE semantics —
+    it SKIPS NULLs — so the bare arithmetic form would compute a
+    partial dot product there instead of NULL; the CASE guard below
+    pins those rows to NULL explicitly. The guard is error-free even
+    if DuckDB evaluates both CASE branches eagerly (everything in the
+    ELSE propagates NULL; NULLIF absorbs zero norms). Edge set verified
+    identical to ``_cos_sql`` on sf0.001/sf0.01 and every pathological
+    axis."""
+    null_el = (
+        f"({a} IS NULL OR {b} IS NULL OR len({a}) <> len({b})"
+        f" OR len(list_filter({a}, x -> x IS NULL)) > 0"
+        f" OR len(list_filter({b}, x -> x IS NULL)) > 0)"
+    )
     return (
+        f"CASE WHEN {null_el} THEN NULL ELSE "
         f"FLOOR(list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]))"
         f" / NULLIF(sqrt(list_sum(list_transform({a}, x -> x*x)))"
         f" * sqrt(list_sum(list_transform({b}, x -> x*x))), 0)"
-        f" * 10000 + 0.5) / 10000"
+        f" * 10000 + 0.5) / 10000 END"
     )
 
 
@@ -410,33 +425,10 @@ def ext_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions import clustering, similarity
-    from dbt_glue_spark.functions.scalars import half_up_round
-    from dbt_glue_spark.functions.vectors import cosine_sim
 
     emb = load_table(spark, sf_dir, "embeddings")
     true_pairs = similarity.all_pairs_cosine(emb, threshold=0.30, buckets=0)
-    assigned = clustering.kmeans_assign(emb, k=10, max_iter=6)
-    vecs = emb.filter(F.col("embedding").isNotNull()).select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    m = (
-        assigned.select(F.col("vec_id").alias("id"), "cluster_id")
-        .join(vecs, "id")
-        .localCheckpoint()
-    )
-    a, b = m.alias("a"), m.alias("b")
-    found = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .withColumn(
-            "sim", half_up_round(cosine_sim(F.col("a.v"), F.col("b.v")), 4)
-        )
-        .filter(F.col("sim") >= 0.30)
-    )
+    _m, found = clustering.within_cluster_pairs(emb, k=10, max_iter=6, threshold=0.30)
     nt = true_pairs.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
     nf = found.agg(F.count("*").cast("bigint").alias("n_bucketed_pairs"))
     return nt.crossJoin(nf).select(
@@ -476,33 +468,9 @@ def ext_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_semantic_class_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions import clustering
     from dbt_glue_spark.extensions.dedup import dup_clusters
-    from dbt_glue_spark.functions.scalars import half_up_round
-    from dbt_glue_spark.functions.vectors import cosine_sim
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = clustering.kmeans_assign(emb, k=10, max_iter=6)
-    vecs = emb.filter(F.col("embedding").isNotNull()).select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    )
-    m = (
-        assigned.select(F.col("vec_id").alias("id"), "cluster_id")
-        .join(vecs, "id")
-        .localCheckpoint()
-    )
-    a, b = m.alias("a"), m.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .withColumn(
-            "sim", half_up_round(cosine_sim(F.col("a.v"), F.col("b.v")), 4)
-        )
-        .filter(F.col("sim") >= 0.30)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
+    m, pairs = clustering.within_cluster_pairs(emb, k=10, max_iter=6, threshold=0.30)
     comps = dup_clusters(
         m.select(F.col("id").alias("vec_id")), pairs, "vec_id", 50
     ).select(F.col("vec_id").alias("id"), F.col("cluster_id").alias("__class"))
@@ -728,6 +696,14 @@ def streaming_embedding_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the availableNow stream is terminated here (either finished or
+        # stopped on timeout), so its static ledger cache is releasable --
+        # without this, every spec invocation would leak one persisted
+        # frame into the never-evicting stream-static registry (sweeps
+        # and bench loops call the spec hundreds of times per session)
+        from dbt_glue_spark.streaming.pipelines import release_static_caches
+
+        release_static_caches()
     emitted = spark.table(name)
     manifest = nonnull.select(
         sign_bucket(F.col("embedding"), 64, 8).alias("bucket")

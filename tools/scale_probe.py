@@ -1094,7 +1094,14 @@ def probe_staged13(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
     from dbt_glue_spark.functions.vectors import cosine_sim
 
     def unit_dir(gid: int) -> list[float]:
-        h = hashlib.md5(f"dir:{gid}".encode()).digest() * 32
+        # 64 INDEPENDENT bytes (4 chained digests), not a tiled 16-byte
+        # digest: tiling preserves cosine, so tiled directions behave
+        # like random 16-dim vectors (cross-class cosine std ~0.25 ->
+        # ~10-15% spurious >=0.30 edges chaining classes together) and
+        # break the ~8-member-class weak-scaling premise
+        h = b"".join(
+            hashlib.md5(f"dir:{gid}:{c}".encode()).digest() for c in range(4)
+        )
         raw = [(h[d] / 255.0) * 2.0 - 1.0 for d in range(64)]
         n = _math.sqrt(sum(x * x for x in raw)) or 1.0
         return [x / n for x in raw]
@@ -1155,57 +1162,47 @@ def probe_staged13(spark, sf_dir: str, factors: list[int]) -> tuple[dict, dict]:
                 ).write.format("noop").mode("overwrite").save()
 
             def run_ivf_recall():
+                # the catalog spec's recall join: (query_id, neighbor)
+                # hit-matching, not a per-query cross product
                 queries = emb.filter(F.col("vec_id") < 10)
-                exact = similarity.knn_bruteforce(emb, queries, k=5)
+                exact = similarity.knn_bruteforce(emb, queries, k=5).select(
+                    "query_id", "neighbor_id"
+                )
                 approx = similarity.knn_ivf(
                     emb, queries, k=5, n_centroids=16, nprobe=4
-                )
+                ).select(F.col("query_id"), F.col("neighbor_id").alias("a_n"))
                 exact.join(
-                    approx.withColumnRenamed("neighbor_id", "a_n"),
-                    ["query_id"],
+                    approx,
+                    (exact["query_id"] == approx["query_id"])
+                    & (exact["neighbor_id"] == approx["a_n"]),
                     "left",
                 ).write.format("noop").mode("overwrite").save()
 
             def run_dedup_recall_sliced():
-                # documented 100 TB shape: truth on a FIXED labeled slice
+                # documented 100 TB shape: truth on a FIXED labeled slice;
+                # candidate side via the shared within_cluster_pairs helper
+                # (the operator's own construction, one source of truth)
                 sl = emb.filter(F.col("vec_id") < 1000)
-                nt = similarity.all_pairs_cosine(
+                similarity.all_pairs_cosine(
                     sl, threshold=0.30, buckets=0
                 ).count()
-                assigned = clustering.kmeans_assign(emb, k=k, max_iter=4)
-                vecs = emb.filter(F.col("embedding").isNotNull()).select(
-                    F.col("vec_id").alias("id"),
-                    F.col("embedding").cast("array<double>").alias("v"),
+                _m, found = clustering.within_cluster_pairs(
+                    emb, k=k, max_iter=4, threshold=0.30
                 )
-                m = assigned.select(
-                    F.col("vec_id").alias("id"), "cluster_id"
-                ).join(vecs, "id")
-                a, b = m.alias("a"), m.alias("b")
-                (
-                    a.join(
-                        b,
-                        (F.col("a.cluster_id") == F.col("b.cluster_id"))
-                        & (F.col("a.id") < F.col("b.id")),
-                    )
-                    .withColumn(
-                        "sim",
-                        half_up_round(
-                            cosine_sim(F.col("a.v"), F.col("b.v")), 4
-                        ),
-                    )
-                    .filter(F.col("sim") >= 0.30)
-                    .write.format("noop")
-                    .mode("overwrite")
-                    .save()
-                )
+                found.write.format("noop").mode("overwrite").save()
 
             def run_quantized_recall():
                 queries = emb.filter(F.col("vec_id") < 10)
-                exact = similarity.knn_bruteforce(emb, queries, k=5)
-                approx = similarity.knn_quantized(emb, queries, k=5)
+                exact = similarity.knn_bruteforce(emb, queries, k=5).select(
+                    "query_id", "neighbor_id"
+                )
+                approx = similarity.knn_quantized(emb, queries, k=5).select(
+                    F.col("query_id"), F.col("neighbor_id").alias("a_n")
+                )
                 exact.join(
-                    approx.withColumnRenamed("neighbor_id", "a_n"),
-                    ["query_id"],
+                    approx,
+                    (exact["query_id"] == approx["query_id"])
+                    & (exact["neighbor_id"] == approx["a_n"]),
                     "left",
                 ).write.format("noop").mode("overwrite").save()
 
