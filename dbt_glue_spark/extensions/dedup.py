@@ -1431,9 +1431,13 @@ def exact_substring_spans(
     if L < 2:
         raise ValueError(f"min_len must be >= 2: {min_len}")
     staged = tokenize_once(df, text_col, [F.col(id_col).alias("__id")])
-    base = staged.select(
-        "__id", "toks", F.size("toks").cast("bigint").alias("n_tokens")
-    ).filter(F.col("n_tokens") >= 1)
+    # persisted: base feeds the seed explode AND the final per-doc
+    # left join — unpersisted, the tokenize pass executed twice
+    base = _persist(
+        staged.select(
+            "__id", "toks", F.size("toks").cast("bigint").alias("n_tokens")
+        ).filter(F.col("n_tokens") >= 1)
+    )
     seeds = base.select(
         "__id",
         "n_tokens",
@@ -1448,16 +1452,28 @@ def exact_substring_spans(
             )
         ).alias("__i0", "__h"),
     ).select("__id", "n_tokens", (F.col("__i0") + 1).alias("pos"), "__h")
-    winners = seeds.groupBy("__h").agg(
-        F.min(F.struct(F.col("__id").alias("i"), F.col("pos").alias("p"))).alias("w")
-    )
-    marked = seeds.join(winners, "__h").select(
-        "__id",
-        "n_tokens",
-        "pos",
-        (
-            (F.col("__id") != F.col("w.i")) | (F.col("pos") != F.col("w.p"))
-        ).alias("__dup"),
+    # The first-occurrence winner per window hash is a min(struct) OVER
+    # a __h-partitioned window instead of the former groupBy + join-back:
+    # the seed explode (the expensive md5-per-position pass) runs ONCE
+    # and crosses ONE exchange, where the agg+join form computed the
+    # seed subtree twice and shuffled it twice (guide §2.4: share the
+    # exchange). Identical semantics: min(struct(id, pos)) over all
+    # rows sharing __h.
+    wh = Window.partitionBy("__h")
+    w = F.min(
+        F.struct(F.col("__id").alias("i"), F.col("pos").alias("p"))
+    ).over(wh)
+    # persisted: marked feeds the island path AND the per-doc seed
+    # census — unpersisted, the seed+window pass executed twice
+    marked = _persist(
+        seeds.select("__id", "n_tokens", "pos", w.alias("__w")).select(
+            "__id",
+            "n_tokens",
+            "pos",
+            (
+                (F.col("__id") != F.col("__w.i")) | (F.col("pos") != F.col("__w.p"))
+            ).alias("__dup"),
+        )
     )
     dups = marked.filter(F.col("__dup"))
     wd = Window.partitionBy("__id").orderBy("pos")

@@ -111,7 +111,16 @@ def triangle_counts(edges: DataFrame, k: int = 20) -> DataFrame:
     Output: node, n_triangles (bigint) — ordered by
     (n_triangles desc, node).
     """
-    e = edges.select(F.col("u"), F.col("v"))
+    from dbt_glue_spark.extensions.dedup import _persist
+
+    # persisted: the caller's edge pipeline (e.g. the copurchase
+    # basket self-collect) is referenced THREE times below — twice by
+    # the degree unionAll and once by the orientation join — and those
+    # references sit under different downstream keys, so ReuseExchange
+    # cannot dedupe them; unpersisted, the whole edge-generation plan
+    # executed three times per action (the r12 before-plan printed the
+    # copurchase subtree thrice: 50 Exchange nodes for a 12-join query)
+    e = _persist(edges.select(F.col("u"), F.col("v")))
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -126,8 +135,6 @@ def triangle_counts(edges: DataFrame, k: int = 20) -> DataFrame:
     # closing join a third time with a DIFFERENT key, so ReuseExchange
     # cannot cover it — unpersisted, the scan + degree joins would run
     # three times per action
-    from dbt_glue_spark.extensions.dedup import _persist
-
     oriented = _persist(
         keyed.select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),

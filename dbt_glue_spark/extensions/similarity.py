@@ -413,13 +413,22 @@ def mmr_rerank(
     the MMR expression is the same literal arithmetic on both engines,
     and every argmax tie-breaks on neighbor_id.
 
-    100 TB shape: the greedy loop is sequential only in ``k`` (small);
-    every round is a set of joins KEYED BY query_id, so a batch of B
-    queries re-ranks in one pass of k rounds, not B·k — the per-query
-    candidate matrix is n² rounded sims (n=20 → 400 rows/query), built
-    from one keyed self-join, never a corpus cross join. Candidate
-    generation reuses knn_bruteforce (broadcast queries, zero corpus
-    shuffle); swap in knn_lsh/knn_ivf for large query sets.
+    100 TB shape: every similarity is computed JVM-side (candidates via
+    knn_bruteforce — broadcast queries, zero corpus shuffle — and the
+    per-query n² pair matrix from one query_id-keyed self-join, never a
+    corpus cross join), then the greedy k-round selection runs ONCE PER
+    QUERY inside a cogrouped Arrow map over that query's ≤ n + n²
+    pre-rounded rows. Re-ranking B queries is therefore ONE shuffle of
+    (id, id, sim) triples + an embarrassingly parallel per-group loop —
+    the former formulation ran k sequential cluster-wide join rounds
+    with a localCheckpoint barrier each (8 jobs per call; measured 4.1 s
+    for 4 queries × 20 candidates at sf0.1 — pure scheduling overhead,
+    and at any scale k full passes over the candidate set). The Python
+    boundary carries only ids and already-rounded sims, so every double
+    compared or combined below is bit-identical to the JVM's; the
+    selection arithmetic (lam·sim − mu·pen on IEEE doubles, NULL
+    semantics, id tie-breaks) replicates the join formulation exactly —
+    see the inline notes.
     """
     from dbt_glue_spark.extensions.dedup import _persist
 
@@ -440,7 +449,7 @@ def mmr_rerank(
         .join(emb, F.col("b_id") == F.col("__id"))
         .select("query_id", "b_id", F.col("__v").alias("__bv"))
     )
-    pairs = _persist(
+    pairs = (
         a.join(b, "query_id")
         .filter(F.col("a_id") != F.col("b_id"))
         .select(
@@ -452,64 +461,92 @@ def mmr_rerank(
             ).alias("sim_ab"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    selall = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "neighbor_id", "sim", F.lit(1).alias("sel_rank"))
+
+    qt = cand.schema["query_id"].dataType.simpleString()
+    nt = cand.schema["neighbor_id"].dataType.simpleString()
+    out_schema = f"query_id {qt}, sel_rank int, neighbor_id {nt}, sim double"
+    kk, lam_, mu_ = int(k), float(lam), float(mu)
+
+    def _greedy(cdf, pdf):
+        # One query's greedy MMR selection over its candidate list and
+        # pair-sim matrix. Pure Python over <= n + n² rows; floats are
+        # the JVM's already-rounded doubles, so lam·sim − mu·pen here is
+        # the identical IEEE expression the join formulation evaluated.
+        import pandas as pd
+
+        n = len(cdf)
+        if n == 0:
+            return cdf.iloc[0:0][["query_id", "neighbor_id", "sim"]].assign(
+                sel_rank=pd.array([], dtype="int32")
+            )[["query_id", "sel_rank", "neighbor_id", "sim"]]
+        ids = cdf["neighbor_id"].tolist()
+        sims = [None if pd.isna(v) else float(v) for v in cdf["sim"]]
+        pair: dict = {}
+        for pa, pb, ps in zip(pdf["a_id"], pdf["b_id"], pdf["sim_ab"]):
+            pair[(pa, pb)] = None if pd.isna(ps) else float(ps)
+
+        def argbest(items):
+            # items: (idx, value) — max by (non-NULL first, value), tie
+            # by min id: Spark's row_number over (desc value, asc id)
+            # with default NULLS LAST under desc.
+            best = None
+            for i, v in items:
+                if best is None:
+                    best = (i, v)
+                    continue
+                bi, bv = best
+                key_v = (v is not None, v if v is not None else 0.0)
+                key_b = (bv is not None, bv if bv is not None else 0.0)
+                if key_v > key_b or (key_v == key_b and ids[i] < ids[bi]):
+                    best = (i, v)
+            return best[0]
+
+        first = argbest(list(enumerate(sims)))
+        selected = [first]
+        for _t in range(2, kk + 1):
+            scored = []
+            for j in range(n):
+                if j in selected:
+                    continue
+                # inner-join semantics: a candidate enters the round's
+                # pick only if it has >= 1 pair row with a selected id;
+                # pen = SQL max (ignores NULLs, NULL if all NULL)
+                pens = [
+                    pair[(ids[j], ids[s])]
+                    for s in selected
+                    if (ids[j], ids[s]) in pair
+                ]
+                if not pens:
+                    continue
+                nn = [p for p in pens if p is not None]
+                pen = max(nn) if nn else None
+                mmr = (
+                    None
+                    if (sims[j] is None or pen is None)
+                    else lam_ * sims[j] - mu_ * pen
+                )
+                scored.append((j, mmr))
+            if not scored:
+                break
+            selected.append(argbest(scored))
+        out = cdf.iloc[selected][["query_id", "neighbor_id", "sim"]].copy()
+        out.insert(
+            1,
+            "sel_rank",
+            pd.array(range(1, len(selected) + 1), dtype="int32"),
+        )
+        return out
+
+    # fresh attribute for the pair-side key: pairs' query_id descends
+    # from cand's, and cogrouping both on the same attribute id trips
+    # the ambiguous-self-join analyzer check
+    pairs_k = pairs.select(
+        F.col("query_id").alias("__pq"), "a_id", "b_id", "sim_ab"
     )
-    for t in range(2, k + 1):
-        pen = (
-            pairs.join(
-                selall.select(
-                    "query_id", F.col("neighbor_id").alias("b_id")
-                ),
-                ["query_id", "b_id"],
-            )
-            .groupBy("query_id", "a_id")
-            .agg(F.max("sim_ab").alias("pen"))
-            # unambiguous join keys: pairs/selall/cand share lineage, so
-            # name-based equality would warn and risk mis-resolution
-            .select(
-                F.col("query_id").alias("p_qid"),
-                F.col("a_id"),
-                F.col("pen"),
-            )
-        )
-        remaining = cand.join(
-            selall.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        scored = remaining.join(
-            pen,
-            (remaining["query_id"] == pen["p_qid"])
-            & (remaining["neighbor_id"] == pen["a_id"]),
-        ).select(
-            remaining["query_id"],
-            "neighbor_id",
-            "sim",
-            (F.lit(lam) * F.col("sim") - F.lit(mu) * F.col("pen")).alias("mmr"),
-        )
-        wm = Window.partitionBy("query_id").orderBy(
-            F.desc("mmr"), F.asc("neighbor_id")
-        )
-        pick = (
-            scored.withColumn("rn", F.row_number().over(wm))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "neighbor_id", "sim", F.lit(t).alias("sel_rank"))
-        )
-        # localCheckpoint truncates lineage AND materializes: each round
-        # references selall three times (penalty, anti-join, union), so an
-        # un-checkpointed loop both grows the logical plan 3^k and
-        # re-executes the previous round's joins at every reference
-        # (measured: checkpointing every other round is ~40% SLOWER —
-        # recomputation beats the saved job overhead). Per-round eager
-        # checkpoint is the right trade, same as dup_clusters.
-        selall = selall.unionByName(pick).localCheckpoint()
-    return selall.select(
-        "query_id", F.col("sel_rank").cast("int").alias("sel_rank"),
-        "neighbor_id", "sim",
+    return (
+        cand.groupBy("query_id")
+        .cogroup(pairs_k.groupBy("__pq"))
+        .applyInPandas(_greedy, out_schema)
     )
 
 

@@ -566,9 +566,16 @@ def histogram_quantiles(
     100 TB both passes are partial-aggregate trees over ≤``buckets`` cells,
     and the quantile walk happens on a ``buckets``-row frame.
     """
+    from dbt_glue_spark.extensions.dedup import _persist
+
     c = F.col(col).cast("double")
-    stats = df.agg(
-        F.min(c).alias("lo"), F.max(c).alias("hi"), F.count("*").alias("n")
+    # persisted: the 1-row stats frame is broadcast into BOTH the
+    # histogram pass and the quantile-literal frame below; unpersisted,
+    # each broadcast re-ran the full min/max/count scan of the input
+    stats = _persist(
+        df.agg(
+            F.min(c).alias("lo"), F.max(c).alias("hi"), F.count("*").alias("n")
+        )
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(buckets))
     hist = (
@@ -595,26 +602,39 @@ def histogram_quantiles(
     # logs is about data-scale windows and does not apply)
     wdw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cdf = hist.select("bucket", "cnt", F.sum("cnt").over(wdw).alias("cum"))
-    qdf = None
-    for q in qs:
-        p = cdf.join(F.broadcast(stats)).filter(
-            F.col("cum") >= F.lit(q) * F.col("n")
-        )
-        est = p.orderBy("bucket").limit(1).select(
-            F.lit(q).alias("q"),
-            half_up_round(
-                F.col("lo")
-                + (
-                    F.col("bucket")
-                    + (F.lit(q) * F.col("n") - (F.col("cum") - F.col("cnt")))
-                    / F.col("cnt")
-                )
-                * ((F.col("hi") - F.col("lo")) / F.lit(float(buckets))),
-                6,
-            ).alias("estimate"),
-        )
-        qdf = est if qdf is None else qdf.unionAll(est)
-    return qdf
+    # ONE pass over the ≤`buckets`-row cdf for ALL quantiles (was: one
+    # cdf branch per quantile, each re-running the histogram pass — the
+    # r12 before-plan printed 24 Exchange nodes for a 2-pass sketch):
+    # the quantile literals ride the cached 1-row stats frame, each q
+    # keeps its first bucket with cum ≥ q·n via min(struct(bucket, ..)),
+    # and the interpolation arithmetic is the IDENTICAL expression on
+    # the identical values, so the result is bit-equal to the per-branch
+    # form (orderBy(bucket).limit(1) ≡ min over bucket).
+    qf = stats.select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        "lo",
+        "hi",
+        "n",
+    )
+    hit = cdf.join(F.broadcast(qf)).filter(F.col("cum") >= F.col("q") * F.col("n"))
+    pick = hit.groupBy("q").agg(
+        F.min(
+            F.struct("bucket", "cnt", "cum", "lo", "hi", "n")
+        ).alias("s")
+    )
+    return pick.select(
+        F.col("q"),
+        half_up_round(
+            F.col("s.lo")
+            + (
+                F.col("s.bucket")
+                + (F.col("q") * F.col("s.n") - (F.col("s.cum") - F.col("s.cnt")))
+                / F.col("s.cnt")
+            )
+            * ((F.col("s.hi") - F.col("s.lo")) / F.lit(float(buckets))),
+            6,
+        ).alias("estimate"),
+    )
 
 
 def kmv_estimate_from_hashes(ledger: DataFrame, k: int = 256) -> DataFrame:

@@ -461,7 +461,9 @@ def bigram_lm_score(
         )
         .select(F.col(id_col), F.col("bg.w1"), F.col("bg.w2"))
     )
-    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    # persisted: c1 feeds the vocab scalar AND the model join —
+    # unpersisted, the unigram explode + groupBy ran twice per action
+    c1 = _persist(uni.groupBy("w").agg(F.count("*").alias("c1")))
     vocab = c1.agg(F.count("*").alias("v"))
     doc_big = _persist(
         big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("tf"))

@@ -2642,29 +2642,42 @@ def _bloom_oracle() -> str:
 )
 def ext_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions import sketches
+    from dbt_glue_spark.extensions.dedup import _persist
 
-    rich = (
+    # persisted: rich feeds the filter build AND the exact join; bloom
+    # feeds bloom_probe's k=4 broadcast branches — unpersisted, the
+    # customer scan/distinct pipeline executed 5x per action (the r12
+    # before-plan printed 22 Exchange nodes for this 2-pass query)
+    rich = _persist(
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 9500)
         .select("c_custkey")
         .distinct()
     )
-    orders = load_table(spark, sf_dir, "orders")
-    bloom = sketches.bloom_build(rich, "c_custkey")
+    # project the probe side to the two needed columns BEFORE the
+    # opaque k-branch probe (guide: project before the exchange)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey"
+    )
+    bloom = _persist(sketches.bloom_build(rich, "c_custkey"))
     cand = sketches.bloom_probe(bloom, orders, "o_custkey")
-    bloom_counts = cand.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_bloom_candidates")
+    # ONE scan of orders: the Bloom filter has NO false negatives, so
+    # every exact match is a bloom candidate — the exact count rides the
+    # same candidate stream via one left join against the (distinct)
+    # rich keys instead of a second full-orders semi-join. Per-status
+    # rows and counts are identical to the two-scan form: statuses with
+    # >= 1 bloom candidate appear (exact matches imply candidacy).
+    flagged = cand.join(
+        rich.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+            "__hit", F.lit(1)
+        ),
+        "o_custkey",
+        "left",
     )
-    exact_counts = (
-        orders.join(rich, orders.o_custkey == rich.c_custkey, "left_semi")
-        .groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n_exact_matches"))
-    )
-    return bloom_counts.join(exact_counts, "o_orderstatus", "left").select(
-        "o_orderstatus",
-        "n_bloom_candidates",
-        F.coalesce("n_exact_matches", F.lit(0)).cast("bigint").alias("n_exact_matches"),
-    )
+    return flagged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_bloom_candidates"),
+        F.count("__hit").cast("bigint").alias("n_exact_matches"),
+    ).select("o_orderstatus", "n_bloom_candidates", "n_exact_matches")
 
 
 @register(

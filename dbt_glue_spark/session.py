@@ -166,6 +166,16 @@ def build_conf(
         conf["spark.submit.pyFiles"] = ",".join(py_files)
     if extra_conf:
         conf.update(extra_conf)
+    # Deployment/experiment override hook: SPARK_GRAFT_CONF_JSON holds a
+    # JSON object of conf key -> value applied LAST. This is how a real
+    # cluster submission overrides the local-harness defaults above
+    # (e.g. shuffle.partitions for a 100 TB run) without code edits, and
+    # how A/B conf experiments run against the unmodified bench harness.
+    env_json = os.environ.get("SPARK_GRAFT_CONF_JSON", "").strip()
+    if env_json:
+        import json
+
+        conf.update({str(k): str(v) for k, v in json.loads(env_json).items()})
     return conf
 
 
