@@ -1431,13 +1431,13 @@ def exact_substring_spans(
     if L < 2:
         raise ValueError(f"min_len must be >= 2: {min_len}")
     staged = tokenize_once(df, text_col, [F.col(id_col).alias("__id")])
-    # persisted: base feeds the seed explode AND the final per-doc
-    # left join — unpersisted, the tokenize pass executed twice
-    base = _persist(
-        staged.select(
-            "__id", "toks", F.size("toks").cast("bigint").alias("n_tokens")
-        ).filter(F.col("n_tokens") >= 1)
-    )
+    # NOT persisted: base's second consumer (the final per-doc join)
+    # prunes to (__id, n_tokens), so recomputing it is one cheap pruned
+    # pass — caching the toks arrays was measured SLOWER (r12 A/B:
+    # 2.50 s cached vs 2.11 s not)
+    base = staged.select(
+        "__id", "toks", F.size("toks").cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
     seeds = base.select(
         "__id",
         "n_tokens",
@@ -1463,17 +1463,17 @@ def exact_substring_spans(
     w = F.min(
         F.struct(F.col("__id").alias("i"), F.col("pos").alias("p"))
     ).over(wh)
-    # persisted: marked feeds the island path AND the per-doc seed
-    # census — unpersisted, the seed+window pass executed twice
-    marked = _persist(
-        seeds.select("__id", "n_tokens", "pos", w.alias("__w")).select(
-            "__id",
-            "n_tokens",
-            "pos",
-            (
-                (F.col("__id") != F.col("__w.i")) | (F.col("pos") != F.col("__w.p"))
-            ).alias("__dup"),
-        )
+    # NOT persisted: marked's two consumers (island path, per-doc
+    # census) sit on the identical Exchange(__h)+Window subtree, which
+    # AQE stage reuse executes once (r12 A/B: caching read 2.50 s vs
+    # 2.11 s not — the window-once restructure is the win, not a cache)
+    marked = seeds.select("__id", "n_tokens", "pos", w.alias("__w")).select(
+        "__id",
+        "n_tokens",
+        "pos",
+        (
+            (F.col("__id") != F.col("__w.i")) | (F.col("pos") != F.col("__w.p"))
+        ).alias("__dup"),
     )
     dups = marked.filter(F.col("__dup"))
     wd = Window.partitionBy("__id").orderBy("pos")

@@ -113,14 +113,13 @@ def triangle_counts(edges: DataFrame, k: int = 20) -> DataFrame:
     """
     from dbt_glue_spark.extensions.dedup import _persist
 
-    # persisted: the caller's edge pipeline (e.g. the copurchase
-    # basket self-collect) is referenced THREE times below — twice by
-    # the degree unionAll and once by the orientation join — and those
-    # references sit under different downstream keys, so ReuseExchange
-    # cannot dedupe them; unpersisted, the whole edge-generation plan
-    # executed three times per action (the r12 before-plan printed the
-    # copurchase subtree thrice: 50 Exchange nodes for a 12-join query)
-    e = _persist(edges.select(F.col("u"), F.col("v")))
+    # NOT persisted: the edge pipeline is referenced three times below,
+    # but its subtree ends in an identical groupBy exchange at every
+    # reference — AQE's runtime stage reuse computes it once already.
+    # Persisting here was measured SLOWER (r12 interleaved A/B, 5 reps:
+    # 3.79 s cached vs 3.28 s reused) — the cache materialization
+    # barrier + InMemoryRelation scan costs more than it saves.
+    e = edges.select(F.col("u"), F.col("v"))
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

@@ -430,14 +430,14 @@ def mmr_rerank(
     semantics, id tie-breaks) replicates the join formulation exactly —
     see the inline notes.
     """
-    from dbt_glue_spark.extensions.dedup import _persist
-
-    cand = _persist(
-        knn_bruteforce(
-            corpus, queries, vec_col, id_col, k=n_candidates,
-            round_digits=round_digits,
-        ).select("query_id", "neighbor_id", "sim")
-    )
+    # NOT persisted: cand's three references (a/b pair sides, cogroup
+    # input) all sit on the identical knn window subtree — AQE stage
+    # reuse covers them (r12 A/B medians 4.5 s cached vs 4.0 s not,
+    # under heavy box noise; consistent with every other persist A/B)
+    cand = knn_bruteforce(
+        corpus, queries, vec_col, id_col, k=n_candidates,
+        round_digits=round_digits,
+    ).select("query_id", "neighbor_id", "sim")
     emb = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     a = (
         cand.select("query_id", F.col("neighbor_id").alias("a_id"))

@@ -461,9 +461,10 @@ def bigram_lm_score(
         )
         .select(F.col(id_col), F.col("bg.w1"), F.col("bg.w2"))
     )
-    # persisted: c1 feeds the vocab scalar AND the model join —
-    # unpersisted, the unigram explode + groupBy ran twice per action
-    c1 = _persist(uni.groupBy("w").agg(F.count("*").alias("c1")))
+    # NOT persisted: c1's two consumers share its identical groupBy
+    # exchange (AQE stage reuse); caching it was measured slower
+    # (r12 A/B: 2.71 s vs 2.08 s)
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
     vocab = c1.agg(F.count("*").alias("v"))
     doc_big = _persist(
         big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("tf"))

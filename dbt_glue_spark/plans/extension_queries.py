@@ -2642,13 +2642,12 @@ def _bloom_oracle() -> str:
 )
 def ext_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_glue_spark.extensions import sketches
-    from dbt_glue_spark.extensions.dedup import _persist
 
-    # persisted: rich feeds the filter build AND the exact join; bloom
-    # feeds bloom_probe's k=4 broadcast branches — unpersisted, the
-    # customer scan/distinct pipeline executed 5x per action (the r12
-    # before-plan printed 22 Exchange nodes for this 2-pass query)
-    rich = _persist(
+    # NOT persisted (r12 interleaved A/B: caching rich+bloom read 1.45 s
+    # vs 1.11 s uncached — identical subtrees are deduped by AQE stage
+    # reuse / ReuseExchange at runtime, and the broadcast of the 64 KB
+    # position set is reused across the k probe branches already)
+    rich = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 9500)
         .select("c_custkey")
@@ -2659,7 +2658,7 @@ def ext_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_custkey"
     )
-    bloom = _persist(sketches.bloom_build(rich, "c_custkey"))
+    bloom = sketches.bloom_build(rich, "c_custkey")
     cand = sketches.bloom_probe(bloom, orders, "o_custkey")
     # ONE scan of orders: the Bloom filter has NO false negatives, so
     # every exact match is a bloom candidate — the exact count rides the
