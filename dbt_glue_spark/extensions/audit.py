@@ -329,7 +329,6 @@ def ks_distance(
     EMPTY frame (there are no populations to compare), matching the
     empty-input convention of the pair operators.
     """
-    from dbt_glue_spark.extensions.dedup import _persist
     from dbt_glue_spark.extensions.skyline import check_numeric, equi_width_bucket
     from dbt_glue_spark.functions.scalars import half_up_round
 
@@ -341,11 +340,12 @@ def ks_distance(
     ).filter(
         F.col("__v").isNotNull() & ((F.col("__a") == 1) | (F.col("__b") == 1))
     )
-    per_v = _persist(
-        v.groupBy("__v").agg(
-            F.sum("__a").cast("bigint").alias("__ca"),
-            F.sum("__b").cast("bigint").alias("__cb"),
-        )
+    # NOT persisted (r12 A/B: 0.86 s vs 1.40 s cached): both consumers
+    # (stats scalar, bucketing) share the identical groupBy exchange,
+    # which AQE stage reuse executes once
+    per_v = v.groupBy("__v").agg(
+        F.sum("__a").cast("bigint").alias("__ca"),
+        F.sum("__b").cast("bigint").alias("__cb"),
     )
     # bucket bounds AND population totals in one 1-row broadcast — the
     # per-value frame is scanned once for all scalars

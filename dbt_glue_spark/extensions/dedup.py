@@ -322,7 +322,10 @@ def minhash_lsh_pairs(
     # each subtree computes once per action (ContextCleaner drops the cache
     # when the frames are GC'd). Signatures are 1 row/doc (tiny at any
     # scale); postings are ~doc_len rows/doc and spill to disk if needed.
-    sh = _persist(_shingle_postings(df, text_col, id_col, n, None))
+    # sh NOT persisted (r12 A/B: 3.10 s vs 3.45 s cached — map-only
+    # postings recompute beats caching the exploded rows); sig stays
+    # persisted (1 row/doc, feeds the band self-join twice)
+    sh = _shingle_postings(df, text_col, id_col, n, None)
     sig = _persist(minhash_signatures(df, text_col, id_col, n, num_hashes, postings=sh))
     band_cols = [
         F.md5(
@@ -976,9 +979,10 @@ def minhash_lsh_incremental(
     carried state at ~36 bytes × bands per doc. Per-batch cost is
     O(batch × matching buckets), never O(corpus).
     """
-    batch = _persist(
-        minhash_band_ledger(new_df, text_col, id_col, n, num_hashes, bands)
-    )
+    # NOT persisted (r12 A/B: 1.74 s vs 2.25 s cached): the band-key
+    # subtree's references all end in the identical exchange shape and
+    # AQE stage reuse covers them
+    batch = minhash_band_ledger(new_df, text_col, id_col, n, num_hashes, bands)
     a = batch.alias("a")
     intra = (
         a.join(
@@ -1302,10 +1306,11 @@ def prefix_jaccard_pairs(
     # hashing that halved the LSH verification shuffle (round 8). The
     # prefix lemma needs only a CONSISTENT global total order; rarest-df
     # first with md5 tiebreak is one, so recall stays lossless.
-    sh = _persist(
-        _shingle_postings(df, text_col, id_col, n, None).select(
-            "id", F.unhex(F.md5("shingle")).alias("h")
-        )
+    # NOT persisted (r12 A/B: 3.42 s vs 4.13 s cached): the postings
+    # subtree is map-only codegen (tokenize+explode+md5); recomputing it
+    # per consumer beats caching the exploded postings rows
+    sh = _shingle_postings(df, text_col, id_col, n, None).select(
+        "id", F.unhex(F.md5("shingle")).alias("h")
     )
     sizes = sh.groupBy("id").agg(F.count("*").cast("bigint").alias("n_sh"))
     dfreq = sh.groupBy("h").agg(F.count("*").cast("bigint").alias("df_"))

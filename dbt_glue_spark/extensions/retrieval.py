@@ -50,13 +50,10 @@ def tfidf_top_terms(
     term-partitioned) tf side joins it. The per-doc top-k window
     repartitions by doc_id only the scoped slice.
     """
-    from dbt_glue_spark.extensions.dedup import _persist
-
-    # the token explode feeds both the df branch and (unscoped) the tf
-    # branch — persist so the regex lexer runs once per action
-    tokens = _persist(
-        docs.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
-    )
+    # NOT persisted (r12 A/B: 0.85 s vs 1.20 s cached): the regex
+    # lexer explode is map-only codegen — recomputing it per branch
+    # beats caching the exploded token rows
+    tokens = docs.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     df_t = tokens.distinct().groupBy("tok").agg(F.count("*").alias("df"))
     if scope is not None:

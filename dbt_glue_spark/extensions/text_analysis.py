@@ -440,12 +440,14 @@ def bigram_lm_score(
     one-row scalar. Docs with <2 alpha tokens have no bigrams and are
     absent from the output (same as the oracle's GROUP BY).
     """
-    from dbt_glue_spark.extensions.dedup import _persist
-
     words = F.expr(f"regexp_extract_all(translate(lower({text_col}), 'ς̇', 'σ'), '[a-z]+', 0)")
     # one lexer pass feeds unigrams AND bigrams (the regex is the
     # expensive per-row work — the tfidf/bm25 persisted-lexer lesson)
-    ws_stage = _persist(df.select(F.col(id_col), words.alias("ws")))
+    # NOT persisted (r12 A/B, 7 reps: 2.09 s with neither lexer nor
+    # doc_big cached vs 3.32 s with both): re-running the regexp lexer
+    # in each consumer's codegen pipeline beats caching the token
+    # arrays (cache serialization of array<string> dominates)
+    ws_stage = df.select(F.col(id_col), words.alias("ws"))
     uni = ws_stage.select(F.explode("ws").alias("w"))
     big = (
         ws_stage.filter(F.size("ws") >= 2)
@@ -466,9 +468,7 @@ def bigram_lm_score(
     # (r12 A/B: 2.71 s vs 2.08 s)
     c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
     vocab = c1.agg(F.count("*").alias("v"))
-    doc_big = _persist(
-        big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("tf"))
-    )
+    doc_big = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("tf"))
     # corpus bigram counts fold the already-aggregated per-doc tfs —
     # smaller shuffle input than re-aggregating the raw bigram explode
     c12 = doc_big.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
@@ -665,7 +665,6 @@ def dsir_weights(
     oracle's GROUP BY); target docs are the model, not the population
     being resampled.
     """
-    from dbt_glue_spark.extensions.dedup import _persist
     from dbt_glue_spark.extensions.sketches import hash_fraction
 
     assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
@@ -673,7 +672,9 @@ def dsir_weights(
     ws_stage = df.select(
         F.col(id_col), F.expr(target_predicate).alias("is_target"), words.alias("ws")
     )
-    inst = _persist(
+    # NOT persisted (r12 A/B with model: 1.25 s vs 1.54 s cached):
+    # the bigram explode is map-only codegen, cheap to recompute
+    inst = (
         ws_stage.filter(F.size("ws") >= 2)
         .select(
             F.col(id_col),
@@ -705,7 +706,6 @@ def dsir_weights(
         )
         .withColumn("q6", F.expr("CAST(ct + 1 AS DECIMAL(38,0)) * 1000000 div (cr + 1)"))
     )
-    model = _persist(model)
     totals = model.agg(
         F.sum("ct").cast("bigint").alias("tt"), F.sum("cr").cast("bigint").alias("tr")
     )
@@ -1096,9 +1096,10 @@ def pmi_pairs(
         .filter(F.col("p.a") != F.col("p.b"))
         .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
     )
-    from dbt_glue_spark.extensions.dedup import _persist
-
-    pairs = _persist(
+    # NOT persisted (r12 A/B: 1.48 s vs 1.82 s cached): the three
+    # consumers (marginals, totals, scored) share the identical pair
+    # groupBy exchange, which AQE stage reuse executes once
+    pairs = (
         inst.groupBy("tok_a", "tok_b").agg(F.count("*").cast("bigint").alias("c_ab"))
     )
     marg = (
