@@ -655,13 +655,19 @@ def dup_clusters(
         # cached frame, paid once before the loop
         nparts = auto_shuffle_partitions(edges.count())
         edges = _persist(edges.repartition(nparts, "dst"))
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
+    ids0 = edges.select(F.col("src").alias("id")).distinct()
+    labels = ids0.withColumn("label", F.col("id")).localCheckpoint()
     if nparts is not None:
         labels = labels.repartition(nparts, "id").localCheckpoint()
+    # Self-loops fold the "keep own label" term into the neighbor min:
+    # new_label(s) = min over {labels[d] : (s,d) ∈ edges ∪ self-loops},
+    # so each round is ONE join + ONE groupBy — the former formulation's
+    # per-round left join of labels against the neighbor mins (and the
+    # carried __old column) is gone (r12: one exchange fewer per round
+    # on the loop that dominates this operator's bench time).
+    edges_self = _persist(
+        edges.union(labels.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+    )
     # Plain min-label propagation converges in O(component diameter)
     # rounds — tiny for near-clique dup graphs, but a PATH-shaped
     # component (e.g. a drift chain a≈b≈c≈…) needs diameter rounds and
@@ -672,23 +678,28 @@ def dup_clusters(
     # id-keyed join per round), which cuts remaining convergence to
     # O(log diameter); the common fast case never pays for it.
     _SHORTCUT_AFTER = 8
-    changed = 1
+    # Convergence detection: labels are monotone non-increasing (the min
+    # always includes the vertex's own label via its self-loop), so the
+    # labelling is a fixed point iff Σ labels is unchanged from the
+    # previous round — a 1-row aggregate over the already-checkpointed
+    # frame, replacing the former per-vertex __chg flag + filter/count.
+    # DECIMAL(38,0) keeps the sum exact at any vertex count / id range.
+    def _label_sum(frame):
+        row = frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]
+        return row["s"]
+
+    prev_sum = _label_sum(labels)
+    converged = prev_sum is None  # empty edge relation → nothing to do
     for i in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.dst == labels.id)
+        if converged:
+            break
+        stepped = (
+            edges_self.join(labels, edges_self.dst == labels.id)
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        # Fuse the convergence flag into the propagation projection: the
-        # checkpointed frame carries a per-vertex "label shrank" bit, so
-        # detecting a fixed point is a filter over already-materialized
-        # data — not a labels⋈labels shuffle join per round.
-        stepped = labels.join(nbr, labels.id == nbr.src, "left").select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-            ).alias("label"),
-            F.col("label").alias("__old"),
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("id"), "label")
         )
         if i >= _SHORTCUT_AFTER:
             # pointer doubling: a label is always some vertex's id, so
@@ -703,22 +714,18 @@ def dup_clusters(
                 F.least(
                     F.col("label"), F.coalesce(F.col("__llbl"), F.col("label"))
                 ).alias("label"),
-                "__old",
             )
-        stepped = stepped.select(
-            "id", "label", (F.col("label") < F.col("__old")).alias("__chg")
-        )
         if nparts is not None:
             # keep every round's checkpointed labels id-partitioned so the
             # next round's edges⋈labels reuses the co-partitioning
             stepped = stepped.repartition(nparts, "id")
-        stepped = stepped.localCheckpoint()
-        changed = stepped.filter(F.col("__chg")).limit(1).count()
-        labels = stepped.drop("__chg")
-        if changed == 0:
-            break
+        labels = stepped.localCheckpoint()
+        s = _label_sum(labels)
+        converged = s == prev_sum
+        prev_sum = s
     edges.unpersist()
-    if changed != 0:
+    edges_self.unpersist()
+    if not converged:
         # a silent partial labelling is a WRONG dedup answer — fail loud
         raise RuntimeError(
             f"dup_clusters did not converge within max_iter={max_iter} "
