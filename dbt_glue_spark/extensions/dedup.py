@@ -655,8 +655,22 @@ def dup_clusters(
         # cached frame, paid once before the loop
         nparts = auto_shuffle_partitions(edges.count())
         edges = _persist(edges.repartition(nparts, "dst"))
-    ids0 = edges.select(F.col("src").alias("id")).distinct()
-    labels = ids0.withColumn("label", F.col("id")).localCheckpoint()
+    # Round 1 is join-free: the initial labelling is the identity map,
+    # so the first round's neighbor-min is just min(dst) per src (plus
+    # the vertex's own id via its implicit self-loop) — fold it into
+    # label INITIALIZATION as one |E|-row groupBy. The former shape
+    # materialized identity labels (a distinct + checkpoint) and then
+    # paid a full edges⋈labels join for round 1 (r12-opt: one join
+    # round removed from every dup_clusters call).
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__nmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__nmin")).alias("label"),
+        )
+        .localCheckpoint()
+    )
     if nparts is not None:
         labels = labels.repartition(nparts, "id").localCheckpoint()
     # Self-loops fold the "keep own label" term into the neighbor min:

@@ -105,52 +105,77 @@ def bm25_search(
     with the rational idf (N − df + 0.5)/(df + 0.5) (ln-free, same ordering
     as the textbook Robertson idf for df < N/2 — see module docstring).
 
-    100 TB plan: doc lengths and term frequencies come from one explode
-    pass; df for the handful of query terms is a near-free aggregate
-    (filter on an IN-list of literals pushes to the scan side of the
-    explode); avgdl and N broadcast as one-row scalars; the per-doc term
-    sum is a decimal aggregate over ≤|query| rows per doc. Output is
-    top-k via TakeOrderedAndProject — no global sort.
+    100 TB plan (r12-opt one-pass form): ONE lexer explode feeds ONE
+    map-side-combining groupBy(id) carrying dl plus a conditional tf
+    column per query term (|query| is a literal handful, so the row
+    stays narrow); N, avgdl and every per-term df collapse into a
+    single 1-row aggregate over that per-doc frame, broadcast back; the
+    per-doc term sum is the identical decimal(18,9)-quantized
+    arithmetic evaluated columnwise (decimal addition is exact, so the
+    column order cannot reorder the sum). The former shape — a
+    persisted token frame feeding three divergent aggregations plus a
+    tf⋈df⋈dl join chain — paid three exchanges and a cache barrier for
+    the same numbers. Output is top-k via TakeOrderedAndProject — no
+    global sort.
     """
-    from dbt_glue_spark.extensions.dedup import _persist
+    import functools
 
-    terms = [t.lower() for t in query_terms]
-    # one lexer pass feeds doc lengths AND the query-term branch
-    toks = _persist(
-        docs.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
+    # order-preserving dedupe: duplicate query terms would collide on
+    # the per-term column names (the old (id, tok) groupBy deduped them
+    # implicitly)
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    toks = docs.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
+    # one exchange: per-doc length + per-term conditional tfs in one
+    # partial-aggregated pass (docs with zero alpha tokens produce no
+    # toks rows and are absent, exactly as the old dl frame)
+    perdoc = toks.groupBy(id_col).agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("tok") == F.lit(t), True)).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    corpus = dl.agg(
+    # N, avgdl, and df per term (docs where the conditional tf is ≥1 —
+    # identical to the old distinct-docs-per-term count) in ONE 1-row agg
+    stats = perdoc.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("bigint")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
     )
-    qtoks = toks.filter(F.col("tok").isin(terms))
-    tf = qtoks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
-    df_t = (
-        qtoks.select(id_col, "tok")
-        .distinct()
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
-    )
-    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    tf_d = F.col("tf").cast("double")
-    norm = tf_d + F.lit(k1) * (
-        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
-    )
-    per_term = (
-        tf.join(F.broadcast(df_t), "tok")
-        .join(dl, id_col)
-        .join(F.broadcast(corpus))
-        .select(
-            F.col(id_col),
-            (idf * (tf_d * F.lit(k1 + 1.0)) / norm)
-            .cast("decimal(18,9)")
-            .alias("term_score"),
+    scored = perdoc.join(F.broadcast(stats))
+
+    def term_score(i: int) -> Column:
+        # bit-identical to the old per-row expression: bigint-derived
+        # rational idf, double norm, decimal(18,9) quantization
+        idf = (F.col("n_docs") - F.col(f"__df{i}") + F.lit(0.5)) / (
+            F.col(f"__df{i}") + F.lit(0.5)
         )
+        tf_d = F.col(f"__tf{i}").cast("double")
+        norm = tf_d + F.lit(k1) * (
+            F.lit(1.0)
+            - F.lit(b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return F.when(
+            F.col(f"__tf{i}") > 0,
+            (idf * (tf_d * F.lit(k1 + 1.0)) / norm).cast("decimal(18,9)"),
+        )
+
+    zero = F.lit(0).cast("decimal(18,9)")
+    total = functools.reduce(
+        lambda a, b_: a + b_,
+        [F.coalesce(term_score(i), zero) for i in range(len(terms))],
+    )
+    any_hit = functools.reduce(
+        lambda a, b_: a | b_,
+        [F.col(f"__tf{i}") > 0 for i in range(len(terms))],
     )
     return (
-        per_term.groupBy(id_col)
-        .agg(F.sum("term_score").cast("double").alias("bm25_raw"))
+        scored.filter(any_hit)
+        .select(F.col(id_col), total.cast("double").alias("bm25_raw"))
         .select(
             id_col, half_up_round(F.col("bm25_raw"), 6).alias("bm25")
         )

@@ -300,7 +300,11 @@ def _cm_bucket(col, row: int) -> "F.Column":
 
 
 def countmin_build(
-    df: DataFrame, col: str, depth: int = _CM_DEPTH, width: int = _CM_WIDTH
+    df: DataFrame,
+    col: str,
+    depth: int = _CM_DEPTH,
+    width: int = _CM_WIDTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch of the frequency of ``col`` values:
     (row_idx, bucket, cnt) with depth×width cells total.
@@ -312,6 +316,12 @@ def countmin_build(
     (row, bucket) pairs, and the sketch itself is ~4 KB regardless of
     input size: THE constant-memory alternative to an exact groupBy when
     only approximate per-item counts are needed.
+
+    ``weight_col`` builds the IDENTICAL sketch from pre-aggregated
+    (value, count) rows — cell cnt = Σ weights = the instance count —
+    so a caller that already holds per-value counts pays ``depth`` md5s
+    per DISTINCT value instead of per instance (r12-opt: the md5 bucket
+    arithmetic, not the shuffle, is this operator's cost at any scale).
     """
     assert width & (width - 1) == 0, "width must be a power of two (exact double math)"
     # ONE scan: posexplode of the depth-wide bucket array (position = row
@@ -319,11 +329,13 @@ def countmin_build(
     stacked = df.select(
         F.posexplode(
             F.array(*[_cm_bucket(F.col(col), j) for j in range(depth)])
-        ).alias("row_idx", "bucket")
+        ).alias("row_idx", "bucket"),
+        *([F.col(weight_col).alias("__w")] if weight_col else []),
     )
-    return stacked.groupBy("row_idx", "bucket").agg(
-        F.count("*").cast("bigint").alias("cnt")
+    agg = (
+        F.sum("__w").cast("bigint") if weight_col else F.count("*").cast("bigint")
     )
+    return stacked.groupBy("row_idx", "bucket").agg(agg.alias("cnt"))
 
 
 def countmin_estimate(

@@ -2576,19 +2576,20 @@ def ext_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NOT persisted (r12 A/B: 1.90 s vs 2.15 s cached): the token
     # explode is map-only codegen; recomputing it for the sketch and
-    # the exact-count branches beats caching the exploded strings
+    # the exact-count branches beats caching the exploded strings.
+    # r12-opt: BOTH branches now start from the same per-token count
+    # aggregate (identical subtree → AQE stage reuse runs it once), and
+    # the sketch is built WEIGHTED from it — cell counts are identical
+    # (Σ per-token tf = instance count) while the 4-md5-per-row bucket
+    # arithmetic runs per DISTINCT token instead of per token instance.
     tk = docs.select(
         F.explode(
             F.expr(r"regexp_extract_all(translate(lower(text), 'ς̇', 'σ'), '[a-z]+', 0)")
         ).alias("tok")
     )
-    sketch = sketches.countmin_build(tk, "tok")
-    top = (
-        tk.groupBy("tok")
-        .agg(F.count("*").alias("true_n"))
-        .orderBy(F.desc("true_n"), F.asc("tok"))
-        .limit(20)
-    )
+    tf = tk.groupBy("tok").agg(F.count("*").alias("true_n"))
+    sketch = sketches.countmin_build(tf, "tok", weight_col="true_n")
+    top = tf.orderBy(F.desc("true_n"), F.asc("tok")).limit(20)
     est = sketches.countmin_estimate(sketch, top.select("tok"), "tok")
     return top.join(est, "tok").select("tok", "true_n", "cm_count")
 
