@@ -698,6 +698,21 @@ def dup_clusters(
     # previous round — a 1-row aggregate over the already-checkpointed
     # frame, replacing the former per-vertex __chg flag + filter/count.
     # DECIMAL(38,0) keeps the sum exact at any vertex count / id range.
+    # The sum test is only sound when the decimal cast is lossless, i.e.
+    # the id type is integral: a non-numeric id (string doc ids) would
+    # cast to NULL, the sum would read NULL, and the NULL-means-empty
+    # branch below would silently return the round-1 partial labelling —
+    # exactly the silent-partial failure this function must never emit
+    # (r12 ADVICE, medium). Fail loud up front instead.
+    _label_t = labels.schema["label"].dataType.simpleString()
+    if _label_t not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            "dup_clusters requires an integral id column for the exact "
+            f"label-sum convergence test; got {id_col}: {_label_t}. "
+            "Map string/other ids to bigint (e.g. dense ids or xxhash64) "
+            "before clustering."
+        )
+
     def _label_sum(frame):
         row = frame.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")

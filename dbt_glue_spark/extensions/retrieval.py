@@ -124,6 +124,14 @@ def bm25_search(
     # the per-term column names (the old (id, tok) groupBy deduped them
     # implicitly)
     terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    if not terms:
+        # empty query: no term can hit, so the result is the empty
+        # (id, bm25) frame — the pre-r12 join-chain shape returned this
+        # gracefully, while reduce() over zero per-term columns raises
+        # (r12 ADVICE guard)
+        return docs.select(
+            F.col(id_col), F.lit(None).cast("double").alias("bm25")
+        ).limit(0)
     toks = docs.select(F.col(id_col), F.explode(_words(text_col)).alias("tok"))
     # one exchange: per-doc length + per-term conditional tfs in one
     # partial-aggregated pass (docs with zero alpha tokens produce no

@@ -413,65 +413,129 @@ def mmr_rerank(
     the MMR expression is the same literal arithmetic on both engines,
     and every argmax tie-breaks on neighbor_id.
 
-    100 TB shape: every similarity is computed JVM-side (candidates via
-    knn_bruteforce — broadcast queries, zero corpus shuffle — and the
-    per-query n² pair matrix from one query_id-keyed self-join, never a
-    corpus cross join), then the greedy k-round selection runs ONCE PER
-    QUERY inside a cogrouped Arrow map over that query's ≤ n + n²
-    pre-rounded rows. Re-ranking B queries is therefore ONE shuffle of
-    (id, id, sim) triples + an embarrassingly parallel per-group loop —
-    the former formulation ran k sequential cluster-wide join rounds
-    with a localCheckpoint barrier each (8 jobs per call; measured 4.1 s
-    for 4 queries × 20 candidates at sf0.1 — pure scheduling overhead,
-    and at any scale k full passes over the candidate set). The Python
-    boundary carries only ids and already-rounded sims, so every double
-    compared or combined below is bit-identical to the JVM's; the
+    100 TB shape (r13 form): candidates come from knn_bruteforce
+    (broadcast queries, zero corpus shuffle); their vectors ride back in
+    via ONE broadcast join (candidates are ≤ |queries|·n rows, so the
+    corpus side streams map-side); the greedy k-round selection AND the
+    per-query ≤ n² pair-sim matrix both run once per query inside a
+    grouped Arrow map. Re-ranking B queries is therefore ONE shuffle of
+    (id, id, sim, vector) candidate rows + an embarrassingly parallel
+    per-group loop — the r12 form additionally paid two candidate⋈emb
+    joins, a query_id-keyed n² pair self-join and a second cogroup
+    exchange; the r11 form ran k sequential cluster-wide join rounds
+    with a localCheckpoint barrier each (8 jobs per call — measured
+    4.1 s for 4 queries × 20 candidates at sf0.1). The candidate sims
+    crossing the Python boundary are the JVM's already-rounded doubles,
+    and the pair sims are computed by a bit-exact Python replica of the
+    identical JVM expression chain (sequential IEEE folds, correctly-
+    rounded sqrt, half-up floor rounding with Spark's floor→long
+    conversion semantics) — see the inline notes at _cos/_hur; the
     selection arithmetic (lam·sim − mu·pen on IEEE doubles, NULL
-    semantics, id tie-breaks) replicates the join formulation exactly —
-    see the inline notes.
+    semantics, id tie-breaks) replicates the original join formulation
+    exactly.
     """
-    # NOT persisted: cand's three references (a/b pair sides, cogroup
-    # input) all sit on the identical knn window subtree — AQE stage
-    # reuse covers them (r12 A/B medians 4.5 s cached vs 4.0 s not,
-    # under heavy box noise; consistent with every other persist A/B)
+    # NOT persisted: cand's references sit on the identical knn window
+    # subtree — AQE stage reuse covers them (r12 A/B medians 4.5 s cached
+    # vs 4.0 s not, under heavy box noise; consistent with every other
+    # persist A/B)
     cand = knn_bruteforce(
         corpus, queries, vec_col, id_col, k=n_candidates,
         round_digits=round_digits,
     ).select("query_id", "neighbor_id", "sim")
+    # r13 (guide §2.4): the per-query n² pair-sim matrix is no longer a
+    # JVM self-join — the candidate VECTORS ride into the cogrouped
+    # greedy (one broadcast join back onto the corpus: candidates are
+    # ≤ |queries|·n rows, bounded by the knn broadcast contract, so the
+    # corpus side streams map-side and is never shuffled), and the ≤ n²
+    # pair sims are computed inside the Arrow group by a bit-exact
+    # replica of the JVM expression chain (see _cos/_hur below). This
+    # removes the two candidate⋈emb joins, the query_id-keyed pair
+    # self-join and the second cogroup exchange — the former plan's
+    # SortMergeJoin pair (6 printed Exchanges → 3, 2 cogroup inputs →
+    # 1); the Python boundary now carries n·d floats per query instead
+    # of n² pre-rounded sims (1280 vs ≤1200 values at n=20, d=64 — a
+    # wash in bytes, two fewer shuffles in passes). Corpus ids are
+    # unique by contract (vec_id is the embeddings key); a duplicated id
+    # would duplicate candidate rows here where the old shape deduped
+    # them implicitly.
     emb = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    a = (
-        cand.select("query_id", F.col("neighbor_id").alias("a_id"))
-        .join(emb, F.col("a_id") == F.col("__id"))
-        .select("query_id", "a_id", F.col("__v").alias("__av"))
-    )
-    b = (
-        cand.select("query_id", F.col("neighbor_id").alias("b_id"))
-        .join(emb, F.col("b_id") == F.col("__id"))
-        .select("query_id", "b_id", F.col("__v").alias("__bv"))
-    )
-    pairs = (
-        a.join(b, "query_id")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select(
-            "query_id",
-            "a_id",
-            "b_id",
-            half_up_round(
-                cosine_sim(F.col("__av"), F.col("__bv")), round_digits
-            ).alias("sim_ab"),
-        )
-    )
+    candv = emb.join(
+        F.broadcast(cand), F.col("__id") == F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", "sim", "__v")
 
     qt = cand.schema["query_id"].dataType.simpleString()
     nt = cand.schema["neighbor_id"].dataType.simpleString()
     out_schema = f"query_id {qt}, sel_rank int, neighbor_id {nt}, sim double"
     kk, lam_, mu_ = int(k), float(lam), float(mu)
+    scale_ = float(10 ** int(round_digits))
 
-    def _greedy(cdf, pdf):
-        # One query's greedy MMR selection over its candidate list and
-        # pair-sim matrix. Pure Python over <= n + n² rows; floats are
-        # the JVM's already-rounded doubles, so lam·sim − mu·pen here is
-        # the identical IEEE expression the join formulation evaluated.
+    def _hur(x: float) -> float | None:
+        # bit-exact replica of functions.scalars.half_up_round on a
+        # Python float (an IEEE double, same as the JVM's):
+        # floor(x·10^d + 0.5) / 10^d with Spark's floor(double)→long
+        # conversion semantics (Math.floor then Double.toLong: NaN → 0,
+        # ±∞ saturates to Long.{MAX,MIN}_VALUE).
+        import math
+
+        y = x * scale_ + 0.5
+        if math.isnan(y):
+            f = 0
+        elif y >= 9223372036854775808.0:  # 2^63
+            f = 9223372036854775807
+        elif y <= -9223372036854775808.0:
+            f = -9223372036854775808
+        else:
+            f = math.floor(y)
+        return f / scale_
+
+    def _cos(a, b) -> float | None:
+        # bit-exact replica of functions.vectors.cosine_sim ∘ cast to
+        # double: sequential left-to-right folds (same IEEE add/mul
+        # order as the Catalyst `aggregate` expression), sqrt is
+        # correctly rounded in both runtimes, and the n > 0 predicate is
+        # False for NaN in Python exactly as a NaN SQL predicate is
+        # not-true. Returns None where the JVM returns NULL. Arrays of
+        # unequal length: zip_with pads with NULL → NULL dot → NULL sim
+        # JVM-side; replicated explicitly. A NULL element arrives here
+        # as NaN (Arrow float path) and poisons the folds into NaN →
+        # None, matching the JVM's NULL-poisoned fold → NULL.
+        import math
+
+        if a is None or b is None or len(a) != len(b):
+            return None
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        n = math.sqrt(na) * math.sqrt(nb)
+        if n > 0:
+            return _hur(dot / n)
+        return None
+
+    def _greedy(cdf):
+        # One query's greedy MMR selection over its candidate list; the
+        # pair-sim matrix is computed here from the candidates' vectors
+        # via the bit-exact _cos replica (≤ n² pairs × d flops, trivial
+        # per group). Floats are the JVM's already-rounded doubles, so
+        # lam·sim − mu·pen here is the identical IEEE expression the
+        # join formulation evaluated.
+        #
+        # NULL/NaN contract (r12 ADVICE, documented choice): pd.isna maps
+        # BOTH SQL NULL and NaN to None, i.e. ranked last. cosine_sim
+        # yields NULL (never NaN) for zero-magnitude or NaN-element
+        # vectors — `when(n > 0, …)` returns NULL on a false or NaN
+        # predicate — so a NaN sim is unreachable except under double
+        # OVERFLOW (|component| ≳ 1e154, where dot and norms are both
+        # +Inf and Inf/Inf = NaN). This implementation deliberately
+        # treats that overflow NaN like NULL (undefined geometry, ranked
+        # last) rather than replicating Spark's NaN-sorts-greatest; the
+        # bigmag pathological-parity axis gates the behavior vs the
+        # oracle.
         import pandas as pd
 
         n = len(cdf)
@@ -481,9 +545,15 @@ def mmr_rerank(
             )[["query_id", "sel_rank", "neighbor_id", "sim"]]
         ids = cdf["neighbor_id"].tolist()
         sims = [None if pd.isna(v) else float(v) for v in cdf["sim"]]
+        vecs = [
+            None if v is None else [float(x) for x in v] for v in cdf["__v"]
+        ]
         pair: dict = {}
-        for pa, pb, ps in zip(pdf["a_id"], pdf["b_id"], pdf["sim_ab"]):
-            pair[(pa, pb)] = None if pd.isna(ps) else float(ps)
+        for ai in range(n):
+            for bi in range(n):
+                if ai == bi:
+                    continue
+                pair[(ids[ai], ids[bi])] = _cos(vecs[ai], vecs[bi])
 
         def argbest(items):
             # items: (idx, value) — max by (non-NULL first, value), tie
@@ -537,17 +607,7 @@ def mmr_rerank(
         )
         return out
 
-    # fresh attribute for the pair-side key: pairs' query_id descends
-    # from cand's, and cogrouping both on the same attribute id trips
-    # the ambiguous-self-join analyzer check
-    pairs_k = pairs.select(
-        F.col("query_id").alias("__pq"), "a_id", "b_id", "sim_ab"
-    )
-    return (
-        cand.groupBy("query_id")
-        .cogroup(pairs_k.groupBy("__pq"))
-        .applyInPandas(_greedy, out_schema)
-    )
+    return candv.groupBy("query_id").applyInPandas(_greedy, out_schema)
 
 
 def quantize_embeddings(

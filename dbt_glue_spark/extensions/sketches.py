@@ -567,6 +567,11 @@ def histogram_quantiles(
 ) -> DataFrame:
     """Approximate quantiles from a fixed-width histogram: (q, estimate).
 
+    One output row PER DISTINCT quantile in ``qs`` (r12 ADVICE: the
+    one-pass walk groups by q, so a duplicated entry in ``qs`` yields one
+    row, not two — ``qs`` is deduped explicitly below to make that the
+    documented contract rather than a groupBy accident).
+
     Two passes — exact (min, max, n), then a ``buckets``-cell count
     histogram; each quantile is linearly interpolated inside the first
     bucket whose cumulative count reaches q·n. Every step is IEEE
@@ -580,6 +585,8 @@ def histogram_quantiles(
     """
     from dbt_glue_spark.extensions.dedup import _persist
 
+    # order-preserving dedupe (see docstring contract)
+    qs = tuple(dict.fromkeys(qs))
     c = F.col(col).cast("double")
     # persisted: the 1-row stats frame is broadcast into BOTH the
     # histogram pass and the quantile-literal frame below; unpersisted,
