@@ -30,6 +30,10 @@ from dbt_glue_spark.extensions.dedup import (
 )
 from dbt_glue_spark.sources.registry import load_table
 
+# Promotion-gate / full-sweep module: deselected by default so the suite
+# fits the driver's pytest window (r12 verdict item 3); `pytest -m slow` runs it.
+pytestmark = pytest.mark.slow
+
 
 def _docs(spark, sf_dir):
     # small deterministic slice: enough docs to produce real candidate

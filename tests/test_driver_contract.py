@@ -50,6 +50,7 @@ def _driver_canon(pdf):
     return pdf
 
 
+@pytest.mark.slow
 def test_driver_contract_catalog_wide(spark, sf_dir):
     """Single pass: build every catalog plan once; flat-schema gate for
     all queries, canonicalization round-trip for the rotating subset

@@ -17,9 +17,10 @@ down. Round-5 probe findings fixed here and regression-gated:
   readers now fall back to the typed empty sketch instead of raising.
 
 The FULL catalog sweep (every query in SPECS() against a zero-row
-directory) is the default since round 11 (r10 verdict item 7) — it ran
-green over all 283 queries at promotion. SPARK_GRAFT_EMPTY_FULL=0 opts
-down to the fixed regression surfaces for quick local iteration.
+directory) ran green over all queries at promotion and lives behind the
+``slow`` marker since round 13 (r12 verdict item 3: the default suite
+must fit the driver's pytest window); the fixed regression surfaces run
+on every default invocation. Run the sweep with ``pytest -m slow``.
 """
 
 from __future__ import annotations
@@ -56,13 +57,8 @@ REGRESSION_QUERIES = [
 ]
 
 
-def test_fixed_queries_survive_empty_input(spark, empty_sf):
+def _sweep_empty(spark, empty_sf, names):
     specs = SPECS()
-    names = (
-        REGRESSION_QUERIES
-        if os.environ.get("SPARK_GRAFT_EMPTY_FULL") == "0"
-        else list(specs)
-    )
     failures = []
     for name in names:
         try:
@@ -70,6 +66,19 @@ def test_fixed_queries_survive_empty_input(spark, empty_sf):
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:150]}")
     assert not failures, failures
+
+
+def test_fixed_queries_survive_empty_input(spark, empty_sf):
+    _sweep_empty(spark, empty_sf, REGRESSION_QUERIES)
+
+
+@pytest.mark.slow
+def test_full_catalog_survives_empty_input(spark, empty_sf):
+    """Every declared query against zero-row inputs — the full sweep that
+    ran green at promotion (r10 verdict item 7). ~3 min, so behind the
+    ``slow`` marker since round 13 (r12 verdict item 3); the quick test
+    above keeps the fixed regression surfaces on every default run."""
+    _sweep_empty(spark, empty_sf, list(SPECS()))
 
 
 def test_load_table_reads_directory_layout_with_int96(spark, empty_sf, sf_dir):

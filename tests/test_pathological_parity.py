@@ -32,6 +32,10 @@ from gen_pathological import mutate  # noqa: E402
 from dbt_glue_spark.plans.catalog import SPECS
 from dbt_glue_spark.sources.registry import TABLES, load_table
 
+# Promotion-gate / full-sweep module: deselected by default so the suite
+# fits the driver's pytest window (r12 verdict item 3); `pytest -m slow` runs it.
+pytestmark = pytest.mark.slow
+
 # Every query that diverged (crashed or mismatched) on dirty data during
 # the round-5 sweeps, minus the streaming sinks (each stages a ~20 s file
 # stream; the full tool sweep still covers them).

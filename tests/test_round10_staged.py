@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 from dbt_glue_spark.plans.round10_staged import STAGED10
 from tools.check_parity import duck_con, normalize, values_equal
 
+# Promotion-gate / full-sweep module: deselected by default so the suite
+# fits the driver's pytest window (r12 verdict item 3); `pytest -m slow` runs it.
+pytestmark = pytest.mark.slow
+
 STAGED10_NAMES = sorted(STAGED10())
 
 

@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 from dbt_glue_spark.plans.round9_staged import STAGED9
 from tools.check_parity import duck_con, normalize, values_equal
 
+# Promotion-gate / full-sweep module: deselected by default so the suite
+# fits the driver's pytest window (r12 verdict item 3); `pytest -m slow` runs it.
+pytestmark = pytest.mark.slow
+
 STAGED9_NAMES = sorted(STAGED9())
 
 
